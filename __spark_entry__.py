@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is a named operator/pipeline from SURVEY.md §2,
+implemented with the engine (``bda_spadochrony_spark``), and paired with an
+ANSI-SQL oracle in ``oracle_sql()`` that DuckDB runs on the same parquet
+tables. Every computed column is aliased identically on both sides; integer
+widths are aligned (DuckDB ``hour()`` etc. return BIGINT → cast to INTEGER
+to match Spark); floating aggregates are rounded on both sides so
+summation-order ulp noise can't break the value hash.
 """
 
 from __future__ import annotations
@@ -12,27 +14,483 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, IntegerType, LongType, StringType,
+                               StructField, StructType, TimestampType)
+
+from bda_spadochrony_spark.session import configure
+from bda_spadochrony_spark.sources.readers import scan, conform, union_by_name
+from bda_spadochrony_spark.functions.temporal import with_date_hour, calendar_features
+from bda_spadochrony_spark.functions.encode import one_hot, horizontal_sum
+from bda_spadochrony_spark.functions.numeric import stable_round
+from bda_spadochrony_spark.operators.aggregates import (group_agg, hourly_measures,
+                                                        mode_by_struct_max, two_level_avg)
+from bda_spadochrony_spark.operators.joins import equi_join, join_chain, interval_join
+from bda_spadochrony_spark.operators.windows import range_frame_agg, top_k_per_group
+from bda_spadochrony_spark.operators.sorts import sort_by
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    return scan(spark, f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- queries --
+
+def q_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+P3+O1 — the reference's canonical hourly aggregate
+    (``pyspark/batch_stock.py:70-85``) over the events feed."""
+    ev = with_date_hour(_t(spark, sf_dir, "events"), "ts")
+    agg = group_agg(ev, ["date", "hour"], hourly_measures(["value"]))
+    return sort_by(agg, ["date", "hour"])
+
+
+def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — struct-max mode with larger-value tie-break
+    (``pyspark/batch_openweather.py:12-20``)."""
+    ev = with_date_hour(_t(spark, sf_dir, "events"), "ts")
+    return mode_by_struct_max(ev, ["date", "hour"], "event_type")
+
+
+def q_hourly_with_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — multi-key equi join attaching mode columns to the hourly
+    aggregate (``pyspark/batch_openweather.py:105``)."""
+    ev = with_date_hour(_t(spark, sf_dir, "events"), "ts")
+    agg = group_agg(ev, ["date", "hour"], hourly_measures(["value"]))
+    mode = mode_by_struct_max(ev, ["date", "hour"], "event_type")
+    return sort_by(equi_join(agg, mode, on=["date", "hour"]), ["date", "hour"])
+
+
+def q_two_level_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — avg-of-avgs re-aggregation, unweighted by design
+    (``pyspark/batch_tomtom.py:114-117``)."""
+    ev = with_date_hour(_t(spark, sf_dir, "events"), "ts")
+    out = two_level_avg(ev,
+                        fine_keys=["date", "hour", "event_type", "user_id"],
+                        coarse_keys=["date", "hour", "event_type"],
+                        avg_col="value", count_col="user_id",
+                        avg_alias="avg_avg_value", count_alias="n_users")
+    return out.withColumn("avg_avg_value", stable_round(F.col("avg_avg_value"), 2))
+
+
+def q_null_skipping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5/P10 — null-domain aggregate: values nulled under a predicate,
+    then null-skipping count(col) + avg(col) (``pyspark/batch_tomtom.py:94-103``)."""
+    ev = with_date_hour(_t(spark, sf_dir, "events"), "ts")
+    ev = ev.withColumn("value_maybe", F.when(F.col("value") < 5.0, None).otherwise(F.col("value")))
+    return group_agg(ev, ["event_type"], [
+        F.count("value_maybe").alias("n_nonnull"),
+        F.count(F.lit(1)).alias("n_rows"),
+        stable_round(F.avg("value_maybe"), 2).alias("avg_nonnull"),
+    ])
+
+
+def q_filtered_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P8 — pushed equality + isNotNull filters before aggregation
+    (``pyspark/ML_tomtom.py:165``, ``batch_tomtom.py:94``)."""
+    ev = with_date_hour(_t(spark, sf_dir, "events"), "ts")
+    ev = ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+    return group_agg(ev, ["date"], [F.count(F.lit(1)).alias("n_purchases"),
+                                    stable_round(F.sum("value"), 2).alias("total_value")])
+
+
+def q_range_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — forward range-frame rolling sum: value in the next hour per row
+    (``pyspark/ML_stock.py:161-171``)."""
+    ev = _t(spark, sf_dir, "events").withColumn("ts_unix", F.unix_timestamp("ts"))
+    out = range_frame_agg(ev, "ts_unix", (0, 3600),
+                          [(F.sum("value"), "next_hour_value"),
+                           (F.count(F.lit(1)), "next_hour_events")])
+    return out.select("event_id", "ts_unix",
+                      stable_round(F.col("next_hour_value"), 2).alias("next_hour_value"),
+                      "next_hour_events")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 at TPC-H shape — lineitem pricing summary (Q1-like): the
+    multi-measure hash agg the 100 TB bench leans on."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+    return sort_by(group_agg(li, ["l_returnflag", "l_linestatus"], [
+        stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        stable_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        stable_round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        stable_round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    ]), ["l_returnflag", "l_linestatus"])
+
+
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — chained multi-key equi joins over the star schema with explicit
+    broadcast of the small dims (``pyspark/batch_tomtom.py:102-111`` shape;
+    broadcast per SURVEY §4.1 join-strategy row)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+           .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey))
+    out = group_agg(j, ["r_name", "n_name"], [
+        stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    ])
+    return sort_by(out, ["r_name", "n_name"])
+
+
+def q_union_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — unionByName with missing-column null-fill
+    (``pyspark/batch_stock.py:35``): two drifted projections of lineitem
+    unioned, then aggregated so the null-fill is observable."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", "l_returnflag", "l_quantity")
+    b = li.select("l_orderkey", "l_returnflag", "l_extendedprice")
+    u = union_by_name(a, b)
+    return group_agg(u, ["l_returnflag"], [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_quantity").alias("n_qty"),
+        F.count("l_extendedprice").alias("n_price"),
+        stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    ])
+
+
+def q_conform_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — schema conformance: declared-schema projection with widening
+    casts and a missing column null-filled (``pyspark/batch_stock.py:11-16``)."""
+    target = StructType([
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("event_type", StringType()),
+        StructField("session_score", DoubleType()),  # absent → typed null
+        StructField("ts", TimestampType()),
+    ])
+    return conform(_t(spark, sf_dir, "events"), target)
+
+
+def q_onehot_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/P10/P11 — literal one-hot + other-flag + horizontal sum
+    (``pyspark/ML_stock.py:95-120``)."""
+    ev = _t(spark, sf_dir, "events")
+    ev = one_hot(ev, "event_type", ["click", "view", "purchase"],
+                 prefix="et", other_col="et_other")
+    ev = ev.withColumn("flag_sum", horizontal_sum(
+        [F.col(c) for c in ["et_click", "et_view", "et_purchase", "et_other"]]))
+    return ev.select("event_id", "et_click", "et_view", "et_purchase", "et_other", "flag_sum")
+
+
+def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — calendar featurization (``pyspark/ML_stock.py:87-90``); Spark
+    dayofweek convention Sunday=1."""
+    ev = calendar_features(_t(spark, sf_dir, "events"), "ts")
+    return ev.select("event_id", "hour", "dayofweek", "month")
+
+
+def q_interval_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family — interval arithmetic + date/hour derivation with the
+    reference's −20-minute skew (``pyspark/batch_stock.py:70-74``)."""
+    ev = with_date_hour(_t(spark, sf_dir, "events"), "ts", skew_minutes=20,
+                        date_col="date_skewed", hour_col="hour_skewed")
+    return ev.select("event_id", "date_skewed", "hour_skewed")
+
+
+def q_serving_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 key building in-engine — composite ``{date}_{hour}`` and
+    timestamp-formatted keys (``pyspark/batch_stock.py:120``,
+    ``stream_combined.py:233``), replacing driver-side Python string building."""
+    ev = with_date_hour(_t(spark, sf_dir, "events"), "ts")
+    return ev.select(
+        "event_id",
+        F.concat_ws("_", F.col("date").cast("string"), F.col("hour").cast("string")).alias("row_key"),
+        F.date_format("ts", "yyyy-MM-dd_HH-mm").alias("minute_key"),
+    )
+
+
+def q_json_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — typed from_json payload parse (``pyspark/stream_combined.py:49-69``)
+    on the events ``props`` JSON column, one select, no string detour."""
+    ev = _t(spark, sf_dir, "events")
+    schema = StructType([StructField("k", IntegerType())])
+    out = ev.withColumn("props_parsed", F.from_json(F.col("props"), schema))
+    return out.select("event_id", F.col("props_parsed.k").alias("prop_k"))
+
+
+def q_asof_minute_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — truncation-based temporal alignment: per-minute event counts
+    self-joined through ``date_trunc('minute')`` (``pyspark/ML_stock.py:125,175``)."""
+    ev = _t(spark, sf_dir, "events")
+    per_min = ev.groupBy(F.date_trunc("minute", "ts").alias("minute")) \
+                .agg(F.count(F.lit(1)).alias("n_in_minute"))
+    aligned = ev.withColumn("minute", F.date_trunc("minute", "ts")) \
+                .join(per_min, on="minute", how="inner")
+    return aligned.select("event_id", "minute", "n_in_minute")
+
+
+def q_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 (batch flavor) — equi+interval join: each error event matched to
+    the same user's click events within ±30 min (the tolerance + equality shape
+    of ``pyspark/stream_combined.py:190-198``)."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error") \
+               .select(F.col("event_id").alias("err_id"), F.col("user_id").alias("err_user"),
+                       F.col("ts").alias("err_ts"))
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("click_user"),
+                       F.col("ts").alias("click_ts"))
+    j = interval_join(errors, clicks, "err_ts", "click_ts", 1800.0,
+                      extra_eq=[("err_user", "click_user")], how="inner")
+    return j.select("err_id", "click_id", "err_user")
+
+
+def q_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-k per group (partitioned row_number — the scale-safe
+    alternative to a global sort; SURVEY §2.5 absent-ops row)."""
+    ev = _t(spark, sf_dir, "events")
+    return top_k_per_group(ev, ["event_type"],
+                           [F.col("value").desc(), F.col("event_id").asc()], 3) \
+        .select("event_type", "event_id", "value")
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the documents table: canonical row per distinct text
+    (keep lowest doc_id), with duplicate multiplicity."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("keep_doc_id", "n_copies")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis — token count + char stats per document, all JVM-side
+    built-ins (no UDFs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        F.round(F.length(F.regexp_replace(F.col("text"), "[^aeiou]", "")) /
+                F.greatest(F.length("text"), F.lit(1)), 4).alias("vowel_ratio"),
+    )
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "hourly_agg": q_hourly_agg,
+    "mode_event_type": q_mode_event_type,
+    "hourly_with_mode": q_hourly_with_mode,
+    "two_level_avg": q_two_level_avg,
+    "null_skipping_agg": q_null_skipping_agg,
+    "filtered_hourly": q_filtered_hourly,
+    "range_window_sum": q_range_window_sum,
+    "pricing_summary": q_pricing_summary,
+    "star_join": q_star_join,
+    "union_drift": q_union_drift,
+    "conform_schema": q_conform_schema,
+    "onehot_features": q_onehot_features,
+    "calendar_features": q_calendar_features,
+    "interval_shift": q_interval_shift,
+    "serving_keys": q_serving_keys,
+    "json_payload": q_json_payload,
+    "asof_minute_join": q_asof_minute_join,
+    "interval_join_batch": q_interval_join_batch,
+    "top_k_per_group": q_top_k_per_group,
+    "exact_dedup": q_exact_dedup,
+    "text_stats": q_text_stats,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_hourly_with_mode(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "hourly_agg": """
+            SELECT CAST(ts AS DATE) AS date, CAST(hour(ts) AS INTEGER) AS hour,
+                   count(*) AS cnt, round((avg(value)) + 1e-06, 2) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "mode_event_type": """
+            SELECT date, hour, event_type AS mode_event_type FROM (
+                SELECT date, hour, event_type,
+                       row_number() OVER (PARTITION BY date, hour
+                                          ORDER BY cnt DESC, event_type DESC) AS rn
+                FROM (
+                    SELECT CAST(ts AS DATE) AS date, CAST(hour(ts) AS INTEGER) AS hour,
+                           event_type, count(*) AS cnt
+                    FROM events GROUP BY 1, 2, 3
+                )
+            ) WHERE rn = 1
+        """,
+        "hourly_with_mode": """
+            WITH agg AS (
+                SELECT CAST(ts AS DATE) AS date, CAST(hour(ts) AS INTEGER) AS hour,
+                       count(*) AS cnt, round((avg(value)) + 1e-06, 2) AS avg_value
+                FROM events GROUP BY 1, 2
+            ), mode AS (
+            SELECT date, hour, event_type AS mode_event_type FROM (
+                SELECT date, hour, event_type,
+                       row_number() OVER (PARTITION BY date, hour
+                                          ORDER BY cnt DESC, event_type DESC) AS rn
+                FROM (
+                    SELECT CAST(ts AS DATE) AS date, CAST(hour(ts) AS INTEGER) AS hour,
+                           event_type, count(*) AS cnt
+                    FROM events GROUP BY 1, 2, 3
+                )
+            ) WHERE rn = 1
+            )
+            SELECT agg.date, agg.hour, agg.cnt, agg.avg_value, mode.mode_event_type
+            FROM agg JOIN mode USING (date, hour)
+        """,
+        "two_level_avg": """
+            WITH fine AS (
+                SELECT CAST(ts AS DATE) AS date, CAST(hour(ts) AS INTEGER) AS hour,
+                       event_type, user_id, avg(value) AS fine_avg
+                FROM events GROUP BY 1, 2, 3, 4
+            )
+            SELECT date, hour, event_type,
+                   count(user_id) AS n_users,
+                   round((avg(fine_avg)) + 1e-06, 2) AS avg_avg_value
+            FROM fine GROUP BY 1, 2, 3
+        """,
+        "null_skipping_agg": """
+            WITH ev AS (
+                SELECT event_type,
+                       CASE WHEN value < 5.0 THEN NULL ELSE value END AS value_maybe
+                FROM events
+            )
+            SELECT event_type, count(value_maybe) AS n_nonnull, count(*) AS n_rows,
+                   round((avg(value_maybe)) + 1e-06, 2) AS avg_nonnull
+            FROM ev GROUP BY 1
+        """,
+        "filtered_hourly": """
+            SELECT CAST(ts AS DATE) AS date, count(*) AS n_purchases,
+                   round((sum(value)) + 1e-06, 2) AS total_value
+            FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+            GROUP BY 1
+        """,
+        "range_window_sum": """
+            SELECT event_id, ts_unix,
+                   round((sum(value) OVER w) + 1e-06, 2) AS next_hour_value,
+                   count(*) OVER w AS next_hour_events
+            FROM (SELECT event_id, value,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS ts_unix
+                  FROM events)
+            WINDOW w AS (ORDER BY ts_unix RANGE BETWEEN CURRENT ROW AND 3600 FOLLOWING)
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round((sum(l_quantity)) + 1e-06, 2) AS sum_qty,
+                   round((sum(l_extendedprice)) + 1e-06, 2) AS sum_base_price,
+                   round((sum(l_extendedprice * (1 - l_discount))) + 1e-06, 2) AS sum_disc_price,
+                   round((avg(l_quantity)) + 1e-06, 2) AS avg_qty,
+                   round((avg(l_discount)) + 1e-08, 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "star_join": """
+            SELECT r_name, n_name,
+                   round((sum(l_extendedprice * (1 - l_discount))) + 1e-06, 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY 1, 2
+        """,
+        "union_drift": """
+            WITH u AS (
+                SELECT l_orderkey, l_returnflag, l_quantity, NULL::DOUBLE AS l_extendedprice
+                FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, l_returnflag, NULL::DOUBLE AS l_quantity, l_extendedprice
+                FROM lineitem
+            )
+            SELECT l_returnflag, count(*) AS n_rows,
+                   count(l_quantity) AS n_qty, count(l_extendedprice) AS n_price,
+                   round((sum(l_quantity)) + 1e-06, 2) AS sum_qty
+            FROM u GROUP BY 1
+        """,
+        "conform_schema": """
+            SELECT event_id, user_id, value, event_type,
+                   NULL::DOUBLE AS session_score, ts
+            FROM events
+        """,
+        "onehot_features": """
+            SELECT event_id,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS et_click,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS et_view,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS et_purchase,
+                   CASE WHEN event_type IN ('click', 'view', 'purchase') THEN 0 ELSE 1 END AS et_other,
+                   1 AS flag_sum
+            FROM events
+        """,
+        "calendar_features": """
+            SELECT event_id, CAST(hour(ts) AS INTEGER) AS hour,
+                   CAST(dayofweek(ts) + 1 AS INTEGER) AS dayofweek,
+                   CAST(month(ts) AS INTEGER) AS month
+            FROM events
+        """,
+        "interval_shift": """
+            SELECT event_id,
+                   CAST(ts - INTERVAL 20 MINUTE AS DATE) AS date_skewed,
+                   CAST(hour(ts - INTERVAL 20 MINUTE) AS INTEGER) AS hour_skewed
+            FROM events
+        """,
+        "serving_keys": """
+            SELECT event_id,
+                   CAST(CAST(ts AS DATE) AS VARCHAR) || '_' || CAST(CAST(hour(ts) AS INTEGER) AS VARCHAR) AS row_key,
+                   strftime(ts, '%Y-%m-%d_%H-%M') AS minute_key
+            FROM events
+        """,
+        "json_payload": """
+            SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k
+            FROM events
+        """,
+        "asof_minute_join": """
+            WITH per_min AS (
+                SELECT date_trunc('minute', ts) AS minute, count(*) AS n_in_minute
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_id, m.minute, m.n_in_minute
+            FROM events e JOIN per_min m ON date_trunc('minute', e.ts) = m.minute
+        """,
+        "interval_join_batch": """
+            SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id AS err_user
+            FROM events e JOIN events c
+              ON e.user_id = c.user_id
+             AND c.ts BETWEEN e.ts - INTERVAL 1800 SECOND AND e.ts + INTERVAL 1800 SECOND
+            WHERE e.event_type = 'error' AND c.event_type = 'click'
+        """,
+        "top_k_per_group": """
+            SELECT event_type, event_id, value FROM (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value DESC, event_id ASC) AS rn
+                FROM events
+            ) WHERE rn <= 3
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                   CAST(length(text) AS INTEGER) AS n_chars_computed,
+                   round(length(regexp_replace(text, '[^aeiou]', '', 'g')) * 1.0 /
+                         greatest(length(text), 1), 4) AS vowel_ratio
+            FROM documents
+        """,
+    }

@@ -1,0 +1,81 @@
+"""Hash aggregations (SURVEY §2.4 A1-A9).
+
+All of these compile to Spark's two-phase HashAggregate (partial map-side
+combine → shuffle on the group keys → final), so the shuffle volume is the
+distinct-key count, not the row count — the property that keeps a
+(date,hour)-grouped aggregate over 100 TB of minute-grained rows cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bda_spadochrony_spark.functions.numeric import stable_round
+
+
+def group_agg(df: DataFrame, keys: list[str], measures: list[Column]) -> DataFrame:
+    """Multi-measure hash aggregate (A1; reference hourly aggregates at
+    ``pyspark/batch_stock.py:76-85`` — count + 8× round(avg, 2)).
+
+    Measures are pre-aliased Columns, e.g. ``F.round(F.avg("open"), 2)
+    .alias("avg_open")``; every computed column MUST be aliased so results
+    are oracle-comparable by name.
+    """
+    return df.groupBy(*keys).agg(*measures)
+
+
+def hourly_measures(avg_cols: list[str], ndigits: int = 2) -> list[Column]:
+    """The reference's standard measure block: ``count(*)`` plus rounded
+    averages of every metric column (``pyspark/batch_stock.py:77-84``,
+    9-avg weather variant ``batch_openweather.py:91-100``)."""
+    out = [F.count(F.lit(1)).alias("cnt")]
+    out += [stable_round(F.avg(c), ndigits).alias(f"avg_{c}") for c in avg_cols]
+    return out
+
+
+def mode_by_struct_max(df: DataFrame, keys: list[str], value_col: str,
+                       out_col: str | None = None) -> DataFrame:
+    """Per-group mode (most frequent value) via the struct-max idiom
+    (A3; reference ``pyspark/batch_openweather.py:12-20``, 4-key/3-key
+    variants ``batch_tomtom.py:12-30``).
+
+    Semantics preserved exactly: count per (keys, value), then
+    ``max(struct(count, value))`` — ties broken by the LARGER value
+    (numeric or lexicographic), which differs from Spark 3.4's ``F.mode``
+    (arbitrary tie) and DuckDB's ``mode`` (first-seen). Two shuffles, both
+    on low-cardinality keys; at 100 TB the first groupBy does the heavy
+    reduction map-side.
+    """
+    out_col = out_col or f"mode_{value_col}"
+    counted = df.groupBy(*keys, value_col).count()
+    return (
+        counted.groupBy(*keys)
+        .agg(F.max(F.struct(F.col("count"), F.col(value_col))).alias("__m"))
+        .select(*keys, F.col(f"__m.{value_col}").alias(out_col))
+    )
+
+
+def two_level_avg(df: DataFrame, fine_keys: list[str], coarse_keys: list[str],
+                  avg_col: str, count_col: str,
+                  avg_alias: str | None = None, count_alias: str | None = None) -> DataFrame:
+    """Two-level re-aggregation with avg-of-avgs semantics (A6; reference
+    ``pyspark/batch_tomtom.py:114-117``).
+
+    Level 1 averages ``avg_col`` per ``fine_keys``; level 2 re-averages the
+    per-group averages per ``coarse_keys`` (UNWEIGHTED — deliberately not a
+    weighted mean; SURVEY §7.4 risk 3) and counts distinct fine groups via
+    ``count(count_col)``'s null-skipping count of group rows.
+    """
+    avg_alias = avg_alias or f"avg_avg_{avg_col}"
+    count_alias = count_alias or f"cnt_{count_col}"
+    fine = df.groupBy(*fine_keys).agg(F.avg(avg_col).alias("__fine_avg"))
+    return fine.groupBy(*coarse_keys).agg(
+        F.count(count_col).alias(count_alias),
+        F.avg("__fine_avg").alias(avg_alias),
+    )
+
+
+def global_agg(df: DataFrame, measures: list[Column]) -> DataFrame:
+    """No-group aggregate (A8; reference ``pyspark/ML_stock.py:177-179``)."""
+    return df.agg(*measures)

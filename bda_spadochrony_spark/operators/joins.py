@@ -1,0 +1,80 @@
+"""Joins (SURVEY §2.3 J1-J6).
+
+Strategy notes for scale (the engine's job is to hand Catalyst a plan it can
+pick the right physical join for):
+- Equi joins on explicit key lists → Catalyst chooses broadcast-hash when one
+  side fits ``spark.sql.autoBroadcastJoinThreshold`` (post-aggregate frames
+  almost always do), else sort-merge; AQE re-plans at runtime using real
+  sizes and splits skewed partitions.
+- ``broadcast=True`` forces the hint for known-small dimensions (e.g. the
+  nation/region tables of a star schema) — at 100 TB a mis-chosen
+  sort-merge against a 25-row dim is a full shuffle of the fact table.
+- The interval join is expressed as an equi prefix (date equality) + time
+  range, so the streaming state store keys by date and evicts by watermark +
+  bound (reference ``pyspark/stream_combined.py:190-198``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def equi_join(left: DataFrame, right: DataFrame, on: list[str],
+              how: str = "inner", broadcast: bool = False) -> DataFrame:
+    """Multi-key equi join (J1-J5; reference ``pyspark/batch_openweather.py:105``
+    2-key, ``batch_tomtom.py:102-111`` 4-key chained, ``batch_tomtom.py:121``
+    3-key roll-up). ``how`` passes through every Spark join type (the
+    reference enumerates inner/leftOuter/rightOuter/leftSemi as intended
+    options at ``stream_combined.py:197``)."""
+    r = F.broadcast(right) if broadcast else right
+    return left.join(r, on=on, how=how)
+
+
+def join_chain(base: DataFrame, others: list[tuple[DataFrame, list[str]]],
+               how: str = "inner") -> DataFrame:
+    """Chained multi-key joins (J2; reference chains 4 joins on
+    ``['date','hour','iconCategory','id']`` at ``batch_tomtom.py:102-111``).
+    Same keys across links ⇒ one shuffle partitioning is reused by every
+    sort-merge link instead of re-shuffling per join."""
+    out = base
+    for df, keys in others:
+        out = out.join(df, on=keys, how=how)
+    return out
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  left_ts: str, right_ts: str,
+                  tolerance_seconds: float = 30.0,
+                  extra_eq: list[tuple[str, str]] | None = None,
+                  how: str = "fullOuter") -> DataFrame:
+    """Time-interval join: ``right_ts ∈ [left_ts − tol, left_ts + tol]``
+    plus optional extra equality conjuncts (J6/T3; reference
+    ``pyspark/stream_combined.py:190-198`` — date equality AND ±30 s,
+    ``how="fullOuter"``).
+
+    Works on batch frames (Catalyst range join) and on two watermarked
+    streams (StreamingSymmetricHashJoin with state eviction from the
+    watermark + bound). Column names must be disjoint apart from the
+    ``extra_eq`` pairs; callers rename beforehand, as the reference does
+    with its ``_weather``/``_stock`` suffixes.
+    """
+    tol = f"interval {int(tolerance_seconds)} seconds"
+    cond = (F.col(right_ts) >= F.expr(f"{left_ts} - {tol}")) & \
+           (F.col(right_ts) <= F.expr(f"{left_ts} + {tol}"))
+    for lcol, rcol in (extra_eq or []):
+        cond = cond & (F.col(lcol) == F.col(rcol))
+    return left.join(right, on=cond, how=how)
+
+
+def as_of_align(left: DataFrame, right: DataFrame, left_ts: str, right_ts: str,
+                grain: str = "minute", how: str = "inner") -> DataFrame:
+    """Truncation-based temporal alignment (J5; reference aligns weather
+    features to windowed targets by ``date_trunc('minute', ts)`` equi join,
+    ``pyspark/ML_stock.py:125,175``). Cheaper than a true as-of join when
+    both feeds share a cadence: plain equi join on the truncated timestamp,
+    shuffle on a single well-distributed key."""
+    lk, rk = f"__{left_ts}_trunc", f"__{right_ts}_trunc"
+    l = left.withColumn(lk, F.date_trunc(grain, F.col(left_ts)))
+    r = right.withColumn(rk, F.date_trunc(grain, F.col(right_ts)))
+    return l.join(r, on=l[lk] == r[rk], how=how).drop(lk, rk)

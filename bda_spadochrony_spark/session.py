@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+The reference builds ad-hoc sessions per script with ``master("yarn")``
+(reference ``pyspark/batch_openweather.py:49``). The engine centralizes
+session construction with a scale-aware default config:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  broadcast-join demotion/promotion) — the single biggest free win at
+  100 TB where static ``spark.sql.shuffle.partitions`` is always wrong.
+- Session timezone pinned to UTC so timestamp→date/hour derivations agree
+  across engines and with the DuckDB oracle (SURVEY.md §7.4 risk 4).
+- Arrow enabled for the (rare) Pandas-UDF paths (similarity / multimodal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# At 100 TB these would be cluster-submit configs; in local mode they make
+# the same plans observable. Shuffle partitions start high and AQE coalesces.
+_BASE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB scan splits
+    "spark.sql.autoBroadcastJoinThreshold": "33554432",  # 32 MiB dims broadcast
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.enabled": "false",
+    "spark.sql.streaming.schemaInference": "false",
+    # testdata parquet stores TIMESTAMP(NANOS); read as long, convert in scan
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_session(app_name: str = "bda-spadochrony-spark",
+                master: str | None = None,
+                extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's default config.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster callers pass ``yarn``/``k8s`` or rely on spark-submit.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in {**_BASE_CONF, **(extra_conf or {})}.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable conf to an externally-built
+    session (e.g. the correctness driver's). Static configs (already-started
+    JVM) are skipped automatically by Spark where not settable."""
+    for k, v in _BASE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a running session — keep going
+    return spark

@@ -1,0 +1,99 @@
+"""Batch sinks: partitioned parquet writes, compaction, serving-table KV sink
+(SURVEY §2.1 S5-S7, S13).
+
+The reference's serving sink collects the whole aggregate to the driver and
+loops Python rows into Bigtable ``mutate_rows`` batches of 5,000
+(``pyspark/batch_stock.py:94-132``). At scale that's a driver OOM; the engine
+writes serving rows executor-side (``foreachPartition``) or — default, and
+testable — as a keyed parquet "serving table" whose row key matches the
+reference's ``"{date}_{hour}"`` composite key (``pyspark/batch_stock.py:120``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None,
+                  target_files: int | None = None) -> None:
+    """Parquet write (S5, reference ``pyspark/merge_stock.py:85``), with the
+    two scale affordances the reference lacks: ``partitionBy`` (date-partitioned
+    layout → dynamic partition pruning downstream) and ``target_files``
+    (coalesce to bound small-file count — the whole point of compaction)."""
+    if target_files is not None:
+        df = df.coalesce(target_files)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def serving_key(*cols, fmt: str | None = None):
+    """Composite serving-store row key built in-engine instead of the
+    reference's driver-side ``str(row['date']) + "_" + str(row['hour'])``
+    (``pyspark/batch_stock.py:120``). ``fmt`` formats a single timestamp
+    column, matching the streaming key ``"%Y-%m-%d_%H-%M"``
+    (``pyspark/stream_combined.py:233``)."""
+    if fmt is not None:
+        if len(cols) != 1:
+            raise ValueError("fmt applies to exactly one timestamp column")
+        return F.date_format(F.col(cols[0]) if isinstance(cols[0], str) else cols[0], fmt)
+    return F.concat_ws("_", *[F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
+                              for c in cols])
+
+
+def write_serving_table(df: DataFrame, path: str, key, mode: str = "overwrite") -> None:
+    """Default KV sink (S13): all non-key cells stringified (matching the
+    reference's ``str(row[...])`` Bigtable cells, ``pyspark/batch_stock.py:124-126``)
+    under a ``row_key`` column, written as parquet. Distributed end-to-end —
+    no driver collect."""
+    cells = [F.col(c).cast("string").alias(c) for c in df.columns]
+    df.select(key.alias("row_key"), *cells).write.mode(mode).parquet(path)
+
+
+def foreach_partition_sink(df: DataFrame, writer: Callable[[Iterable], None]) -> None:
+    """Executor-parallel custom sink: ``writer(rows)`` runs once per
+    partition (e.g. a real Bigtable/HBase client doing chunked mutations —
+    the reference's 5,000-row chunking, ``pyspark/batch_stock.py:105``,
+    belongs inside ``writer``). Constant driver memory at any scale."""
+    df.foreachPartition(writer)
+
+
+def compact(spark: SparkSession, live_path: str, historical_path: str,
+            schema=None, target_files: int = 1,
+            partition_by: list[str] | None = None,
+            purge_live: bool = False) -> int:
+    """Live→historical compaction job (SURVEY §3.2; reference
+    ``pyspark/merge_stock.py:76-93``): read the live zone's micro-files,
+    rewrite as ``target_files`` compacted parquet files, optionally purge
+    the live zone.
+
+    Unlike the reference (write then delete, non-atomic, and the current
+    date computed via a 1-row DataFrame job — ``merge_stock.py:81-84``),
+    the engine lists the live files FIRST and deletes exactly that
+    manifest, so files landing mid-compaction survive to the next run.
+    Returns the number of files compacted.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(live_path)
+    fs = src.getFileSystem(conf)
+    if not fs.exists(src):
+        return 0
+    manifest = [f.getPath() for f in fs.globStatus(jvm.org.apache.hadoop.fs.Path(live_path + "/*.parquet"))]
+    if not manifest:
+        return 0
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(*[p.toString() for p in manifest])
+    write_parquet(df, historical_path, mode="append",
+                  partition_by=partition_by, target_files=target_files)
+    if purge_live:
+        for p in manifest:
+            fs.delete(p, True)
+    return len(manifest)

@@ -1,0 +1,104 @@
+"""Unit tests for the semantic quirks SURVEY §5.2(4) calls out: mode
+tie-break, avg-of-avgs, null-skipping count, forward range frame,
+unionByName null-fill, conform casts."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, IntegerType, StringType,
+                               StructField, StructType)
+
+from bda_spadochrony_spark.sources.readers import conform, union_by_name
+from bda_spadochrony_spark.operators.aggregates import (mode_by_struct_max,
+                                                        two_level_avg)
+from bda_spadochrony_spark.operators.joins import interval_join
+from bda_spadochrony_spark.operators.windows import range_frame_agg, top_k_per_group
+from bda_spadochrony_spark.functions.encode import one_hot
+
+
+def test_mode_tiebreak_prefers_larger_value(spark):
+    # 2×'a', 2×'c', 1×'b' in group 1 → tie between 'a' and 'c' → 'c' wins
+    # (max(struct(count, value)) semantics, reference batch_openweather.py:12-20)
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "c"), (1, "c"), (1, "b"), (2, "b")],
+        ["g", "v"])
+    out = {r["g"]: r["mode_v"] for r in mode_by_struct_max(df, ["g"], "v").collect()}
+    assert out == {1: "c", 2: "b"}
+
+
+def test_mode_prefers_higher_count_over_value(spark):
+    df = spark.createDataFrame([(1, "z"), (1, "a"), (1, "a")], ["g", "v"])
+    out = mode_by_struct_max(df, ["g"], "v").collect()
+    assert out[0]["mode_v"] == "a"  # count 2 beats the larger value 'z'
+
+
+def test_two_level_avg_is_unweighted(spark):
+    # group x: id1 avg = 10 (2 rows), id2 avg = 20 (1 row)
+    # avg-of-avgs = 15.0, NOT the weighted 13.33 (reference batch_tomtom.py:114-117)
+    df = spark.createDataFrame(
+        [("x", "id1", 10.0), ("x", "id1", 10.0), ("x", "id2", 20.0)],
+        ["g", "id", "val"])
+    out = two_level_avg(df, ["g", "id"], ["g"], "val", "id",
+                        avg_alias="aa", count_alias="n").collect()
+    assert out[0]["aa"] == 15.0
+    assert out[0]["n"] == 2
+
+
+def test_forward_range_frame_includes_bounds(spark):
+    # row at t=0 sums values in [0, 10]: 1+2+3 (t=0,5,10), not t=11
+    df = spark.createDataFrame(
+        [(0, 1.0), (5, 2.0), (10, 3.0), (11, 4.0)], ["t", "v"])
+    out = range_frame_agg(df, "t", (0, 10), [(F.sum("v"), "s")])
+    got = {r["t"]: r["s"] for r in out.collect()}
+    assert got[0] == 6.0 and got[5] == 9.0 and got[10] == 7.0 and got[11] == 4.0
+
+
+def test_union_by_name_null_fills(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "a_only"])
+    b = spark.createDataFrame([(2, 3.5)], ["id", "b_only"])
+    u = union_by_name(a, b)
+    rows = {r["id"]: r for r in u.collect()}
+    assert set(u.columns) == {"id", "a_only", "b_only"}
+    assert rows[1]["b_only"] is None and rows[2]["a_only"] is None
+
+
+def test_conform_casts_and_nullfills(spark):
+    df = spark.createDataFrame([("1", "2.5")], ["i", "d"])
+    target = StructType([
+        StructField("i", IntegerType()),
+        StructField("d", DoubleType()),
+        StructField("missing", StringType()),
+    ])
+    out = conform(df, target)
+    assert [f.dataType for f in out.schema.fields] == [IntegerType(), DoubleType(), StringType()]
+    row = out.collect()[0]
+    assert row["i"] == 1 and row["d"] == 2.5 and row["missing"] is None
+
+
+def test_interval_join_bounds(spark):
+    l = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 1, 0))], ["lid", "lts"])
+    r = spark.createDataFrame(
+        [(10, datetime(2024, 1, 1, 0, 0, 30)),   # exactly -30s → included
+         (11, datetime(2024, 1, 1, 0, 1, 30)),   # exactly +30s → included
+         (12, datetime(2024, 1, 1, 0, 1, 31))],  # +31s → excluded
+        ["rid", "rts"])
+    out = interval_join(l, r, "lts", "rts", 30.0, how="inner")
+    assert sorted(x["rid"] for x in out.collect()) == [10, 11]
+
+
+def test_one_hot_other_flag(spark):
+    df = spark.createDataFrame([("a",), ("z",)], ["c"])
+    out = one_hot(df, "c", ["a", "b"], prefix="c", other_col="c_other")
+    rows = {r["c"]: r for r in out.collect()}
+    assert rows["a"]["c_a"] == 1 and rows["a"]["c_other"] == 0
+    assert rows["z"]["c_a"] == 0 and rows["z"]["c_other"] == 1
+
+
+def test_top_k_per_group_deterministic(spark):
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate([5, 5, 3, 9])], ["grp", "id", "v"])
+    out = top_k_per_group(df, ["grp"], [F.col("v").desc(), F.col("id").asc()], 2)
+    assert sorted((r["id"], r["v"]) for r in out.collect()) == [(0, 5.0), (3, 9.0)]

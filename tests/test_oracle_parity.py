@@ -1,0 +1,37 @@
+"""Every queries() entry vs its oracle_sql() at sf0.001 — the local mirror
+of the driver's t2 correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_SMALL
+from tests.oracle_utils import duck_connection, assert_query_matches_oracle
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_SMALL)
+    yield con
+    con.close()
+
+
+def test_every_query_has_oracle_or_is_declared_weak():
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing, f"oracle entries without a query: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, QUERIES[name], ORACLES[name],
+                                SF_SMALL, name=name)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
