@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is executed once to warm the JVM/scan caches? No — per the
+measurement contract we time the real first run of each query after one
+session-wide warmup query, which amortizes JVM/codegen startup the way a
+long-lived cluster session would. Timing = full action (``collect`` of the
+final, already-small result; large row-count queries are counted, not
+collected, so the bench measures engine throughput, not driver transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+HEADLINE = [
+    # name, action ('count' for wide results, 'collect' for small aggregates)
+    ("hourly_agg", "collect"),
+    ("hourly_with_mode", "collect"),
+    ("mode_event_type", "collect"),
+    ("two_level_avg", "count"),
+    ("pricing_summary", "collect"),
+    ("star_join", "collect"),
+    ("range_window_sum", "count"),
+    ("interval_join_batch", "count"),
+    ("top_k_per_group", "collect"),
+    ("union_drift", "collect"),
+    ("exact_dedup", "count"),
+    ("text_stats", "count"),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from bda_spadochrony_spark.session import get_session
+    import __spark_entry__ as entry_mod
+
+    spark = get_session("bda-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    # one warmup action so JVM/codegen startup isn't billed to the first query
+    qs["hourly_agg"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, action in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        if action == "collect":
+            df.collect()
+        else:
+            df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "headline query wall time at sf (local mode)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
