@@ -276,6 +276,30 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T4/S8 — Structured Streaming pipeline run to completion: file
+    source → event-time tumbling window aggregate → memory sink
+    (``availableNow``), returned as a batch frame. Complete output mode so
+    every window is emitted and the batch oracle can check it exactly."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType, TimestampType)
+    from bda_spadochrony_spark.streaming.sources import file_stream
+    from bda_spadochrony_spark.streaming.runner import run_available_now
+    configure(spark)
+    schema = StructType([
+        StructField("event_id", LongType()), StructField("ts", TimestampType()),
+        StructField("user_id", LongType()), StructField("event_type", StringType()),
+        StructField("value", DoubleType()), StructField("props", StringType()),
+    ])
+    stream = file_stream(spark, f"{sf_dir}/events*.parquet", schema)
+    agg = (stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                 .agg(F.count(F.lit(1)).alias("cnt"),
+                      stable_round(F.avg("value"), 2).alias("avg_value"))
+                 .select(F.col("w.start").alias("window_start"), "event_type",
+                         "cnt", "avg_value"))
+    return run_available_now(spark, agg, output_mode="complete")
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_agg": q_hourly_agg,
     "mode_event_type": q_mode_event_type,
@@ -298,6 +322,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_k_per_group": q_top_k_per_group,
     "exact_dedup": q_exact_dedup,
     "text_stats": q_text_stats,
+    "stream_hourly": q_stream_hourly,
 }
 
 
@@ -484,6 +509,11 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "stream_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS cnt, round((avg(value)) + 1e-06, 2) AS avg_value
+            FROM events GROUP BY 1, 2
         """,
         "text_stats": """
             SELECT doc_id,

@@ -34,6 +34,8 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.streaming.schemaInference": "false",
     # testdata parquet stores TIMESTAMP(NANOS); read as long, convert in scan
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # write MICROS (not legacy INT96) so our own output round-trips everywhere
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

@@ -30,21 +30,35 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     files written by one producer."""
     try:
         import pyarrow.parquet as pq
-        import pyarrow as pa
     except ImportError:
         return []
     probe = path
     if os.path.isdir(path):
-        inner = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        inner = sorted(glob.glob(os.path.join(path, "*.parquet")) +
+                       glob.glob(os.path.join(path, "*", "*.parquet")))
+        if not inner:
+            return []
+        probe = inner[0]
+    elif any(ch in path for ch in "*?["):
+        inner = sorted(glob.glob(path))
         if not inner:
             return []
         probe = inner[0]
     try:
-        schema = pq.read_schema(probe)
+        schema = pq.ParquetFile(probe).schema  # parquet (physical) schema
     except Exception:
         return []
-    return [f.name for f in schema
-            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+    # Only INT64/TIMESTAMP(NANOS) needs the workaround. INT96 timestamps
+    # (Spark's own legacy output) also surface as ns in the ARROW schema but
+    # read fine as TimestampType — hence the physical-schema check.
+    out = []
+    for i in range(len(schema)):
+        col = schema.column(i)
+        if ("." in col.path):  # nested — leave alone
+            continue
+        if col.physical_type == "INT64" and "nanoseconds" in str(col.logical_type):
+            out.append(col.name)
+    return out
 
 
 def scan(spark: SparkSession, path: str, schema: StructType | None = None,

@@ -1,0 +1,74 @@
+"""Streaming operators (SURVEY §2.7 T1-T4).
+
+State-store discipline is the scale story here: every stateful op below is
+bounded by a watermark, so executor state stays proportional to the
+watermark horizon × key cardinality, not to stream history. The reference
+gets this right for its interval join (1-minute watermarks + ±30 s bound,
+``pyspark/stream_combined.py:174-198``) and the engine generalizes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bda_spadochrony_spark.operators.joins import interval_join
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str = "1 minutes") -> DataFrame:
+    """T1 — event-time watermark (reference ``pyspark/stream_combined.py:174,182``)."""
+    return df.withWatermark(ts_col, delay)
+
+
+def stream_dedup(df: DataFrame, keys: list[str], ts_col: str,
+                 delay: str = "1 minutes") -> DataFrame:
+    """T2 — watermarked streaming dedup. The reference intended this
+    (commented at 4 sites, e.g. ``pyspark/stream_combined.py:71,173,181``);
+    the engine ships it enabled. State = one entry per key within the
+    watermark horizon."""
+    return df.withWatermark(ts_col, delay).dropDuplicates(keys)
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame,
+                         left_ts: str, right_ts: str,
+                         tolerance_seconds: float = 30.0,
+                         extra_eq: list[tuple[str, str]] | None = None,
+                         how: str = "fullOuter",
+                         watermark: str = "1 minutes") -> DataFrame:
+    """T3/J6 — watermarked stream-stream interval join (reference
+    ``pyspark/stream_combined.py:190-198``). Both sides watermarked; outer
+    rows emit only once the watermark passes the join bound, so tests must
+    advance event time past (watermark + tolerance) to flush them.
+
+    Spark requires an equality conjunct on stream-stream joins (it keys the
+    symmetric-hash state store on it). When ``extra_eq`` is absent the
+    engine adds the reference's same-date equality derived from each side's
+    event time — with the reference's documented caveat that pairs within
+    tolerance but straddling midnight don't match."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    drop_cols: list[str] = []
+    if not extra_eq:
+        l = l.withColumn("__l_date", F.to_date(F.col(left_ts)))
+        r = r.withColumn("__r_date", F.to_date(F.col(right_ts)))
+        extra_eq = [("__l_date", "__r_date")]
+        drop_cols = ["__l_date", "__r_date"]
+    out = interval_join(l, r, left_ts, right_ts, tolerance_seconds,
+                        extra_eq=extra_eq, how=how)
+    return out.drop(*drop_cols) if drop_cols else out
+
+
+def windowed_agg(df: DataFrame, ts_col: str, window: str,
+                 keys: list[str] | None = None,
+                 measures: list[Column] | None = None,
+                 delay: str = "1 minutes", slide: str | None = None) -> DataFrame:
+    """Tumbling/sliding event-time aggregate — the streaming counterpart of
+    the batch range-frame windows W1/W2 (SURVEY §2.5 note). Watermark bounds
+    the aggregation state; append mode emits a window once it's final."""
+    win = F.window(F.col(ts_col), window, slide or window)
+    return (df.withWatermark(ts_col, delay)
+              .groupBy(win.alias("window"), *(keys or []))
+              .agg(*(measures or [F.count(F.lit(1)).alias("cnt")]))
+              .select(F.col("window.start").alias("window_start"),
+                      F.col("window.end").alias("window_end"), "*")
+              .drop("window"))

@@ -1,0 +1,67 @@
+"""Streaming query runners / sinks (SURVEY §2.1 S10-S12, §2.7 T4-T5).
+
+The reference's serving sink collects each micro-batch on the DRIVER and
+loops rows into Bigtable (``pyspark/stream_combined.py:227-247``) — a
+driver bottleneck at any real rate. The engine's ``run_foreach_batch``
+hands the callback the batch DataFrame and expects DISTRIBUTED writes
+(``df.write...`` / ``foreachPartition``); the default serving callback
+writes a keyed parquet table, testable and executor-parallel.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+
+def _checkpoint() -> str:
+    return tempfile.mkdtemp(prefix="bda_ckpt_")
+
+
+def run_to_memory(df: DataFrame, name: str | None = None,
+                  output_mode: str = "append",
+                  available_now: bool = False) -> tuple[StreamingQuery, str]:
+    """Memory-sink runner for tests/inspection (the engine's version of the
+    reference's console sink S10, but queryable). Returns (query, table)."""
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    writer = (df.writeStream.format("memory").queryName(name)
+              .outputMode(output_mode)
+              .option("checkpointLocation", _checkpoint()))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), name
+
+
+def run_foreach_batch(df: DataFrame, fn: Callable[[DataFrame, int], None],
+                      output_mode: str = "append",
+                      available_now: bool = False) -> StreamingQuery:
+    """S11 — foreachBatch sink with checkpointing (S12). ``fn(batch_df,
+    batch_id)`` must write distributed (never ``collect()``)."""
+    writer = (df.writeStream.foreachBatch(fn).outputMode(output_mode)
+              .option("checkpointLocation", _checkpoint()))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_console(df: DataFrame, output_mode: str = "append") -> StreamingQuery:
+    """S10 — console sink, append mode (reference ``stream_stock.py:72-74``)."""
+    return (df.writeStream.format("console").outputMode(output_mode)
+            .option("checkpointLocation", _checkpoint()).start())
+
+
+def run_available_now(spark: SparkSession, df: DataFrame,
+                      output_mode: str = "append",
+                      timeout_s: int = 120) -> DataFrame:
+    """Drain-all runner: process every available input with availableNow,
+    block until done, return the materialized result as a batch DataFrame.
+    This is the engine's deterministic replacement for the reference's
+    ``awaitTermination(120); stop()`` smoke pattern (T5) — and what lets a
+    streaming pipeline participate in the batch correctness oracle."""
+    query, name = run_to_memory(df, output_mode=output_mode, available_now=True)
+    query.awaitTermination(timeout_s)
+    return spark.table(name)

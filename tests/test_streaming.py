@@ -1,0 +1,132 @@
+"""Streaming tests (SURVEY §5.2(3)): file-source pipelines driven to
+completion with availableNow/processAllAvailable, golden asserts."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType, TimestampType)
+
+from bda_spadochrony_spark.streaming.sources import file_stream
+from bda_spadochrony_spark.streaming.ops import (stream_dedup, stream_interval_join,
+                                                 windowed_agg)
+from bda_spadochrony_spark.streaming.runner import run_available_now, run_to_memory
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+@pytest.fixture()
+def events_stream_dir():
+    d = tempfile.mkdtemp(prefix="bda_stream_src_")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", os.path.join(d, "part-0.parquet"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_windowed_agg_matches_batch(spark, events_stream_dir):
+    stream = file_stream(spark, events_stream_dir, EVENTS_SCHEMA)
+    agg = windowed_agg(stream, "ts", "1 hour", keys=["event_type"],
+                       measures=[F.count(F.lit(1)).alias("cnt")])
+    got = run_available_now(spark, agg)
+    # batch twin over the same file
+    from bda_spadochrony_spark.sources.readers import scan
+    batch = scan(spark, "/root/testdata/sf0.001/events.parquet")
+    want = (batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                 .agg(F.count(F.lit(1)).alias("cnt"))
+                 .select(F.col("w.start").alias("window_start"), "event_type", "cnt"))
+    got_set = {(r["window_start"], r["event_type"], r["cnt"]) for r in got.collect()}
+    want_set = {(r["window_start"], r["event_type"], r["cnt"]) for r in want.collect()}
+    # append mode only emits windows sealed by the final watermark; everything
+    # emitted must match the batch result, and most windows must have sealed
+    assert got_set <= want_set
+    assert len(got_set) >= 0.9 * len(want_set)
+
+
+def test_stream_dedup_drops_in_batch_duplicates(spark):
+    d = tempfile.mkdtemp(prefix="bda_dedup_src_")
+    try:
+        rows = [(1, datetime(2024, 1, 1, 0, 0, 0), "a"),
+                (1, datetime(2024, 1, 1, 0, 0, 1), "a-dup"),
+                (2, datetime(2024, 1, 1, 0, 0, 2), "b")]
+        schema = StructType([StructField("k", LongType()),
+                             StructField("ts", TimestampType()),
+                             StructField("tag", StringType())])
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d, mode="overwrite")
+        stream = file_stream(spark, d, schema)
+        out = run_available_now(spark, stream_dedup(stream, ["k"], "ts"))
+        got = sorted((r["k"]) for r in out.collect())
+        assert got == [1, 2]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_interval_join_inner(spark):
+    base = tempfile.mkdtemp(prefix="bda_ssj_")
+    left_dir, right_dir = os.path.join(base, "l"), os.path.join(base, "r")
+    try:
+        lschema = StructType([StructField("lid", LongType()),
+                              StructField("lts", TimestampType())])
+        rschema = StructType([StructField("rid", LongType()),
+                              StructField("rts", TimestampType())])
+        lrows = [(1, datetime(2024, 1, 1, 0, 1, 0)),
+                 (2, datetime(2024, 1, 1, 1, 0, 0))]  # far-future row advances watermark
+        rrows = [(10, datetime(2024, 1, 1, 0, 1, 10)),   # within +30s of lid=1
+                 (11, datetime(2024, 1, 1, 0, 5, 0)),    # no match
+                 (12, datetime(2024, 1, 1, 1, 0, 5))]    # within +30s of lid=2
+        spark.createDataFrame(lrows, lschema).coalesce(1).write.parquet(left_dir)
+        spark.createDataFrame(rrows, rschema).coalesce(1).write.parquet(right_dir)
+        l = file_stream(spark, left_dir, lschema)
+        r = file_stream(spark, right_dir, rschema)
+        joined = stream_interval_join(l, r, "lts", "rts", 30.0, how="inner")
+        out = run_available_now(spark, joined)
+        pairs = sorted((r["lid"], r["rid"]) for r in out.collect())
+        assert pairs == [(1, 10), (2, 12)]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_stream_full_outer_emits_unmatched_after_watermark(spark):
+    """fullOuter interval join: unmatched rows emit once the watermark passes
+    their bound (SURVEY §7.4 risk 1). availableNow runs the final batch with
+    the watermark advanced to max(event time) − delay, flushing everything
+    older; rows near the end of input stay in state and do NOT emit."""
+    base = tempfile.mkdtemp(prefix="bda_ssfo_")
+    left_dir, right_dir = os.path.join(base, "l"), os.path.join(base, "r")
+    try:
+        lschema = StructType([StructField("lid", LongType()),
+                              StructField("lts", TimestampType())])
+        rschema = StructType([StructField("rid", LongType()),
+                              StructField("rts", TimestampType())])
+        lrows = [(1, datetime(2024, 1, 1, 0, 1, 0)),    # matches rid=10
+                 (2, datetime(2024, 1, 1, 0, 2, 0)),    # unmatched → emits null-right
+                 (3, datetime(2024, 1, 1, 2, 0, 0))]    # watermark pusher
+        rrows = [(10, datetime(2024, 1, 1, 0, 1, 10)),
+                 (99, datetime(2024, 1, 1, 4, 0, 0))]   # watermark pusher (≠ lid=3's time)
+        spark.createDataFrame(lrows, lschema).coalesce(1).write.parquet(left_dir)
+        spark.createDataFrame(rrows, rschema).coalesce(1).write.parquet(right_dir)
+        l = file_stream(spark, left_dir, lschema)
+        r = file_stream(spark, right_dir, rschema)
+        joined = stream_interval_join(l, r, "lts", "rts", 30.0, how="fullOuter",
+                                      watermark="1 minutes")
+        out = run_available_now(spark, joined, timeout_s=180)
+        rows = out.collect()
+        matched = sorted((r["lid"], r["rid"]) for r in rows
+                         if r["lid"] is not None and r["rid"] is not None)
+        left_only = sorted(r["lid"] for r in rows if r["rid"] is None)
+        assert matched == [(1, 10)]
+        assert 2 in left_only  # sealed unmatched left row emitted with null right
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
