@@ -300,6 +300,108 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(spark, agg, output_mode="complete")
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection — exact n-gram Jaccard over all shingle-sharing
+    pairs (inverted-index explode + equi join), threshold 0.5."""
+    from bda_spadochrony_spark.operators.dedup import ngram_jaccard_pairs
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, min_jaccard=0.5)
+    return out.select("id_a", "id_b", stable_round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline (32 signatures, 32 bands → recall
+    ≈1-(1-j)^32 at jaccard j) with exact Jaccard verification at 0.5 —
+    returns the same verified pair set as the exhaustive q_ngram_jaccard,
+    so it shares that SQL oracle; the LSH stage only prunes candidates."""
+    from bda_spadochrony_spark.operators.dedup import minhash_dedup
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_dedup(docs, "doc_id", "text", num_hashes=32, bands=32,
+                        shingle_n=3, min_jaccard=0.5)
+    return out.select("id_a", "id_b", stable_round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (64-bit fingerprints, 8-bit prefix
+    buckets, Hamming ≤ 12). Hash-function-specific → rows-only check."""
+    from bda_spadochrony_spark.operators.dedup import simhash, simhash_near_pairs
+    docs = _t(spark, sf_dir, "documents")
+    fp = simhash(docs, "doc_id", "text", bits=64, shingle_n=2)
+    return simhash_near_pairs(fp, "doc_id", max_hamming=12, prefix_bits=8)
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash document fingerprints (xxhash64-based →
+    rows-only check; dup-equality is asserted in unit tests)."""
+    from bda_spadochrony_spark.operators.text import fingerprint
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs, "doc_id", "text").select("doc_id", "fingerprint")
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors per embedding (exact ANN
+    baseline): broadcast nested-loop scoring + partitioned row_number."""
+    from bda_spadochrony_spark.operators.similarity import cosine_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb, "vec_id", "vec_id", k=3)
+    return out.select("query_id", "corpus_id",
+                      stable_round(F.col("cosine"), 6).alias("cosine"))
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed cosine top-1 (the approximate scale path;
+    recall < 1 by design → rows-only check, recall asserted in unit tests)."""
+    from bda_spadochrony_spark.operators.similarity import lsh_bucket_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_bucket_topk(emb, emb, "vec_id", "vec_id", k=1, planes=6, dim=64)
+    return out.select("query_id", "corpus_id",
+                      stable_round(F.col("cosine"), 6).alias("cosine"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (stopword-hit heuristic) + quality features + composite
+    quality score per document — the Gopher/C4-style filter inputs."""
+    from bda_spadochrony_spark.operators.text import detect_language, quality_score
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_score(docs, "text", out_col="quality", keep_features="q_")
+    out = out.withColumn("lang_detected", detect_language("text"))
+    return out.select("doc_id", "lang_detected", "q_n_tokens", "q_punct_ratio",
+                      "q_stopword_ratio", "quality")
+
+
+def q_ml_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M2+W1 composite — the reference's ML feature/target frame
+    (``pyspark/ML_stock.py:87-171``): calendar + one-hot features and a
+    forward range-window label, fully SQL-expressible."""
+    from bda_spadochrony_spark.ml.features import build_features
+    ev = _t(spark, sf_dir, "events").withColumn("ts_unix", F.unix_timestamp("ts"))
+    ev = range_frame_agg(ev, "ts_unix", (0, 3600), [(F.sum("value"), "label")])
+    feats = build_features(ev, "ts", "event_type",
+                           ["click", "view", "purchase"], prefix="et")
+    return feats.select("event_id", "hour", "dayofweek", "month", "et_click",
+                        "et_view", "et_purchase", "et_other",
+                        stable_round(F.col("label"), 2).alias("label"))
+
+
+def q_ml_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4-M7 — seeded split, regression fit (XGBoost or GBT fallback), MAE
+    on both splits. Model output is not SQL-expressible → rows-only check."""
+    from bda_spadochrony_spark.ml.features import build_features, assemble_vector
+    from bda_spadochrony_spark.ml.regress import train_regressor, evaluate_mae
+    ev = _t(spark, sf_dir, "events").withColumn("ts_unix", F.unix_timestamp("ts"))
+    ev = range_frame_agg(ev, "ts_unix", (0, 3600), [(F.sum("value"), "label")])
+    feats = build_features(ev, "ts", "event_type",
+                           ["click", "view", "purchase"], prefix="et")
+    cols = ["hour", "dayofweek", "month", "et_click", "et_view",
+            "et_purchase", "et_other", "value"]
+    vec = assemble_vector(feats.na.drop("any", subset=cols + ["label"]), cols)
+    model, train_pred, test_pred = train_regressor(vec, "label", n_estimators=5)
+    mae_train, mae_test = evaluate_mae(train_pred, "label"), evaluate_mae(test_pred, "label")
+    return spark.createDataFrame(
+        [(float(mae_train), float(mae_test), train_pred.count(), test_pred.count())],
+        ["mae_train", "mae_test", "n_train", "n_test"])
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_agg": q_hourly_agg,
     "mode_event_type": q_mode_event_type,
@@ -323,6 +425,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "text_stats": q_text_stats,
     "stream_hourly": q_stream_hourly,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_pairs": q_simhash_pairs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embedding_topk": q_embedding_topk,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+    "text_quality": q_text_quality,
+    "ml_features": q_ml_features,
+    "ml_train_eval": q_ml_train_eval,
 }
 
 
@@ -514,6 +625,119 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS cnt, round((avg(value)) + 1e-06, 2) AS avg_value
             FROM events GROUP BY 1, 2
+        """,
+        "ngram_jaccard": """
+            WITH ls AS (
+                SELECT doc_id, string_split_regex(text, ' +') AS l FROM documents
+            ), toks AS (
+                SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS ord FROM ls
+            ), sh AS (
+                SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+                FROM toks a
+                JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+                JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+                GROUP BY 1, 2
+            ), cnt AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+            ), inter AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+                FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round((i * 1.0 / (na.n + nb.n - i)) + 1e-10, 6) AS jaccard
+            FROM inter
+            JOIN cnt na ON na.doc_id = id_a
+            JOIN cnt nb ON nb.doc_id = id_b
+            WHERE i * 1.0 / (na.n + nb.n - i) >= 0.5
+        """,
+        "minhash_near_dup": """
+            WITH ls AS (
+                SELECT doc_id, string_split_regex(text, ' +') AS l FROM documents
+            ), toks AS (
+                SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS ord FROM ls
+            ), sh AS (
+                SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+                FROM toks a
+                JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+                JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+                GROUP BY 1, 2
+            ), cnt AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+            ), inter AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+                FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round((i * 1.0 / (na.n + nb.n - i)) + 1e-10, 6) AS jaccard
+            FROM inter
+            JOIN cnt na ON na.doc_id = id_a
+            JOIN cnt nb ON nb.doc_id = id_b
+            WHERE i * 1.0 / (na.n + nb.n - i) >= 0.5
+        """,
+        "embedding_topk": """
+            WITH n AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), nn AS (
+                SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
+            ), scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                       list_dot_product(c.v, q.v) / (c.nrm * q.nrm) AS cos
+                FROM nn q JOIN nn c ON c.vec_id != q.vec_id
+            ), ranked AS (
+                SELECT query_id, corpus_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, corpus_id ASC) AS rn
+                FROM scored
+            )
+            SELECT query_id, corpus_id, round((cos) + 1e-10, 6) AS cosine
+            FROM ranked WHERE rn <= 3
+        """,
+        "text_quality": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                       greatest(length(text), 1) * 1.0 AS safe_chars
+                FROM documents
+            ), feat AS (
+                SELECT doc_id,
+                       len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','that','for','with'))) AS s_en,
+                       len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS s_de,
+                       len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','pour','dans','que'))) AS s_fr,
+                       len(list_filter(toks, x -> x IN ('i','w','nie','na','to','że','jest','się','do','z'))) AS s_pl,
+                       CAST(len(toks) AS INTEGER) AS q_n_tokens,
+                       round((length(regexp_replace(text, '[^[:punct:]]', '', 'g')) / safe_chars) + 1e-08, 4) AS q_punct_ratio,
+                       round((length(regexp_replace(text, '[^0-9]', '', 'g')) / safe_chars) + 1e-08, 4) AS q_digit_ratio,
+                       round((len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','that','for','with'))) * 1.0
+                              / greatest(len(toks), 1)) + 1e-08, 4) AS q_stopword_ratio
+                FROM base
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_pl) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_de, s_fr, s_pl) THEN 'en'
+                        WHEN s_de = greatest(s_de, s_fr, s_pl) THEN 'de'
+                        WHEN s_fr = greatest(s_fr, s_pl) THEN 'fr'
+                        ELSE 'pl' END AS lang_detected,
+                   q_n_tokens, q_punct_ratio, q_stopword_ratio,
+                   round(((CASE WHEN q_n_tokens < 5 THEN 0.2 ELSE 1.0 END)
+                          * (1.0 - least(q_punct_ratio * 2, 0.5))
+                          * (1.0 - least(q_digit_ratio, 0.5))
+                          * (0.5 + least(q_stopword_ratio * 2, 0.5))) + 1e-08, 4) AS quality
+            FROM feat
+        """,
+        "ml_features": """
+            SELECT event_id,
+                   CAST(hour(ts) AS INTEGER) AS hour,
+                   CAST(dayofweek(ts) + 1 AS INTEGER) AS dayofweek,
+                   CAST(month(ts) AS INTEGER) AS month,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS et_click,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS et_view,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS et_purchase,
+                   CASE WHEN event_type IN ('click','view','purchase') THEN 0 ELSE 1 END AS et_other,
+                   round((sum(value) OVER (ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                                           RANGE BETWEEN CURRENT ROW AND 3600 FOLLOWING)) + 1e-06, 2) AS label
+            FROM events
         """,
         "text_stats": """
             SELECT doc_id,

@@ -1,0 +1,208 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup is a hash groupBy (shuffle keyed on the content hash — at 100 TB
+hash FIRST, group on the 64/128-bit digest, never shuffle raw documents).
+Near-dup comes in three flavors with different recall/cost trade-offs:
+
+- **MinHash + LSH banding**: shingle → k minhashes → band buckets →
+  candidate pairs join within buckets. The bucket join is an equi join on
+  (band_id, band_hash) — embarrassingly parallel, no cross product. This is
+  the standard web-scale near-dup design (Broder '97; used by every LLM
+  corpus pipeline).
+- **SimHash**: 64-bit weighted-projection fingerprint; near-dups differ in
+  ≤ k bits. Bucketed by bit-masked prefixes for candidate generation.
+- **n-gram Jaccard**: exact pairwise Jaccard via token explode + equi join
+  on shared shingles — quadratic within a shared-shingle bucket, exact; the
+  verifier stage after LSH candidate generation.
+
+All are pure DataFrame compositions over built-in functions (xxhash64,
+explode, aggregate) — zero Python UDFs, so the whole path stays in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------- exact ----
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str,
+                keep: str = "min") -> DataFrame:
+    """Exact dedup: one canonical row id per distinct content value.
+    Groups on the content (Catalyst hashes it for the shuffle); at scale
+    pre-hash with ``xxhash64`` and group on the digest."""
+    keep_fn = F.min if keep == "min" else F.max
+    return df.groupBy(content_col).agg(
+        keep_fn(id_col).alias("keep_" + id_col),
+        F.count(F.lit(1)).alias("n_copies"))
+
+
+def exact_dedup_by_hash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Scale path: group on a 64-bit content digest instead of the raw
+    content — shuffle carries 8 bytes per row, not the document."""
+    hashed = df.select(F.xxhash64(F.col(content_col)).alias("content_hash"),
+                       F.col(id_col))
+    return hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("keep_" + id_col),
+        F.count(F.lit(1)).alias("n_copies"))
+
+
+# ------------------------------------------------------------- shingles ---
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct), built from split + transform —
+    JVM-side, no UDF."""
+    toks = F.split(F.col(text_col), " +")
+    return F.array_distinct(F.filter(
+        F.transform(toks, lambda _, i: F.when(
+            i + n <= F.size(toks),
+            F.concat_ws(" ", F.slice(toks, i + 1, n)))),
+        lambda x: x.isNotNull()))
+
+
+# -------------------------------------------------------------- minhash ---
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 32, shingle_n: int = 3,
+                       seed: int = 42) -> DataFrame:
+    """MinHash signature per document: for hash i, sig_i = min over shingles
+    of xxhash64(shingle, seed+i). Emitted as an array column ``sig``.
+
+    Cost: |shingles| × num_hashes hash evaluations, all codegen'd; no
+    shuffle until the band join.
+    """
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    sigs = [
+        F.array_min(F.transform(F.col("sh"),
+                                lambda s: F.xxhash64(s, F.lit(seed + i))))
+        .alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return (sh.select(F.col(id_col), *sigs)
+              .select(F.col(id_col),
+                      F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")))
+
+
+def minhash_lsh_candidates(sig_df: DataFrame, id_col: str,
+                           num_hashes: int = 32, bands: int = 8) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` rows of
+    ``num_hashes/bands`` values, hash each band, self-join on
+    (band_id, band_hash) → candidate pairs (id_a < id_b, deduped).
+
+    The join is equi on the band key — Spark shuffles both sides on the
+    bucket key; bucket sizes are the skew risk (identical boilerplate docs),
+    mitigated by AQE skew-join splitting.
+    """
+    rows_per_band = num_hashes // bands
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.xxhash64(F.concat_ws("_", *[
+                         F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                         for r in range(rows_per_band)])).alias("band_hash"))
+            for b in range(bands)])).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (a.join(b, on=["band_id", "band_hash"])
+             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+    return pairs
+
+
+def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
+                  num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
+                  min_jaccard: float | None = None, seed: int = 42) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → (optional)
+    exact n-gram Jaccard verification ≥ ``min_jaccard``."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
+    if min_jaccard is None:
+        return cands
+    verified = ngram_jaccard_pairs(df, id_col, text_col, shingle_n,
+                                   candidates=cands)
+    return verified.where(F.col("jaccard") >= min_jaccard)
+
+
+# -------------------------------------------------------------- simhash ---
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64,
+            shingle_n: int = 2) -> DataFrame:
+    """SimHash fingerprint: per bit b, sum ±1 over shingle hashes' bit b,
+    fingerprint bit = sign. Expressed with aggregate() over the shingle
+    array — still no UDF. 16 bits by default cost; 64 supported."""
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    bit_cols = []
+    for b in range(bits):
+        bit_sum = F.aggregate(
+            "sh", F.lit(0),
+            lambda acc, s: acc + F.when(
+                F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1)))
+        bit_cols.append(F.when(bit_sum > 0, F.lit(1)).otherwise(F.lit(0))
+                        .cast("long").alias(f"b{b}"))
+    with_bits = sh.select(F.col(id_col), *bit_cols)
+    fp = None
+    for b in range(bits):
+        term = F.col(f"b{b}") * F.lit(2 ** b if b < 63 else -(2 ** 63))
+        fp = term if fp is None else fp + term
+    return with_bits.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(fp_df: DataFrame, id_col: str, max_hamming: int = 3,
+                       prefix_bits: int = 16) -> DataFrame:
+    """Candidate pairs whose fingerprints share a ``prefix_bits`` block
+    (bucketing) and differ in ≤ ``max_hamming`` bits overall. bit_count on
+    XOR is a built-in — exact Hamming verification after the bucket join."""
+    bucketed = fp_df.select(
+        F.col(id_col), F.col("simhash"),
+        F.shiftright("simhash", 64 - prefix_bits).alias("bucket"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (a.join(b, on="bucket")
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                    .alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))
+
+
+# ------------------------------------------------------ n-gram jaccard ----
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        shingle_n: int = 3,
+                        candidates: DataFrame | None = None,
+                        min_jaccard: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard similarity between document pairs.
+
+    Without ``candidates``: all pairs sharing ≥1 shingle (explode + equi
+    join on the shingle — the inverted-index pattern; shuffle is keyed on
+    shingle, so stopword-like shingles are the skew risk). With
+    ``candidates`` (from LSH): verification only, via two array lookups.
+    jaccard = |A∩B| / |A∪B| computed from array_intersect/array_union sizes.
+    """
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    if candidates is not None:
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        joined = candidates.join(a, "id_a").join(b, "id_b")
+    else:
+        ex = sh.select(id_col, F.explode("sh").alias("shingle"))
+        pairs = (ex.alias("x").join(ex.alias("y"), on="shingle")
+                 .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+                 .select(F.col(f"x.{id_col}").alias("id_a"),
+                         F.col(f"y.{id_col}").alias("id_b"))
+                 .distinct())
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        joined = pairs.join(a, "id_a").join(b, "id_b")
+    return (joined.select(
+        "id_a", "id_b",
+        (F.size(F.array_intersect("sh_a", "sh_b")) /
+         F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard"))
+        .where(F.col("jaccard") >= min_jaccard))

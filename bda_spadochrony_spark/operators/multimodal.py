@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The Spark-side architecture is real and tested — schema contract,
+partitioning, batch shapes, the mapInPandas iterator protocol — while the
+actual codec work is STUBBED (this container has no image/audio libraries):
+``decode_image`` raises ``NotImplementedError`` unless ``fake=True``, which
+substitutes a deterministic synthetic decode so the pipeline is testable
+end-to-end.
+
+Scale notes: binary payloads ride the shuffle only if you shuffle them —
+keep media frames partition-local (map-only mapInPandas), aggregate only
+the extracted features. ``spark.sql.execution.arrow.maxRecordsPerBatch``
+bounds Arrow batch memory when payloads are MBs each.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),        # image | audio | video
+    StructField("mime", StringType()),
+    StructField("payload", BinaryType()),     # opaque encoded bytes
+    StructField("width", IntegerType()),      # typed metadata (nullable)
+    StructField("height", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+])
+
+IMAGE_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_bytes", LongType()),
+    StructField("mean_intensity", LongType()),  # 0-255 proxy
+])
+
+
+def _decode_image_bytes(payload: bytes, fake: bool):
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires PIL/opencv, not present in this "
+            "environment; pass fake=True for the deterministic stub")
+    # deterministic fake decode: dimensions/intensity derived from bytes
+    n = len(payload or b"")
+    return {
+        "width": (n % 640) + 1,
+        "height": ((n * 7) % 480) + 1,
+        "n_bytes": n,
+        "mean_intensity": (sum(payload[:64]) // max(min(n, 64), 1)) if n else 0,
+    }
+
+
+def extract_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Map-only feature extraction over binary image payloads via
+    Arrow-batched ``mapInPandas`` — the one place the engine leaves the JVM,
+    because codec work is genuinely not expressible in Spark SQL.
+
+    The iterator-of-DataFrames protocol keeps peak memory at one Arrow
+    batch per core regardless of partition size.
+    """
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        for pdf in batches:
+            feats = [_decode_image_bytes(p, fake) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return (df.where(F.col("kind") == "image")
+              .select("media_id", "payload")
+              .mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA))
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int,
+                  fake: bool = True) -> DataFrame:
+    """Resize stub with the real Spark contract: binary in → binary out +
+    updated metadata; fake mode truncates/pads payloads deterministically."""
+    out_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ])
+
+    def resize(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real resize needs an image library")
+            target = max(1, (target_w * target_h) // 64)
+            payloads = [(p or b"")[:target].ljust(target, b"\0") for p in pdf["payload"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "payload": payloads,
+                                "width": target_w, "height": target_h})
+
+    return (df.where(F.col("kind") == "image")
+              .select("media_id", "payload")
+              .mapInPandas(resize, schema=out_schema))
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000,
+                        fake: bool = True) -> DataFrame:
+    """Frame sampling stub: one output row per sampled frame (explode on the
+    Spark side — real decode would happen per frame in mapInPandas)."""
+    frames = df.where(F.col("kind") == "video").select(
+        "media_id", "duration_ms",
+        F.explode(F.sequence(
+            F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+            F.lit(every_ms))).alias("frame_ms"))
+    if not fake:
+        raise NotImplementedError("real frame extraction needs a video library")
+    return frames.withColumn(
+        "frame_key", F.concat_ws(":", F.col("media_id"), F.col("frame_ms")))

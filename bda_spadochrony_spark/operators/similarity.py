@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — exact, O(N·Q), expressed with
+``zip_with``/``aggregate`` (JVM-side) and a partitioned row_number for the
+top-k, so it distributes: queries broadcast, corpus partitions scanned in
+parallel, per-query heap via window.
+
+Scale path: LSH bucketing (random hyperplane signs → bucket key, the
+cosine-LSH of Charikar '02) so each query only scans matching buckets —
+candidate recall tunable by bands/bits. A full IVF (k-means coarse
+quantizer) drops in behind the same signature when pyspark.ml KMeans is
+warranted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def with_norm(df: DataFrame, vec_col: str, out_col: str = "norm") -> DataFrame:
+    """Precompute L2 norms once (corpus-side) — at scale this is a stored
+    column, not a per-query recompute."""
+    return df.withColumn(
+        out_col, F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, v: acc + v * v)))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame,
+                corpus_id: str, query_id: str, vec_col: str = "embedding",
+                k: int = 5, broadcast_queries: bool = True) -> DataFrame:
+    """Exact brute-force cosine top-k: for each query row, the k most
+    similar corpus rows (excluding self-matches by id equality).
+
+    Plan shape: corpus scan × broadcast(queries) nested-loop — each executor
+    scores its corpus partitions against all queries locally; the only
+    shuffle is the per-query top-k window on (query_id), which carries k·Q
+    candidate rows after a partition-local pre-filter, not N·Q.
+    """
+    # cast to double ONCE so all arithmetic is float64 — float32 ops would
+    # diverge from any double-precision oracle at ~1e-7
+    c = with_norm(corpus.select(F.col(corpus_id).alias("corpus_id"),
+                                F.col(vec_col).cast("array<double>").alias("cvec")),
+                  "cvec", "cnorm")
+    q = with_norm(queries.select(F.col(query_id).alias("query_id"),
+                                 F.col(vec_col).cast("array<double>").alias("qvec")),
+                  "qvec", "qnorm")
+    if broadcast_queries:
+        q = F.broadcast(q)
+    scored = (c.crossJoin(q)
+              .where(F.col("corpus_id") != F.col("query_id"))
+              .select("query_id", "corpus_id",
+                      (_dot("cvec", "qvec") /
+                       (F.col("cnorm") * F.col("qnorm"))).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("corpus_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k).drop("rn"))
+
+
+def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame,
+                    corpus_id: str, query_id: str, vec_col: str = "embedding",
+                    k: int = 5, planes: int = 8, seed: int = 42,
+                    dim: int | None = None) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH: bucket =
+    sign-bit string of ``planes`` random projections; candidates = same
+    bucket; exact cosine re-rank within. Recall < 1 by design — the
+    trade-off that keeps 100 TB ANN tractable (each query touches one
+    bucket ≈ N / 2^planes rows).
+
+    Hyperplanes are generated deterministically from ``seed`` via a hash of
+    (plane, dimension) — no driver-side randomness, reproducible anywhere.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    def bucket_expr(vcol: str):
+        bits = []
+        for p in range(planes):
+            # deterministic pseudo-random plane: component d = hash(p,d) scaled
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vcol),
+                    F.array(*[
+                        (F.xxhash64(F.lit(p * 10007 + d), F.lit(seed)) % 1000)
+                        .cast("double") / 500.0 - 1.0
+                        for d in range(dim)]),
+                    lambda x, h: x * h),
+                F.lit(0.0), lambda acc, v: acc + v)
+            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    c = (corpus.select(F.col(corpus_id).alias("corpus_id"),
+                       F.col(vec_col).cast("array<double>").alias("cvec"))
+         .withColumn("bucket", bucket_expr("cvec")))
+    c = with_norm(c, "cvec", "cnorm")
+    q = (queries.select(F.col(query_id).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("qvec"))
+         .withColumn("bucket", bucket_expr("qvec")))
+    q = with_norm(q, "qvec", "qnorm")
+    scored = (c.join(F.broadcast(q), on="bucket")
+              .where(F.col("corpus_id") != F.col("query_id"))
+              .select("query_id", "corpus_id",
+                      (_dot("cvec", "qvec") /
+                       (F.col("cnorm") * F.col("qnorm"))).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("corpus_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k).drop("rn"))
+
+
+def pairwise_cosine(df: DataFrame, id_col: str, vec_col: str = "embedding",
+                    min_cosine: float = 0.9) -> DataFrame:
+    """Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
+    Brute-force O(N²) — the exact oracle/verifier; use LSH buckets first at
+    scale."""
+    n = with_norm(df.select(F.col(id_col),
+                            F.col(vec_col).cast("array<double>").alias(vec_col)),
+                  vec_col, "norm")
+    a = n.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                 F.col("norm").alias("na"))
+    b = n.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                 F.col("norm").alias("nb"))
+    return (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine"))
+            .where(F.col("cosine") >= min_cosine))

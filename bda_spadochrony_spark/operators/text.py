@@ -1,0 +1,125 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All built-in-function compositions (split/regexp/aggregate/xxhash64) — the
+whole module runs inside whole-stage codegen with zero Python. At 100 TB
+these are scan-dominated map-only stages: no shuffle at all until an
+aggregate is requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bda_spadochrony_spark.functions.numeric import stable_round
+
+# tiny built-in stopword lists: enough signal for n-gram-free heuristic
+# language ID without external models (real deployments plug fasttext/cld3
+# in via mapInPandas behind the same column contract)
+_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "pl": ["i", "w", "nie", "na", "to", "że", "jest", "się", "do", "z"],
+}
+
+
+def tokens(text_col: str) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+
+
+def token_count(text_col: str) -> Column:
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: str) -> Column:
+    """BPE-ish token estimate: word-piece boundaries approximated by the
+    regex split on letter/digit/punct class changes, the usual cheap proxy
+    for tokenizer cost accounting."""
+    return F.size(F.split(
+        F.col(text_col),
+        r"(?<=\p{L})(?=\p{N})|(?<=\p{N})(?=\p{L})|\s+|(?=\p{Punct})"))
+
+
+def stopword_ratio(text_col: str, lang: str = "en") -> Column:
+    """Fraction of tokens in the language's stopword list."""
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+    toks = tokens(text_col)
+    return (F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) /
+            F.greatest(F.size(toks), F.lit(1)))
+
+
+def detect_language(text_col: str) -> Column:
+    """Heuristic language ID: the language whose stopword hit-ratio is
+    highest (ties → earlier language in the fixed order, 'und' if no hits).
+    Plug a real model in via mapInPandas for production quality."""
+    toks = tokens(text_col)
+    best = None
+    for lang in _STOPWORDS:
+        sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        entry = F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+        best = entry if best is None else F.when(entry["score"] > best["score"], entry).otherwise(best)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str, prefix: str = "q_") -> DataFrame:
+    """Quality-scoring feature block: length, token stats, punctuation /
+    digit / uppercase ratios, mean token length, stopword ratio — the usual
+    Gopher/C4-style filter inputs."""
+    toks = tokens(text_col)
+    n_chars = F.length(text_col)
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    return df.withColumns({
+        prefix + "n_chars": n_chars,
+        prefix + "n_tokens": F.size(toks),
+        prefix + "mean_token_len":
+            stable_round(F.aggregate(toks, F.lit(0).cast("long"),
+                                     lambda acc, t: acc + F.length(t)).cast("double") /
+                         F.greatest(F.size(toks), F.lit(1)), 4),
+        prefix + "punct_ratio":
+            stable_round(F.length(F.regexp_replace(text_col, r"[^\p{Punct}]", "")) / safe_chars, 4),
+        prefix + "digit_ratio":
+            stable_round(F.length(F.regexp_replace(text_col, r"[^0-9]", "")) / safe_chars, 4),
+        prefix + "upper_ratio":
+            stable_round(F.length(F.regexp_replace(text_col, r"[^A-Z]", "")) / safe_chars, 4),
+        prefix + "stopword_ratio": stable_round(stopword_ratio(text_col), 4),
+    })
+
+
+def quality_score(df: DataFrame, text_col: str, out_col: str = "quality",
+                  keep_features: str | None = None) -> DataFrame:
+    """Composite 0-1 quality score from the feature block (monotone
+    penalties for extreme ratios/lengths — a filterable scalar).
+    ``keep_features='q_'`` retains the feature columns under that prefix."""
+    prefix = keep_features or "__q_"
+    qf = quality_features(df, text_col, prefix=prefix)
+    score = (
+        F.when(F.col(prefix + "n_tokens") < 5, 0.2).otherwise(1.0) *
+        (1.0 - F.least(F.col(prefix + "punct_ratio") * 2, F.lit(0.5))) *
+        (1.0 - F.least(F.col(prefix + "digit_ratio"), F.lit(0.5))) *
+        (0.5 + F.least(F.col(prefix + "stopword_ratio") * 2, F.lit(0.5)))
+    )
+    out = qf.withColumn(out_col, stable_round(score, 4))
+    if keep_features is None:
+        out = out.drop(*[c for c in out.columns if c.startswith("__q_")])
+    return out
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str,
+                window: int = 5, out_col: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: winnowing-style — min xxhash64 over each
+    sliding token window, XOR-folded to one 64-bit value. Rolling-hash
+    selection without UDFs via transform over token indices."""
+    toks = tokens(text_col)
+    win_hashes = F.filter(
+        F.transform(toks, lambda _, i: F.when(
+            i + window <= F.size(toks),
+            F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))))),
+        lambda x: x.isNotNull())
+    fp = F.aggregate(win_hashes, F.lit(0).cast("long"),
+                     lambda acc, h: acc.bitwiseXOR(h))
+    return df.withColumn(out_col, F.when(F.size(toks) >= window, fp)
+                         .otherwise(F.xxhash64(F.lower(F.trim(F.col(text_col))))))

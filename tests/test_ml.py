@@ -1,0 +1,95 @@
+"""ML surface tests (SURVEY §2.10 M1-M8): feature pipeline, train/eval,
+persistence, streaming inference (T6)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from bda_spadochrony_spark.ml.features import build_features, assemble_vector
+from bda_spadochrony_spark.ml.regress import (train_regressor, evaluate_mae,
+                                              save_model, load_model)
+from bda_spadochrony_spark.operators.windows import range_frame_agg
+from bda_spadochrony_spark.sources.readers import scan
+
+
+@pytest.fixture(scope="module")
+def feature_frame(spark):
+    """ML_stock-shaped pipeline on events: calendar + one-hot features,
+    forward-window target (next-hour value sum), assembled vector."""
+    ev = scan(spark, "/root/testdata/sf0.001/events.parquet")
+    ev = ev.withColumn("ts_unix", F.unix_timestamp("ts"))
+    ev = range_frame_agg(ev, "ts_unix", (0, 3600),
+                         [(F.sum("value"), "label")])
+    feats = build_features(ev, "ts", "event_type",
+                           ["click", "view", "purchase"], prefix="et")
+    cols = ["hour", "dayofweek", "month", "et_click", "et_view",
+            "et_purchase", "et_other", "value"]
+    return assemble_vector(feats.na.drop("any", subset=cols + ["label"]),
+                           cols).cache()
+
+
+def test_feature_vector_shape(feature_frame):
+    row = feature_frame.first()
+    assert row["features"].size == 8
+    assert row["label"] is not None
+
+
+def test_train_eval_mae(feature_frame):
+    model, train_pred, test_pred = train_regressor(
+        feature_frame, "label", n_estimators=5)
+    mae_train = evaluate_mae(train_pred, "label")
+    mae_test = evaluate_mae(test_pred, "label")
+    assert mae_train > 0 and mae_test > 0
+    # sanity: model beats predicting zero (labels are ~60-row sums of ~20s)
+    mean_label = feature_frame.agg(F.avg("label")).first()[0]
+    assert mae_test < mean_label
+
+
+def test_model_persistence_roundtrip(feature_frame, spark):
+    model, _, test_pred = train_regressor(feature_frame, "label", n_estimators=3)
+    d = tempfile.mkdtemp(prefix="bda_model_")
+    try:
+        save_model(model, d)
+        loaded = load_model(d)
+        a = model.transform(feature_frame).select("prediction").limit(5).collect()
+        b = loaded.transform(feature_frame).select("prediction").limit(5).collect()
+        assert [r["prediction"] for r in a] == [r["prediction"] for r in b]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_inference(feature_frame, spark):
+    """T6 — a fitted model transforms a STREAMING DataFrame (reference
+    applies XGBoost on the stream pre-join, stream_combined.py:126-128)."""
+    import os
+    from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                   StringType, StructField, StructType,
+                                   TimestampType)
+    from bda_spadochrony_spark.streaming.sources import file_stream
+    from bda_spadochrony_spark.streaming.runner import run_available_now
+
+    model, _, _ = train_regressor(feature_frame, "label", n_estimators=3)
+    d = tempfile.mkdtemp(prefix="bda_stream_ml_")
+    try:
+        shutil.copy("/root/testdata/sf0.001/events.parquet",
+                    os.path.join(d, "part-0.parquet"))
+        schema = StructType([
+            StructField("event_id", LongType()), StructField("ts", TimestampType()),
+            StructField("user_id", LongType()), StructField("event_type", StringType()),
+            StructField("value", DoubleType()), StructField("props", StringType()),
+        ])
+        stream = file_stream(spark, d, schema)
+        feats = build_features(stream, "ts", "event_type",
+                               ["click", "view", "purchase"], prefix="et")
+        vec = assemble_vector(feats, ["hour", "dayofweek", "month", "et_click",
+                                      "et_view", "et_purchase", "et_other", "value"])
+        scored = model.transform(vec).select("event_id", "prediction")
+        out = run_available_now(spark, scored)
+        rows = out.collect()
+        assert len(rows) > 0 and all(r["prediction"] is not None for r in rows)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -31,6 +31,13 @@ def test_query_matches_oracle(spark, duck, name):
                                 SF_SMALL, name=name)
 
 
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_query_runs(spark, name):
+    df = QUERIES[name](spark, SF_SMALL)
+    assert len(df.columns) > 0
+    assert df.count() >= 0
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0

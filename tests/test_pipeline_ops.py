@@ -1,0 +1,155 @@
+"""Tests for the training-data-pipeline operators: dedup (exact, minhash,
+simhash, jaccard), similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bda_spadochrony_spark.operators import dedup as D
+from bda_spadochrony_spark.operators import similarity as S
+from bda_spadochrony_spark.operators import text as T
+from bda_spadochrony_spark.operators import multimodal as M
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "completely different text about spark distributed query engines here"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (5, "der schnelle braune fuchs springt und ist nicht mit auf zu haus"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup_groups_exact_copies(docs):
+    out = {r["keep_doc_id"]: r["n_copies"]
+           for r in D.exact_dedup(docs, "text", "doc_id").collect()}
+    assert out[1] == 2  # docs 1 and 4
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_exact_dedup_by_hash_matches_exact(docs):
+    a = sorted((r["keep_doc_id"], r["n_copies"])
+               for r in D.exact_dedup(docs, "text", "doc_id").collect())
+    b = sorted((r["keep_doc_id"], r["n_copies"])
+               for r in D.exact_dedup_by_hash(docs, "text", "doc_id").collect())
+    assert a == b
+
+
+def test_minhash_finds_near_and_exact_dups(docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in D.minhash_dedup(docs, "doc_id", "text",
+                                      num_hashes=32, bands=16).collect()}
+    assert (1, 4) in pairs          # exact dup always collides
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup should band-collide
+    assert all(3 not in p and 5 not in p for p in pairs)  # distinct docs don't
+
+
+def test_minhash_jaccard_verification(docs):
+    verified = D.minhash_dedup(docs, "doc_id", "text", num_hashes=32,
+                               bands=16, min_jaccard=0.99)
+    pairs = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert pairs == {(1, 4)}  # only the exact duplicate survives jaccard≥0.99
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"])
+    out = D.ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=2).collect()
+    # shingles: {ab,bc,cd} vs {ab,bc,ce} → inter 2, union 4 → 0.5
+    assert len(out) == 1 and abs(out[0]["jaccard"] - 0.5) < 1e-9
+
+
+def test_simhash_near_pairs(docs):
+    fp = D.simhash(docs, "doc_id", "text", bits=64, shingle_n=2)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_near_pairs(fp, "doc_id", max_hamming=12,
+                                           prefix_bits=8).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 0  # exact dup → identical fp
+
+
+def test_cosine_topk_selfsim(spark):
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]), (4, [0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.cosine_topk(df, df, "vec_id", "vec_id", k=1)
+    best = {r["query_id"]: r["corpus_id"] for r in out.collect()}
+    assert best[1] == 2 and best[2] == 1  # 1 and 2 are mutual nearest
+
+
+def test_pairwise_cosine_threshold(spark):
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             S.pairwise_cosine(df, "vec_id", min_cosine=0.99).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_lsh_bucket_topk_recalls_identicals(spark):
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    rows += [(100, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])]  # = vec 0
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.lsh_bucket_topk(df, df, "vec_id", "vec_id", k=1, planes=4, dim=8)
+    best = {r["query_id"]: (r["corpus_id"], r["cosine"]) for r in out.collect()}
+    # identical vectors always share every hyperplane bucket
+    assert best[0][0] == 100 and abs(best[0][1] - 1.0) < 1e-9
+
+
+def test_language_detection(docs):
+    out = {r["doc_id"]: r["lang"] for r in docs.select(
+        "doc_id", T.detect_language("text").alias("lang")).collect()}
+    assert out[1] == "en" and out[5] == "de"
+    und = docs.sparkSession.createDataFrame([(9, "zzz qqq xxx")], ["doc_id", "text"])
+    assert und.select(T.detect_language("text").alias("l")).first()["l"] == "und"
+
+
+def test_quality_and_fingerprint(docs):
+    q = T.quality_score(docs, "text")
+    vals = {r["doc_id"]: r["quality"] for r in q.collect()}
+    assert all(0.0 <= v <= 1.0 for v in vals.values())
+    short = docs.sparkSession.createDataFrame([(9, "hi")], ["doc_id", "text"])
+    assert T.quality_score(short, "text").first()["quality"] < vals[1]
+
+    fp = T.fingerprint(docs, "doc_id", "text")
+    fps = {r["doc_id"]: r["fingerprint"] for r in fp.collect()}
+    assert fps[1] == fps[4] and fps[1] != fps[3]  # dup same, distinct differs
+
+
+def test_token_counts(docs):
+    out = docs.select("doc_id", T.token_count("text").alias("n"),
+                      T.bpe_ish_token_count("text").alias("nb")).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n"] == 13
+    assert all(r["nb"] >= r["n"] for r in out)  # BPE-ish splits ≥ whitespace
+
+
+def test_multimodal_image_features(spark):
+    rows = [(1, "image", "image/fake", bytes(range(100)), None, None, None),
+            (2, "audio", "audio/fake", b"\x01\x02", None, None, None),
+            (3, "image", "image/fake", b"", None, None, None)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in M.extract_image_features(df, fake=True).collect()}
+    assert set(out) == {1, 3}                      # audio row filtered out
+    assert out[1]["n_bytes"] == 100 and out[1]["width"] == 101
+    assert out[3]["n_bytes"] == 0
+
+
+def test_multimodal_decode_stub_raises_without_fake(spark):
+    rows = [(1, "image", "image/fake", b"xx", None, None, None)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
+        M.extract_image_features(df, fake=False).collect()
+
+
+def test_multimodal_resize_and_frames(spark):
+    rows = [(1, "image", "image/fake", bytes(range(200)), None, None, None),
+            (2, "video", "video/fake", b"\x00", None, None, 3500)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    r = M.resize_images(df, 8, 8, fake=True).first()
+    assert len(r["payload"]) == 1 and r["width"] == 8
+    frames = M.sample_video_frames(df, every_ms=1000).collect()
+    assert [f["frame_ms"] for f in frames] == [0, 1000, 2000, 3000]
