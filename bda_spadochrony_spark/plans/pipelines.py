@@ -1,0 +1,93 @@
+"""Reference-parity batch pipelines (SURVEY §3.1): the three hourly
+aggregate jobs, generalized.
+
+Differences from the reference by design (SURVEY §4.1):
+- one multi-file scan instead of per-file glob/union;
+- ``persist()`` before multi-action fan-out (the reference recomputes the
+  DAG 4× per job — ``batch_openweather.py:107-120``);
+- the serving write is executor-side (writers.write_serving_table), driver
+  collect loops are gone;
+- sort only at the sink, where the reference sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bda_spadochrony_spark.functions.temporal import with_date_hour
+from bda_spadochrony_spark.operators.aggregates import (group_agg,
+                                                        mode_by_struct_max,
+                                                        two_level_avg)
+from bda_spadochrony_spark.operators.joins import equi_join
+from bda_spadochrony_spark.operators.sorts import sort_by
+from bda_spadochrony_spark.functions.numeric import stable_round
+
+
+def hourly_rollup(df: DataFrame, ts_col: str,
+                  avg_cols: list[str],
+                  mode_cols: list[str] | None = None,
+                  tz: str | None = None, skew_minutes: int = 0,
+                  ndigits: int = 2) -> DataFrame:
+    """The generalized weather/stock hourly job: date/hour derivation →
+    count + rounded avgs → mode columns joined on (date, hour) → sort.
+
+    Weather flavor (``batch_openweather.py:69-105``): 9 avgs + 2 modes.
+    Stock flavor (``batch_stock.py:70-85``): NY timezone, −20 min skew,
+    8 avgs, no modes.
+    """
+    keyed = with_date_hour(df, ts_col, tz=tz, skew_minutes=skew_minutes)
+    measures: list[Column] = [F.count(F.lit(1)).alias("cnt")]
+    measures += [stable_round(F.avg(c), ndigits).alias(f"avg_{c}") for c in avg_cols]
+    agg = group_agg(keyed, ["date", "hour"], measures)
+    for mc in (mode_cols or []):
+        agg = equi_join(agg, mode_by_struct_max(keyed, ["date", "hour"], mc),
+                        on=["date", "hour"])
+    return sort_by(agg, ["date", "hour"])
+
+
+def weather_hourly(weather: DataFrame) -> DataFrame:
+    """``batch_openweather.py`` parity: 9 averaged metrics, mode of
+    weather_main and weather_description."""
+    return hourly_rollup(
+        weather, "timestamp",
+        avg_cols=["temp", "visibility", "pressure", "clouds", "feels_like",
+                  "temp_max", "temp_min", "humidity", "wind_speed"],
+        mode_cols=["weather_main", "weather_description"])
+
+
+def stock_hourly(stock: DataFrame) -> DataFrame:
+    """``batch_stock.py`` parity: NY wall-clock, −20 min feed-skew
+    correction, 8 averaged metrics (epoch-seconds ``timestamp`` column is
+    Integer in the reference — cast first)."""
+    s = stock.withColumn("event_ts", F.to_timestamp(F.col("timestamp").cast("long")))
+    return hourly_rollup(
+        s, "event_ts", tz="America/New_York", skew_minutes=20,
+        avg_cols=["volume", "vwap", "open", "close", "high", "low", "transactions"])
+
+
+def traffic_hourly(tomtom: DataFrame) -> DataFrame:
+    """``batch_tomtom.py`` parity — the hardest batch shape (SURVEY §7.2
+    step 5): per-(date,hour,iconCategory,id) aggregates with null-domain
+    avgs and modes, then the avg-of-avgs roll-up to (date,hour,iconCategory).
+    """
+    keyed = with_date_hour(tomtom, "observationTime")
+    fine_keys = ["date", "hour", "iconCategory", "id"]
+    # null-domain averages (delay/length ~10% null — filter kept for row-set
+    # parity even though avg skips nulls, batch_tomtom.py:94-100)
+    delay = (keyed.filter(F.col("delay").isNotNull())
+             .groupBy(*fine_keys).agg(stable_round(F.avg("delay"), 2).alias("avg_delay")))
+    length = (keyed.filter(F.col("length").isNotNull())
+              .groupBy(*fine_keys).agg(stable_round(F.avg("length"), 2).alias("avg_length")))
+    prob = keyed.groupBy(*fine_keys).agg(
+        F.count("probabilityOfOccurrence").alias("n_prob"))
+    mode_mag = mode_by_struct_max(keyed, fine_keys, "magnitudeOfDelay")
+    fine = (prob.join(delay, fine_keys, "left")
+                .join(length, fine_keys, "left")
+                .join(mode_mag, fine_keys, "left"))
+    # avg-of-avgs roll-up (unweighted — batch_tomtom.py:114-117)
+    coarse = (fine.groupBy("date", "hour", "iconCategory")
+              .agg(F.count("id").alias("n_incidents"),
+                   stable_round(F.avg("avg_delay"), 2).alias("avg_avg_delay"),
+                   stable_round(F.avg("avg_length"), 2).alias("avg_avg_length")))
+    return sort_by(coarse, ["date", "hour", "iconCategory"])

@@ -138,13 +138,20 @@ def parse_json_payload(df: DataFrame, payload_col: str, schema: StructType,
     """JSON payload parse (SURVEY §2.1 S9; reference
     ``pyspark/stream_combined.py:49-69``).
 
-    The reference declares an all-string schema then casts every field
-    afterwards; the engine passes the **typed** schema straight to
-    ``from_json`` (Spark's JSON parser coerces scalars) and explodes the
-    struct in one select — same result, half the plan, no string detour.
-    Works identically on batch and streaming DataFrames.
+    Parses against an all-string struct, then casts each field to the
+    declared type in the same projection. The string detour is load-bearing:
+    feed payloads quote their numerics (``{"temp": "12.5"}``) and Spark's
+    ``from_json`` nulls a quoted number parsed directly into a numeric
+    field — the reference's all-string-then-cast dance exists for this
+    exact reason; the engine keeps the semantics but fuses it into one
+    select. Works identically on batch and streaming DataFrames.
     """
-    parsed = df.withColumn("__data", F.from_json(F.col(payload_col).cast("string"), schema))
-    out_cols = [F.col("__data." + f.name).alias(f.name) for f in schema.fields]
+    from pyspark.sql.types import StringType
+    str_schema = StructType([StructField(f.name, StringType(), True)
+                             for f in schema.fields])
+    parsed = df.withColumn(
+        "__data", F.from_json(F.col(payload_col).cast("string"), str_schema))
+    out_cols = [F.col("__data." + f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields]
     out_cols += [F.col(c) for c in (keep or [])]
     return parsed.select(*out_cols)

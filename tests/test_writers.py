@@ -1,0 +1,100 @@
+"""Sink/compaction tests (SURVEY §2.1 S5-S7, S13)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from bda_spadochrony_spark.sources.readers import scan
+from bda_spadochrony_spark.sources.writers import (compact, serving_key,
+                                                   write_parquet,
+                                                   write_serving_table,
+                                                   foreach_partition_sink)
+
+
+def test_write_parquet_partitioned_and_pruned(spark):
+    base = tempfile.mkdtemp(prefix="bda_w_")
+    try:
+        df = spark.createDataFrame(
+            [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+             ("2024-01-02", 3, 30.0)], ["date", "id", "v"])
+        write_parquet(df, base, partition_by=["date"], target_files=1)
+        assert os.path.isdir(os.path.join(base, "date=2024-01-01"))
+        back = scan(spark, base).filter(F.col("date") == "2024-01-02")
+        # partition pruning: only the matching partition dir is scanned
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert back.count() == 1
+        assert "PartitionFilters: [isnotnull(date" in plan
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_compact_merges_and_purges(spark):
+    base = tempfile.mkdtemp(prefix="bda_c_")
+    live, hist = os.path.join(base, "live"), os.path.join(base, "hist")
+    try:
+        for i in range(3):  # three live micro-files
+            spark.range(i * 10, i * 10 + 10).coalesce(1) \
+                .write.mode("append").parquet(live)
+        n_live = len(glob.glob(os.path.join(live, "*.parquet")))
+        assert n_live == 3
+        n = compact(spark, live, hist, target_files=1, purge_live=True)
+        assert n == 3
+        assert len(glob.glob(os.path.join(hist, "*.parquet"))) == 1  # compacted
+        assert glob.glob(os.path.join(live, "*.parquet")) == []      # purged
+        assert sorted(r["id"] for r in spark.read.parquet(hist).collect()) == list(range(30))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_compact_empty_live_is_noop(spark):
+    base = tempfile.mkdtemp(prefix="bda_c0_")
+    try:
+        assert compact(spark, os.path.join(base, "missing"),
+                       os.path.join(base, "hist")) == 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_serving_table_keys_and_stringified_cells(spark):
+    base = tempfile.mkdtemp(prefix="bda_s_")
+    try:
+        df = spark.createDataFrame([("2024-01-01", 7, 3, 12.5)],
+                                   ["date", "hour", "cnt", "avg_v"])
+        write_serving_table(df, base, key=serving_key("date", "hour"))
+        row = spark.read.parquet(base).first()
+        assert row["row_key"] == "2024-01-01_7"       # reference key format
+        assert row["cnt"] == "3" and row["avg_v"] == "12.5"  # stringified cells
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_serving_key_timestamp_format(spark):
+    df = spark.createDataFrame([("2024-01-01 12:34:56",)], ["ts"]) \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = df.select(serving_key("ts", fmt="yyyy-MM-dd_HH-mm").alias("k")).first()
+    assert out["k"] == "2024-01-01_12-34"             # stream_combined key format
+
+
+def test_foreach_partition_sink_runs_per_partition(spark):
+    base = tempfile.mkdtemp(prefix="bda_fp_")
+    try:
+        df = spark.range(100).repartition(4)
+
+        def writer(rows):
+            import os as _os
+            import uuid as _uuid
+            n = sum(1 for _ in rows)
+            with open(_os.path.join(base, f"part_{_uuid.uuid4().hex}.txt"), "w") as f:
+                f.write(str(n))
+
+        foreach_partition_sink(df, writer)
+        parts = glob.glob(os.path.join(base, "part_*.txt"))
+        assert len(parts) == 4
+        assert sum(int(open(p).read()) for p in parts) == 100
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
