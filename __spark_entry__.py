@@ -53,12 +53,16 @@ def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hourly_with_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 — multi-key equi join attaching mode columns to the hourly
-    aggregate (``pyspark/batch_openweather.py:105``)."""
+    """A1+A3+J1 fused — the reference computes the hourly aggregate and the
+    mode as two scans joined on (date, hour) (``batch_openweather.py:91-105``);
+    the engine fuses them into ONE scan + two aggregations
+    (``operators.aggregates.agg_with_mode``): same rows, same tie-break,
+    no join, half the scan volume — the 100 TB-relevant rewrite."""
+    from bda_spadochrony_spark.operators.aggregates import agg_with_mode
     ev = with_date_hour(_t(spark, sf_dir, "events"), "ts")
-    agg = group_agg(ev, ["date", "hour"], hourly_measures(["value"]))
-    mode = mode_by_struct_max(ev, ["date", "hour"], "event_type")
-    return sort_by(equi_join(agg, mode, on=["date", "hour"]), ["date", "hour"])
+    out = agg_with_mode(ev, ["date", "hour"], "value", "event_type")
+    return sort_by(out.withColumnRenamed("mode_event_type", "mode_event_type"),
+                   ["date", "hour"])
 
 
 def q_two_level_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,10 +344,11 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors per embedding (exact ANN
-    baseline): broadcast nested-loop scoring + partitioned row_number."""
-    from bda_spadochrony_spark.operators.similarity import cosine_topk
+    baseline): broadcast query matrix + per-partition numpy matmul via
+    mapInPandas, then a global partitioned row_number."""
+    from bda_spadochrony_spark.operators.similarity import cosine_topk_vectorized
     emb = _t(spark, sf_dir, "embeddings")
-    out = cosine_topk(emb, emb, "vec_id", "vec_id", k=3)
+    out = cosine_topk_vectorized(emb, emb, "vec_id", "vec_id", k=3)
     return out.select("query_id", "corpus_id",
                       stable_round(F.col("cosine"), 6).alias("cosine"))
 
@@ -402,6 +407,40 @@ def q_ml_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["mae_train", "mae_test", "n_train", "n_test"])
 
 
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (enumerated as an intended option at reference
+    ``stream_combined.py:197``): orders having at least one late-shipped
+    lineitem — TPC-H Q4 shape."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") > F.lit("2024-06-01"))
+    sel = orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+    return group_agg(sel, ["o_orderpriority"],
+                     [F.count(F.lit(1)).alias("n_orders")])
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    no_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return group_agg(no_orders, ["c_mktsegment"],
+                     [F.count(F.lit(1)).alias("n_customers")])
+
+
+def q_range_window_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 scale path — the same forward range frame PARTITIONED by date, so
+    it distributes (one partition per day instead of one global partition;
+    frames truncate at day bounds by design — the documented trade
+    SURVEY §7.4 risk 5)."""
+    ev = _t(spark, sf_dir, "events").withColumn("ts_unix", F.unix_timestamp("ts"))         .withColumn("date", F.to_date("ts"))
+    out = range_frame_agg(ev, "ts_unix", (0, 3600),
+                          [(F.sum("value"), "next_hour_value")],
+                          partition_by=["date"])
+    return out.select("event_id", "ts_unix",
+                      stable_round(F.col("next_hour_value"), 2).alias("next_hour_value"))
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_agg": q_hourly_agg,
     "mode_event_type": q_mode_event_type,
@@ -434,6 +473,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "ml_features": q_ml_features,
     "ml_train_eval": q_ml_train_eval,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "range_window_partitioned": q_range_window_partitioned,
 }
 
 
@@ -738,6 +780,29 @@ def oracle_sql() -> dict[str, str]:
                    round((sum(value) OVER (ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                                            RANGE BETWEEN CURRENT ROW AND 3600 FOLLOWING)) + 1e-06, 2) AS label
             FROM events
+        """,
+        "semi_join": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > TIMESTAMP '2024-06-01 00:00:00')
+            GROUP BY 1
+        """,
+        "anti_join": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY 1
+        """,
+        "range_window_partitioned": """
+            SELECT event_id, ts_unix,
+                   round((sum(value) OVER w) + 1e-06, 2) AS next_hour_value
+            FROM (SELECT event_id, value, CAST(ts AS DATE) AS date,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS ts_unix
+                  FROM events)
+            WINDOW w AS (PARTITION BY date ORDER BY ts_unix
+                         RANGE BETWEEN CURRENT ROW AND 3600 FOLLOWING)
         """,
         "text_stats": """
             SELECT doc_id,

@@ -76,6 +76,32 @@ def two_level_avg(df: DataFrame, fine_keys: list[str], coarse_keys: list[str],
     )
 
 
+def agg_with_mode(df: DataFrame, keys: list[str], avg_col: str,
+                  mode_col: str, ndigits: int = 2) -> DataFrame:
+    """Fused single-scan version of "hourly aggregate + mode join"
+    (A1+A3+J1): instead of scanning the input twice and joining two
+    aggregates (the reference's shape, ``batch_openweather.py:91-105``),
+    aggregate once per (keys, mode_col) — count, null-skipping value count,
+    sum — then roll up to (keys): total count, sum-of-sums/sum-of-counts
+    average, and ``max(struct(count, value))`` mode with the identical
+    larger-value tie-break.
+
+    1 scan + 2 shuffles (the second over already-tiny level-1 rows) versus
+    2 scans + 5 exchanges + a join — the difference that matters when the
+    input is 100 TB and the aggregate is KBs.
+    """
+    lvl1 = df.groupBy(*keys, mode_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(avg_col).alias("__nv"),
+        F.sum(avg_col).alias("__s"))
+    return (lvl1.groupBy(*keys).agg(
+        F.sum("__n").alias("cnt"),
+        stable_round(F.sum("__s") / F.sum("__nv"), ndigits).alias(f"avg_{avg_col}"),
+        F.max(F.struct(F.col("__n"), F.col(mode_col))).alias("__m"))
+        .select(*keys, "cnt", f"avg_{avg_col}",
+                F.col(f"__m.{mode_col}").alias(f"mode_{mode_col}")))
+
+
 def global_agg(df: DataFrame, measures: list[Column]) -> DataFrame:
     """No-group aggregate (A8; reference ``pyspark/ML_stock.py:177-179``)."""
     return df.agg(*measures)

@@ -22,7 +22,7 @@ whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -53,13 +53,34 @@ def exact_dedup_by_hash(df: DataFrame, content_col: str, id_col: str) -> DataFra
 
 def shingles(text_col: str, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct), built from split + transform —
-    JVM-side, no UDF."""
+    JVM-side, no UDF. Fine for ad-hoc use; the hot paths use
+    ``shingle_rows`` instead (the transform+slice higher-order function is
+    interpreted per element and re-slices the token array per position)."""
     toks = F.split(F.col(text_col), " +")
     return F.array_distinct(F.filter(
         F.transform(toks, lambda _, i: F.when(
             i + n <= F.size(toks),
             F.concat_ws(" ", F.slice(toks, i + 1, n)))),
         lambda x: x.isNotNull()))
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                 distinct: bool = True) -> DataFrame:
+    """Exploded (id, shingle) rows — the inverted-index form every scale
+    path builds on: posexplode tokens, ``lead()`` window per document to
+    stitch n consecutive tokens, optional distinct. All codegen'd row
+    expressions; the window shuffle doubles as the re-parallelization step
+    for few-file inputs (a 1-file scan otherwise runs one-core)."""
+    toks = df.select(F.col(id_col),
+                     F.posexplode(F.split(F.col(text_col), " +"))
+                     .alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)]
+    stitched = toks.select(F.col(id_col), F.col("tok"), *leads)
+    shingle = F.concat_ws(" ", "tok", *[f"t{i}" for i in range(1, n)])
+    out = stitched.where(F.col(f"t{n-1}").isNotNull() if n > 1 else F.lit(True)) \
+                  .select(F.col(id_col), shingle.alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 # -------------------------------------------------------------- minhash ---
@@ -73,16 +94,17 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     Cost: |shingles| × num_hashes hash evaluations, all codegen'd; no
     shuffle until the band join.
     """
-    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
-    sigs = [
-        F.array_min(F.transform(F.col("sh"),
-                                lambda s: F.xxhash64(s, F.lit(seed + i))))
-        .alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return (sh.select(F.col(id_col), *sigs)
-              .select(F.col(id_col),
-                      F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")))
+    # columnar formulation: shingle rows once, then num_hashes min-aggs —
+    # plain per-row expressions stay inside whole-stage codegen, unlike an
+    # array_min(transform(...)) higher-order function which is interpreted
+    # per element (measured ~10× slower at 5k docs). min over the multiset
+    # equals min over the set, so the distinct shuffle is skipped.
+    ex = shingle_rows(df, id_col, text_col, shingle_n, distinct=False)
+    sig = ex.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("shingle", F.lit(seed + i))).alias(f"h{i}")
+          for i in range(num_hashes)])
+    return sig.select(F.col(id_col),
+                      F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_candidates(sig_df: DataFrame, id_col: str,
@@ -134,19 +156,19 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64,
             shingle_n: int = 2) -> DataFrame:
     """SimHash fingerprint: per bit b, sum ±1 over shingle hashes' bit b,
-    fingerprint bit = sign. Expressed with aggregate() over the shingle
-    array — still no UDF. 16 bits by default cost; 64 supported."""
-    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
-    bit_cols = []
-    for b in range(bits):
-        bit_sum = F.aggregate(
-            "sh", F.lit(0),
-            lambda acc, s: acc + F.when(
-                F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1)).otherwise(F.lit(-1)))
-        bit_cols.append(F.when(bit_sum > 0, F.lit(1)).otherwise(F.lit(0))
-                        .cast("long").alias(f"b{b}"))
-    with_bits = sh.select(F.col(id_col), *bit_cols)
+    fingerprint bit = sign. Columnar formulation (explode + codegen'd sum
+    aggregates per bit) for the same interpreted-HOF reason as
+    ``minhash_signatures``."""
+    ex = shingle_rows(df, id_col, text_col, shingle_n, distinct=True) \
+        .select(F.col(id_col), F.xxhash64("shingle").alias("h"))
+    bit_sums = ex.groupBy(id_col).agg(
+        *[F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1,
+                       F.lit(1)).otherwise(F.lit(-1))).alias(f"s{b}")
+          for b in range(bits)])
+    with_bits = bit_sums.select(
+        F.col(id_col),
+        *[F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+          .cast("long").alias(f"b{b}") for b in range(bits)])
     fp = None
     for b in range(bits):
         term = F.col(f"b{b}") * F.lit(2 ** b if b < 63 else -(2 ** 63))
@@ -186,23 +208,28 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     ``candidates`` (from LSH): verification only, via two array lookups.
     jaccard = |A∩B| / |A∪B| computed from array_intersect/array_union sizes.
     """
-    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    sh = shingle_rows(df, id_col, text_col, shingle_n, distinct=True).cache()
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     if candidates is not None:
-        a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-        b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-        joined = candidates.join(a, "id_a").join(b, "id_b")
+        # verification only: expand each candidate pair by id_a's shingles,
+        # count how many also belong to id_b — two equi joins + a count,
+        # all codegen'd; no array materialization
+        inter = (candidates.join(a, "id_a")
+                 .join(b, ["id_b", "shingle"])
+                 .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("i")))
     else:
-        ex = sh.select(id_col, F.explode("sh").alias("shingle"))
-        pairs = (ex.alias("x").join(ex.alias("y"), on="shingle")
-                 .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-                 .select(F.col(f"x.{id_col}").alias("id_a"),
-                         F.col(f"y.{id_col}").alias("id_b"))
-                 .distinct())
-        a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-        b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-        joined = pairs.join(a, "id_a").join(b, "id_b")
-    return (joined.select(
-        "id_a", "id_b",
-        (F.size(F.array_intersect("sh_a", "sh_b")) /
-         F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard"))
-        .where(F.col("jaccard") >= min_jaccard))
+        # inverted index: pairs sharing a shingle, intersection counted in
+        # the same aggregation (shuffle keyed on shingle — stopword-like
+        # shingles are the skew risk; AQE splits them)
+        inter = (a.join(b, "shingle")
+                 .where(F.col("id_a") < F.col("id_b"))
+                 .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("i")))
+    na = counts.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = counts.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (inter.join(na, "id_a").join(nb, "id_b")
+            .select("id_a", "id_b",
+                    (F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+                    .alias("jaccard"))
+            .where(F.col("jaccard") >= min_jaccard))

@@ -33,6 +33,14 @@ HEADLINE = [
     ("union_drift", "collect"),
     ("exact_dedup", "count"),
     ("text_stats", "count"),
+    ("semi_join", "collect"),
+    ("anti_join", "collect"),
+    ("range_window_partitioned", "count"),
+    ("minhash_near_dup", "count"),
+    ("embedding_topk", "count"),
+    ("text_quality", "count"),
+    ("ml_features", "count"),
+    ("stream_hourly", "count"),
 ]
 
 

@@ -153,3 +153,15 @@ def test_multimodal_resize_and_frames(spark):
     assert len(r["payload"]) == 1 and r["width"] == 8
     frames = M.sample_video_frames(df, every_ms=1000).collect()
     assert [f["frame_ms"] for f in frames] == [0, 1000, 2000, 3000]
+
+
+def test_cosine_topk_vectorized_matches_exact(spark):
+    import random
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(4)
+    a = {(r["query_id"], r["corpus_id"]) for r in
+         S.cosine_topk(df, df, "vec_id", "vec_id", k=3).collect()}
+    b = {(r["query_id"], r["corpus_id"]) for r in
+         S.cosine_topk_vectorized(df, df, "vec_id", "vec_id", k=3).collect()}
+    assert a == b
