@@ -441,6 +441,72 @@ def q_range_window_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                       stable_round(F.col("next_hour_value"), 2).alias("next_hour_value"))
 
 
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — hierarchical subtotals (absent from the reference,
+    SURVEY §2.4 absent-ops row; free in Spark and exposed by the engine)."""
+    ev = with_date_hour(_t(spark, sf_dir, "events"), "ts")
+    return ev.rollup("date", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        stable_round(F.sum("value"), 2).alias("sum_value"))
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all grouping-set combinations."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.cube("event_type", F.year("ts").cast("int").alias("yr")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates: count(DISTINCT) + exact distinct collection
+    size per group (SURVEY §2.4 absent-ops row)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"))
+
+
+def q_random_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 — seeded randomSplit (reference 70/30 seed 42,
+    ``pyspark/ML_stock.py:190``). Split membership is partition-layout
+    dependent → rows-only check; determinism within a layout is tested."""
+    ev = _t(spark, sf_dir, "events")
+    train, test = ev.randomSplit([0.7, 0.3], seed=42)
+    return spark.createDataFrame(
+        [(train.count(), test.count())], ["n_train", "n_test"])
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator — per-user event sessions closed
+    by a 30-minute inactivity gap, via applyInPandasWithState with
+    event-time timeouts. Not SQL-expressible (incremental state machine)
+    → rows-only check; exact semantics unit-tested."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType, TimestampType)
+    from bda_spadochrony_spark.streaming.sources import file_stream
+    from bda_spadochrony_spark.streaming.stateful import sessionize
+    from bda_spadochrony_spark.streaming.runner import run_available_now
+    configure(spark)
+    schema = StructType([
+        StructField("event_id", LongType()), StructField("ts", TimestampType()),
+        StructField("user_id", LongType()), StructField("event_type", StringType()),
+        StructField("value", DoubleType()), StructField("props", StringType()),
+    ])
+    stream = file_stream(spark, f"{sf_dir}/events*.parquet", schema)
+    return run_available_now(spark, sessionize(stream, gap_seconds=1800),
+                             timeout_s=300)
+
+
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (KMeans coarse quantizer, 4-of-16 cells
+    probed). Approximate by design → rows-only check; recall unit-tested."""
+    from bda_spadochrony_spark.operators.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, emb, "vec_id", "vec_id", k=3, n_lists=16, n_probe=4)
+    return out.select("query_id", "corpus_id",
+                      stable_round(F.col("cosine"), 6).alias("cosine"))
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_agg": q_hourly_agg,
     "mode_event_type": q_mode_event_type,
@@ -476,6 +542,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "range_window_partitioned": q_range_window_partitioned,
+    "rollup_agg": q_rollup_agg,
+    "cube_agg": q_cube_agg,
+    "distinct_agg": q_distinct_agg,
+    "random_split_counts": q_random_split_counts,
+    "sessionize": q_sessionize,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
 }
 
 
@@ -803,6 +875,20 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WINDOW w AS (PARTITION BY date ORDER BY ts_unix
                          RANGE BETWEEN CURRENT ROW AND 3600 FOLLOWING)
+        """,
+        "rollup_agg": """
+            SELECT CAST(ts AS DATE) AS date, event_type, count(*) AS cnt,
+                   round((sum(value)) + 1e-06, 2) AS sum_value
+            FROM events GROUP BY ROLLUP (CAST(ts AS DATE), event_type)
+        """,
+        "cube_agg": """
+            SELECT event_type, CAST(year(ts) AS INTEGER) AS yr, count(*) AS cnt
+            FROM events GROUP BY CUBE (event_type, CAST(year(ts) AS INTEGER))
+        """,
+        "distinct_agg": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
         """,
         "text_stats": """
             SELECT doc_id,

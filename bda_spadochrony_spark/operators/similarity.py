@@ -171,6 +171,60 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame,
             .where(F.col("rn") <= k).drop("rn"))
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame,
+             corpus_id: str, query_id: str, vec_col: str = "embedding",
+             k: int = 5, n_lists: int = 16, n_probe: int = 4,
+             seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    partitions the corpus into ``n_lists`` cells; each query scores only
+    its ``n_probe`` nearest cells. The standard disk-scale ANN layout —
+    at 100 TB the cell assignment becomes the parquet partition key, so a
+    query reads n_probe/n_lists of the data (partition pruning does the
+    rest).
+
+    Recall grows with ``n_probe`` (n_probe == n_lists ⇒ exact). Centroids
+    are fit once (seeded KMeans on a sample) — in production a persisted
+    artifact, refit only on drift.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(F.col(corpus_id).alias("corpus_id"),
+                      F.col(vec_col).cast("array<double>").alias("cvec"))
+    cv = c.withColumn("features", array_to_vector("cvec"))
+    km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(cv)
+    c_assigned = km.transform(cv).select("corpus_id", "cvec",
+                                         F.col("prediction").alias("cell"))
+    c_assigned = with_norm(c_assigned, "cvec", "cnorm")
+
+    # query → n_probe nearest centroids (centroid table is tiny: crossJoin
+    # against a literal array, rank, keep n_probe)
+    centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(km.clusterCenters())]
+    cent_df = F.broadcast(corpus.sparkSession.createDataFrame(
+        centroids, ["cell", "centroid"]))
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qvec"))
+    q = with_norm(q, "qvec", "qnorm")
+    qc = (q.crossJoin(cent_df)
+          .withColumn("dist", F.sqrt(F.aggregate(
+              F.zip_with("qvec", "centroid", lambda a, b: (a - b) * (a - b)),
+              F.lit(0.0), lambda acc, v: acc + v))))
+    wq = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cell").asc())
+    probes = (qc.withColumn("rn", F.row_number().over(wq))
+              .where(F.col("rn") <= n_probe)
+              .select("query_id", "qvec", "qnorm", "cell"))
+
+    scored = (c_assigned.join(probes, on="cell")
+              .where(F.col("corpus_id") != F.col("query_id"))
+              .select("query_id", "corpus_id",
+                      (_dot("cvec", "qvec") /
+                       (F.col("cnorm") * F.col("qnorm"))).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("corpus_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k).drop("rn"))
+
+
 def pairwise_cosine(df: DataFrame, id_col: str, vec_col: str = "embedding",
                     min_cosine: float = 0.9) -> DataFrame:
     """Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.

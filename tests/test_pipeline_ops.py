@@ -165,3 +165,25 @@ def test_cosine_topk_vectorized_matches_exact(spark):
     b = {(r["query_id"], r["corpus_id"]) for r in
          S.cosine_topk_vectorized(df, df, "vec_id", "vec_id", k=3).collect()}
     assert a == b
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with n_probe == n_lists is exact; with fewer probes, recall of
+    the true top-1 should stay high on clustered data."""
+    import random
+    rng = random.Random(5)
+    rows = []
+    for cl in range(4):                      # 4 well-separated clusters
+        center = [10.0 * (cl == j) for j in range(8)]
+        for i in range(25):
+            rows.append((cl * 100 + i,
+                         [c + rng.uniform(-0.5, 0.5) for c in center]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(4)
+    exact = {r["query_id"]: r["corpus_id"] for r in
+             S.cosine_topk_vectorized(df, df, "vec_id", "vec_id", k=1).collect()}
+    ivf = {r["query_id"]: r["corpus_id"] for r in
+           S.ivf_topk(df, df, "vec_id", "vec_id", k=1,
+                      n_lists=4, n_probe=1).collect()}
+    hits = sum(1 for q, c in ivf.items() if exact.get(q) == c)
+    assert len(ivf) == 100
+    assert hits >= 95  # same-cluster neighbors live in the probed cell

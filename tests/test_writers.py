@@ -98,3 +98,26 @@ def test_foreach_partition_sink_runs_per_partition(spark):
         assert sum(int(open(p).read()) for p in parts) == 100
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_scan_reads_json_and_csv(spark):
+    """S1 across formats: the scan factory reads json/csv with declared
+    schemas (the engine's source surface beyond parquet)."""
+    import tempfile
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+    base = tempfile.mkdtemp(prefix="bda_fmt_")
+    try:
+        df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)],
+                                   ["id", "tag", "v"])
+        df.write.mode("overwrite").json(base + "/j")
+        df.write.mode("overwrite").option("header", True).csv(base + "/c")
+        schema = StructType([StructField("id", LongType()),
+                             StructField("tag", StringType()),
+                             StructField("v", DoubleType())])
+        back_j = scan(spark, base + "/j", schema=schema, fmt="json")
+        back_c = spark.read.schema(schema).option("header", True).csv(base + "/c")
+        assert sorted(map(tuple, back_j.collect())) == sorted(map(tuple, df.collect()))
+        assert sorted(map(tuple, back_c.collect())) == sorted(map(tuple, df.collect()))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
