@@ -1,0 +1,63 @@
+"""Skew/bucketing operator tests: salted results must equal unsalted;
+bucketed joins must not shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bda_spadochrony_spark.operators.skew import (salted_agg, salted_join,
+                                                  write_bucketed)
+
+
+def _skewed_df(spark):
+    hot = [("hot", float(i % 10)) for i in range(5000)]
+    cold = [(f"k{i}", float(i)) for i in range(50)]
+    return spark.createDataFrame(hot + cold, ["k", "v"])
+
+
+def test_salted_agg_matches_plain(spark):
+    df = _skewed_df(spark)
+    plain = {(r["k"]): (r["cnt"], round(r["sum_v"], 6)) for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"),
+                                 F.sum("v").alias("sum_v")).collect()}
+    salted = {(r["k"]): (r["cnt"], round(r["sum_v"], 6)) for r in
+              salted_agg(df, ["k"],
+                         measures=[F.count(F.lit(1)).alias("c"),
+                                   F.sum("v").alias("s")],
+                         final_measures=[F.sum("c").alias("cnt"),
+                                         F.sum("s").alias("sum_v")]).collect()}
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark):
+    fact = _skewed_df(spark)
+    dim = spark.createDataFrame(
+        [("hot", "HOT"), ("k1", "K1"), ("k7", "K7")], ["k", "label"])
+    plain = sorted(map(tuple, fact.join(dim, "k").select("k", "v", "label").collect()))
+    salted = sorted(map(tuple, salted_join(fact, dim, ["k"])
+                        .select("k", "v", "label").collect()))
+    assert plain == salted
+    assert len(plain) == 5002
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    a = spark.range(0, 10000).withColumn("va", F.col("id") * 2)
+    b = spark.range(0, 10000).withColumn("vb", F.col("id") * 3)
+    write_bucketed(a, "bkt_a", ["id"], num_buckets=8)
+    write_bucketed(b, "bkt_b", ["id"], num_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path (small test tables would broadcast and
+        # the planner then ignores bucketing entirely)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+        joined = ta.join(tb, "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan          # bucket-local join, zero shuffle
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
