@@ -507,6 +507,50 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       stable_round(F.col("cosine"), 6).alias("cosine"))
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session windows: per-user sessions closed by 30 min of
+    inactivity (batch form; the streaming twin is watermark-bounded).
+    Oracle = classic gaps-and-islands SQL."""
+    from bda_spadochrony_spark.operators.windows import session_window_agg
+    ev = _t(spark, sf_dir, "events")
+    out = session_window_agg(ev, "ts", "30 minutes", keys=["user_id"],
+                             measures=[F.count(F.lit(1)).alias("n_events"),
+                                       stable_round(F.sum("value"), 2).alias("sum_value")])
+    return out.select("user_id", "session_start", "session_end",
+                      "n_events", "sum_value")
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — two roles of the same dimension (customer nation vs
+    supplier nation) in one join tree, revenue by nation pair."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+           .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
+           .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk"))
+           .where(F.col("cust_nation") != F.col("supp_nation")))
+    return group_agg(j, ["cust_nation", "supp_nation"], [
+        stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items")])
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery (per-part average
+    quantity) decorrelated into a pre-aggregate + join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.5).alias("half_avg_qty"))
+    j = li.join(part_avg, "l_partkey").where(F.col("l_quantity") < F.col("half_avg_qty"))
+    return j.agg(stable_round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+                 F.count(F.lit(1)).alias("n_small"))
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_agg": q_hourly_agg,
     "mode_event_type": q_mode_event_type,
@@ -548,6 +592,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "random_split_counts": q_random_split_counts,
     "sessionize": q_sessionize,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "session_window": q_session_window,
+    "volume_shipping": q_volume_shipping,
+    "small_qty_revenue": q_small_qty_revenue,
 }
 
 
@@ -889,6 +936,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
             FROM events GROUP BY 1
+        """,
+        "session_window": """
+            WITH marked AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), grp AS (
+                SELECT user_id, ts, value,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   round((sum(value)) + 1e-06, 2) AS sum_value
+            FROM grp GROUP BY user_id, sid
+        """,
+        "volume_shipping": """
+            SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                   round((sum(l_extendedprice * (1 - l_discount))) + 1e-06, 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE cn.n_name != sn.n_name
+            GROUP BY 1, 2
+        """,
+        "small_qty_revenue": """
+            SELECT round((sum(l_extendedprice) / 7.0) + 1e-06, 2) AS avg_yearly,
+                   count(*) AS n_small
+            FROM lineitem l
+            WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+                                FROM lineitem i
+                                WHERE i.l_partkey = l.l_partkey)
         """,
         "text_stats": """
             SELECT doc_id,

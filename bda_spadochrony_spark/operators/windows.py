@@ -56,6 +56,23 @@ def time_window_agg(df: DataFrame, ts_col: str, window_duration: str,
                         F.col("window.end").alias("window_end"), *rest)
 
 
+def session_window_agg(df: DataFrame, ts_col: str, gap: str,
+                       keys: list[str] | None = None,
+                       measures: list[Column] | None = None) -> DataFrame:
+    """Session-window aggregate (``F.session_window``): merges events into
+    per-key sessions closed by ``gap`` of inactivity; window end = last
+    event + gap. Works on batch and watermarked streams — the built-in
+    counterpart of the custom ``streaming.stateful.sessionize`` (use that
+    one when you need per-session state beyond aggregates, e.g. emitting
+    only closed sessions incrementally)."""
+    win = F.session_window(F.col(ts_col), gap)
+    agged = df.groupBy(win.alias("session"), *(keys or [])) \
+              .agg(*(measures or [F.count(F.lit(1)).alias("cnt")]))
+    rest = [c for c in agged.columns if c != "session"]
+    return agged.select(F.col("session.start").alias("session_start"),
+                        F.col("session.end").alias("session_end"), *rest)
+
+
 def ranked(df: DataFrame, partition_by: list[str], order_by: list[Column],
            rank_col: str = "rn") -> DataFrame:
     """row_number ranking — absent from the reference (§2.5) but required
