@@ -551,6 +551,20 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_small"))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True as-of join (cogrouped applyInPandas + merge_asof): each click
+    event enriched with the user's latest preceding error event. Oracle =
+    DuckDB's native ASOF LEFT JOIN."""
+    from bda_spadochrony_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error") \
+               .select(F.col("event_id").alias("err_event_id"), "user_id",
+                       F.col("ts").alias("err_ts"))
+    return asof_join(clicks, errors, "ts", "err_ts", by=["user_id"])
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_agg": q_hourly_agg,
     "mode_event_type": q_mode_event_type,
@@ -595,6 +609,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_window": q_session_window,
     "volume_shipping": q_volume_shipping,
     "small_qty_revenue": q_small_qty_revenue,
+    "asof_join": q_asof_join,
 }
 
 
@@ -977,6 +992,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
                                 FROM lineitem i
                                 WHERE i.l_partkey = l.l_partkey)
+        """,
+        "asof_join": """
+            WITH clicks AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ), errors AS (
+                SELECT event_id AS err_event_id, user_id, ts AS err_ts
+                FROM events WHERE event_type = 'error'
+            )
+            SELECT c.event_id, c.user_id, c.ts, e.err_event_id, e.err_ts
+            FROM clicks c ASOF LEFT JOIN errors e
+              ON c.user_id = e.user_id AND c.ts >= e.err_ts
         """,
         "text_stats": """
             SELECT doc_id,

@@ -102,3 +102,25 @@ def test_top_k_per_group_deterministic(spark):
         [("g", i, float(v)) for i, v in enumerate([5, 5, 3, 9])], ["grp", "id", "v"])
     out = top_k_per_group(df, ["grp"], [F.col("v").desc(), F.col("id").asc()], 2)
     assert sorted((r["id"], r["v"]) for r in out.collect()) == [(0, 5.0), (3, 9.0)]
+
+
+def test_asof_join_backward_and_tolerance(spark):
+    from bda_spadochrony_spark.operators.asof import asof_join
+    l = spark.createDataFrame(
+        [(1, "u", datetime(2024, 1, 1, 0, 10, 0)),
+         (2, "u", datetime(2024, 1, 1, 0, 0, 30)),
+         (3, "v", datetime(2024, 1, 1, 0, 5, 0))],   # key with no right rows
+        ["lid", "k", "lts"])
+    r = spark.createDataFrame(
+        [("u", datetime(2024, 1, 1, 0, 0, 0), 100),
+         ("u", datetime(2024, 1, 1, 0, 9, 0), 101)],
+        ["k", "rts", "rv"])
+    out = {x["lid"]: (x["rv"], x["rts"]) for x in
+           asof_join(l, r, "lts", "rts", by=["k"]).collect()}
+    assert out[1][0] == 101      # latest rts <= 0:10
+    assert out[2][0] == 100      # only 0:00 precedes 0:00:30
+    assert out[3][0] is None     # no right side for key v
+    # with 60s tolerance, lid=1 (gap 60s) still matches; lid=2 (gap 30s) too
+    tol = {x["lid"]: x["rv"] for x in
+           asof_join(l, r, "lts", "rts", by=["k"], tolerance_seconds=45).collect()}
+    assert tol[2] == 100 and tol[1] is None  # 60s gap > 45s tolerance
