@@ -129,11 +129,14 @@ def minhash_lsh_candidates(sig_df: DataFrame, id_col: str,
     ).select(id_col, "band.band_id", "band.band_hash")
     a = banded.alias("a")
     b = banded.alias("b")
+    # groupBy instead of distinct: n_bands (matching-band count) rides along
+    # free, and with 1-row bands n_bands/bands is an unbiased Jaccard
+    # estimate — a zero-cost pre-filter before exact verification
     pairs = (a.join(b, on=["band_id", "band_hash"])
              .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"))
-             .distinct())
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("n_bands")))
     return pairs
 
 
@@ -146,8 +149,15 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
     if min_jaccard is None:
         return cands
+    if bands == num_hashes:
+        # 1-row bands: n_bands/num_hashes estimates Jaccard (Binomial(H, j)).
+        # Pruning at j/4 loses a true j≥min_jaccard pair with probability
+        # P(Binom(H, j) < H·j/4) — ~2e-7 at H=32, j=0.5 — while discarding
+        # the single-band-collision bulk before the expensive exact check.
+        min_bands = max(1, int(num_hashes * min_jaccard / 4))
+        cands = cands.where(F.col("n_bands") >= min_bands)
     verified = ngram_jaccard_pairs(df, id_col, text_col, shingle_n,
-                                   candidates=cands)
+                                   candidates=cands.select("id_a", "id_b"))
     return verified.where(F.col("jaccard") >= min_jaccard)
 
 
