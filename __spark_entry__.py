@@ -61,8 +61,7 @@ def q_hourly_with_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bda_spadochrony_spark.operators.aggregates import agg_with_mode
     ev = with_date_hour(_t(spark, sf_dir, "events"), "ts")
     out = agg_with_mode(ev, ["date", "hour"], "value", "event_type")
-    return sort_by(out.withColumnRenamed("mode_event_type", "mode_event_type"),
-                   ["date", "hour"])
+    return sort_by(out, ["date", "hour"])
 
 
 def q_two_level_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,8 +274,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
         F.length("text").alias("n_chars_computed"),
-        F.round(F.length(F.regexp_replace(F.col("text"), "[^aeiou]", "")) /
-                F.greatest(F.length("text"), F.lit(1)), 4).alias("vowel_ratio"),
+        stable_round(F.length(F.regexp_replace(F.col("text"), "[^aeiou]", "")) /
+                     F.greatest(F.length("text"), F.lit(1)), 4).alias("vowel_ratio"),
     )
 
 
@@ -1008,8 +1007,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
                    CAST(length(text) AS INTEGER) AS n_chars_computed,
-                   round(length(regexp_replace(text, '[^aeiou]', '', 'g')) * 1.0 /
-                         greatest(length(text), 1), 4) AS vowel_ratio
+                   round((length(regexp_replace(text, '[^aeiou]', '', 'g')) * 1.0 /
+                          greatest(length(text), 1)) + 1e-08, 4) AS vowel_ratio
             FROM documents
         """,
     }

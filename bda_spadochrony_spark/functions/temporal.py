@@ -29,9 +29,10 @@ def with_date_hour(df: DataFrame, ts_col: str, tz: str | None = None,
 
 
 def shift_timestamp(ts_col: str, minutes: int) -> Column:
-    """Interval arithmetic on a timestamp column (reference
-    ``pyspark/batch_stock.py:72``, ``ML_stock.py:157``)."""
-    op = "-" if minutes >= 0 else "+"
+    """Shift a timestamp column FORWARD by ``minutes`` (negative shifts
+    backward — the reference's −20-minute feed-skew correction is
+    ``shift_timestamp("ts", -20)``; ``pyspark/batch_stock.py:72``)."""
+    op = "+" if minutes >= 0 else "-"
     return F.expr(f"{ts_col} {op} INTERVAL {abs(minutes)} minutes")
 
 

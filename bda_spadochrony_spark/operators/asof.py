@@ -35,7 +35,7 @@ def asof_join(left: DataFrame, right: DataFrame,
     out_fields = list(left.schema.fields) + \
         [f for f in right.schema.fields if f.name in right_cols]
     out_schema = StructType(out_fields)
-    tol = pd.Timedelta(seconds=tolerance_seconds) if tolerance_seconds else None
+    tol = pd.Timedelta(seconds=tolerance_seconds) if tolerance_seconds is not None else None
 
     def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         if l.empty:

@@ -218,7 +218,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     ``candidates`` (from LSH): verification only, via two array lookups.
     jaccard = |A∩B| / |A∪B| computed from array_intersect/array_union sizes.
     """
-    sh = shingle_rows(df, id_col, text_col, shingle_n, distinct=True).cache()
+    # no .cache(): Spark's ReusedExchange shares the distinct's shuffle
+    # output across the three consumers, and an operator-held cache would
+    # pin executor storage for the session lifetime
+    sh = shingle_rows(df, id_col, text_col, shingle_n, distinct=True)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -59,7 +59,7 @@ def interval_join(left: DataFrame, right: DataFrame,
     ``extra_eq`` pairs; callers rename beforehand, as the reference does
     with its ``_weather``/``_stock`` suffixes.
     """
-    tol = f"interval {int(tolerance_seconds)} seconds"
+    tol = f"interval {int(round(tolerance_seconds * 1000))} milliseconds"
     cond = (F.col(right_ts) >= F.expr(f"{left_ts} - {tol}")) & \
            (F.col(right_ts) <= F.expr(f"{left_ts} + {tol}"))
     for lcol, rcol in (extra_eq or []):

@@ -144,8 +144,8 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame,
                 F.zip_with(
                     F.col(vcol),
                     F.array(*[
-                        (F.xxhash64(F.lit(p * 10007 + d), F.lit(seed)) % 1000)
-                        .cast("double") / 500.0 - 1.0
+                        (F.pmod(F.xxhash64(F.lit(p * 10007 + d), F.lit(seed)), F.lit(1000))
+                         .cast("double") / 500.0 - 1.0)
                         for d in range(dim)]),
                     lambda x, h: x * h),
                 F.lit(0.0), lambda acc, v: acc + v)

@@ -38,7 +38,15 @@ def salted_join(skewed: DataFrame, small: DataFrame, on: list[str],
     match. Small-side replication cost is why this wants a genuinely small
     right side — same regime where you'd broadcast, but salting also fixes
     skewed *sort-merge* joins when the small side exceeds the broadcast
-    threshold."""
+    threshold.
+
+    Only join types that never emit unmatched SMALL-side rows are allowed —
+    the small side is replicated ``salt_buckets``×, so a right/full outer
+    would emit each unmatched small row once per salt."""
+    if how not in ("inner", "left", "leftouter", "left_outer", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"):
+        raise ValueError(f"salted_join does not support how={how!r}: the "
+                         "replicated small side would duplicate unmatched rows")
     salted = skewed.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     replicated = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))

@@ -17,8 +17,8 @@ from pyspark.sql import functions as F
 
 from bda_spadochrony_spark.functions.temporal import with_date_hour
 from bda_spadochrony_spark.operators.aggregates import (group_agg,
-                                                        mode_by_struct_max,
-                                                        two_level_avg)
+                                                        hourly_measures,
+                                                        mode_by_struct_max)
 from bda_spadochrony_spark.operators.joins import equi_join
 from bda_spadochrony_spark.operators.sorts import sort_by
 from bda_spadochrony_spark.functions.numeric import stable_round
@@ -37,9 +37,7 @@ def hourly_rollup(df: DataFrame, ts_col: str,
     8 avgs, no modes.
     """
     keyed = with_date_hour(df, ts_col, tz=tz, skew_minutes=skew_minutes)
-    measures: list[Column] = [F.count(F.lit(1)).alias("cnt")]
-    measures += [stable_round(F.avg(c), ndigits).alias(f"avg_{c}") for c in avg_cols]
-    agg = group_agg(keyed, ["date", "hour"], measures)
+    agg = group_agg(keyed, ["date", "hour"], hourly_measures(avg_cols, ndigits))
     for mc in (mode_cols or []):
         agg = equi_join(agg, mode_by_struct_max(keyed, ["date", "hour"], mc),
                         on=["date", "hour"])

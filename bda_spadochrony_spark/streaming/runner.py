@@ -63,5 +63,10 @@ def run_available_now(spark: SparkSession, df: DataFrame,
     ``awaitTermination(120); stop()`` smoke pattern (T5) — and what lets a
     streaming pipeline participate in the batch correctness oracle."""
     query, name = run_to_memory(df, output_mode=output_mode, available_now=True)
-    query.awaitTermination(timeout_s)
+    finished = query.awaitTermination(timeout_s)
+    if not finished:
+        query.stop()
+        raise TimeoutError(
+            f"streaming drain did not finish within {timeout_s}s — refusing to "
+            f"return a partially-materialized result")
     return spark.table(name)
