@@ -564,6 +564,50 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(clicks, errors, "ts", "err_ts", by=["user_id"])
 
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (median + p90, linear interpolation) —
+    Spark ``percentile`` ≡ DuckDB ``quantile_cont``."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        stable_round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        stable_round(F.expr("percentile(value, 0.9)"), 4).alias("p90"))
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string family: upper/substring/lpad/concat/regexp_extract
+    (simple patterns shared by Java and RE2 regex dialects)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("et_upper"),
+        F.substring("event_type", 1, 3).alias("et_prefix"),
+        F.lpad(F.col("user_id").cast("string"), 6, "0").alias("uid_padded"),
+        F.concat_ws("|", "event_type", F.col("user_id").cast("string")).alias("et_uid"),
+        F.regexp_extract("props", '"k": ([0-9]+)', 1).alias("k_str"))
+
+
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies via explode — the inverted-index building
+    block — with a deterministic top-20."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " +")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    from bda_spadochrony_spark.operators.windows import ranked
+    top = ranked(counts.withColumn("__g", F.lit(1)), ["__g"],
+                 [F.col("n").desc(), F.col("token").asc()], "rn")
+    return top.where(F.col("rn") <= 20).select("token", "n", "rn")
+
+
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches: HyperLogLog distinct counts + approximate
+    percentile per group. Estimates are implementation-specific → rows-only
+    check; accuracy asserted vs exact in unit tests."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 1000).alias("approx_p50"))
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_agg": q_hourly_agg,
     "mode_event_type": q_mode_event_type,
@@ -609,6 +653,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "volume_shipping": q_volume_shipping,
     "small_qty_revenue": q_small_qty_revenue,
     "asof_join": q_asof_join,
+    "quantiles": q_quantiles,
+    "string_funcs": q_string_funcs,
+    "token_frequencies": q_token_frequencies,
+    "sketch_distinct": q_sketch_distinct,
 }
 
 
@@ -1002,6 +1050,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.event_id, c.user_id, c.ts, e.err_event_id, e.err_ts
             FROM clicks c ASOF LEFT JOIN errors e
               ON c.user_id = e.user_id AND c.ts >= e.err_ts
+        """,
+        "quantiles": """
+            SELECT event_type,
+                   round((quantile_cont(value, 0.5)) + 1e-08, 4) AS p50,
+                   round((quantile_cont(value, 0.9)) + 1e-08, 4) AS p90
+            FROM events GROUP BY 1
+        """,
+        "string_funcs": """
+            SELECT event_id,
+                   upper(event_type) AS et_upper,
+                   substring(event_type, 1, 3) AS et_prefix,
+                   lpad(CAST(user_id AS VARCHAR), 6, '0') AS uid_padded,
+                   event_type || '|' || CAST(user_id AS VARCHAR) AS et_uid,
+                   regexp_extract(props, '"k": ([0-9]+)', 1) AS k_str
+            FROM events
+        """,
+        "token_frequencies": """
+            SELECT token, n, CAST(rn AS INTEGER) AS rn FROM (
+                SELECT token, count(*) AS n,
+                       row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rn
+                FROM (SELECT unnest(string_split_regex(text, ' +')) AS token
+                      FROM documents)
+                GROUP BY token
+            ) WHERE rn <= 20
         """,
         "text_stats": """
             SELECT doc_id,

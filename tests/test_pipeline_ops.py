@@ -187,3 +187,15 @@ def test_ivf_topk_recall(spark):
     hits = sum(1 for q, c in ivf.items() if exact.get(q) == c)
     assert len(ivf) == 100
     assert hits >= 95  # same-cluster neighbors live in the probed cell
+
+
+def test_sketch_accuracy_vs_exact(spark):
+    """HLL and approx-percentile estimates land within tolerance of exact."""
+    from bda_spadochrony_spark.sources.readers import scan
+    ev = scan(spark, "/root/testdata/sf0.001/events.parquet")
+    row = (ev.agg(F.approx_count_distinct("user_id", rsd=0.02).alias("a"),
+                  F.countDistinct("user_id").alias("e"),
+                  F.percentile_approx("value", 0.5, 1000).alias("ap"),
+                  F.expr("percentile(value, 0.5)").alias("ep")).first())
+    assert abs(row["a"] - row["e"]) <= max(3, 0.05 * row["e"])
+    assert abs(row["ap"] - row["ep"]) <= 0.05 * max(abs(row["ep"]), 1)
