@@ -608,6 +608,17 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 1000).alias("approx_p50"))
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab): per-date event counts, one column per event type
+    (explicit value list → deterministic schema, single-shuffle plan)."""
+    ev = with_date_hour(_t(spark, sf_dir, "events"), "ts")
+    piv = (ev.groupBy("date")
+             .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+             .agg(F.count(F.lit(1))))
+    return piv.select("date", *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}")
+                                for c in ["click", "view", "purchase", "signup", "error"]])
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_agg": q_hourly_agg,
     "mode_event_type": q_mode_event_type,
@@ -657,6 +668,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_funcs": q_string_funcs,
     "token_frequencies": q_token_frequencies,
     "sketch_distinct": q_sketch_distinct,
+    "pivot": q_pivot,
 }
 
 
@@ -1074,6 +1086,15 @@ def oracle_sql() -> dict[str, str]:
                       FROM documents)
                 GROUP BY token
             ) WHERE rn <= 20
+        """,
+        "pivot": """
+            SELECT CAST(ts AS DATE) AS date,
+                   count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+                   count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+                   count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+                   count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+                   count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+            FROM events GROUP BY 1
         """,
         "text_stats": """
             SELECT doc_id,

@@ -97,3 +97,30 @@ def compact(spark: SparkSession, live_path: str, historical_path: str,
         for p in manifest:
             fs.delete(p, True)
     return len(manifest)
+
+
+def upsert_parquet(spark: SparkSession, target_path: str, updates: DataFrame,
+                   keys: list[str]) -> None:
+    """Keyed upsert into a parquet table without a lakehouse format:
+    existing rows whose key appears in ``updates`` are replaced, new keys
+    appended — implemented as target-anti-join(updates) ∪ updates, written
+    to a staging dir and swapped in (parquet can't be read and overwritten
+    in one job). At real scale this is what Delta/Iceberg MERGE does with
+    transaction logs; this emulation is correct but rewrites the table —
+    use a partitioned layout + partition-pruned rewrite for bounded cost.
+    """
+    import os
+    import shutil
+    import uuid
+
+    if os.path.exists(target_path):
+        target = spark.read.parquet(target_path)
+        kept = target.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
+        merged = kept.unionByName(updates, allowMissingColumns=True)
+    else:
+        merged = updates
+    staging = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.exists(target_path):
+        shutil.rmtree(target_path)
+    os.replace(staging, target_path)

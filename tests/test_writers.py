@@ -121,3 +121,24 @@ def test_scan_reads_json_and_csv(spark):
         assert sorted(map(tuple, back_c.collect())) == sorted(map(tuple, df.collect()))
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_upsert_parquet_replaces_and_appends(spark):
+    import tempfile
+    from bda_spadochrony_spark.sources.writers import upsert_parquet
+    base = tempfile.mkdtemp(prefix="bda_up_")
+    target = os.path.join(base, "t")
+    try:
+        spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]) \
+            .write.parquet(target)
+        upsert_parquet(spark,  target,
+                       spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]),
+                       keys=["k"])
+        got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+        assert got == {1: "a", 2: "B", 3: "c"}
+        # upsert into a non-existent target creates it
+        t2 = os.path.join(base, "t2")
+        upsert_parquet(spark, t2, spark.createDataFrame([(9, "z")], ["k", "v"]), ["k"])
+        assert spark.read.parquet(t2).count() == 1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
