@@ -111,8 +111,10 @@ def q_range_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 at TPC-H shape — lineitem pricing summary (Q1-like): the
-    multi-measure hash agg the 100 TB bench leans on."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+    multi-measure hash agg the 100 TB bench leans on. The shipdate cut sits
+    inside the data range (1995–2001) so the pushed predicate eliminates
+    ~46% of rows — real pushdown, not a no-op."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
     return sort_by(group_agg(li, ["l_returnflag", "l_linestatus"], [
         stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
         stable_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
@@ -266,6 +268,37 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("keep_doc_id", "n_copies")
 
 
+def q_exact_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, scale path: group on the 64-bit xxhash64 content digest
+    (``operators.dedup.exact_dedup_by_hash``) so the shuffle carries 8 bytes
+    per row instead of the raw document — the form the module docstring
+    mandates for 100 TB. The digest itself is engine-specific, so the
+    output drops it; keep-id + multiplicity equal the raw GROUP BY text
+    result whenever xxhash64 is collision-free on the corpus (P(collision)
+    ≈ n²/2^65 ≈ 7e-15 at 500 docs — and a collision would fail the oracle
+    loudly, not silently)."""
+    from bda_spadochrony_spark.operators.dedup import exact_dedup_by_hash
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_by_hash(docs, "text", "doc_id") \
+        .select("keep_doc_id", "n_copies")
+
+
+def q_tz_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 timezone path — the reference's exact wall-clock derivation
+    (``pyspark/batch_stock.py:70-74``): ``from_utc_timestamp(ts,
+    'America/New_York')`` − 20 minutes → date/hour, then the hourly
+    aggregate. Crosses a DST boundary iff the data does; oracled against
+    DuckDB's session-tz-independent ``timezone('America/New_York',
+    timezone('UTC', ts))`` — SURVEY §7.4 risk 4 (cross-engine tz
+    agreement) made a hard correctness row."""
+    ev = with_date_hour(_t(spark, sf_dir, "events"), "ts",
+                        tz="America/New_York", skew_minutes=20)
+    agg = group_agg(ev, ["date", "hour"], [
+        F.count(F.lit(1)).alias("cnt"),
+        stable_round(F.avg("value"), 2).alias("avg_value")])
+    return sort_by(agg, ["date", "hour"])
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis — token count + char stats per document, all JVM-side
     built-ins (no UDFs)."""
@@ -301,6 +334,54 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select(F.col("w.start").alias("window_start"), "event_type",
                          "cnt", "avg_value"))
     return run_available_now(spark, agg, output_mode="complete")
+
+
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — the reference's SIGNATURE operator: stream-stream FULL-OUTER
+    interval join (``pyspark/stream_combined.py:190-198`` — 1-minute
+    watermarks :174,:182, same-date equality conjunct + ±30 s bound,
+    fullOuter :197), run to completion over two file streams and checked
+    against the batch full-outer SQL.
+
+    Determinism: outer (null-padded) rows only flush once the watermark
+    passes their join bound, and the GLOBAL watermark is the min across
+    both input streams — min(max err_ts, max click_ts) − delay. Rows
+    within (delay + tolerance) = 90 s of that minimum stay in state
+    forever, so BOTH engines filter to ``coalesce(err_ts, click_ts) <=
+    min(side maxima) − 2 min``, strictly below the flush horizon.
+    Everything the filter keeps has provably been emitted."""
+    import datetime
+    from bda_spadochrony_spark.streaming.sources import file_stream
+    from bda_spadochrony_spark.streaming.runner import run_available_now
+    from bda_spadochrony_spark.plans.stream_fused import fused_stream_join
+    configure(spark)
+    schema = StructType([
+        StructField("event_id", LongType()), StructField("ts", TimestampType()),
+        StructField("user_id", LongType()), StructField("event_type", StringType()),
+        StructField("value", DoubleType()), StructField("props", StringType()),
+    ])
+    side_max = _t(spark, sf_dir, "events").agg(
+        F.least(F.max(F.when(F.col("event_type") == "error", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))))
+    ).collect()[0][0]
+    cutoff = side_max - datetime.timedelta(minutes=2)
+    errors = (file_stream(spark, f"{sf_dir}/events*.parquet", schema)
+              .where(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("err_id"),
+                      F.col("user_id").alias("err_user"),
+                      F.col("ts").alias("err_ts")))
+    clicks = (file_stream(spark, f"{sf_dir}/events*.parquet", schema)
+              .where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("click_user"),
+                      F.col("ts").alias("click_ts")))
+    joined = fused_stream_join(errors, clicks, "err_ts", "click_ts",
+                               tolerance_seconds=30.0, watermark="1 minutes",
+                               how="fullOuter")
+    out = run_available_now(spark, joined, timeout_s=300)
+    return out.where(F.coalesce("err_ts", "click_ts") <= F.lit(cutoff)) \
+              .select("err_id", "err_user", "err_ts",
+                      "click_id", "click_user", "click_ts")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,11 +424,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors per embedding (exact ANN
-    baseline): broadcast query matrix + per-partition numpy matmul via
-    mapInPandas, then a global partitioned row_number."""
-    from bda_spadochrony_spark.operators.similarity import cosine_topk_vectorized
+    baseline): distributed block matmul — corpus×query tiles meet in
+    cogrouped applyInPandas tasks, each scored as one BLAS matmul; the
+    driver never materializes either side (collect-free scale path)."""
+    from bda_spadochrony_spark.operators.similarity import cosine_topk_blocked
     emb = _t(spark, sf_dir, "embeddings")
-    out = cosine_topk_vectorized(emb, emb, "vec_id", "vec_id", k=3)
+    out = cosine_topk_blocked(emb, emb, "vec_id", "vec_id", k=3)
     return out.select("query_id", "corpus_id",
                       stable_round(F.col("cosine"), 6).alias("cosine"))
 
@@ -406,24 +488,54 @@ def q_ml_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["mae_train", "mae_test", "n_train", "n_test"])
 
 
+def q_traffic_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's hardest batch pipeline, end to end
+    (``pyspark/batch_tomtom.py:86-122``): NY wall-clock date/hour,
+    per-(date,hour,category,id) null-domain avgs + null-skipping count +
+    struct-max modes (inner-joined), then the unweighted avg-of-avgs
+    roll-up with mode-of-modes. Events are mapped onto the tomtom shape
+    with deterministic null injection so every null-semantics branch is
+    exercised."""
+    from bda_spadochrony_spark.plans.pipelines import traffic_hourly
+    ev = _t(spark, sf_dir, "events")
+    shaped = ev.select(
+        F.col("ts").alias("observationTime"),
+        F.col("event_type").alias("iconCategory"),
+        F.col("user_id").alias("id"),
+        F.when(F.col("value") < 5, None).otherwise(F.col("value")).alias("delay"),
+        F.when(F.col("value") > 95, None).otherwise(F.col("value") * 2).alias("length"),
+        F.when(F.col("user_id") % 10 == 0, None)
+         .otherwise((F.col("user_id") % 3).cast("string"))
+         .alias("probabilityOfOccurrence"),
+        F.floor(F.minute("ts") / 15).cast("int").cast("string")
+         .alias("magnitudeOfDelay"),
+    )
+    return traffic_hourly(shaped)
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (enumerated as an intended option at reference
     ``stream_combined.py:197``): orders having at least one late-shipped
-    lineitem — TPC-H Q4 shape."""
+    lineitem — TPC-H Q4 shape. Predicate inside the 1995–2001 shipdate
+    range so the semi join selects a real subset (~never 0 rows)."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    late = li.filter(F.col("l_shipdate") > F.lit("2024-06-01"))
+    late = li.filter(F.col("l_shipdate") > F.lit("1998-06-01"))
     sel = orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
     return group_agg(sel, ["o_orderpriority"],
                      [F.count(F.lit(1)).alias("n_orders")])
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no orders at all."""
+    """Left-anti join: customers with no RECENT orders (orders from 1998
+    on). The date filter makes the anti join genuinely selective — at
+    sf0.01 every customer has *some* order, so an unfiltered anti join
+    would be vacuously empty."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    no_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-    return group_agg(no_orders, ["c_mktsegment"],
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+    no_recent = cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    return group_agg(no_recent, ["c_mktsegment"],
                      [F.count(F.lit(1)).alias("n_customers")])
 
 
@@ -640,8 +752,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join_batch": q_interval_join_batch,
     "top_k_per_group": q_top_k_per_group,
     "exact_dedup": q_exact_dedup,
+    "exact_dedup_digest": q_exact_dedup_digest,
+    "tz_hourly": q_tz_hourly,
     "text_stats": q_text_stats,
     "stream_hourly": q_stream_hourly,
+    "stream_join_outer": q_stream_join_outer,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_pairs": q_simhash_pairs,
@@ -651,6 +766,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "ml_features": q_ml_features,
     "ml_train_eval": q_ml_train_eval,
+    "traffic_hourly": q_traffic_hourly,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "range_window_partitioned": q_range_window_partitioned,
@@ -766,7 +882,7 @@ def oracle_sql() -> dict[str, str]:
                    round((avg(l_discount)) + 1e-08, 4) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
             GROUP BY 1, 2
         """,
         "star_join": """
@@ -856,10 +972,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
             FROM documents GROUP BY text
         """,
+        "exact_dedup_digest": """
+            SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "tz_hourly": """
+            SELECT CAST(nyts AS DATE) AS date,
+                   CAST(hour(nyts) AS INTEGER) AS hour,
+                   count(*) AS cnt, round((avg(value)) + 1e-06, 2) AS avg_value
+            FROM (SELECT timezone('America/New_York', timezone('UTC', ts))
+                         - INTERVAL 20 MINUTE AS nyts, value
+                  FROM events)
+            GROUP BY 1, 2
+        """,
         "stream_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS cnt, round((avg(value)) + 1e-06, 2) AS avg_value
             FROM events GROUP BY 1, 2
+        """,
+        "stream_join_outer": """
+            WITH errors AS (
+                SELECT event_id AS err_id, user_id AS err_user, ts AS err_ts
+                FROM events WHERE event_type = 'error'
+            ), clicks AS (
+                SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT err_id, err_user, err_ts, click_id, click_user, click_ts
+            FROM errors FULL OUTER JOIN clicks
+              ON CAST(err_ts AS DATE) = CAST(click_ts AS DATE)
+             AND click_ts BETWEEN err_ts - INTERVAL 30 SECOND
+                              AND err_ts + INTERVAL 30 SECOND
+            WHERE coalesce(err_ts, click_ts) <=
+                  (SELECT least(max(CASE WHEN event_type = 'error' THEN ts END),
+                                max(CASE WHEN event_type = 'click' THEN ts END))
+                          - INTERVAL 2 MINUTE
+                   FROM events)
         """,
         "ngram_jaccard": """
             WITH ls AS (
@@ -974,18 +1122,86 @@ def oracle_sql() -> dict[str, str]:
                                            RANGE BETWEEN CURRENT ROW AND 3600 FOLLOWING)) + 1e-06, 2) AS label
             FROM events
         """,
+        "traffic_hourly": """
+            WITH src AS (
+                SELECT CAST(nyts AS DATE) AS date,
+                       CAST(hour(nyts) AS INTEGER) AS hour,
+                       event_type AS iconCategory, user_id AS id,
+                       CASE WHEN value < 5 THEN NULL ELSE value END AS delay,
+                       CASE WHEN value > 95 THEN NULL ELSE value * 2 END AS length,
+                       CASE WHEN user_id % 10 = 0 THEN NULL
+                            ELSE CAST(user_id % 3 AS VARCHAR) END AS prob,
+                       CAST(CAST(floor(minute(ts) / 15) AS INTEGER) AS VARCHAR) AS mag
+                FROM (SELECT timezone('America/New_York', timezone('UTC', ts)) AS nyts,
+                             ts, event_type, user_id, value
+                      FROM events)
+            ), fine AS (
+                SELECT date, hour, iconCategory, id,
+                       count(prob) AS n_prob,
+                       avg(delay) AS avg_delay, avg(length) AS avg_length
+                FROM src GROUP BY 1, 2, 3, 4
+                HAVING count(delay) > 0 AND count(length) > 0
+            ), fmode_prob AS (
+                SELECT date, hour, iconCategory, id, prob AS mode_prob FROM (
+                    SELECT date, hour, iconCategory, id, prob,
+                           row_number() OVER (PARTITION BY date, hour, iconCategory, id
+                                              ORDER BY count(*) DESC, prob DESC NULLS LAST) AS rn
+                    FROM src GROUP BY 1, 2, 3, 4, 5
+                ) WHERE rn = 1
+            ), fmode_mag AS (
+                SELECT date, hour, iconCategory, id, mag AS mode_mag FROM (
+                    SELECT date, hour, iconCategory, id, mag,
+                           row_number() OVER (PARTITION BY date, hour, iconCategory, id
+                                              ORDER BY count(*) DESC, mag DESC NULLS LAST) AS rn
+                    FROM src GROUP BY 1, 2, 3, 4, 5
+                ) WHERE rn = 1
+            ), fine2 AS (
+                SELECT f.*, p.mode_prob, m.mode_mag
+                FROM fine f
+                JOIN fmode_prob p USING (date, hour, iconCategory, id)
+                JOIN fmode_mag m USING (date, hour, iconCategory, id)
+            ), coarse AS (
+                SELECT date, hour, iconCategory,
+                       count(id) AS n_incidents,
+                       round((avg(avg_delay)) + 1e-06, 2) AS avg_avg_delay,
+                       round((avg(avg_length)) + 1e-06, 2) AS avg_avg_length
+                FROM fine2 GROUP BY 1, 2, 3
+            ), cmode_prob AS (
+                SELECT date, hour, iconCategory, mode_prob AS coarse_mode_prob FROM (
+                    SELECT date, hour, iconCategory, mode_prob,
+                           row_number() OVER (PARTITION BY date, hour, iconCategory
+                                              ORDER BY count(*) DESC, mode_prob DESC NULLS LAST) AS rn
+                    FROM fine2 GROUP BY 1, 2, 3, 4
+                ) WHERE rn = 1
+            ), cmode_mag AS (
+                SELECT date, hour, iconCategory, mode_mag AS coarse_mode_mag FROM (
+                    SELECT date, hour, iconCategory, mode_mag,
+                           row_number() OVER (PARTITION BY date, hour, iconCategory
+                                              ORDER BY count(*) DESC, mode_mag DESC NULLS LAST) AS rn
+                    FROM fine2 GROUP BY 1, 2, 3, 4
+                ) WHERE rn = 1
+            )
+            SELECT c.date, c.hour, c.iconCategory, c.n_incidents,
+                   c.avg_avg_delay, c.avg_avg_length,
+                   p.coarse_mode_prob, m.coarse_mode_mag
+            FROM coarse c
+            JOIN cmode_prob p USING (date, hour, iconCategory)
+            JOIN cmode_mag m USING (date, hour, iconCategory)
+        """,
         "semi_join": """
             SELECT o_orderpriority, count(*) AS n_orders
             FROM orders o
             WHERE EXISTS (SELECT 1 FROM lineitem l
                           WHERE l.l_orderkey = o.o_orderkey
-                            AND l.l_shipdate > TIMESTAMP '2024-06-01 00:00:00')
+                            AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00')
             GROUP BY 1
         """,
         "anti_join": """
             SELECT c_mktsegment, count(*) AS n_customers
             FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
             GROUP BY 1
         """,
         "range_window_partitioned": """
@@ -1014,8 +1230,11 @@ def oracle_sql() -> dict[str, str]:
         "session_window": """
             WITH marked AS (
                 SELECT user_id, ts, value,
+                       -- >= : Spark's session_window is end-exclusive (an
+                       -- event exactly gap after the last starts a NEW
+                       -- session: merge only when ts < last + gap)
                        CASE WHEN lag(ts) OVER w IS NULL
-                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END AS new_session
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -32,6 +32,12 @@ def asof_join(left: DataFrame, right: DataFrame,
     left columns + right columns (minus the join keys and with ``right_ts``
     kept for inspection)."""
     right_cols = [c for c in right.columns if c not in by]
+    overlap = set(left.columns) & set(right_cols)
+    if overlap:
+        raise ValueError(
+            f"asof_join: columns {sorted(overlap)} exist on both sides — "
+            f"rename the right side first (e.g. right_ts) so the output "
+            f"schema has no duplicate fields")
     out_fields = list(left.schema.fields) + \
         [f for f in right.schema.fields if f.name in right_cols]
     out_schema = StructType(out_fields)

@@ -87,19 +87,25 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3,
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 32, shingle_n: int = 3,
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """MinHash signature per document: for hash i, sig_i = min over shingles
     of xxhash64(shingle, seed+i). Emitted as an array column ``sig``.
 
     Cost: |shingles| × num_hashes hash evaluations, all codegen'd; no
-    shuffle until the band join.
+    shuffle until the band join. ``shingles`` lets a pipeline thread one
+    shared (id, shingle) frame through signature AND verification stages —
+    Catalyst's ReusedExchange then shares its shuffle output across every
+    consumer instead of recomputing the explode+window per stage.
     """
     # columnar formulation: shingle rows once, then num_hashes min-aggs —
     # plain per-row expressions stay inside whole-stage codegen, unlike an
     # array_min(transform(...)) higher-order function which is interpreted
     # per element (measured ~10× slower at 5k docs). min over the multiset
-    # equals min over the set, so the distinct shuffle is skipped.
-    ex = shingle_rows(df, id_col, text_col, shingle_n, distinct=False)
+    # equals min over the set, so distinct and non-distinct shingle frames
+    # give identical signatures.
+    ex = shingles if shingles is not None else \
+        shingle_rows(df, id_col, text_col, shingle_n, distinct=False)
     sig = ex.groupBy(id_col).agg(
         *[F.min(F.xxhash64("shingle", F.lit(seed + i))).alias(f"h{i}")
           for i in range(num_hashes)])
@@ -144,8 +150,17 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
                   num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
                   min_jaccard: float | None = None, seed: int = 42) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → (optional)
-    exact n-gram Jaccard verification ≥ ``min_jaccard``."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    exact n-gram Jaccard verification ≥ ``min_jaccard``.
+
+    One DISTINCT (id, shingle) frame is threaded through both the signature
+    and the verification stages (min over the set equals min over the
+    multiset, so signatures are unchanged): Catalyst's ReusedExchange then
+    computes the explode + lead-window + distinct once and shares the
+    shuffle output across all consumers — no cache() pinning executor
+    storage, just plan-level sharing."""
+    sh = shingle_rows(df, id_col, text_col, shingle_n, distinct=True)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
+                              seed, shingles=sh)
     cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
     if min_jaccard is None:
         return cands
@@ -157,7 +172,8 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
         min_bands = max(1, int(num_hashes * min_jaccard / 4))
         cands = cands.where(F.col("n_bands") >= min_bands)
     verified = ngram_jaccard_pairs(df, id_col, text_col, shingle_n,
-                                   candidates=cands.select("id_a", "id_b"))
+                                   candidates=cands.select("id_a", "id_b"),
+                                   shingles=sh)
     return verified.where(F.col("jaccard") >= min_jaccard)
 
 
@@ -209,7 +225,8 @@ def simhash_near_pairs(fp_df: DataFrame, id_col: str, max_hamming: int = 3,
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         shingle_n: int = 3,
                         candidates: DataFrame | None = None,
-                        min_jaccard: float = 0.0) -> DataFrame:
+                        min_jaccard: float = 0.0,
+                        shingles: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity between document pairs.
 
     Without ``candidates``: all pairs sharing ≥1 shingle (explode + equi
@@ -217,11 +234,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     shingle, so stopword-like shingles are the skew risk). With
     ``candidates`` (from LSH): verification only, via two array lookups.
     jaccard = |A∩B| / |A∪B| computed from array_intersect/array_union sizes.
+    ``shingles`` accepts a precomputed DISTINCT (id, shingle) frame shared
+    with an upstream stage (see ``minhash_dedup``).
     """
     # no .cache(): Spark's ReusedExchange shares the distinct's shuffle
     # output across the three consumers, and an operator-held cache would
     # pin executor storage for the session lifetime
-    sh = shingle_rows(df, id_col, text_col, shingle_n, distinct=True)
+    sh = shingles if shingles is not None else \
+        shingle_rows(df, id_col, text_col, shingle_n, distinct=True)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -44,9 +44,25 @@ IMAGE_FEATURES_SCHEMA = StructType([
 
 def _decode_image_bytes(payload: bytes, fake: bool):
     if not fake:
-        raise NotImplementedError(
-            "image decoding requires PIL/opencv, not present in this "
-            "environment; pass fake=True for the deterministic stub")
+        # real decode behind an optional import: use PIL when the cluster
+        # image has it, raise the documented stub error otherwise
+        try:
+            import io
+
+            from PIL import Image, ImageStat
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image decoding requires PIL/opencv, not present in this "
+                "environment; pass fake=True for the deterministic stub"
+            ) from exc
+        img = Image.open(io.BytesIO(payload))
+        gray = img.convert("L")
+        return {
+            "width": img.width,
+            "height": img.height,
+            "n_bytes": len(payload or b""),
+            "mean_intensity": int(ImageStat.Stat(gray).mean[0]),
+        }
     # deterministic fake decode: dimensions/intensity derived from bytes
     n = len(payload or b"")
     return {

@@ -64,28 +64,43 @@ def stock_hourly(stock: DataFrame) -> DataFrame:
         avg_cols=["volume", "vwap", "open", "close", "high", "low", "transactions"])
 
 
-def traffic_hourly(tomtom: DataFrame) -> DataFrame:
+def traffic_hourly(tomtom: DataFrame, tz: str | None = "America/New_York") -> DataFrame:
     """``batch_tomtom.py`` parity — the hardest batch shape (SURVEY §7.2
-    step 5): per-(date,hour,iconCategory,id) aggregates with null-domain
-    avgs and modes, then the avg-of-avgs roll-up to (date,hour,iconCategory).
+    step 5), reproduced stage for stage:
+
+    - NY wall-clock date/hour (``batch_tomtom.py:86-88``);
+    - per-(date,hour,iconCategory,id) null-domain averages of delay/length
+      (filter-then-avg, :94-100) and ``count(probabilityOfOccurrence)``
+      (null-skipping, :103) — INNER-joined (:104-106), so a fine group whose
+      delays or lengths are ALL null drops out, exactly as the reference's;
+    - fine-level modes of probabilityOfOccurrence and magnitudeOfDelay
+      (struct-max, larger-value tie-break, :110-112);
+    - the unweighted avg-of-avgs roll-up to (date,hour,iconCategory) with
+      rounding applied at the COARSE level only (:115-118), plus the
+      mode-of-modes columns (:120-122).
     """
-    keyed = with_date_hour(tomtom, "observationTime")
+    keyed = with_date_hour(tomtom, "observationTime", tz=tz)
     fine_keys = ["date", "hour", "iconCategory", "id"]
-    # null-domain averages (delay/length ~10% null — filter kept for row-set
-    # parity even though avg skips nulls, batch_tomtom.py:94-100)
     delay = (keyed.filter(F.col("delay").isNotNull())
-             .groupBy(*fine_keys).agg(stable_round(F.avg("delay"), 2).alias("avg_delay")))
+             .groupBy(*fine_keys).agg(F.avg("delay").alias("avg_delay")))
     length = (keyed.filter(F.col("length").isNotNull())
-              .groupBy(*fine_keys).agg(stable_round(F.avg("length"), 2).alias("avg_length")))
-    prob = keyed.groupBy(*fine_keys).agg(
-        F.count("probabilityOfOccurrence").alias("n_prob"))
-    mode_mag = mode_by_struct_max(keyed, fine_keys, "magnitudeOfDelay")
-    fine = (prob.join(delay, fine_keys, "left")
-                .join(length, fine_keys, "left")
-                .join(mode_mag, fine_keys, "left"))
-    # avg-of-avgs roll-up (unweighted — batch_tomtom.py:114-117)
-    coarse = (fine.groupBy("date", "hour", "iconCategory")
+              .groupBy(*fine_keys).agg(F.avg("length").alias("avg_length")))
+    fine = (keyed.groupBy(*fine_keys)
+            .agg(F.count("probabilityOfOccurrence").alias("n_prob"))
+            .join(delay, fine_keys)
+            .join(length, fine_keys)
+            .join(mode_by_struct_max(keyed, fine_keys, "probabilityOfOccurrence"),
+                  fine_keys)
+            .join(mode_by_struct_max(keyed, fine_keys, "magnitudeOfDelay"),
+                  fine_keys))
+    coarse_keys = ["date", "hour", "iconCategory"]
+    coarse = (fine.groupBy(*coarse_keys)
               .agg(F.count("id").alias("n_incidents"),
                    stable_round(F.avg("avg_delay"), 2).alias("avg_avg_delay"),
-                   stable_round(F.avg("avg_length"), 2).alias("avg_avg_length")))
+                   stable_round(F.avg("avg_length"), 2).alias("avg_avg_length"))
+              .join(mode_by_struct_max(fine, coarse_keys,
+                                       "mode_probabilityOfOccurrence",
+                                       out_col="coarse_mode_prob"), coarse_keys)
+              .join(mode_by_struct_max(fine, coarse_keys, "mode_magnitudeOfDelay",
+                                       out_col="coarse_mode_mag"), coarse_keys))
     return sort_by(coarse, ["date", "hour", "iconCategory"])

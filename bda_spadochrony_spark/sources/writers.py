@@ -121,6 +121,13 @@ def upsert_parquet(spark: SparkSession, target_path: str, updates: DataFrame,
         merged = updates
     staging = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(staging)
-    if os.path.exists(target_path):
-        shutil.rmtree(target_path)
+    # crash-safe swap: move the old table ASIDE before promoting staging, so
+    # an interruption between the two renames leaves a recoverable __old copy
+    # (never a window where no table exists at all); delete __old last.
+    old = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
+    had_target = os.path.exists(target_path)
+    if had_target:
+        os.replace(target_path, old)
     os.replace(staging, target_path)
+    if had_target:
+        shutil.rmtree(old)

@@ -48,6 +48,11 @@ def sessionize(events: DataFrame, ts_col: str = "ts", key_col: str = "user_id",
     session; the open session stays in the state store.
 
     Batches arrive per key via Arrow; state is (start, last, count, sum).
+
+    Boundary convention matches the built-in ``F.session_window`` twin
+    (``operators.windows.session_window_agg``): session windows are
+    end-exclusive, so an event arriving EXACTLY ``gap_seconds`` after the
+    previous one starts a NEW session (merge only while t − last < gap).
     """
     gap_us = gap_seconds * 1_000_000
 
@@ -69,7 +74,8 @@ def sessionize(events: DataFrame, ts_col: str = "ts", key_col: str = "user_id",
             else:
                 start, last, n, s = None, None, 0, 0.0
             for t, v in zip(ts_us, vals):
-                if last is not None and t - last > gap_us:
+                # >= : end-exclusive, aligned with F.session_window
+                if last is not None and t - last >= gap_us:
                     closed.append((key[0], start, last, n, s))
                     start, last, n, s = None, None, 0, 0.0
                 if start is None:

@@ -124,3 +124,33 @@ def test_asof_join_backward_and_tolerance(spark):
     tol = {x["lid"]: x["rv"] for x in
            asof_join(l, r, "lts", "rts", by=["k"], tolerance_seconds=45).collect()}
     assert tol[2] == 100 and tol[1] is None  # 60s gap > 45s tolerance
+
+
+def test_null_fallback_coalesce(spark):
+    from bda_spadochrony_spark.functions.encode import null_fallback
+    df = spark.createDataFrame(
+        [(None, "b1", "c1"), ("a2", None, "c2"), (None, None, None)],
+        ["a", "b", "c"])
+    got = [r["pick"] for r in
+           df.select(null_fallback("a", "b", "c").alias("pick")).collect()]
+    assert got == ["b1", "a2", None]
+
+
+def test_limit_and_first_row(spark):
+    from bda_spadochrony_spark.operators.sorts import limit_rows, first_row, sort_by
+    df = spark.createDataFrame([(i,) for i in range(10)], ["x"])
+    assert limit_rows(df, 3).count() == 3
+    assert limit_rows(df, 0).count() == 0
+    ordered = sort_by(df, ["x"], ascending=[False])
+    assert first_row(ordered)["x"] == 9
+    empty = df.where("x < 0")
+    assert first_row(empty) is None
+
+
+def test_asof_join_rejects_overlapping_columns(spark):
+    import pytest as _pytest
+    from bda_spadochrony_spark.operators.asof import asof_join
+    l = spark.createDataFrame([(1, "u", datetime(2024, 1, 1))], ["id", "k", "ts"])
+    r = spark.createDataFrame([("u", datetime(2024, 1, 1), 5)], ["k", "ts", "v"])
+    with _pytest.raises(ValueError, match="both sides"):
+        asof_join(l, r, "ts", "ts", by=["k"])

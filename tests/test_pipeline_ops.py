@@ -167,6 +167,40 @@ def test_cosine_topk_vectorized_matches_exact(spark):
     assert a == b
 
 
+def test_cosine_topk_blocked_matches_exact(spark):
+    """Distributed block matmul (collect-free) returns the identical exact
+    top-k set, including string ids surviving the Arrow round-trip."""
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(4)
+    a = {(r["query_id"], r["corpus_id"]) for r in
+         S.cosine_topk(df, df, "vec_id", "vec_id", k=3).collect()}
+    b = {(r["query_id"], r["corpus_id"]) for r in
+         S.cosine_topk_blocked(df, df, "vec_id", "vec_id", k=3,
+                               corpus_blocks=3, query_blocks=2).collect()}
+    assert a == b
+    sdf = df.select((F.concat(F.lit("v"), F.col("vec_id").cast("string")))
+                    .alias("vec_id"), "embedding")
+    c = {(r["query_id"], r["corpus_id"]) for r in
+         S.cosine_topk_blocked(sdf, sdf, "vec_id", "vec_id", k=3,
+                               corpus_blocks=3, query_blocks=2).collect()}
+    assert c == {(f"v{q}", f"v{t}") for q, t in a}
+
+
+def test_multimodal_real_decode_with_pil(spark):
+    """Real decode path: only runs where PIL exists (optional import)."""
+    pytest.importorskip("PIL")
+    import io
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.new("L", (12, 8), color=77).save(buf, format="PNG")
+    rows = [(1, "image", "image/png", buf.getvalue(), None, None, None)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    r = M.extract_image_features(df, fake=False).first()
+    assert (r["width"], r["height"], r["mean_intensity"]) == (12, 8, 77)
+
+
 def test_ivf_topk_recall(spark):
     """IVF with n_probe == n_lists is exact; with fewer probes, recall of
     the true top-1 should stay high on clustered data."""

@@ -50,20 +50,30 @@ def test_traffic_hourly_avg_of_avgs(spark):
     df = spark.createDataFrame(rows, cols)
     got = {(str(r["date"]), r["hour"], r["iconCategory"]): r
            for r in traffic_hourly(df).collect()}
-    # python oracle for one measure: unweighted avg of per-id delay averages
-    fine = collections.defaultdict(list)
+    # python oracle: NY wall clock (fixture is 2024-03-01, EST = UTC−5),
+    # inner-join fine semantics (a fine group needs ≥1 non-null delay AND
+    # ≥1 non-null length to survive), avg of UNROUNDED fine means, round
+    # at the coarse level only — the reference's exact shape.
+    from datetime import timedelta
+    fine = collections.defaultdict(lambda: ([], []))
     for ic, iid, prob, delay, mag, length, ts in rows:
-        fine[(str(ts.date()), ts.hour, ic, iid)].append(delay)
-    coarse = collections.defaultdict(list)
-    for (d, h, ic, iid), delays in fine.items():
-        nn = [x for x in delays if x is not None]
-        if nn:
-            coarse[(d, h, ic)].append(round(statistics.fmean(nn) + 1e-6, 2))
-    for key, fine_avgs in coarse.items():
+        ny = ts - timedelta(hours=5)
+        d, l = fine[(str(ny.date()), ny.hour, ic, iid)]
+        d.append(delay), l.append(length)
+    coarse = collections.defaultdict(lambda: ([], 0))
+    for (d, h, ic, iid), (delays, lengths) in fine.items():
+        nd = [x for x in delays if x is not None]
+        nl = [x for x in lengths if x is not None]
+        if nd and nl:
+            avgs, n = coarse[(d, h, ic)]
+            avgs.append(statistics.fmean(nd))
+            coarse[(d, h, ic)] = (avgs, n + 1)
+    assert set(got) == set(coarse)
+    for key, (fine_avgs, n_inc) in coarse.items():
         want = round(statistics.fmean(fine_avgs) + 1e-6, 2)
         assert abs(got[key]["avg_avg_delay"] - want) < 1e-9, key
-    # group with all-null delays contributes no avg but still counts incidents
-    assert all(r["n_incidents"] >= 1 for r in got.values())
+        assert got[key]["n_incidents"] == n_inc
+        assert got[key]["coarse_mode_mag"] is not None
 
 
 def test_fused_stream_join_with_inference(spark):
