@@ -720,6 +720,152 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 1000).alias("approx_p50"))
 
 
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window family (SURVEY §2.5 absent-ops row): lag/lead
+    navigation, first_value, percent_rank, ntile, and a running sum — all
+    over ONE per-user ordered window (single shuffle shared by every
+    measure)."""
+    from pyspark.sql import Window
+    from bda_spadochrony_spark.operators.windows import analytic_window
+    ev = _t(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    out = analytic_window(ev, ["user_id"], order, [
+        (F.lag("value", 1), "prev_value"),
+        (F.lead("event_type", 1), "next_type"),
+        (F.first("value"), "first_val"),
+        (F.percent_rank(), "pr"),
+        (F.ntile(4), "nt"),
+    ])
+    out = analytic_window(out, ["user_id"], order,
+                          [(F.sum("value"), "run_sum")],
+                          frame=(Window.unboundedPreceding, Window.currentRow))
+    return out.select("event_id", "user_id",
+                      "prev_value", "next_type", "first_val",
+                      stable_round(F.col("pr"), 6).alias("pr"),
+                      F.col("nt").cast("int").alias("nt"),
+                      stable_round(F.col("run_sum"), 2).alias("run_sum"))
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (absent from the reference): users with a high-value
+    purchase AND a high-value click (INTERSECT, distinct semantics) minus
+    users with a high-value error (EXCEPT). The value filter keeps every
+    stage selective — each set op provably removes rows."""
+    ev = _t(spark, sf_dir, "events")
+    hi = ev.filter(F.col("value") > 90)
+    purch = hi.filter(F.col("event_type") == "purchase").select("user_id")
+    click = hi.filter(F.col("event_type") == "click").select("user_id")
+    err = hi.filter(F.col("event_type") == "error").select("user_id")
+    return purch.intersect(click).subtract(err)
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — the inverse of the pivot crosstab: the per-date
+    event-type count matrix back to long (date, metric, n) rows."""
+    metrics = ["n_click", "n_view", "n_purchase", "n_signup", "n_error"]
+    piv = q_pivot(spark, sf_dir)
+    return piv.unpivot("date", metrics, "metric", "n")
+
+
+def q_min_cost_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — correlated MIN subquery (cheapest lineitem per
+    part) decorrelated into a pre-aggregate + equality join back, the
+    standard Catalyst-friendly rewrite."""
+    li = _t(spark, sf_dir, "lineitem")
+    floor_price = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("min_price"))
+    at_min = li.join(floor_price, "l_partkey") \
+               .where(F.col("l_extendedprice") == F.col("min_price"))
+    return group_agg(at_min, ["l_partkey"], [
+        stable_round(F.min("min_price"), 2).alias("min_price"),
+        F.count(F.lit(1)).alias("n_at_min"),
+        F.min("l_suppkey").alias("first_supp"),
+    ])
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — market share: one nation's revenue fraction per
+    order year, via conditional aggregation over the star join (broadcast
+    dims, single fact scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("n_name") == "BRAZIL", rev).otherwise(F.lit(0.0))
+    out = j.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        stable_round(F.sum(target) / F.sum(rev), 6).alias("mkt_share"),
+        stable_round(F.sum(rev), 2).alias("total_rev"))
+    return sort_by(out, ["o_year"])
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T4 sliding flavor — streaming event-time aggregate over 1-hour
+    windows sliding every 30 minutes (each event lands in exactly 2
+    windows), run to completion in append mode. Append only emits windows
+    sealed by the final watermark (max ts − 1 min), so BOTH engines keep
+    windows with end ≤ max(ts) − 2 min."""
+    import datetime
+    from bda_spadochrony_spark.streaming.sources import file_stream
+    from bda_spadochrony_spark.streaming.ops import windowed_agg
+    from bda_spadochrony_spark.streaming.runner import run_available_now
+    configure(spark)
+    schema = StructType([
+        StructField("event_id", LongType()), StructField("ts", TimestampType()),
+        StructField("user_id", LongType()), StructField("event_type", StringType()),
+        StructField("value", DoubleType()), StructField("props", StringType()),
+    ])
+    cutoff = _t(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0] \
+        - datetime.timedelta(minutes=2)
+    stream = file_stream(spark, f"{sf_dir}/events*.parquet", schema)
+    agg = windowed_agg(stream, "ts", "1 hour", keys=["event_type"],
+                       measures=[F.count(F.lit(1)).alias("cnt"),
+                                 stable_round(F.sum("value"), 2).alias("sum_value")],
+                       delay="1 minutes", slide="30 minutes")
+    out = run_available_now(spark, agg, timeout_s=300)
+    return out.where(F.col("window_end") <= F.lit(cutoff)) \
+              .select("window_start", "event_type", "cnt", "sum_value")
+
+
+def q_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned lake layout + partition pruning: events written once as
+    a date-partitioned parquet table (the layout a 100 TB feed lands in),
+    then aggregated for 3 selected partitions — the scan reads ONLY those
+    date directories (partition pruning; the join-driven dynamic flavor is
+    asserted from the plan in tests/test_skew.py)."""
+    import datetime
+    import os
+    import tempfile
+    ev = with_date_hour(_t(spark, sf_dir, "events"), "ts")
+    lake = os.path.join(tempfile.gettempdir(),
+                        "bda_lake_" + sf_dir.strip("/").replace("/", "_"))
+    marker = os.path.join(lake, "_SUCCESS")
+    if not os.path.exists(marker):
+        from bda_spadochrony_spark.sources.writers import write_parquet
+        write_parquet(ev.drop("date").withColumn("date", F.to_date("ts")),
+                      lake, partition_by=["date"])
+    part = spark.read.parquet(lake)
+    dates = [datetime.date(2024, 1, 3), datetime.date(2024, 1, 5),
+             datetime.date(2024, 1, 7)]
+    sel = part.where(F.col("date").isin(dates))
+    return group_agg(sel, ["date"], [
+        F.count(F.lit(1)).alias("cnt"),
+        stable_round(F.avg("value"), 2).alias("avg_value")])
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ 0.42) via the distributed
+    block matmul — every unordered bucket pair scored exactly once, exact
+    results, no driver round-trip."""
+    from bda_spadochrony_spark.operators.similarity import pairwise_cosine_blocked
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pairwise_cosine_blocked(emb, "vec_id", min_cosine=0.42, blocks=4)
+    return out.select("id_a", "id_b",
+                      stable_round(F.col("cosine"), 6).alias("cosine"))
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (crosstab): per-date event counts, one column per event type
     (explicit value list → deterministic schema, single-shuffle plan)."""
@@ -785,6 +931,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_frequencies": q_token_frequencies,
     "sketch_distinct": q_sketch_distinct,
     "pivot": q_pivot,
+    "window_analytics": q_window_analytics,
+    "set_ops": q_set_ops,
+    "unpivot": q_unpivot,
+    "min_cost_per_part": q_min_cost_per_part,
+    "market_share": q_market_share,
+    "stream_sliding": q_stream_sliding,
+    "partition_pruned": q_partition_pruned,
+    "embedding_near_dup": q_embedding_near_dup,
 }
 
 
@@ -1314,6 +1468,101 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
                    count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
             FROM events GROUP BY 1
+        """,
+        "window_analytics": """
+            SELECT event_id, user_id,
+                   lag(value, 1) OVER w AS prev_value,
+                   lead(event_type, 1) OVER w AS next_type,
+                   first_value(value) OVER w AS first_val,
+                   round((percent_rank() OVER w) + 1e-10, 6) AS pr,
+                   CAST(ntile(4) OVER w AS INTEGER) AS nt,
+                   round((sum(value) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)) + 1e-06, 2) AS run_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "set_ops": """
+            SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'click' AND value > 90
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'error' AND value > 90
+        """,
+        "unpivot": """
+            WITH p AS (
+                SELECT CAST(ts AS DATE) AS date,
+                       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+                       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+                       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+                       count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+                       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+                FROM events GROUP BY 1
+            )
+            SELECT date, 'n_click' AS metric, n_click AS n FROM p
+            UNION ALL SELECT date, 'n_view', n_view FROM p
+            UNION ALL SELECT date, 'n_purchase', n_purchase FROM p
+            UNION ALL SELECT date, 'n_signup', n_signup FROM p
+            UNION ALL SELECT date, 'n_error', n_error FROM p
+        """,
+        "min_cost_per_part": """
+            SELECT l_partkey,
+                   round((min(l_extendedprice)) + 1e-06, 2) AS min_price,
+                   count(*) AS n_at_min,
+                   min(l_suppkey) AS first_supp
+            FROM lineitem l
+            WHERE l_extendedprice = (SELECT min(l_extendedprice)
+                                     FROM lineitem i
+                                     WHERE i.l_partkey = l.l_partkey)
+            GROUP BY 1
+        """,
+        "market_share": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round((sum(CASE WHEN n_name = 'BRAZIL'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0.0 END)
+                          / sum(l_extendedprice * (1 - l_discount))) + 1e-10, 6) AS mkt_share,
+                   round((sum(l_extendedprice * (1 - l_discount))) + 1e-06, 2) AS total_rev
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "stream_sliding": """
+            WITH starts AS (
+                SELECT make_timestamp(CAST(1800 * floor(epoch(ts) / 1800) AS BIGINT)
+                                      * 1000000) AS ws, event_type, value FROM events
+                UNION ALL
+                SELECT make_timestamp(CAST(1800 * floor(epoch(ts) / 1800) AS BIGINT)
+                                      * 1000000) - INTERVAL 30 MINUTE, event_type, value
+                FROM events
+            )
+            SELECT ws AS window_start, event_type, count(*) AS cnt,
+                   round((sum(value)) + 1e-06, 2) AS sum_value
+            FROM starts
+            WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 2 MINUTE FROM events)
+            GROUP BY 1, 2
+        """,
+        "partition_pruned": """
+            SELECT CAST(ts AS DATE) AS date, count(*) AS cnt,
+                   round((avg(value)) + 1e-06, 2) AS avg_value
+            FROM events
+            WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+               OR CAST(ts AS DATE) = DATE '2024-01-05'
+               OR CAST(ts AS DATE) = DATE '2024-01-07'
+            GROUP BY 1
+        """,
+        "embedding_near_dup": """
+            WITH n AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), nn AS (
+                SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) + 1e-10, 6) AS cosine
+            FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.42
         """,
         "text_stats": """
             SELECT doc_id,

@@ -73,6 +73,29 @@ def session_window_agg(df: DataFrame, ts_col: str, gap: str,
                         F.col("session.end").alias("session_end"), *rest)
 
 
+def analytic_window(df: DataFrame, partition_by: list[str],
+                    order_by: list[Column],
+                    measures: list[tuple[Column, str]],
+                    frame: tuple[int, int] | None = None) -> DataFrame:
+    """Generic analytic-window application: every ``(expr, alias)`` in
+    ``measures`` is evaluated over the SAME partitioned/ordered window —
+    lag/lead/first_value/percent_rank/ntile/running aggregates (absent from
+    the reference, SURVEY §2.5 absent-ops row; table stakes for any
+    feature-engineering pipeline).
+
+    ``frame`` (rowsBetween bounds) applies only to frame-accepting
+    aggregates — pass e.g. ``(Window.unboundedPreceding, Window.currentRow)``
+    for running totals via a second call. One shuffle on ``partition_by``
+    shared by all measures; navigation functions add no extra exchange."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    if frame is not None:
+        w = w.rowsBetween(*frame)
+    out = df
+    for m, alias in measures:
+        out = out.withColumn(alias, m.over(w))
+    return out
+
+
 def ranked(df: DataFrame, partition_by: list[str], order_by: list[Column],
            rank_col: str = "rn") -> DataFrame:
     """row_number ranking — absent from the reference (§2.5) but required

@@ -233,3 +233,20 @@ def test_sketch_accuracy_vs_exact(spark):
                   F.expr("percentile(value, 0.5)").alias("ep")).first())
     assert abs(row["a"] - row["e"]) <= max(3, 0.05 * row["e"])
     assert abs(row["ap"] - row["ep"]) <= 0.05 * max(abs(row["ep"]), 1)
+
+
+def test_pairwise_cosine_blocked_matches_bruteforce(spark):
+    import random
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    # plant two near-dup pairs
+    rows[50] = (50, [x * 1.01 for x in rows[0][1]])
+    rows[51] = (51, [x * 0.99 for x in rows[1][1]])
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(4)
+    want = {(r["id_a"], r["id_b"]) for r in
+            S.pairwise_cosine(df, "vec_id", min_cosine=0.9).collect()}
+    got = {(r["id_a"], r["id_b"]) for r in
+           S.pairwise_cosine_blocked(df, "vec_id", min_cosine=0.9,
+                                     blocks=3).collect()}
+    assert (0, 50) in got and (1, 51) in got
+    assert got == want
