@@ -365,6 +365,12 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(F.when(F.col("event_type") == "click", F.col("ts"))))
     ).collect()[0][0]
     cutoff = side_max - datetime.timedelta(minutes=2)
+    # streaming jobs size shuffle partitions to state-key cardinality, not
+    # to the batch default: every micro-batch writes one state file per
+    # partition, so oversized counts dominate wall time with file churn
+    # (the count binds to the state store at first checkpoint)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     errors = (file_stream(spark, f"{sf_dir}/events*.parquet", schema)
               .where(F.col("event_type") == "error")
               .select(F.col("event_id").alias("err_id"),
@@ -375,10 +381,13 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("event_id").alias("click_id"),
                       F.col("user_id").alias("click_user"),
                       F.col("ts").alias("click_ts")))
-    joined = fused_stream_join(errors, clicks, "err_ts", "click_ts",
-                               tolerance_seconds=30.0, watermark="1 minutes",
-                               how="fullOuter")
-    out = run_available_now(spark, joined, timeout_s=300)
+    try:
+        joined = fused_stream_join(errors, clicks, "err_ts", "click_ts",
+                                   tolerance_seconds=30.0, watermark="1 minutes",
+                                   how="fullOuter")
+        out = run_available_now(spark, joined, timeout_s=300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out.where(F.coalesce("err_ts", "click_ts") <= F.lit(cutoff)) \
               .select("err_id", "err_user", "err_ts",
                       "click_id", "click_user", "click_ts")
@@ -497,8 +506,14 @@ def q_traffic_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     with deterministic null injection so every null-semantics branch is
     exercised."""
     from bda_spadochrony_spark.plans.pipelines import traffic_hourly
+    return traffic_hourly(_tomtom_shaped(spark, sf_dir))
+
+
+def _tomtom_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events mapped onto the tomtom shape with deterministic null
+    injection so every null-semantics branch is exercised."""
     ev = _t(spark, sf_dir, "events")
-    shaped = ev.select(
+    return ev.select(
         F.col("ts").alias("observationTime"),
         F.col("event_type").alias("iconCategory"),
         F.col("user_id").alias("id"),
@@ -510,7 +525,15 @@ def q_traffic_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.minute("ts") / 15).cast("int").cast("string")
          .alias("magnitudeOfDelay"),
     )
-    return traffic_hourly(shaped)
+
+
+def q_traffic_hourly_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB rewrite of ``traffic_hourly``: identical rows (checked
+    against the SAME SQL oracle), one fused fine-level aggregate instead
+    of five scans + four joins — the demonstration that parity semantics
+    and a scale-shaped plan are not in tension."""
+    from bda_spadochrony_spark.plans.pipelines import traffic_hourly_fused
+    return traffic_hourly_fused(_tomtom_shaped(spark, sf_dir))
 
 
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,12 +842,18 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     cutoff = _t(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0] \
         - datetime.timedelta(minutes=2)
-    stream = file_stream(spark, f"{sf_dir}/events*.parquet", schema)
-    agg = windowed_agg(stream, "ts", "1 hour", keys=["event_type"],
-                       measures=[F.count(F.lit(1)).alias("cnt"),
-                                 stable_round(F.sum("value"), 2).alias("sum_value")],
-                       delay="1 minutes", slide="30 minutes")
-    out = run_available_now(spark, agg, timeout_s=300)
+    # state-sized shuffle partitions (see q_stream_join_outer)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        stream = file_stream(spark, f"{sf_dir}/events*.parquet", schema)
+        agg = windowed_agg(stream, "ts", "1 hour", keys=["event_type"],
+                           measures=[F.count(F.lit(1)).alias("cnt"),
+                                     stable_round(F.sum("value"), 2).alias("sum_value")],
+                           delay="1 minutes", slide="30 minutes")
+        out = run_available_now(spark, agg, timeout_s=300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out.where(F.col("window_end") <= F.lit(cutoff)) \
               .select("window_start", "event_type", "cnt", "sum_value")
 
@@ -864,6 +893,46 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pairwise_cosine_blocked(emb, "vec_id", min_cosine=0.42, blocks=4)
     return out.select("id_a", "id_b",
                       stable_round(F.col("cosine"), 6).alias("cosine"))
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (absent from the reference): sample
+    stddev/variance, Pearson correlation, and sample covariance per group —
+    one hash aggregate, all JVM-side."""
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("uid_d", F.col("user_id").cast("double"))
+    return ev.groupBy("event_type").agg(
+        stable_round(F.stddev_samp("value"), 4).alias("sd_value"),
+        stable_round(F.var_samp("value"), 4).alias("var_value"),
+        stable_round(F.corr("value", "uid_d"), 6).alias("corr_vu"),
+        stable_round(F.covar_samp("value", "uid_d"), 4).alias("covar_vu"))
+
+
+def q_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selector aggregates: max_by/min_by (the row-value at the extremum)
+    and count_if — DuckDB's arg_max/arg_min/count_if twins. The (value,
+    event_id) struct pair makes the selector deterministic under value
+    ties."""
+    ev = _t(spark, sf_dir, "events")
+    pair = F.struct(F.col("value"), F.col("event_id"))
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", pair).alias("id_at_max"),
+        F.min_by("event_id", pair).alias("id_at_min"),
+        F.count_if(F.col("value") > 50.0).alias("n_hi"),
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning — floor(value/10) buckets with count
+    and rounded mass share; the group-by formulation distributes (one hash
+    aggregate), unlike driver-side histogramming."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    total = ev.count()
+    binned = ev.groupBy(F.floor(F.col("value") / 10).cast("int").alias("bin")) \
+               .agg(F.count(F.lit(1)).alias("cnt"))
+    return binned.select(
+        "bin", "cnt",
+        stable_round(F.col("cnt") / F.lit(float(total)), 6).alias("share"))
 
 
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -913,6 +982,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ml_features": q_ml_features,
     "ml_train_eval": q_ml_train_eval,
     "traffic_hourly": q_traffic_hourly,
+    "traffic_hourly_fused": q_traffic_hourly_fused,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "range_window_partitioned": q_range_window_partitioned,
@@ -939,6 +1009,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sliding": q_stream_sliding,
     "partition_pruned": q_partition_pruned,
     "embedding_near_dup": q_embedding_near_dup,
+    "stats_agg": q_stats_agg,
+    "argmax_agg": q_argmax_agg,
+    "histogram": q_histogram,
 }
 
 
@@ -952,6 +1025,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_literal()
+    # the fused rewrite must produce byte-identical rows to the parity
+    # pipeline — one oracle serves both
+    d["traffic_hourly_fused"] = d["traffic_hourly"]
+    return d
+
+
+def _oracle_sql_literal() -> dict[str, str]:
     return {
         "hourly_agg": """
             SELECT CAST(ts AS DATE) AS date, CAST(hour(ts) AS INTEGER) AS hour,
@@ -1552,6 +1633,39 @@ def oracle_sql() -> dict[str, str]:
                OR CAST(ts AS DATE) = DATE '2024-01-05'
                OR CAST(ts AS DATE) = DATE '2024-01-07'
             GROUP BY 1
+        """,
+        "stats_agg": """
+            SELECT event_type,
+                   round((stddev_samp(value)) + 1e-08, 4) AS sd_value,
+                   round((var_samp(value)) + 1e-08, 4) AS var_value,
+                   round((corr(value, CAST(user_id AS DOUBLE))) + 1e-10, 6) AS corr_vu,
+                   round((covar_samp(value, CAST(user_id AS DOUBLE))) + 1e-08, 4) AS covar_vu
+            FROM events GROUP BY 1
+        """,
+        "argmax_agg": """
+            WITH r AS (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value DESC NULLS LAST,
+                                                   event_id DESC) AS rmax,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value ASC NULLS FIRST,
+                                                   event_id ASC) AS rmin
+                FROM events
+            )
+            SELECT event_type,
+                   max(CASE WHEN rmax = 1 THEN event_id END) AS id_at_max,
+                   max(CASE WHEN rmin = 1 THEN event_id END) AS id_at_min,
+                   count(*) FILTER (WHERE value > 50.0) AS n_hi,
+                   count(*) AS n_rows
+            FROM r GROUP BY 1
+        """,
+        "histogram": """
+            SELECT CAST(floor(value / 10) AS INTEGER) AS bin, count(*) AS cnt,
+                   round((count(*) * 1.0 /
+                          (SELECT count(*) FROM events WHERE value IS NOT NULL))
+                         + 1e-10, 6) AS share
+            FROM events WHERE value IS NOT NULL GROUP BY 1
         """,
         "embedding_near_dup": """
             WITH n AS (

@@ -152,15 +152,14 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     """Full near-dup pipeline: signatures → LSH candidates → (optional)
     exact n-gram Jaccard verification ≥ ``min_jaccard``.
 
-    One DISTINCT (id, shingle) frame is threaded through both the signature
-    and the verification stages (min over the set equals min over the
-    multiset, so signatures are unchanged): Catalyst's ReusedExchange then
-    computes the explode + lead-window + distinct once and shares the
-    shuffle output across all consumers — no cache() pinning executor
-    storage, just plan-level sharing."""
-    sh = shingle_rows(df, id_col, text_col, shingle_n, distinct=True)
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
-                              seed, shingles=sh)
+    The signature stage deliberately uses the NON-distinct shingle frame
+    (min over the multiset equals min over the set — no distinct shuffle)
+    and the verification stage builds its own distinct frame, whose
+    exchange Catalyst's ReusedExchange shares across its three consumers.
+    Threading one shared distinct frame through both stages was measured
+    2.5× SLOWER at sf0.1: under AQE the cross-stage reuse never fires
+    (6 scans, 0 ReusedExchange), so every consumer paid the distinct."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
     cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
     if min_jaccard is None:
         return cands
@@ -172,8 +171,7 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
         min_bands = max(1, int(num_hashes * min_jaccard / 4))
         cands = cands.where(F.col("n_bands") >= min_bands)
     verified = ngram_jaccard_pairs(df, id_col, text_col, shingle_n,
-                                   candidates=cands.select("id_a", "id_b"),
-                                   shingles=sh)
+                                   candidates=cands.select("id_a", "id_b"))
     return verified.where(F.col("jaccard") >= min_jaccard)
 
 
