@@ -935,6 +935,57 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("cnt") / F.lit(float(total)), 6).alias("share"))
 
 
+def q_regr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (absent from the reference): per-group
+    OLS slope/intercept/R² of value against hour-of-day — one hash
+    aggregate, JVM-side, ANSI-standard regr_* semantics on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("hod", F.hour("ts").cast("double"))
+    return ev.groupBy("event_type").agg(
+        stable_round(F.regr_slope("value", "hod"), 6).alias("slope"),
+        stable_round(F.regr_intercept("value", "hod"), 4).alias("intercept"),
+        stable_round(F.regr_r2("value", "hod"), 6).alias("r2"),
+        F.regr_count("value", "hod").alias("n"))
+
+
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation family: per-user distinct event types collected,
+    sorted, and serialized (string form keeps the cross-engine value hash
+    type-stable), plus the distinct count."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types"),
+        F.countDistinct("event_type").alias("n_types"))
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended calendar family: last_day, quarter, dayofyear, ISO
+    weekofyear, day arithmetic, and Monday-start week truncation."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.last_day("ts").alias("month_end"),
+        F.quarter("ts").cast("int").alias("qtr"),
+        F.dayofyear("ts").cast("int").alias("doy"),
+        F.weekofyear("ts").cast("int").alias("woy"),
+        F.date_add(F.to_date("ts"), 7).alias("plus_week"),
+        F.date_trunc("week", "ts").alias("week_start"))
+
+
+def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: edit distance, delimited-field extraction,
+    reverse, substring position, repetition."""
+    ev = _t(spark, sf_dir, "events")
+    combo = F.concat_ws("|", "event_type", F.col("user_id").cast("string"))
+    return ev.select(
+        "event_id",
+        F.levenshtein("event_type", F.lit("click")).alias("lev_click"),
+        F.split_part(combo, F.lit("|"), F.lit(2)).alias("uid_field"),
+        F.reverse("event_type").alias("et_rev"),
+        F.instr("event_type", "e").cast("int").alias("pos_e"),
+        F.repeat(F.substring("event_type", 1, 1), 3).alias("tripled"))
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (crosstab): per-date event counts, one column per event type
     (explicit value list → deterministic schema, single-shuffle plan)."""
@@ -1012,6 +1063,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_agg": q_stats_agg,
     "argmax_agg": q_argmax_agg,
     "histogram": q_histogram,
+    "regr_agg": q_regr_agg,
+    "array_agg": q_array_agg,
+    "date_functions": q_date_functions,
+    "string_funcs2": q_string_funcs2,
 }
 
 
@@ -1633,6 +1688,39 @@ def _oracle_sql_literal() -> dict[str, str]:
                OR CAST(ts AS DATE) = DATE '2024-01-05'
                OR CAST(ts AS DATE) = DATE '2024-01-07'
             GROUP BY 1
+        """,
+        "regr_agg": """
+            SELECT event_type,
+                   round((regr_slope(value, CAST(hour(ts) AS DOUBLE))) + 1e-10, 6) AS slope,
+                   round((regr_intercept(value, CAST(hour(ts) AS DOUBLE))) + 1e-08, 4) AS intercept,
+                   round((regr_r2(value, CAST(hour(ts) AS DOUBLE))) + 1e-10, 6) AS r2,
+                   regr_count(value, CAST(hour(ts) AS DOUBLE)) AS n
+            FROM events GROUP BY 1
+        """,
+        "array_agg": """
+            SELECT user_id,
+                   array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+                   count(DISTINCT event_type) AS n_types
+            FROM events GROUP BY 1
+        """,
+        "date_functions": """
+            SELECT event_id,
+                   last_day(ts) AS month_end,
+                   CAST(quarter(ts) AS INTEGER) AS qtr,
+                   CAST(dayofyear(ts) AS INTEGER) AS doy,
+                   CAST(weekofyear(ts) AS INTEGER) AS woy,
+                   CAST(ts AS DATE) + 7 AS plus_week,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start
+            FROM events
+        """,
+        "string_funcs2": """
+            SELECT event_id,
+                   levenshtein(event_type, 'click') AS lev_click,
+                   split_part(event_type || '|' || CAST(user_id AS VARCHAR), '|', 2) AS uid_field,
+                   reverse(event_type) AS et_rev,
+                   CAST(strpos(event_type, 'e') AS INTEGER) AS pos_e,
+                   repeat(substring(event_type, 1, 1), 3) AS tripled
+            FROM events
         """,
         "stats_agg": """
             SELECT event_type,

@@ -131,3 +131,54 @@ def upsert_parquet(spark: SparkSession, target_path: str, updates: DataFrame,
     os.replace(staging, target_path)
     if had_target:
         shutil.rmtree(old)
+
+
+def upsert_parquet_partitioned(spark: SparkSession, target_path: str,
+                               updates: DataFrame, keys: list[str],
+                               partition_col: str) -> int:
+    """Bounded-cost keyed upsert into a PARTITIONED parquet table: only the
+    partitions present in ``updates`` are read, merged (anti-join ∪
+    updates) and rewritten — cost scales with the touched partitions, not
+    the table, which is what makes MERGE workable at 100 TB (Delta/Iceberg
+    do the same with a transaction log instead of directory swaps).
+
+    The merged rows are staged with ``partitionBy`` and each affected
+    ``{partition_col}={value}`` directory is promoted with the same
+    move-aside swap as ``upsert_parquet`` (old dir recoverable until the
+    new one is in place). Untouched partitions are never opened. Returns
+    the number of partitions rewritten.
+    """
+    import os
+    import shutil
+    import uuid
+
+    if not os.path.exists(target_path):
+        write_parquet(updates, target_path, partition_by=[partition_col])
+        return updates.select(partition_col).distinct().count()
+
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    target = spark.read.parquet(target_path) \
+        .where(F.col(partition_col).isin(parts))          # partition-pruned read
+    kept = target.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
+    merged = kept.unionByName(updates, allowMissingColumns=True)
+
+    staging = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    try:
+        swapped = 0
+        for entry in sorted(os.listdir(staging)):
+            if not entry.startswith(f"{partition_col}="):
+                continue
+            src = os.path.join(staging, entry)
+            dst = os.path.join(target_path, entry)
+            old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
+            had = os.path.exists(dst)
+            if had:
+                os.replace(dst, old)
+            os.replace(src, dst)
+            if had:
+                shutil.rmtree(old)
+            swapped += 1
+        return swapped
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

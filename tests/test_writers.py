@@ -142,3 +142,33 @@ def test_upsert_parquet_replaces_and_appends(spark):
         assert spark.read.parquet(t2).count() == 1
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_upsert_parquet_partitioned_touches_only_affected(spark):
+    import tempfile
+    from pyspark.sql import functions as F
+    from bda_spadochrony_spark.sources.writers import upsert_parquet_partitioned
+    base = tempfile.mkdtemp(prefix="bda_upp_")
+    target = os.path.join(base, "t")
+    try:
+        initial = spark.createDataFrame(
+            [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c"), (4, "d3", "d")],
+            ["k", "p", "v"])
+        n = upsert_parquet_partitioned(spark, target, initial, ["k"], "p")
+        assert n == 3
+        # remember d3's file inode-ish identity (mtime set) to prove no rewrite
+        d3_dir = os.path.join(target, "p=d3")
+        before = sorted(os.listdir(d3_dir))
+
+        updates = spark.createDataFrame(
+            [(2, "d1", "B"), (5, "d2", "e")], ["k", "p", "v"])
+        n = upsert_parquet_partitioned(spark, target, updates, ["k"], "p")
+        assert n == 2                       # only d1 and d2 rewritten
+        assert sorted(os.listdir(d3_dir)) == before   # d3 untouched on disk
+
+        got = {r["k"]: (r["p"], r["v"])
+               for r in spark.read.parquet(target).collect()}
+        assert got == {1: ("d1", "a"), 2: ("d1", "B"), 3: ("d2", "c"),
+                       4: ("d3", "d"), 5: ("d2", "e")}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
