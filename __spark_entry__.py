@@ -438,7 +438,10 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver never materializes either side (collect-free scale path)."""
     from bda_spadochrony_spark.operators.similarity import cosine_topk_blocked
     emb = _t(spark, sf_dir, "embeddings")
-    out = cosine_topk_blocked(emb, emb, "vec_id", "vec_id", k=3)
+    # 4×4 tiles suit the testdata corpus (≤2k vectors/side); scale block
+    # counts with corpus size so a tile stays within executor memory
+    out = cosine_topk_blocked(emb, emb, "vec_id", "vec_id", k=3,
+                              corpus_blocks=4, query_blocks=4)
     return out.select("query_id", "corpus_id",
                       stable_round(F.col("cosine"), 6).alias("cosine"))
 
@@ -986,6 +989,43 @@ def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.substring("event_type", 1, 1), 3).alias("tripled"))
 
 
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null-handling scalar family: nullif, ifnull fallback,
+    greatest/least across columns, boolean case."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("error")).alias("et_or_null"),
+        F.ifnull(F.nullif(F.col("event_type"), F.lit("error")),
+                 F.lit("suppressed")).alias("et_fallback"),
+        F.greatest(F.col("value"), F.lit(50.0)).alias("floor50"),
+        F.least(F.col("value"), F.lit(50.0)).alias("cap50"),
+        F.when(F.col("value") >= 50, F.lit("hi")).otherwise(F.lit("lo")).alias("band"))
+
+
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family over the id columns: and/or/xor/shifts."""
+    ev = _t(spark, sf_dir, "events")
+    a, b = F.col("event_id"), F.col("user_id")
+    return ev.select(
+        "event_id",
+        (a.bitwiseAND(b)).alias("b_and"),
+        (a.bitwiseOR(b)).alias("b_or"),
+        (a.bitwiseXOR(b)).alias("b_xor"),
+        F.shiftleft(b, 2).alias("b_shl"),
+        F.shiftright(a, 1).alias("b_shr"))
+
+
+def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest family — content addressing for dedup/lineage:
+    md5 and sha-256 hex digests of document text (cross-engine exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2("text", 256).alias("sha256_hex"))
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (crosstab): per-date event counts, one column per event type
     (explicit value list → deterministic schema, single-shuffle plan)."""
@@ -1067,6 +1107,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_agg": q_array_agg,
     "date_functions": q_date_functions,
     "string_funcs2": q_string_funcs2,
+    "conditional_funcs": q_conditional_funcs,
+    "bitwise_funcs": q_bitwise_funcs,
+    "hash_funcs": q_hash_funcs,
 }
 
 
@@ -1688,6 +1731,28 @@ def _oracle_sql_literal() -> dict[str, str]:
                OR CAST(ts AS DATE) = DATE '2024-01-05'
                OR CAST(ts AS DATE) = DATE '2024-01-07'
             GROUP BY 1
+        """,
+        "conditional_funcs": """
+            SELECT event_id,
+                   nullif(event_type, 'error') AS et_or_null,
+                   ifnull(nullif(event_type, 'error'), 'suppressed') AS et_fallback,
+                   greatest(value, 50.0) AS floor50,
+                   least(value, 50.0) AS cap50,
+                   CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END AS band
+            FROM events
+        """,
+        "bitwise_funcs": """
+            SELECT event_id,
+                   event_id & user_id AS b_and,
+                   event_id | user_id AS b_or,
+                   xor(event_id, user_id) AS b_xor,
+                   user_id << 2 AS b_shl,
+                   event_id >> 1 AS b_shr
+            FROM events
+        """,
+        "hash_funcs": """
+            SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+            FROM documents
         """,
         "regr_agg": """
             SELECT event_type,
