@@ -35,6 +35,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return scan(spark, f"{sf_dir}/{name}.parquet")
 
 
+# declared schema for file-streaming the events feed (streaming sources
+# can't infer schemas; shared by every stream_* contract query)
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()), StructField("ts", TimestampType()),
+    StructField("user_id", LongType()), StructField("event_type", StringType()),
+    StructField("value", DoubleType()), StructField("props", StringType()),
+])
+
+
 # ---------------------------------------------------------------- queries --
 
 def q_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,17 +326,10 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     source → event-time tumbling window aggregate → memory sink
     (``availableNow``), returned as a batch frame. Complete output mode so
     every window is emitted and the batch oracle can check it exactly."""
-    from pyspark.sql.types import (DoubleType, LongType, StringType,
-                                   StructField, StructType, TimestampType)
     from bda_spadochrony_spark.streaming.sources import file_stream
     from bda_spadochrony_spark.streaming.runner import run_available_now
     configure(spark)
-    schema = StructType([
-        StructField("event_id", LongType()), StructField("ts", TimestampType()),
-        StructField("user_id", LongType()), StructField("event_type", StringType()),
-        StructField("value", DoubleType()), StructField("props", StringType()),
-    ])
-    stream = file_stream(spark, f"{sf_dir}/events*.parquet", schema)
+    stream = file_stream(spark, f"{sf_dir}/events*.parquet", EVENTS_SCHEMA)
     agg = (stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
                  .agg(F.count(F.lit(1)).alias("cnt"),
                       stable_round(F.avg("value"), 2).alias("avg_value"))
@@ -355,11 +357,6 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bda_spadochrony_spark.streaming.runner import run_available_now
     from bda_spadochrony_spark.plans.stream_fused import fused_stream_join
     configure(spark)
-    schema = StructType([
-        StructField("event_id", LongType()), StructField("ts", TimestampType()),
-        StructField("user_id", LongType()), StructField("event_type", StringType()),
-        StructField("value", DoubleType()), StructField("props", StringType()),
-    ])
     side_max = _t(spark, sf_dir, "events").agg(
         F.least(F.max(F.when(F.col("event_type") == "error", F.col("ts"))),
                 F.max(F.when(F.col("event_type") == "click", F.col("ts"))))
@@ -371,17 +368,17 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the count binds to the state store at first checkpoint)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
-    errors = (file_stream(spark, f"{sf_dir}/events*.parquet", schema)
-              .where(F.col("event_type") == "error")
-              .select(F.col("event_id").alias("err_id"),
-                      F.col("user_id").alias("err_user"),
-                      F.col("ts").alias("err_ts")))
-    clicks = (file_stream(spark, f"{sf_dir}/events*.parquet", schema)
-              .where(F.col("event_type") == "click")
-              .select(F.col("event_id").alias("click_id"),
-                      F.col("user_id").alias("click_user"),
-                      F.col("ts").alias("click_ts")))
     try:
+        errors = (file_stream(spark, f"{sf_dir}/events*.parquet", EVENTS_SCHEMA)
+                  .where(F.col("event_type") == "error")
+                  .select(F.col("event_id").alias("err_id"),
+                          F.col("user_id").alias("err_user"),
+                          F.col("ts").alias("err_ts")))
+        clicks = (file_stream(spark, f"{sf_dir}/events*.parquet", EVENTS_SCHEMA)
+                  .where(F.col("event_type") == "click")
+                  .select(F.col("event_id").alias("click_id"),
+                          F.col("user_id").alias("click_user"),
+                          F.col("ts").alias("click_ts")))
         joined = fused_stream_join(errors, clicks, "err_ts", "click_ts",
                                    tolerance_seconds=30.0, watermark="1 minutes",
                                    how="fullOuter")
@@ -618,18 +615,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a 30-minute inactivity gap, via applyInPandasWithState with
     event-time timeouts. Not SQL-expressible (incremental state machine)
     → rows-only check; exact semantics unit-tested."""
-    from pyspark.sql.types import (DoubleType, LongType, StringType,
-                                   StructField, StructType, TimestampType)
     from bda_spadochrony_spark.streaming.sources import file_stream
     from bda_spadochrony_spark.streaming.stateful import sessionize
     from bda_spadochrony_spark.streaming.runner import run_available_now
     configure(spark)
-    schema = StructType([
-        StructField("event_id", LongType()), StructField("ts", TimestampType()),
-        StructField("user_id", LongType()), StructField("event_type", StringType()),
-        StructField("value", DoubleType()), StructField("props", StringType()),
-    ])
-    stream = file_stream(spark, f"{sf_dir}/events*.parquet", schema)
+    stream = file_stream(spark, f"{sf_dir}/events*.parquet", EVENTS_SCHEMA)
     return run_available_now(spark, sessionize(stream, gap_seconds=1800),
                              timeout_s=300)
 
@@ -838,18 +828,13 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bda_spadochrony_spark.streaming.ops import windowed_agg
     from bda_spadochrony_spark.streaming.runner import run_available_now
     configure(spark)
-    schema = StructType([
-        StructField("event_id", LongType()), StructField("ts", TimestampType()),
-        StructField("user_id", LongType()), StructField("event_type", StringType()),
-        StructField("value", DoubleType()), StructField("props", StringType()),
-    ])
     cutoff = _t(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0] \
         - datetime.timedelta(minutes=2)
     # state-sized shuffle partitions (see q_stream_join_outer)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        stream = file_stream(spark, f"{sf_dir}/events*.parquet", schema)
+        stream = file_stream(spark, f"{sf_dir}/events*.parquet", EVENTS_SCHEMA)
         agg = windowed_agg(stream, "ts", "1 hour", keys=["event_type"],
                            measures=[F.count(F.lit(1)).alias("cnt"),
                                      stable_round(F.sum("value"), 2).alias("sum_value")],
@@ -869,15 +854,28 @@ def q_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted from the plan in tests/test_skew.py)."""
     import datetime
     import os
+    import shutil
     import tempfile
     ev = with_date_hour(_t(spark, sf_dir, "events"), "ts")
-    lake = os.path.join(tempfile.gettempdir(),
-                        "bda_lake_" + sf_dir.strip("/").replace("/", "_"))
-    marker = os.path.join(lake, "_SUCCESS")
-    if not os.path.exists(marker):
+    # lake dir keyed by the SOURCE file's identity (mtime+size), so
+    # regenerated testdata can never serve a stale lake; promotion is an
+    # atomic rename, so two concurrent first-writers can't interleave —
+    # the loser's staging dir is simply discarded
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    lake = os.path.join(
+        tempfile.gettempdir(),
+        "bda_lake_%s_%d_%d" % (sf_dir.strip("/").replace("/", "_"),
+                               int(st.st_mtime), st.st_size))
+    if not os.path.exists(lake):
         from bda_spadochrony_spark.sources.writers import write_parquet
+        staging = tempfile.mkdtemp(prefix="bda_lake_stage_")
         write_parquet(ev.drop("date").withColumn("date", F.to_date("ts")),
-                      lake, partition_by=["date"])
+                      staging, partition_by=["date"])
+        try:
+            os.rename(staging, lake)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)  # another writer won
     part = spark.read.parquet(lake)
     dates = [datetime.date(2024, 1, 3), datetime.date(2024, 1, 5),
              datetime.date(2024, 1, 7)]
@@ -1759,7 +1757,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round((regr_slope(value, CAST(hour(ts) AS DOUBLE))) + 1e-10, 6) AS slope,
                    round((regr_intercept(value, CAST(hour(ts) AS DOUBLE))) + 1e-08, 4) AS intercept,
                    round((regr_r2(value, CAST(hour(ts) AS DOUBLE))) + 1e-10, 6) AS r2,
-                   regr_count(value, CAST(hour(ts) AS DOUBLE)) AS n
+                   CAST(regr_count(value, CAST(hour(ts) AS DOUBLE)) AS BIGINT) AS n
             FROM events GROUP BY 1
         """,
         "array_agg": """
@@ -1780,7 +1778,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "string_funcs2": """
             SELECT event_id,
-                   levenshtein(event_type, 'click') AS lev_click,
+                   CAST(levenshtein(event_type, 'click') AS INTEGER) AS lev_click,
                    split_part(event_type || '|' || CAST(user_id AS VARCHAR), '|', 2) AS uid_field,
                    reverse(event_type) AS et_rev,
                    CAST(strpos(event_type, 'e') AS INTEGER) AS pos_e,

@@ -87,25 +87,19 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3,
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 32, shingle_n: int = 3,
-                       seed: int = 42,
-                       shingles: DataFrame | None = None) -> DataFrame:
+                       seed: int = 42) -> DataFrame:
     """MinHash signature per document: for hash i, sig_i = min over shingles
     of xxhash64(shingle, seed+i). Emitted as an array column ``sig``.
 
     Cost: |shingles| × num_hashes hash evaluations, all codegen'd; no
-    shuffle until the band join. ``shingles`` lets a pipeline thread one
-    shared (id, shingle) frame through signature AND verification stages —
-    Catalyst's ReusedExchange then shares its shuffle output across every
-    consumer instead of recomputing the explode+window per stage.
+    shuffle until the band join.
     """
     # columnar formulation: shingle rows once, then num_hashes min-aggs —
     # plain per-row expressions stay inside whole-stage codegen, unlike an
     # array_min(transform(...)) higher-order function which is interpreted
     # per element (measured ~10× slower at 5k docs). min over the multiset
-    # equals min over the set, so distinct and non-distinct shingle frames
-    # give identical signatures.
-    ex = shingles if shingles is not None else \
-        shingle_rows(df, id_col, text_col, shingle_n, distinct=False)
+    # equals min over the set, so the distinct shuffle is skipped.
+    ex = shingle_rows(df, id_col, text_col, shingle_n, distinct=False)
     sig = ex.groupBy(id_col).agg(
         *[F.min(F.xxhash64("shingle", F.lit(seed + i))).alias(f"h{i}")
           for i in range(num_hashes)])
@@ -223,8 +217,7 @@ def simhash_near_pairs(fp_df: DataFrame, id_col: str, max_hamming: int = 3,
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         shingle_n: int = 3,
                         candidates: DataFrame | None = None,
-                        min_jaccard: float = 0.0,
-                        shingles: DataFrame | None = None) -> DataFrame:
+                        min_jaccard: float = 0.0) -> DataFrame:
     """Exact n-gram Jaccard similarity between document pairs.
 
     Without ``candidates``: all pairs sharing ≥1 shingle (explode + equi
@@ -232,14 +225,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     shingle, so stopword-like shingles are the skew risk). With
     ``candidates`` (from LSH): verification only, via two array lookups.
     jaccard = |A∩B| / |A∪B| computed from array_intersect/array_union sizes.
-    ``shingles`` accepts a precomputed DISTINCT (id, shingle) frame shared
-    with an upstream stage (see ``minhash_dedup``).
     """
     # no .cache(): Spark's ReusedExchange shares the distinct's shuffle
     # output across the three consumers, and an operator-held cache would
     # pin executor storage for the session lifetime
-    sh = shingles if shingles is not None else \
-        shingle_rows(df, id_col, text_col, shingle_n, distinct=True)
+    sh = shingle_rows(df, id_col, text_col, shingle_n, distinct=True)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

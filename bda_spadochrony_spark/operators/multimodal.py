@@ -55,12 +55,16 @@ def _decode_image_bytes(payload: bytes, fake: bool):
                 "image decoding requires PIL/opencv, not present in this "
                 "environment; pass fake=True for the deterministic stub"
             ) from exc
+        if not payload:
+            # null/empty payload: typed-null features, never a job crash
+            return {"width": None, "height": None, "n_bytes": 0,
+                    "mean_intensity": None}
         img = Image.open(io.BytesIO(payload))
         gray = img.convert("L")
         return {
             "width": img.width,
             "height": img.height,
-            "n_bytes": len(payload or b""),
+            "n_bytes": len(payload),
             "mean_intensity": int(ImageStat.Stat(gray).mean[0]),
         }
     # deterministic fake decode: dimensions/intensity derived from bytes

@@ -157,8 +157,12 @@ def upsert_parquet_partitioned(spark: SparkSession, target_path: str,
         return updates.select(partition_col).distinct().count()
 
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    target = spark.read.parquet(target_path) \
-        .where(F.col(partition_col).isin(parts))          # partition-pruned read
+    # isin() never matches NULL — without the isNull branch an update row in
+    # the NULL partition would silently DROP that partition's existing rows
+    cond = F.col(partition_col).isin([p for p in parts if p is not None])
+    if any(p is None for p in parts):
+        cond = cond | F.col(partition_col).isNull()
+    target = spark.read.parquet(target_path).where(cond)  # partition-pruned read
     kept = target.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
     merged = kept.unionByName(updates, allowMissingColumns=True)
 

@@ -172,3 +172,23 @@ def test_upsert_parquet_partitioned_touches_only_affected(spark):
                        4: ("d3", "d"), 5: ("d2", "e")}
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_upsert_parquet_partitioned_null_partition(spark):
+    import tempfile
+    from bda_spadochrony_spark.sources.writers import upsert_parquet_partitioned
+    base = tempfile.mkdtemp(prefix="bda_uppn_")
+    target = os.path.join(base, "t")
+    try:
+        initial = spark.createDataFrame(
+            [(1, None, "a"), (2, None, "b"), (3, "d1", "c")],
+            "k long, p string, v string")
+        upsert_parquet_partitioned(spark, target, initial, ["k"], "p")
+        updates = spark.createDataFrame(
+            [(2, None, "B"), (4, None, "d")], "k long, p string, v string")
+        upsert_parquet_partitioned(spark, target, updates, ["k"], "p")
+        got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+        # pre-existing NULL-partition rows survive the merge
+        assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
