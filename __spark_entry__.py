@@ -987,6 +987,40 @@ def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.substring("event_type", 1, 1), 3).alias("tripled"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: pairwise embedding matches (cosine ≥ 0.42)
+    resolved into connected components, one canonical (minimum) id per
+    member — the keep/drop decision step of a dedup pipeline. Oracle =
+    DuckDB recursive-CTE reachability over the same pair set."""
+    from bda_spadochrony_spark.operators.dedup import dedup_clusters
+    from bda_spadochrony_spark.operators.similarity import pairwise_cosine_blocked
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = pairwise_cosine_blocked(emb, "vec_id", min_cosine=0.42, blocks=4)
+    return dedup_clusters(pairs).select(F.col("id").alias("vec_id"),
+                                        "canonical_id")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the hard oracle: documents encoded to
+    binary payloads, features extracted through the Arrow-batched
+    ``mapInPandas`` image path (deterministic fake decode — no codec libs
+    in this container). The oracle recomputes the byte-length-derived
+    fields, so the binary column handling, the Arrow round-trip, and the
+    batch protocol are all value-checked."""
+    from bda_spadochrony_spark.operators import multimodal as M
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/fake").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"))
+    out = M.extract_image_features(media, fake=True)
+    return out.select("media_id", "width", "height", "n_bytes")
+
+
 def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional/null-handling scalar family: nullif, ifnull fallback,
     greatest/least across columns, boolean case."""
@@ -1108,6 +1142,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conditional_funcs": q_conditional_funcs,
     "bitwise_funcs": q_bitwise_funcs,
     "hash_funcs": q_hash_funcs,
+    "dedup_clusters": q_dedup_clusters,
+    "multimodal_features": q_multimodal_features,
 }
 
 
@@ -1729,6 +1765,34 @@ def _oracle_sql_literal() -> dict[str, str]:
                OR CAST(ts AS DATE) = DATE '2024-01-05'
                OR CAST(ts AS DATE) = DATE '2024-01-07'
             GROUP BY 1
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE n AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), nn AS (
+                SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
+            ), pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+                WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.42
+            ), sym AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+                SELECT s, s FROM (SELECT DISTINCT s FROM sym)
+                UNION
+                SELECT s.s, reach.r FROM sym s JOIN reach ON reach.id = s.d
+            )
+            SELECT id AS vec_id, min(r) AS canonical_id
+            FROM reach GROUP BY id
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CAST((octet_length(encode(text)) % 640) + 1 AS INTEGER) AS width,
+                   CAST(((octet_length(encode(text)) * 7) % 480) + 1 AS INTEGER) AS height,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
         """,
         "conditional_funcs": """
             SELECT event_id,

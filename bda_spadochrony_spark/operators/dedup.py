@@ -169,6 +169,46 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     return verified.where(F.col("jaccard") >= min_jaccard)
 
 
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate PAIRS → one canonical id
+    (the component minimum) per member — the step that turns pairwise
+    near-dup output into keep/drop decisions for a corpus.
+
+    Iterative minimum-label propagation on the undirected edge set: each
+    round every node adopts min(own label, neighbors' labels); converges
+    in O(component diameter) rounds with an early exit when a round
+    changes nothing. Each round is one shuffle-join keyed on node id. At
+    web scale (components can chain), swap in the large-star/small-star
+    contraction (Kiveris et al. '14), which converges in O(log n) rounds
+    over the same join primitive — the per-round plan is identical, so
+    this implementation is the drop-in scaffold for it.
+
+    Returns (id, canonical_id) for every node that appears in ``pairs``.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    labels = (edges.select(F.col("src").alias("id"))
+              .union(edges.select("dst")).distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iter):
+        nbr = (sym.join(labels, sym.dst == labels.id)
+               .groupBy("src").agg(F.min("label").alias("nbr_min")))
+        merged = (labels.join(nbr, labels.id == nbr.src, "left")
+                  .select(labels.id.alias("id"),
+                          F.col("label").alias("old_label"),
+                          F.least(F.col("label"),
+                                  F.coalesce("nbr_min", F.col("label")))
+                          .alias("label")))
+        merged = merged.localCheckpoint(eager=True)  # cut lineage per round
+        if merged.where(F.col("label") != F.col("old_label")).isEmpty():
+            labels = merged
+            break
+        labels = merged
+    return labels.select("id", F.col("label").alias("canonical_id"))
+
+
 # -------------------------------------------------------------- simhash ---
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64,

@@ -250,3 +250,18 @@ def test_pairwise_cosine_blocked_matches_bruteforce(spark):
                                      blocks=3).collect()}
     assert (0, 50) in got and (1, 51) in got
     assert got == want
+
+
+def test_dedup_clusters_chain_and_islands(spark):
+    """Min-label propagation: a 4-node chain (worst diameter) collapses to
+    one canonical id; disjoint pairs stay separate components."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11),                    # island
+         (20, 21), (21, 22)],         # triangle-ish chain
+        ["id_a", "id_b"])
+    got = {r["id"]: r["canonical_id"]
+           for r in D.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
