@@ -536,6 +536,43 @@ def q_traffic_hourly_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traffic_hourly_fused(_tomtom_shaped(spark, sf_dir))
 
 
+def q_stock_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``batch_stock.py`` composite, end to end: epoch-seconds int input →
+    NY wall clock → −20-minute feed-skew → hourly count + 7 rounded
+    averages, sink-side sort. Events mapped onto the stock shape with
+    value-derived measure columns."""
+    from bda_spadochrony_spark.plans.pipelines import stock_hourly
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    shaped = ev.select(
+        F.unix_timestamp("ts").cast("int").alias("timestamp"),
+        v.alias("volume"), (v * 2).alias("vwap"), (v + 1).alias("open"),
+        (v + 2).alias("close"), (v * 1.5).alias("high"),
+        (v * 0.5).alias("low"), (v % 7).alias("transactions"))
+    return stock_hourly(shaped)
+
+
+def q_weather_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``batch_openweather.py`` composite, end to end: hourly count + 9
+    rounded averages joined with TWO struct-max modes on (date, hour) —
+    the reference's two-scan agg+mode join shape (the fused single-scan
+    rewrite is oracled separately as ``hourly_with_mode``)."""
+    from bda_spadochrony_spark.plans.pipelines import weather_hourly
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    shaped = ev.select(
+        F.col("ts").alias("timestamp"),
+        v.alias("temp"), (v * 2).alias("visibility"), (v + 10).alias("pressure"),
+        (v % 100).alias("clouds"), (v - 1).alias("feels_like"),
+        (v + 5).alias("temp_max"), (v - 5).alias("temp_min"),
+        (v % 50).alias("humidity"), (v / 2).alias("wind_speed"),
+        F.col("event_type").alias("weather_main"),
+        F.concat_ws("-", F.col("event_type"),
+                    (F.col("user_id") % 2).cast("string"))
+         .alias("weather_description"))
+    return weather_hourly(shaped)
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (enumerated as an intended option at reference
     ``stream_combined.py:197``): orders having at least one late-shipped
@@ -1106,6 +1143,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ml_train_eval": q_ml_train_eval,
     "traffic_hourly": q_traffic_hourly,
     "traffic_hourly_fused": q_traffic_hourly_fused,
+    "stock_hourly": q_stock_hourly,
+    "weather_hourly": q_weather_hourly,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "range_window_partitioned": q_range_window_partitioned,
@@ -1554,6 +1593,73 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM coarse c
             JOIN cmode_prob p USING (date, hour, iconCategory)
             JOIN cmode_mag m USING (date, hour, iconCategory)
+        """,
+        "stock_hourly": """
+            WITH src AS (
+                SELECT timezone('America/New_York',
+                               timezone('UTC',
+                                        make_timestamp(CAST(floor(epoch(ts)) AS BIGINT)
+                                                       * 1000000)))
+                       - INTERVAL 20 MINUTE AS nyts,
+                       value AS volume, value * 2 AS vwap, value + 1 AS open,
+                       value + 2 AS close, value * 1.5 AS high,
+                       value * 0.5 AS low, value % 7 AS transactions
+                FROM events
+            )
+            SELECT CAST(nyts AS DATE) AS date, CAST(hour(nyts) AS INTEGER) AS hour,
+                   count(*) AS cnt,
+                   round((avg(volume)) + 1e-06, 2) AS avg_volume,
+                   round((avg(vwap)) + 1e-06, 2) AS avg_vwap,
+                   round((avg(open)) + 1e-06, 2) AS avg_open,
+                   round((avg(close)) + 1e-06, 2) AS avg_close,
+                   round((avg(high)) + 1e-06, 2) AS avg_high,
+                   round((avg(low)) + 1e-06, 2) AS avg_low,
+                   round((avg(transactions)) + 1e-06, 2) AS avg_transactions
+            FROM src GROUP BY 1, 2
+        """,
+        "weather_hourly": """
+            WITH src AS (
+                SELECT CAST(ts AS DATE) AS date, CAST(hour(ts) AS INTEGER) AS hour,
+                       value AS temp, value * 2 AS visibility, value + 10 AS pressure,
+                       value % 100 AS clouds, value - 1 AS feels_like,
+                       value + 5 AS temp_max, value - 5 AS temp_min,
+                       value % 50 AS humidity, value / 2 AS wind_speed,
+                       event_type AS weather_main,
+                       event_type || '-' || CAST(user_id % 2 AS VARCHAR) AS weather_description
+                FROM events
+            ), agg AS (
+                SELECT date, hour, count(*) AS cnt,
+                       round((avg(temp)) + 1e-06, 2) AS avg_temp,
+                       round((avg(visibility)) + 1e-06, 2) AS avg_visibility,
+                       round((avg(pressure)) + 1e-06, 2) AS avg_pressure,
+                       round((avg(clouds)) + 1e-06, 2) AS avg_clouds,
+                       round((avg(feels_like)) + 1e-06, 2) AS avg_feels_like,
+                       round((avg(temp_max)) + 1e-06, 2) AS avg_temp_max,
+                       round((avg(temp_min)) + 1e-06, 2) AS avg_temp_min,
+                       round((avg(humidity)) + 1e-06, 2) AS avg_humidity,
+                       round((avg(wind_speed)) + 1e-06, 2) AS avg_wind_speed
+                FROM src GROUP BY 1, 2
+            ), m1 AS (
+                SELECT date, hour, weather_main AS mode_weather_main FROM (
+                    SELECT date, hour, weather_main,
+                           row_number() OVER (PARTITION BY date, hour
+                                              ORDER BY count(*) DESC,
+                                                       weather_main DESC NULLS LAST) AS rn
+                    FROM src GROUP BY 1, 2, 3
+                ) WHERE rn = 1
+            ), m2 AS (
+                SELECT date, hour, weather_description AS mode_weather_description FROM (
+                    SELECT date, hour, weather_description,
+                           row_number() OVER (PARTITION BY date, hour
+                                              ORDER BY count(*) DESC,
+                                                       weather_description DESC NULLS LAST) AS rn
+                    FROM src GROUP BY 1, 2, 3
+                ) WHERE rn = 1
+            )
+            SELECT a.*, m1.mode_weather_main, m2.mode_weather_description
+            FROM agg a
+            JOIN m1 USING (date, hour)
+            JOIN m2 USING (date, hour)
         """,
         "semi_join": """
             SELECT o_orderpriority, count(*) AS n_orders
