@@ -715,6 +715,58 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_small"))
 
 
+def q_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the EXISTS + NOT-EXISTS combo: suppliers solely
+    to blame for a late multi-supplier order. Decorrelated into two
+    aggregates over the same per-(order, supplier) frame (late =
+    shipped > 90 days after ordering); the oracle states it with the
+    original correlated EXISTS / NOT EXISTS so both formulations are
+    proven equivalent."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    l = li.join(orders.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey")) \
+          .withColumn("late", F.col("l_shipdate") >
+                      F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    per = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("sup_late"))
+    per_order = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("sup_late").alias("n_late"))
+    blame = per.join(per_order, "l_orderkey") \
+               .where((F.col("sup_late") == 1) & (F.col("n_supp") > 1) &
+                      (F.col("n_late") == 1))
+    return blame.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — aggregate-of-aggregates selection: the supplier(s)
+    whose quarterly revenue equals the maximum, via a broadcast scalar
+    join back onto the revenue aggregate (no window, no second scan of
+    the fact table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.where((F.col("l_shipdate") >= F.lit("1996-01-01")) &
+                 (F.col("l_shipdate") < F.lit("1996-04-01")))
+    rev = q.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    mx = rev.agg(F.max("r").alias("mx"))
+    return (rev.join(F.broadcast(mx), rev.r == F.col("mx"))
+            .select("l_suppkey", stable_round(F.col("r"), 2).alias("total_rev")))
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping indicators — finer than
+    rollup/cube: exactly the (event_type), (date), and grand-total sets,
+    with grouping() flags disambiguating real NULLs from subtotal rows."""
+    ev = with_date_hour(_t(spark, sf_dir, "events"), "ts")
+    return ev.groupingSets([["event_type"], ["date"], []],
+                           "event_type", "date").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        stable_round(F.sum("value"), 2).alias("sum_value"),
+        F.grouping("event_type").cast("int").alias("g_et"),
+        F.grouping("date").cast("int").alias("g_date"))
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True as-of join (cogrouped applyInPandas + merge_asof): each click
     event enriched with the user's latest preceding error event. Oracle =
@@ -1157,6 +1209,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_window": q_session_window,
     "volume_shipping": q_volume_shipping,
     "small_qty_revenue": q_small_qty_revenue,
+    "late_supplier_blame": q_late_supplier_blame,
+    "top_supplier": q_top_supplier,
+    "grouping_sets": q_grouping_sets,
     "asof_join": q_asof_join,
     "quantiles": q_quantiles,
     "string_funcs": q_string_funcs,
@@ -1743,6 +1798,43 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
                                 FROM lineitem i
                                 WHERE i.l_partkey = l.l_partkey)
+        """,
+        "late_supplier_blame": """
+            WITH l AS (
+                SELECT l_orderkey, l_suppkey,
+                       (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            )
+            SELECT l1.l_suppkey, count(DISTINCT l1.l_orderkey) AS numwait
+            FROM l l1
+            WHERE l1.late
+              AND EXISTS (SELECT 1 FROM l l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM l l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.late)
+            GROUP BY 1
+        """,
+        "top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS r
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+                GROUP BY 1
+            )
+            SELECT l_suppkey, round((r) + 1e-06, 2) AS total_rev
+            FROM rev WHERE r = (SELECT max(r) FROM rev)
+        """,
+        "grouping_sets": """
+            SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS cnt,
+                   round((sum(value)) + 1e-06, 2) AS sum_value,
+                   CAST(grouping(event_type) AS INTEGER) AS g_et,
+                   CAST(grouping(CAST(ts AS DATE)) AS INTEGER) AS g_date
+            FROM events
+            GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
         """,
         "asof_join": """
             WITH clicks AS (
