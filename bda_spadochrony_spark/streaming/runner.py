@@ -22,6 +22,33 @@ def _checkpoint() -> str:
     return tempfile.mkdtemp(prefix="bda_ckpt_")
 
 
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+
+
+def use_rocksdb_state(spark: SparkSession, enabled: bool = True) -> str:
+    """Switch the streaming state store provider for queries STARTED after
+    this call (the provider binds at first checkpoint, per query).
+
+    The default HDFS-backed provider keeps all state on the executor heap —
+    fastest for small state, an OOM at large state. RocksDB spills state to
+    local disk with a bounded block cache, which is the provider to run
+    when state is proportional to key cardinality × watermark horizon at
+    100 TB (e.g. wide dedup keys, long-session stores). Returns the
+    previous provider so callers can restore it.
+    """
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = ""
+    if enabled:
+        spark.conf.set(key, ROCKSDB_PROVIDER)
+    elif prev:
+        spark.conf.unset(key)
+    return prev
+
+
 def run_to_memory(df: DataFrame, name: str | None = None,
                   output_mode: str = "append",
                   available_now: bool = False) -> tuple[StreamingQuery, str]:

@@ -130,3 +130,31 @@ def test_stream_stream_full_outer_emits_unmatched_after_watermark(spark):
         assert 2 in left_only  # sealed unmatched left row emitted with null right
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_dedup_under_rocksdb_state_store(spark):
+    """Stateful op under the RocksDB state store provider (the
+    heap-independent provider for large state): same results as default."""
+    from bda_spadochrony_spark.streaming.runner import (use_rocksdb_state,
+                                                        ROCKSDB_PROVIDER)
+    d = tempfile.mkdtemp(prefix="bda_rocks_")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = use_rocksdb_state(spark)
+    try:
+        assert spark.conf.get(key) == ROCKSDB_PROVIDER
+        rows = [(1, datetime(2024, 1, 1, 0, 0, 0), "a"),
+                (1, datetime(2024, 1, 1, 0, 0, 1), "a-dup"),
+                (2, datetime(2024, 1, 1, 0, 0, 2), "b")]
+        schema = StructType([StructField("k", LongType()),
+                             StructField("ts", TimestampType()),
+                             StructField("tag", StringType())])
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d, mode="overwrite")
+        stream = file_stream(spark, d, schema)
+        out = run_available_now(spark, stream_dedup(stream, ["k"], "ts"))
+        assert sorted(r["k"] for r in out.collect()) == [1, 2]
+    finally:
+        if prev:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+        shutil.rmtree(d, ignore_errors=True)
