@@ -1110,6 +1110,61 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "width", "height", "n_bytes")
 
 
+def q_salted_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew machinery under the hard gate: the hourly aggregate computed
+    as a two-phase SALTED aggregation (hot keys fan out over 16 salt
+    buckets, partials merged on the true keys) — must equal the plain
+    single-phase result, so it shares the plain SQL oracle shape."""
+    from bda_spadochrony_spark.operators.skew import salted_agg
+    ev = with_date_hour(_t(spark, sf_dir, "events"), "ts")
+    out = salted_agg(
+        ev, ["date", "hour"],
+        measures=[F.count(F.lit(1)).alias("c"),
+                  F.sum("value").alias("s"),
+                  F.count("value").alias("nv")],
+        final_measures=[F.sum("c").alias("cnt"),
+                        stable_round(F.sum("s") / F.sum("nv"), 2).alias("avg_value")])
+    return sort_by(out, ["date", "hour"])
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-parquet source format under the oracle: events exported once to
+    CSV (timestamps as ISO strings), read back through the engine's
+    typed CSV scan, and aggregated — the result must equal the same
+    aggregate over the original parquet. Exercises the fmt="csv" reader
+    path, header handling, and type-at-scan parsing."""
+    import os
+    import tempfile
+    ev = _t(spark, sf_dir, "events")
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    csv_dir = os.path.join(
+        tempfile.gettempdir(),
+        "bda_csv_%s_%d_%d" % (sf_dir.strip("/").replace("/", "_"),
+                              int(st.st_mtime), st.st_size))
+    if not os.path.exists(csv_dir):
+        import shutil
+        staging = tempfile.mkdtemp(prefix="bda_csv_stage_")
+        ev.select("event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                  .alias("ts"), "user_id", "event_type", "value") \
+          .write.mode("overwrite").option("header", True).csv(staging)
+        try:
+            os.rename(staging, csv_dir)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    schema = StructType([
+        StructField("event_id", LongType()), StructField("ts", TimestampType()),
+        StructField("user_id", LongType()), StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    back = scan(spark, csv_dir, schema=schema, fmt="csv",
+                options={"header": "true"})
+    agg = group_agg(with_date_hour(back, "ts"), ["date", "hour"], [
+        F.count(F.lit(1)).alias("cnt"),
+        stable_round(F.avg("value"), 2).alias("avg_value")])
+    return sort_by(agg, ["date", "hour"])
+
+
 def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional/null-handling scalar family: nullif, ifnull fallback,
     greatest/least across columns, boolean case."""
@@ -1233,6 +1288,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_agg": q_array_agg,
     "date_functions": q_date_functions,
     "string_funcs2": q_string_funcs2,
+    "salted_hourly": q_salted_hourly,
+    "csv_roundtrip": q_csv_roundtrip,
     "conditional_funcs": q_conditional_funcs,
     "bitwise_funcs": q_bitwise_funcs,
     "hash_funcs": q_hash_funcs,
@@ -1991,6 +2048,16 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(((octet_length(encode(text)) * 7) % 480) + 1 AS INTEGER) AS height,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "salted_hourly": """
+            SELECT CAST(ts AS DATE) AS date, CAST(hour(ts) AS INTEGER) AS hour,
+                   count(*) AS cnt, round((avg(value)) + 1e-06, 2) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "csv_roundtrip": """
+            SELECT CAST(ts AS DATE) AS date, CAST(hour(ts) AS INTEGER) AS hour,
+                   count(*) AS cnt, round((avg(value)) + 1e-06, 2) AS avg_value
+            FROM events GROUP BY 1, 2
         """,
         "conditional_funcs": """
             SELECT event_id,

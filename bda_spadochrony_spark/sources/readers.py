@@ -62,7 +62,8 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 
 
 def scan(spark: SparkSession, path: str, schema: StructType | None = None,
-         fmt: str = "parquet", drop: list[str] | None = None) -> DataFrame:
+         fmt: str = "parquet", drop: list[str] | None = None,
+         options: dict[str, str] | None = None) -> DataFrame:
     """Single-scan replacement for the reference's glob-and-union reader
     (``pyspark/batch_stock.py:18-36``).
 
@@ -74,7 +75,8 @@ def scan(spark: SparkSession, path: str, schema: StructType | None = None,
     (reference drops ``UNNAMED_FIELD``/``wind_deg``/``timeValidity`` —
     ``pyspark/ML_stock.py:80``, ``merge_openweather.py:78``,
     ``ML_tomtom.py:156``) — with a declared schema they are simply never
-    read, which is the pushed-down version of ``drop``.
+    read, which is the pushed-down version of ``drop``. ``options`` passes
+    format options through (e.g. ``{"header": "true"}`` for CSV).
     """
     # NANOS-precision parquet timestamps: Spark 4 reads them only as epoch
     # longs (``nanosAsLong``); the engine converts back to TimestampType at
@@ -84,6 +86,8 @@ def scan(spark: SparkSession, path: str, schema: StructType | None = None,
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read.format(fmt)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     if schema is not None:
         if nanos_cols:
             schema = StructType([
