@@ -53,10 +53,17 @@ def fused_stream_join(left: DataFrame, right: DataFrame,
 
 
 def serving_batch_writer(path: str, key_fn: Callable[[DataFrame], DataFrame] | None = None):
-    """foreachBatch callback factory: distributed append of each micro-batch
+    """foreachBatch callback factory: distributed write of each micro-batch
     to a parquet serving table (replaces the reference's driver-side
-    Bigtable loop, ``stream_combined.py:227-247``)."""
+    Bigtable loop, ``stream_combined.py:227-247``).
+
+    Writes land under ``batch_id=N`` partition directories with OVERWRITE
+    per batch: foreachBatch gives at-least-once delivery (a failed epoch
+    is replayed with the SAME batch_id), so a plain append would duplicate
+    replayed batches — overwriting the batch's own directory makes the
+    sink idempotent (effectively exactly-once). Readers scan ``path``
+    normally; ``batch_id`` arrives as a partition column."""
     def write(batch_df: DataFrame, batch_id: int) -> None:
         out = key_fn(batch_df) if key_fn else batch_df
-        out.write.mode("append").parquet(path)
+        out.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
     return write

@@ -138,3 +138,28 @@ def test_fused_stream_join_with_inference(spark):
         assert len(unmatched_left) >= 5       # sealed feature-only rows
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_serving_batch_writer_is_idempotent_on_replay(spark):
+    """foreachBatch is at-least-once: a replayed epoch reruns the callback
+    with the SAME batch_id. The sink must not duplicate its rows."""
+    import os
+    import shutil
+    import tempfile
+
+    from bda_spadochrony_spark.plans.stream_fused import serving_batch_writer
+
+    sink = tempfile.mkdtemp(prefix="bda_srv_")
+    try:
+        path = os.path.join(sink, "t")
+        write = serving_batch_writer(path)
+        b0 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+        write(b0, 0)
+        write(b0, 0)                      # replay of epoch 0
+        write(spark.createDataFrame([(3, "c")], ["k", "v"]), 1)
+        got = spark.read.parquet(path)
+        assert sorted((r["k"], r["v"]) for r in got.collect()) == \
+            [(1, "a"), (2, "b"), (3, "c")]
+        assert "batch_id" in got.columns  # partition column visible to readers
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
