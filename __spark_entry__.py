@@ -1110,6 +1110,23 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "width", "height", "n_bytes")
 
 
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` ≡ IS NOT DISTINCT FROM): two
+    derived frames with injected NULL keys joined so NULL matches NULL
+    exactly once per side-pair — semantics a plain equi join silently
+    drops. Aggregated so the NULL-bucket match count is observable."""
+    ev = _t(spark, sf_dir, "events")
+    # floor() before the int cast: Spark's double→int cast truncates while
+    # DuckDB's ROUNDS — floor makes both engines agree
+    key = F.when(F.col("value") < 10, None) \
+           .otherwise(F.floor(F.col("value") / 10).cast("int"))
+    a = ev.groupBy(key.alias("k")).agg(F.count(F.lit(1)).alias("n_a"))
+    b = ev.groupBy(key.alias("k")).agg(
+        stable_round(F.avg("value"), 2).alias("avg_b"))
+    j = a.join(b, a["k"].eqNullSafe(b["k"]))
+    return j.select(a["k"].alias("k"), "n_a", "avg_b")
+
+
 def q_salted_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew machinery under the hard gate: the hourly aggregate computed
     as a two-phase SALTED aggregation (hot keys fan out over 16 salt
@@ -1288,6 +1305,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_agg": q_array_agg,
     "date_functions": q_date_functions,
     "string_funcs2": q_string_funcs2,
+    "nullsafe_join": q_nullsafe_join,
     "salted_hourly": q_salted_hourly,
     "csv_roundtrip": q_csv_roundtrip,
     "conditional_funcs": q_conditional_funcs,
@@ -2048,6 +2066,20 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(((octet_length(encode(text)) * 7) % 480) + 1 AS INTEGER) AS height,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "nullsafe_join": """
+            WITH keyed AS (
+                SELECT CASE WHEN value < 10 THEN NULL
+                            ELSE CAST(floor(value / 10) AS INTEGER) END AS k, value
+                FROM events
+            ), a AS (
+                SELECT k, count(*) AS n_a FROM keyed GROUP BY 1
+            ), b AS (
+                SELECT k, round((avg(value)) + 1e-06, 2) AS avg_b
+                FROM keyed GROUP BY 1
+            )
+            SELECT a.k, a.n_a, b.avg_b
+            FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
         """,
         "salted_hourly": """
             SELECT CAST(ts AS DATE) AS date, CAST(hour(ts) AS INTEGER) AS hour,
