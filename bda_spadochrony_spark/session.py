@@ -56,13 +56,28 @@ def get_session(app_name: str = "bda-spadochrony-spark",
     return builder.getOrCreate()
 
 
+# Sessions already configured — each conf.set is a py4j round-trip, and the
+# harness calls configure() at the top of every query builder; once per
+# session is enough (queries that need a different conf set it explicitly
+# and restore it themselves).
+_CONFIGURED: "weakref.WeakSet[SparkSession]" = None  # type: ignore[assignment]
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable conf to an externally-built
     session (e.g. the correctness driver's). Static configs (already-started
-    JVM) are skipped automatically by Spark where not settable."""
+    JVM) are skipped automatically by Spark where not settable. Idempotent:
+    repeat calls on the same session are a no-op."""
+    global _CONFIGURED
+    if _CONFIGURED is None:
+        import weakref
+        _CONFIGURED = weakref.WeakSet()
+    if spark in _CONFIGURED:
+        return spark
     for k, v in _BASE_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a running session — keep going
+    _CONFIGURED.add(spark)
     return spark

@@ -23,11 +23,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 
+# Footer-probe memo: (resolved probe file, mtime_ns, size) -> NANOS columns.
+# Re-probing the same static parquet footer on every scan() of every query
+# was measurable driver overhead (~0.1-0.3 s/query with py4j warm); the
+# mtime/size key keeps the cache correct when tests rewrite a temp path.
+_NANOS_CACHE: dict[tuple[str, int, int], list[str]] = {}
+
+
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS), which Spark 4 refuses to
     read as TimestampType (PARQUET_TYPE_ILLEGAL). Detected driver-side from
     one footer via pyarrow — cheap (no data read) and list-stable across
-    files written by one producer."""
+    files written by one producer. Memoized on the probe file's identity."""
     try:
         import pyarrow.parquet as pq
     except ImportError:
@@ -45,6 +52,14 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
             return []
         probe = inner[0]
     try:
+        st = os.stat(probe)
+        key = (probe, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return []
+    cached = _NANOS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    try:
         schema = pq.ParquetFile(probe).schema  # parquet (physical) schema
     except Exception:
         return []
@@ -58,6 +73,7 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
             continue
         if col.physical_type == "INT64" and "nanoseconds" in str(col.logical_type):
             out.append(col.name)
+    _NANOS_CACHE[key] = out
     return out
 
 
