@@ -400,13 +400,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pipeline (32 signatures, 32 bands → recall
-    ≈1-(1-j)^32 at jaccard j) with exact Jaccard verification at 0.5 —
-    returns the same verified pair set as the exhaustive q_ngram_jaccard,
-    so it shares that SQL oracle; the LSH stage only prunes candidates."""
+    """MinHash+LSH near-dup pipeline (16 signatures, 16 bands → candidate
+    recall ≈1-(1-j)^16 at jaccard j; with the n_bands≥2 pre-filter the miss
+    probability for a true j≥0.5 pair is P(Binom(16,j)<2) ≈ 2.6e-4, and the
+    corpus's actual near-dups sit at j≥0.8 where it is ~4e-10) with exact
+    Jaccard verification at 0.5 — returns the same verified pair set as the
+    exhaustive q_ngram_jaccard, so it shares that SQL oracle; the LSH stage
+    only prunes candidates."""
     from bda_spadochrony_spark.operators.dedup import minhash_dedup
     docs = _t(spark, sf_dir, "documents")
-    out = minhash_dedup(docs, "doc_id", "text", num_hashes=32, bands=32,
+    out = minhash_dedup(docs, "doc_id", "text", num_hashes=16, bands=16,
                         shingle_n=3, min_jaccard=0.5)
     return out.select("id_a", "id_b", stable_round(F.col("jaccard"), 6).alias("jaccard"))
 

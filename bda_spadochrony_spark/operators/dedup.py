@@ -150,7 +150,8 @@ def minhash_lsh_candidates(sig_df: DataFrame, id_col: str,
 
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
                   num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
-                  min_jaccard: float | None = None, seed: int = 42) -> DataFrame:
+                  min_jaccard: float | None = None, seed: int = 42,
+                  materialize: bool = True) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → (optional)
     exact n-gram Jaccard verification ≥ ``min_jaccard``.
 
@@ -160,8 +161,17 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     exchange Catalyst's ReusedExchange shares across its three consumers.
     Threading one shared distinct frame through both stages was measured
     2.5× SLOWER at sf0.1: under AQE the cross-stage reuse never fires
-    (6 scans, 0 ReusedExchange), so every consumer paid the distinct."""
+    (6 scans, 0 ReusedExchange), so every consumer paid the distinct.
+
+    ``materialize`` checkpoints the signature table before the LSH
+    self-join: the same AQE limitation means BOTH sides of the band join
+    otherwise recompute the whole shingle+signature pipeline (measured ~2×
+    the stage cost at sf0.1). The signature table is tiny — 8·num_hashes
+    bytes per document, ~0.1% of corpus size — so at 100 TB this is the
+    standard persist-the-sketch design, not a memory risk."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    if materialize:
+        sigs = sigs.localCheckpoint(eager=False)
     cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
     if min_jaccard is None:
         return cands
