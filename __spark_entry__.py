@@ -448,10 +448,14 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed cosine top-1 (the approximate scale path;
-    recall < 1 by design → rows-only check, recall asserted in unit tests)."""
+    recall < 1 by design → rows-only check, recall asserted in unit tests).
+    Queries == corpus here, so the query side is explicitly NOT broadcast —
+    a corpus-sized broadcast would OOM the executors at scale; the shuffled
+    bucket join partitions both sides by bucket instead."""
     from bda_spadochrony_spark.operators.similarity import lsh_bucket_topk
     emb = _t(spark, sf_dir, "embeddings")
-    out = lsh_bucket_topk(emb, emb, "vec_id", "vec_id", k=1, planes=6, dim=64)
+    out = lsh_bucket_topk(emb, emb, "vec_id", "vec_id", k=1, planes=6, dim=64,
+                          broadcast_queries=False)
     return out.select("query_id", "corpus_id",
                       stable_round(F.col("cosine"), 6).alias("cosine"))
 

@@ -201,7 +201,8 @@ def cosine_topk_blocked(corpus: DataFrame, queries: DataFrame,
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame,
                     corpus_id: str, query_id: str, vec_col: str = "embedding",
                     k: int = 5, planes: int = 8, seed: int = 42,
-                    dim: int | None = None) -> DataFrame:
+                    dim: int | None = None,
+                    broadcast_queries: bool | None = None) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH: bucket =
     sign-bit string of ``planes`` random projections; candidates = same
     bucket; exact cosine re-rank within. Recall < 1 by design — the
@@ -210,6 +211,15 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame,
 
     Hyperplanes are generated deterministically from ``seed`` via a hash of
     (plane, dimension) — no driver-side randomness, reproducible anywhere.
+
+    ``broadcast_queries``: True forces a broadcast of the query side
+    (right for a small ad-hoc query batch); False forces a shuffled equi
+    join on ``bucket`` (right when queries ≈ corpus, e.g. all-pairs
+    self-search — a corpus-sized side must never be broadcast); None
+    (default) leaves the choice to Catalyst/AQE's size estimate, which
+    demotes to shuffle when the query side exceeds
+    ``spark.sql.autoBroadcastJoinThreshold``. The bucket key makes the
+    shuffled join embarrassingly parallel either way.
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
@@ -238,7 +248,12 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame,
                         F.col(vec_col).cast("array<double>").alias("qvec"))
          .withColumn("bucket", bucket_expr("qvec")))
     q = with_norm(q, "qvec", "qnorm")
-    scored = (c.join(F.broadcast(q), on="bucket")
+    if broadcast_queries is True:
+        q = F.broadcast(q)
+    elif broadcast_queries is False:
+        # strip any inherited broadcast hint so the planner shuffles
+        q = q.hint("shuffle_hash")
+    scored = (c.join(q, on="bucket")
               .where(F.col("corpus_id") != F.col("query_id"))
               .select("query_id", "corpus_id",
                       (_dot("cvec", "qvec") /

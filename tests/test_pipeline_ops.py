@@ -99,6 +99,22 @@ def test_lsh_bucket_topk_recalls_identicals(spark):
     assert best[0][0] == 100 and abs(best[0][1] - 1.0) < 1e-9
 
 
+def test_lsh_bucket_topk_no_broadcast_when_queries_are_corpus(spark):
+    """broadcast_queries=False must yield a shuffled bucket join — a
+    corpus-sized query side can never be broadcast at scale."""
+    rows = [(i, [float((i >> j) & 1) for j in range(8)]) for i in range(32)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.lsh_bucket_topk(df, df, "vec_id", "vec_id", k=1, planes=4, dim=8,
+                            broadcast_queries=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    # forced broadcast still available for genuinely small query batches
+    out_b = S.lsh_bucket_topk(df, df.limit(2), "vec_id", "vec_id", k=1,
+                              planes=4, dim=8, broadcast_queries=True)
+    plan_b = out_b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan_b
+
+
 def test_language_detection(docs):
     out = {r["doc_id"]: r["lang"] for r in docs.select(
         "doc_id", T.detect_language("text").alias("lang")).collect()}
