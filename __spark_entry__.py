@@ -390,6 +390,37 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "click_id", "click_user", "click_ts")
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 — watermarked streaming dedup run to completion: the events file
+    read as TWO file streams unioned (every event arrives twice — the
+    injected-duplicate fixture), then ``stream_dedup`` on event_id with a
+    1-minute watermark drops the copies. State holds one entry per key
+    inside the watermark horizon (reference intent at
+    ``pyspark/stream_combined.py:71,173,181``).
+
+    Deterministic without a cutoff filter: dropDuplicates emits a key's
+    first row immediately (append mode, no watermark wait); a copy landing
+    in a later micro-batch is dropped either by state (ts inside the
+    horizon) or as too-late (ts behind the watermark) — exactly one row
+    per event_id either way."""
+    from bda_spadochrony_spark.streaming.sources import file_stream
+    from bda_spadochrony_spark.streaming.ops import stream_dedup
+    from bda_spadochrony_spark.streaming.runner import run_available_now
+    configure(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        once = file_stream(spark, f"{sf_dir}/events*.parquet", EVENTS_SCHEMA)
+        twice = once.union(
+            file_stream(spark, f"{sf_dir}/events*.parquet", EVENTS_SCHEMA))
+        deduped = stream_dedup(twice, ["event_id"], "ts") \
+            .select("event_id", "ts", "user_id", "event_type", "value")
+        out = run_available_now(spark, deduped, timeout_s=300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection — exact n-gram Jaccard over all shingle-sharing
     pairs (inverted-index explode + equi join), threshold 0.5."""
@@ -1280,6 +1311,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dup": q_minhash_near_dup,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     # --- streaming / ML contract surface (re-confirm every round)
+    "stream_dedup": q_stream_dedup,
     "stream_hourly": q_stream_hourly,
     "stream_join_outer": q_stream_join_outer,
     "session_window": q_session_window,
@@ -1541,6 +1573,9 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS cnt, round((avg(value)) + 1e-06, 2) AS avg_value
             FROM events GROUP BY 1, 2
+        """,
+        "stream_dedup": """
+            SELECT event_id, ts, user_id, event_type, value FROM events
         """,
         "stream_join_outer": """
             WITH errors AS (
