@@ -421,6 +421,55 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_serving_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11+T6+S13 — the lambda architecture's serving leg end to end
+    (reference ``pyspark/stream_combined.py:75-128,227-256``): a model is
+    fit on the batch events table (M5), then the events FILE STREAM runs
+    streaming feature build + model inference (T6), a composite serving
+    key is built in-plan (S13), and the scored rows land through the
+    ``foreachBatch`` distributed parquet serving sink (S11, idempotent per
+    batch_id) — the query result is the serving table read back.
+
+    Prediction VALUES aren't SQL-expressible, so the oracle verifies the
+    deterministic serving columns plus a ``scored`` flag asserting every
+    row carries a prediction; MAE-level model checks live in tests/test_ml.
+    """
+    import tempfile
+    from bda_spadochrony_spark.ml.features import build_features, assemble_vector
+    from bda_spadochrony_spark.ml.regress import make_regressor
+    from bda_spadochrony_spark.streaming.sources import file_stream
+    from bda_spadochrony_spark.streaming.runner import run_foreach_batch
+    from bda_spadochrony_spark.plans.stream_fused import serving_batch_writer
+    configure(spark)
+    cats, cols = ["click", "view", "purchase"], \
+        ["hour", "dayofweek", "month", "et_click", "et_view", "et_purchase", "et_other"]
+    batch = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    feats_b = build_features(batch, "ts", "event_type", cats, prefix="et")
+    model = make_regressor("value", n_estimators=5).fit(
+        assemble_vector(feats_b, cols))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        stream = file_stream(spark, f"{sf_dir}/events*.parquet", EVENTS_SCHEMA)
+        feats_s = build_features(stream, "ts", "event_type", cats, prefix="et")
+        scored = model.transform(assemble_vector(feats_s, cols))
+        keyed = scored.select(
+            "event_id",
+            F.concat_ws("_", F.to_date("ts").cast("string"),
+                        F.hour("ts").cast("string")).alias("row_key"),
+            "event_type", "value",
+            F.col("prediction").isNotNull().alias("scored"))
+        sink = tempfile.mkdtemp(prefix="bda_serving_")
+        query = run_foreach_batch(keyed, serving_batch_writer(sink),
+                                  available_now=True)
+        if not query.awaitTermination(300):
+            query.stop()
+            raise TimeoutError("serving-sink drain did not finish within 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(sink).drop("batch_id")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection — exact n-gram Jaccard over all shingle-sharing
     pairs (inverted-index explode + equi join), threshold 0.5."""
@@ -1312,6 +1361,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_lsh_topk": q_embedding_lsh_topk,
     # --- streaming / ML contract surface (re-confirm every round)
     "stream_dedup": q_stream_dedup,
+    "stream_serving_pipeline": q_stream_serving_pipeline,
     "stream_hourly": q_stream_hourly,
     "stream_join_outer": q_stream_join_outer,
     "session_window": q_session_window,
@@ -1576,6 +1626,13 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "stream_dedup": """
             SELECT event_id, ts, user_id, event_type, value FROM events
+        """,
+        "stream_serving_pipeline": """
+            SELECT event_id,
+                   concat(CAST(CAST(ts AS DATE) AS VARCHAR), '_',
+                          CAST(hour(ts) AS VARCHAR)) AS row_key,
+                   event_type, value, true AS scored
+            FROM events
         """,
         "stream_join_outer": """
             WITH errors AS (
