@@ -210,6 +210,7 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     labels = (edges.select(F.col("src").alias("id"))
               .union(edges.select("dst")).distinct()
               .withColumn("label", F.col("id")))
+    converged = False
     for _ in range(max_iter):
         nbr = (sym.join(labels, sym.dst == labels.id)
                .groupBy("src").agg(F.min("label").alias("nbr_min")))
@@ -220,10 +221,17 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                                   F.coalesce("nbr_min", F.col("label")))
                           .alias("label")))
         merged = merged.localCheckpoint(eager=True)  # cut lineage per round
-        if merged.where(F.col("label") != F.col("old_label")).isEmpty():
-            labels = merged
-            break
         labels = merged
+        if merged.where(F.col("label") != F.col("old_label")).isEmpty():
+            converged = True
+            break
+    if not converged:
+        # returning here would silently hand back MULTIPLE canonical ids for
+        # one component (partial propagation) — fail loudly instead
+        raise ValueError(
+            f"dedup_clusters did not converge within max_iter={max_iter} "
+            f"rounds — a component's diameter exceeds the round budget; "
+            f"raise max_iter or use star-contraction for chain-shaped data")
     return labels.select("id", F.col("label").alias("canonical_id"))
 
 

@@ -177,9 +177,17 @@ def upsert_parquet_partitioned(spark: SparkSession, target_path: str,
             dst = os.path.join(target_path, entry)
             old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
             had = os.path.exists(dst)
-            if had:
-                os.replace(dst, old)
-            os.replace(src, dst)
+            try:
+                if had:
+                    os.replace(dst, old)
+                os.replace(src, dst)
+            except BaseException:
+                # a failed swap must not leave the partition absent with its
+                # data stranded in the __old dir — roll it back before the
+                # finally block deletes staging
+                if had and os.path.exists(old) and not os.path.exists(dst):
+                    os.replace(old, dst)
+                raise
             if had:
                 shutil.rmtree(old)
             swapped += 1

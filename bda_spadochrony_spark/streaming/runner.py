@@ -44,7 +44,10 @@ def use_rocksdb_state(spark: SparkSession, enabled: bool = True) -> str:
         prev = ""
     if enabled:
         spark.conf.set(key, ROCKSDB_PROVIDER)
-    elif prev:
+    elif prev == ROCKSDB_PROVIDER:
+        # only tear down what this helper set up; a pre-existing CUSTOM
+        # provider is left untouched (restore it yourself via the returned
+        # prev) instead of being silently dropped to the default
         spark.conf.unset(key)
     return prev
 

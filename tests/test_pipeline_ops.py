@@ -281,3 +281,14 @@ def test_dedup_clusters_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_raises_on_nonconvergence(spark):
+    """A component whose diameter exceeds the round budget must fail loudly
+    — partial propagation would yield multiple canonical ids for one
+    component, which is silent data corruption for a dedup pipeline."""
+    import pytest
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="did not converge"):
+        D.dedup_clusters(pairs, max_iter=1)

@@ -158,3 +158,17 @@ def test_stream_dedup_under_rocksdb_state_store(spark):
         else:
             spark.conf.unset(key)
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_console_sink_smoke(spark, events_stream_dir):
+    """S10 — console sink starts, processes the available input, stops
+    (reference ``stream_stock.py:72-74``). Output goes to driver stdout;
+    the assert is on reported progress, not captured text."""
+    from bda_spadochrony_spark.streaming.runner import run_console
+    stream = file_stream(spark, events_stream_dir, EVENTS_SCHEMA)
+    q = run_console(stream.select("event_id", "event_type"))
+    try:
+        q.processAllAvailable()
+        assert any(p["numInputRows"] > 0 for p in q.recentProgress)
+    finally:
+        q.stop()

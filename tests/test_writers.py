@@ -7,6 +7,8 @@ import os
 import shutil
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bda_spadochrony_spark.sources.readers import scan
@@ -190,5 +192,39 @@ def test_upsert_parquet_partitioned_null_partition(spark):
         got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
         # pre-existing NULL-partition rows survive the merge
         assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_upsert_partitioned_failed_swap_rolls_back(spark, monkeypatch):
+    """If promoting a staged partition fails after the live partition was
+    moved aside, the partition must be rolled back in place — readers never
+    see it vanish with its data stranded in a __old dir."""
+    import tempfile
+    from bda_spadochrony_spark.sources.writers import upsert_parquet_partitioned
+    base = tempfile.mkdtemp(prefix="bda_uproll_")
+    target = os.path.join(base, "t")
+    try:
+        initial = spark.createDataFrame(
+            [(1, "d1", "a"), (2, "d2", "b")], ["k", "p", "v"])
+        upsert_parquet_partitioned(spark, target, initial, ["k"], "p")
+
+        real_replace = os.replace
+
+        def failing_replace(src, dst):
+            if "__staging_" in src and dst.endswith("p=d1"):
+                raise OSError("injected promote failure")
+            return real_replace(src, dst)
+
+        monkeypatch.setattr(os, "replace", failing_replace)
+        updates = spark.createDataFrame([(1, "d1", "A")], ["k", "p", "v"])
+        with pytest.raises(OSError, match="injected"):
+            upsert_parquet_partitioned(spark, target, updates, ["k"], "p")
+        monkeypatch.undo()
+
+        assert os.path.isdir(os.path.join(target, "p=d1"))   # rolled back
+        assert not [e for e in os.listdir(base) if "__staging_" in e]
+        got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+        assert got == {1: "a", 2: "b"}                       # original data
     finally:
         shutil.rmtree(base, ignore_errors=True)
