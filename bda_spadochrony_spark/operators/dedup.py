@@ -187,31 +187,18 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     return verified.where(F.col("jaccard") >= min_jaccard)
 
 
-def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                   max_iter: int = 20) -> DataFrame:
-    """Connected components over near-duplicate PAIRS → one canonical id
-    (the component minimum) per member — the step that turns pairwise
-    near-dup output into keep/drop decisions for a corpus.
-
-    Iterative minimum-label propagation on the undirected edge set: each
-    round every node adopts min(own label, neighbors' labels); converges
-    in O(component diameter) rounds with an early exit when a round
-    changes nothing. Each round is one shuffle-join keyed on node id. At
-    web scale (components can chain), swap in the large-star/small-star
-    contraction (Kiveris et al. '14), which converges in O(log n) rounds
-    over the same join primitive — the per-round plan is identical, so
-    this implementation is the drop-in scaffold for it.
-
-    Returns (id, canonical_id) for every node that appears in ``pairs``.
-    """
+def _min_label_propagation(pairs: DataFrame, id_a: str, id_b: str,
+                           max_iter: int) -> tuple[DataFrame, int]:
+    """Minimum-label propagation: every round each node adopts
+    min(own label, neighbors' labels). One shuffle-join per round;
+    converges in O(component diameter) rounds. Returns (labels, rounds)."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
     labels = (edges.select(F.col("src").alias("id"))
               .union(edges.select("dst")).distinct()
               .withColumn("label", F.col("id")))
-    converged = False
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         nbr = (sym.join(labels, sym.dst == labels.id)
                .groupBy("src").agg(F.min("label").alias("nbr_min")))
         merged = (labels.join(nbr, labels.id == nbr.src, "left")
@@ -223,16 +210,103 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         merged = merged.localCheckpoint(eager=True)  # cut lineage per round
         labels = merged
         if merged.where(F.col("label") != F.col("old_label")).isEmpty():
-            converged = True
-            break
-    if not converged:
-        # returning here would silently hand back MULTIPLE canonical ids for
-        # one component (partial propagation) — fail loudly instead
+            return labels.select("id", F.col("label").alias("canonical_id")), rounds
+    return None, max_iter  # non-converged sentinel — caller raises
+
+
+def _star_contraction(pairs: DataFrame, id_a: str, id_b: str,
+                      max_iter: int) -> tuple[DataFrame, int]:
+    """Large-star/small-star contraction (Kiveris et al. '14, "Connected
+    Components in MapReduce and Beyond"): alternate
+
+    - LARGE-STAR: every node u links each strictly-larger neighbor to
+      m = min(N(u) ∪ {u}) — emit (v, m) for v ∈ N(u), v > u;
+    - SMALL-STAR: orient edges toward the larger endpoint (u > v), then
+      u re-links its smaller neighborhood (and itself) to m = min(N(u)):
+      emit (x, m) for x ∈ N(u) ∪ {u}, x ≠ m;
+
+    until the edge set is stable. Converges in O(log n) rounds — the
+    scale answer for chain-shaped near-dup graphs where propagation's
+    O(diameter) stalls. Each half-round is one groupBy + one join on node
+    id, the same shuffle primitive as propagation. At convergence every
+    non-root node holds exactly one edge to its component minimum.
+    Returns (labels-for-edge-nodes, rounds); roots are re-attached by the
+    caller.
+    """
+    # canonical undirected edge set, self-loops dropped
+    edges = (pairs.select(F.least(id_a, id_b).alias("lo"),
+                          F.greatest(id_a, id_b).alias("hi"))
+             .where(F.col("lo") != F.col("hi")).distinct()
+             .localCheckpoint(eager=True))
+    for rounds in range(1, max_iter + 1):
+        # -- large-star: u's neighborhood from BOTH orientations
+        sym = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")) \
+            .union(edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (sym.join(mins, "u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.least("v", "m").alias("lo"),
+                         F.greatest("v", "m").alias("hi"))
+                 .where(F.col("lo") != F.col("hi")).distinct())
+        # -- small-star: orient toward the larger endpoint; u = hi, N(u) = lo.
+        # Emit (m, x) for x ∈ N(u) ∪ {u}, x ≠ m — as a join, never a
+        # collect_set (a hub's neighborhood must not materialize in one row)
+        mins_s = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        relink = (large.join(mins_s, "hi")
+                  .where(F.col("lo") != F.col("m"))
+                  .select(F.col("m").alias("lo"), F.col("lo").alias("hi")))
+        self_link = mins_s.select(F.col("m").alias("lo"), "hi")
+        small = relink.union(self_link).distinct().localCheckpoint(eager=True)
+        # both sides are DISTINCT sets: equal counts + one-direction except
+        # empty ⟺ set equality (saves an anti-join per round)
+        if small.count() == edges.count() and small.exceptAll(edges).isEmpty():
+            return small.select(F.col("hi").alias("id"),
+                                F.col("lo").alias("canonical_id")), rounds
+        edges = small
+    return None, max_iter
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iter: int = 20,
+                   algorithm: str = "star") -> DataFrame:
+    """Connected components over near-duplicate PAIRS → one canonical id
+    (the component minimum) per member — the step that turns pairwise
+    near-dup output into keep/drop decisions for a corpus.
+
+    ``algorithm="star"`` (default) runs large-star/small-star contraction,
+    O(log n) rounds — the 100 TB path. ``algorithm="propagation"`` runs
+    plain min-label propagation, O(diameter) rounds — kept as the simple
+    twin for small/star-shaped graphs. Both produce identical output.
+
+    Raises ValueError if the round budget is exhausted before convergence
+    (a silent partial result would hand back multiple canonical ids for
+    one component — data corruption for a dedup pipeline).
+
+    Returns (id, canonical_id) for every node that appears in ``pairs``.
+    """
+    if algorithm == "propagation":
+        labels, _ = _min_label_propagation(pairs, id_a, id_b, max_iter)
+    elif algorithm == "star":
+        star_labels, _ = _star_contraction(pairs, id_a, id_b, max_iter)
+        if star_labels is None:
+            labels = None
+        else:
+            # star labels cover non-root edge nodes; re-attach roots and
+            # any self-pair-only nodes with canonical = self
+            nodes = (pairs.select(F.col(id_a).alias("id"))
+                     .union(pairs.select(F.col(id_b).alias("id"))).distinct())
+            labels = (nodes.join(star_labels, "id", "left")
+                      .select("id", F.coalesce("canonical_id", "id")
+                              .alias("canonical_id")))
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    if labels is None:
         raise ValueError(
             f"dedup_clusters did not converge within max_iter={max_iter} "
-            f"rounds — a component's diameter exceeds the round budget; "
-            f"raise max_iter or use star-contraction for chain-shaped data")
-    return labels.select("id", F.col("label").alias("canonical_id"))
+            f"rounds ({algorithm}) — raise max_iter, or use "
+            f"algorithm='star' for chain-shaped components")
+    return labels
 
 
 # -------------------------------------------------------------- simhash ---

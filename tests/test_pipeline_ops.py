@@ -292,3 +292,20 @@ def test_dedup_clusters_raises_on_nonconvergence(spark):
         [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], ["id_a", "id_b"])
     with pytest.raises(ValueError, match="did not converge"):
         D.dedup_clusters(pairs, max_iter=1)
+
+
+def test_star_contraction_matches_propagation_fewer_rounds(spark):
+    """Large-star/small-star converges in O(log n) rounds on a chain —
+    the worst case for O(diameter) propagation — with identical output."""
+    n = 17
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, n)],
+                                  ["id_a", "id_b"])
+    _, star_rounds = D._star_contraction(pairs, "id_a", "id_b", 40)
+    _, prop_rounds = D._min_label_propagation(pairs, "id_a", "id_b", 40)
+    assert star_rounds < prop_rounds, (star_rounds, prop_rounds)
+
+    star = {r["id"]: r["canonical_id"]
+            for r in D.dedup_clusters(pairs, algorithm="star").collect()}
+    prop = {r["id"]: r["canonical_id"]
+            for r in D.dedup_clusters(pairs, algorithm="propagation").collect()}
+    assert star == prop == {i: 1 for i in range(1, n + 1)}
