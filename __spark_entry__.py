@@ -329,13 +329,19 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bda_spadochrony_spark.streaming.sources import file_stream
     from bda_spadochrony_spark.streaming.runner import run_available_now
     configure(spark)
-    stream = file_stream(spark, f"{sf_dir}/events*.parquet", EVENTS_SCHEMA)
-    agg = (stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-                 .agg(F.count(F.lit(1)).alias("cnt"),
-                      stable_round(F.avg("value"), 2).alias("avg_value"))
-                 .select(F.col("w.start").alias("window_start"), "event_type",
-                         "cnt", "avg_value"))
-    return run_available_now(spark, agg, output_mode="complete")
+    # state-sized shuffle partitions (see q_stream_join_outer)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = file_stream(spark, f"{sf_dir}/events*.parquet", EVENTS_SCHEMA)
+        agg = (stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                     .agg(F.count(F.lit(1)).alias("cnt"),
+                          stable_round(F.avg("value"), 2).alias("avg_value"))
+                     .select(F.col("w.start").alias("window_start"), "event_type",
+                             "cnt", "avg_value"))
+        return run_available_now(spark, agg, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,7 +373,7 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition, so oversized counts dominate wall time with file churn
     # (the count binds to the state store at first checkpoint)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         errors = (file_stream(spark, f"{sf_dir}/events*.parquet", EVENTS_SCHEMA)
                   .where(F.col("event_type") == "error")
@@ -408,7 +414,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bda_spadochrony_spark.streaming.runner import run_available_now
     configure(spark)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         once = file_stream(spark, f"{sf_dir}/events*.parquet", EVENTS_SCHEMA)
         twice = once.union(
@@ -448,7 +454,7 @@ def q_stream_serving_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = make_regressor("value", n_estimators=5).fit(
         assemble_vector(feats_b, cols))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         stream = file_stream(spark, f"{sf_dir}/events*.parquet", EVENTS_SCHEMA)
         feats_s = build_features(stream, "ts", "event_type", cats, prefix="et")
@@ -1008,7 +1014,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         - datetime.timedelta(minutes=2)
     # state-sized shuffle partitions (see q_stream_join_outer)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         stream = file_stream(spark, f"{sf_dir}/events*.parquet", EVENTS_SCHEMA)
         agg = windowed_agg(stream, "ts", "1 hour", keys=["event_type"],
