@@ -992,11 +992,216 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    target = F.when(F.col("n_name") == "BRAZIL", rev).otherwise(F.lit(0.0))
+    # NATION_5 exists in the synthetic nation table (the classic query's
+    # BRAZIL would make the conditional aggregate vacuously zero here)
+    target = F.when(F.col("n_name") == "NATION_5", rev).otherwise(F.lit(0.0))
     out = j.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
         stable_round(F.sum(target) / F.sum(rev), 6).alias("mkt_share"),
         stable_round(F.sum(rev), 2).alias("total_rev"))
     return sort_by(out, ["o_year"])
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — shipping priority: revenue of not-yet-shipped
+    lineitems for one market segment's orders, top 10 by revenue.
+    Dimension filters (segment, cutoff date) are pushed into both scans;
+    the deterministic top-10 uses (revenue desc, orderkey) ranking."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    j = (li.where(F.col("l_shipdate") > cutoff)
+           .join(orders.where(F.col("o_orderdate") < cutoff),
+                 li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+                 orders.o_custkey == cust.c_custkey, "left_semi"))
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"))
+    from bda_spadochrony_spark.operators.windows import ranked
+    top = ranked(agg.withColumn("__g", F.lit(1)), ["__g"],
+                 [F.col("revenue").desc(), F.col("l_orderkey").asc()], "rn")
+    return top.where(F.col("rn") <= 10).select(
+        "l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — order-priority checking: orders in one quarter with
+    at least one late lineitem (EXISTS decorrelated to a left-semi join;
+    'late' = shipped > 60 days after ordering, the same proxy the Q21
+    shape uses since the synthetic lineitem has no commit/receipt dates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    q = orders.where((F.col("o_orderdate") >= F.lit("1997-01-01")) &
+                     (F.col("o_orderdate") < F.lit("1997-04-01")))
+    late = li.join(q.select("o_orderkey", "o_orderdate"),
+                   li.l_orderkey == F.col("o_orderkey")) \
+             .where(F.col("l_shipdate") >
+                    F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")) \
+             .select("l_orderkey")
+    hit = q.join(late, q.o_orderkey == late.l_orderkey, "left_semi")
+    return sort_by(group_agg(hit, ["o_orderpriority"],
+                             [F.count(F.lit(1)).alias("order_count")]),
+                   ["o_orderpriority"])
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — local supplier volume: revenue where the customer
+    and supplier share a nation, restricted to one region and one order
+    year. Region→nation prune broadcast both dimension roles; the
+    c_nationkey = s_nationkey constraint rides the join output."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    asia_nations = nation.join(
+        F.broadcast(region.where(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey).select("n_nationkey", "n_name")
+    j = (li.join(orders.where((F.col("o_orderdate") >= F.lit("1997-01-01")) &
+                              (F.col("o_orderdate") < F.lit("1998-01-01"))),
+                 li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(supp),
+                 (li.l_suppkey == supp.s_suppkey) &
+                 (cust.c_nationkey == supp.s_nationkey))
+           .join(F.broadcast(asia_nations),
+                 supp.s_nationkey == F.col("n_nationkey")))
+    return group_agg(j, ["n_name"], [
+        stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items")])
+
+
+def q_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — forecast revenue change: a pure filter-and-sum
+    whose predicates (year, discount band, quantity cap) all push to the
+    parquet scan; the plan is scan→partial agg→final agg, zero joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.where((F.col("l_shipdate") >= F.lit("1997-01-01")) &
+                 (F.col("l_shipdate") < F.lit("1998-01-01")) &
+                 (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07) &
+                 (F.col("l_quantity") < 10))
+    return q.agg(stable_round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item reporting: per-customer lost revenue
+    from returned lineitems in one quarter, top 20 customers with their
+    nation (broadcast dims; deterministic (revenue desc, custkey) rank)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = (li.where(F.col("l_returnflag") == "R")
+           .join(orders.where((F.col("o_orderdate") >= F.lit("1997-07-01")) &
+                              (F.col("o_orderdate") < F.lit("1997-10-01"))),
+                 li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey))
+    agg = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"))
+    from bda_spadochrony_spark.operators.windows import ranked
+    top = ranked(agg.withColumn("__g", F.lit(1)), ["__g"],
+                 [F.col("revenue").desc(), F.col("c_custkey").asc()], "rn")
+    return top.where(F.col("rn") <= 20).select(
+        "c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — customer order-count distribution: LEFT OUTER join
+    customer→(non-urgent orders), per-customer count (counting the join
+    column so no-order customers count 0), then a second aggregation over
+    the counts. Two shuffles by construction — the histogram re-keys."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    no = orders.where(F.col("o_orderpriority") != "1-URGENT") \
+               .select("o_orderkey", "o_custkey")
+    per_cust = (cust.select("c_custkey")
+                .join(no, cust.c_custkey == no.o_custkey, "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return sort_by(per_cust.groupBy("c_count")
+                   .agg(F.count(F.lit(1)).alias("custdist")),
+                   ["c_count"])
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion effect: the percentage of one month's
+    revenue from one part type, via conditional aggregation over a single
+    broadcast part join (no second scan for the denominator)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.where((F.col("l_shipdate") >= F.lit("1997-09-01")) &
+                 (F.col("l_shipdate") < F.lit("1997-10-01"))) \
+          .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))
+    return j.agg(
+        stable_round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6)
+        .alias("promo_pct"),
+        stable_round(F.sum(rev), 2).alias("total_rev"))
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — supplier counts per part descriptor: distinct
+    suppliers that shipped each (brand, type, size) group, excluding
+    negative-balance suppliers (NOT IN decorrelated to a broadcast
+    anti-join), using lineitem as the part↔supplier bridge (the synthetic
+    schema has no partsupp table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    bad = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    ps = (li.select("l_partkey", "l_suppkey").dropDuplicates()
+            .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+            .join(F.broadcast(part.where(F.col("p_size") <= 25)),
+                  F.col("l_partkey") == part.p_partkey))
+    agg = ps.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    return sort_by(agg, ["supplier_cnt", "p_brand", "p_type", "p_size"],
+                   ascending=[False, True, True, True])
+
+
+def q_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume customers: orders whose total
+    lineitem quantity exceeds a threshold (IN-subquery-with-HAVING
+    decorrelated to an aggregate + join), joined back to the customer.
+    The per-order aggregate reuses the orderkey shuffle for the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("total_qty")) \
+            .where(F.col("total_qty") > 200)
+    j = (orders.join(big, orders.o_orderkey == big.l_orderkey)
+               .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+    return j.select("c_name", "c_custkey", "o_orderkey",
+                    F.col("o_orderdate"), "o_totalprice",
+                    stable_round(F.col("total_qty"), 2).alias("total_qty"))
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — global sales opportunity: customers with
+    above-average positive balance and NO recent orders (scalar subquery
+    broadcast as a 1-row cross join + NOT EXISTS as a left-anti join),
+    counted per nation."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0) \
+                  .agg(F.avg("c_acctbal").alias("avg_bal"))
+    recent = orders.where(F.col("o_orderdate") >= F.lit("2000-01-01")) \
+                   .select("o_custkey")
+    rich = cust.crossJoin(F.broadcast(avg_bal)) \
+               .where(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return sort_by(idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        stable_round(F.sum("c_acctbal"), 2).alias("totacctbal")),
+        ["c_nationkey"])
 
 
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1329,6 +1534,18 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are listed FIRST.  Long-driver-confirmed round-1 entries sit at the tail;
 # their parity is continuously re-proven by tests/test_oracle_parity.py.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- new in round 3 (no driver correctness row yet) — keep in the
+    # driver's 50-query window
+    "shipping_priority": q_shipping_priority,
+    "order_priority": q_order_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+    "revenue_change": q_revenue_change,
+    "returned_items": q_returned_items,
+    "customer_distribution": q_customer_distribution,
+    "promo_revenue": q_promo_revenue,
+    "supplier_part_counts": q_supplier_part_counts,
+    "large_volume_customer": q_large_volume_customer,
+    "idle_customers": q_idle_customers,
     # --- no driver correctness row as of round 2 (VERDICT.md "What's missing" #1)
     "late_supplier_blame": q_late_supplier_blame,
     "top_supplier": q_top_supplier,
@@ -2118,7 +2335,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "market_share": """
             SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-                   round((sum(CASE WHEN n_name = 'BRAZIL'
+                   round((sum(CASE WHEN n_name = 'NATION_5'
                                    THEN l_extendedprice * (1 - l_discount)
                                    ELSE 0.0 END)
                           / sum(l_extendedprice * (1 - l_discount))) + 1e-10, 6) AS mkt_share,
@@ -2127,6 +2344,133 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN orders   ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "shipping_priority": """
+            WITH agg AS (
+                SELECT l_orderkey, o_orderdate, o_orderpriority,
+                       round((sum(l_extendedprice * (1 - l_discount))) + 1e-06, 2)
+                           AS revenue
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_shipdate > TIMESTAMP '1998-06-01'
+                  AND o_orderdate < TIMESTAMP '1998-06-01'
+                  AND o_custkey IN (SELECT c_custkey FROM customer
+                                    WHERE c_mktsegment = 'BUILDING')
+                GROUP BY 1, 2, 3
+            )
+            SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+                SELECT *, row_number() OVER (ORDER BY revenue DESC,
+                                             l_orderkey ASC) AS rn
+                FROM agg
+            ) WHERE rn <= 10
+        """,
+        "order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   round((sum(l_extendedprice * (1 - l_discount))) + 1e-06, 2)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "revenue_change": """
+            SELECT round((sum(l_extendedprice * l_discount)) + 1e-06, 2)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 10
+        """,
+        "returned_items": """
+            WITH agg AS (
+                SELECT c_custkey, c_name, c_acctbal, n_name,
+                       round((sum(l_extendedprice * (1 - l_discount))) + 1e-06, 2)
+                           AS revenue
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation   ON c_nationkey = n_nationkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1997-07-01'
+                  AND o_orderdate <  TIMESTAMP '1997-10-01'
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
+                SELECT *, row_number() OVER (ORDER BY revenue DESC,
+                                             c_custkey ASC) AS rn
+                FROM agg
+            ) WHERE rn <= 20
+        """,
+        "customer_distribution": """
+            WITH per_cust AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN orders ON c_custkey = o_custkey
+                                AND o_orderpriority <> '1-URGENT'
+                GROUP BY 1
+            )
+            SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY 1
+        """,
+        "promo_revenue": """
+            SELECT round((100.0 * sum(CASE WHEN p_type = 'ECONOMY'
+                                           THEN l_extendedprice * (1 - l_discount)
+                                           ELSE 0.0 END)
+                          / sum(l_extendedprice * (1 - l_discount))) + 1e-10, 6)
+                       AS promo_pct,
+                   round((sum(l_extendedprice * (1 - l_discount))) + 1e-06, 2)
+                       AS total_rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l_shipdate <  TIMESTAMP '1997-10-01'
+        """,
+        "supplier_part_counts": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_size <= 25
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "large_volume_customer": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   round((total_qty) + 1e-06, 2) AS total_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                  FROM lineitem GROUP BY 1
+                  HAVING sum(l_quantity) > 200) big
+              ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "idle_customers": """
+            SELECT c_nationkey, count(*) AS numcust,
+                   round((sum(c_acctbal)) + 1e-06, 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY 1
         """,
         "stream_sliding": """
