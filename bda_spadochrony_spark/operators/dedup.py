@@ -182,6 +182,10 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
         # the single-band-collision bulk before the expensive exact check.
         min_bands = max(1, int(num_hashes * min_jaccard / 4))
         cands = cands.where(F.col("n_bands") >= min_bands)
+    # the verifier consumes the candidate frame twice (corpus semi-join +
+    # pair expansion) — checkpoint it so the LSH band join runs once; the
+    # frame is pairs-only, far smaller than the signature table
+    cands = cands.localCheckpoint(eager=False)
     verified = ngram_jaccard_pairs(df, id_col, text_col, shingle_n,
                                    candidates=cands.select("id_a", "id_b"))
     return verified.where(F.col("jaccard") >= min_jaccard)
@@ -369,6 +373,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # no .cache(): Spark's ReusedExchange shares the distinct's shuffle
     # output across the three consumers, and an operator-held cache would
     # pin executor storage for the session lifetime
+    if candidates is not None:
+        # verification mode only touches docs that appear in a candidate
+        # pair — semi-join the corpus down BEFORE shingling, so the
+        # distinct-shingle shuffle is sized to the candidate set, not the
+        # corpus (at 100 TB the candidate set is orders of magnitude
+        # smaller; callers pass an already-materialized candidate frame so
+        # this does not recompute the LSH join)
+        cand_ids = (candidates.select(F.col("id_a").alias(id_col))
+                    .union(candidates.select(F.col("id_b").alias(id_col)))
+                    .distinct())
+        df = df.join(cand_ids, id_col, "left_semi")
     sh = shingle_rows(df, id_col, text_col, shingle_n, distinct=True)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
