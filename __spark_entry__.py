@@ -1204,6 +1204,74 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_nationkey"])
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% sample of the corpus by multiplicative id hash —
+    reproducible across runs/partitionings/engines (the oracle states the
+    identical integer expression), map-only at any scale."""
+    from bda_spadochrony_spark.operators.sampling import hash_sample
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.2).select("doc_id", "lang", "source")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: downsample English to 10%, keep
+    half of everything else — the language-rebalancing step of a corpus
+    pipeline, still map-only (the stratum picks a threshold, not a
+    shuffle)."""
+    from bda_spadochrony_spark.operators.sampling import stratified_hash_sample
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_hash_sample(docs, "doc_id", "lang",
+                                 {"en": 0.1}, default_fraction=0.5)
+    return group_agg(out, ["lang"], [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc")])
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, strip non-letter/digit,
+    collapse whitespace) + per-doc token counts — the first stage of every
+    dedup/filter pipeline, pure codegen regex."""
+    from bda_spadochrony_spark.operators.text import normalize_text
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_text("text")
+    return docs.select(
+        "doc_id", norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).alias("n_tokens"),
+        F.length(norm).alias("n_chars_norm"))
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 50, stride 40) — the
+    context-window prep stage; one row per (doc, chunk) with the chunk
+    text and its token count, generated JVM-side with zero shuffle."""
+    from bda_spadochrony_spark.operators.text import chunk_documents
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", size=50, stride=40)
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus-preparation pipeline: normalize → token-bound
+    filter → exact dedup on the normalized content (keep lowest doc_id,
+    grouped on a 64-bit digest so the shuffle never carries raw text) →
+    per-language corpus stats. The end-to-end shape of an LLM data-prep
+    job; every stage is an engine operator."""
+    from bda_spadochrony_spark.operators.text import normalize_text
+    from bda_spadochrony_spark.operators.windows import ranked
+    docs = _t(spark, sf_dir, "documents")
+    norm = docs.select("doc_id", "lang", normalize_text("text").alias("ntext"))
+    feat = norm.withColumn("n_tokens", F.size(F.split("ntext", " ")))
+    kept = feat.where((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 5000))
+    # dedup: partition on the content digest (8-byte shuffle key), keep the
+    # lowest doc_id; digest grouping ≡ content grouping absent collisions
+    first = ranked(kept.withColumn("__h", F.xxhash64("ntext")),
+                   ["__h"], [F.col("doc_id").asc()], "rn") \
+        .where(F.col("rn") == 1)
+    return group_agg(first, ["lang"], [
+        F.count(F.lit(1)).alias("n_docs"),
+        stable_round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        F.sum("n_tokens").alias("total_tokens")])
+
+
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T4 sliding flavor — streaming event-time aggregate over 1-hour
     windows sliding every 30 minutes (each event lands in exactly 2
@@ -1546,6 +1614,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_part_counts": q_supplier_part_counts,
     "large_volume_customer": q_large_volume_customer,
     "idle_customers": q_idle_customers,
+    "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
+    "text_normalize": q_text_normalize,
+    "doc_chunks": q_doc_chunks,
+    "corpus_prep": q_corpus_prep,
     # --- no driver correctness row as of round 2 (VERDICT.md "What's missing" #1)
     "late_supplier_blame": q_late_supplier_blame,
     "top_supplier": q_top_supplier,
@@ -2472,6 +2545,75 @@ def _oracle_sql_literal() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY 1
+        """,
+        "hash_sample": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296
+                  < CAST(0.2 * 4294967296 AS BIGINT)
+        """,
+        "stratified_sample": """
+            SELECT lang, count(*) AS n_docs, min(doc_id) AS first_doc
+            FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296
+                  < CASE WHEN lang = 'en'
+                         THEN CAST(0.1 * 4294967296 AS BIGINT)
+                         ELSE CAST(0.5 * 4294967296 AS BIGINT) END
+            GROUP BY 1
+        """,
+        "text_normalize": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^\\pL\\pN\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+                           AS norm_text
+                FROM documents
+            )
+            SELECT doc_id, norm_text,
+                   CAST(len(string_split(norm_text, ' ')) AS INTEGER)
+                       AS n_tokens,
+                   CAST(len(norm_text) AS INTEGER) AS n_chars_norm
+            FROM norm
+        """,
+        "doc_chunks": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0, greatest(len(toks) - 1, 0),
+                                              40)) AS start
+                FROM t
+            )
+            SELECT doc_id, CAST(start / 40 AS INTEGER) AS chunk_id,
+                   array_to_string(toks[start + 1 : start + 50], ' ') AS chunk,
+                   CAST(least(50, len(toks) - start) AS INTEGER)
+                       AS chunk_tokens
+            FROM s
+        """,
+        "corpus_prep": """
+            WITH norm AS (
+                SELECT doc_id, lang,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^\\pL\\pN\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+                           AS ntext
+                FROM documents
+            ), feat AS (
+                SELECT doc_id, lang, ntext,
+                       len(string_split(ntext, ' ')) AS n_tokens
+                FROM norm
+                WHERE len(string_split(ntext, ' ')) BETWEEN 5 AND 5000
+            ), first AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY ntext
+                                                 ORDER BY doc_id) AS rn
+                    FROM feat
+                ) WHERE rn = 1
+            )
+            SELECT lang, count(*) AS n_docs,
+                   round((avg(n_tokens)) + 1e-06, 2) AS avg_tokens,
+                   sum(n_tokens) AS total_tokens
+            FROM first GROUP BY 1
         """,
         "stream_sliding": """
             WITH starts AS (

@@ -1,0 +1,57 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+``df.sample()`` is seed-stable only for a fixed partitioning — a repartition
+or a different cluster size changes which rows land where, and therefore
+which rows survive. Corpus pipelines need sampling decisions that are a pure
+function of the ROW (so reruns, backfills, and train/eval splits agree
+across jobs and engines). These operators gate each row on a multiplicative
+integer hash of its id:
+
+    bucket(id) = (id * 2654435761) mod 2^32      (Knuth's constant)
+    keep       = bucket(id) < fraction * 2^32
+
+Pure int64 arithmetic — identical in any engine (the DuckDB oracle states
+the same expression), fully codegen'd, map-only (zero shuffle at any scale),
+and O(1) per row. The multiplier is the golden-ratio constant from Knuth
+TAOCP vol. 3 §6.4; low-order id patterns (sequential ids, stride-k ids)
+spread uniformly across buckets.
+
+A salt shifts the whole sample: different salts give independent samples
+(e.g. train/holdout), the same salt reproduces the exact row set anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_KNUTH = 2654435761
+_MOD = 2 ** 32
+
+
+def hash_bucket(id_col: str | Column, salt: int = 0) -> Column:
+    """The row's deterministic bucket in [0, 2^32)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod((c + F.lit(salt)) * F.lit(_KNUTH), F.lit(_MOD))
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float,
+                salt: int = 0) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, decided per-row by the
+    id hash — reproducible across runs, partitionings, and engines."""
+    return df.where(hash_bucket(id_col, salt) < F.lit(int(fraction * _MOD)))
+
+
+def stratified_hash_sample(df: DataFrame, id_col: str, strata_col: str,
+                           fractions: dict[str, float],
+                           default_fraction: float = 0.0,
+                           salt: int = 0) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum value gets its own
+    keep-fraction (e.g. downsample dominant languages, keep the tail).
+    Same row-pure hash gate; the stratum only selects the threshold, so the
+    operator stays map-only — no per-group shuffle, unlike ``sampleBy``."""
+    thr: Column = F.lit(int(default_fraction * _MOD))
+    for value, frac in fractions.items():
+        thr = F.when(F.col(strata_col) == value,
+                     F.lit(int(frac * _MOD))).otherwise(thr)
+    return df.where(hash_bucket(id_col, salt) < thr)

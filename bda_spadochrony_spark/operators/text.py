@@ -108,6 +108,41 @@ def quality_score(df: DataFrame, text_col: str, out_col: str = "quality",
     return out
 
 
+def normalize_text(text_col: str | Column) -> Column:
+    """Canonical text normalization for dedup/filter pipelines: lowercase,
+    strip everything but letters/digits/whitespace (Unicode classes, so
+    accents and CJK survive), collapse whitespace runs, trim. Pure codegen
+    regex — map-only at any scale. The character classes are shared by
+    Java regex and RE2, so the DuckDB oracle states the same pattern."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}\s]", " "), r"\s+", " "))
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    size: int = 50, stride: int = 40) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    standard context-window prep for embedding/training pipelines. One row
+    per (doc, chunk): ``chunk_id``, the chunk text, and its token count.
+
+    sequence(0, n_tokens-1, stride) + explode generates the chunk starts
+    JVM-side; slice + array_join materializes each chunk. Map-only (the
+    explode is a generator inside the scan stage, no shuffle); output size
+    is size/stride × corpus — the caller picks the overlap budget."""
+    toks = tokens(text_col)
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)),
+                        F.lit(stride))
+    ex = df.select(F.col(id_col), toks.alias("__toks"),
+                   F.explode(starts).alias("__start"))
+    return ex.select(
+        F.col(id_col),
+        (F.col("__start") / stride).cast("int").alias("chunk_id"),
+        F.array_join(F.slice("__toks", F.col("__start") + 1, size), " ")
+        .alias("chunk"),
+        F.least(F.lit(size), F.size("__toks") - F.col("__start"))
+        .alias("chunk_tokens"))
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str,
                 window: int = 5, out_col: str = "fingerprint") -> DataFrame:
     """Document fingerprint: winnowing-style — min xxhash64 over each

@@ -309,3 +309,84 @@ def test_star_contraction_matches_propagation_fewer_rounds(spark):
     prop = {r["id"]: r["canonical_id"]
             for r in D.dedup_clusters(pairs, algorithm="propagation").collect()}
     assert star == prop == {i: 1 for i in range(1, n + 1)}
+
+
+# ------------------------------------------------- deterministic sampling --
+
+def test_hash_sample_is_partition_invariant(spark):
+    from bda_spadochrony_spark.operators import sampling as SA
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = sorted(r[0] for r in SA.hash_sample(df, "doc_id", 0.3).collect())
+    b = sorted(r[0] for r in
+               SA.hash_sample(df.repartition(7), "doc_id", 0.3).collect())
+    assert a == b and len(a) > 0
+
+
+def test_hash_sample_fraction_is_approximately_honored(spark):
+    from bda_spadochrony_spark.operators import sampling as SA
+    df = spark.range(0, 10000).withColumnRenamed("id", "doc_id")
+    n = SA.hash_sample(df, "doc_id", 0.2).count()
+    assert 0.15 * 10000 < n < 0.25 * 10000
+
+
+def test_hash_sample_salts_give_different_samples(spark):
+    from bda_spadochrony_spark.operators import sampling as SA
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = set(r[0] for r in SA.hash_sample(df, "doc_id", 0.2, salt=0).collect())
+    b = set(r[0] for r in SA.hash_sample(df, "doc_id", 0.2, salt=1).collect())
+    assert a != b
+    # independent samples overlap ~ fraction^2, not ~ fraction
+    assert len(a & b) < 0.5 * len(a)
+
+
+def test_stratified_hash_sample_respects_per_stratum_fractions(spark):
+    from bda_spadochrony_spark.operators import sampling as SA
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(8000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = SA.stratified_hash_sample(df, "doc_id", "lang",
+                                    {"en": 0.1, "de": 0.6})
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.05 * 4000 < counts["en"] < 0.15 * 4000
+    assert 0.5 * 4000 < counts["de"] < 0.7 * 4000
+
+
+def test_stratified_default_fraction_zero_drops_unknown_strata(spark):
+    from bda_spadochrony_spark.operators import sampling as SA
+    df = spark.createDataFrame([(1, "xx"), (2, "en")], ["doc_id", "lang"])
+    out = SA.stratified_hash_sample(df, "doc_id", "lang", {"en": 1.0})
+    assert [r["lang"] for r in out.collect()] == ["en"]
+
+
+# --------------------------------------------------- normalize / chunking --
+
+def test_normalize_text_strips_punct_and_collapses_whitespace(spark):
+    out = spark.createDataFrame([("HéLLo,  Wörld! 42x",)], ["t"]) \
+        .select(T.normalize_text("t").alias("n")).first()["n"]
+    assert out == "héllo wörld 42x"
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    n_tok, size, stride = 130, 50, 40
+    text = " ".join(f"w{i}" for i in range(n_tok))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    chunks = T.chunk_documents(df, "doc_id", "text", size, stride) \
+        .orderBy("chunk_id").collect()
+    # starts 0, 40, 80, 120 -> 4 chunks; last has 10 tokens
+    assert [r["chunk_id"] for r in chunks] == [0, 1, 2, 3]
+    assert chunks[0]["chunk"].split(" ")[0] == "w0"
+    assert chunks[-1]["chunk_tokens"] == n_tok - 3 * stride
+    # consecutive chunks overlap by size - stride tokens
+    c0, c1 = chunks[0]["chunk"].split(" "), chunks[1]["chunk"].split(" ")
+    assert c0[stride:] == c1[:size - stride]
+    # every token appears in at least one chunk
+    seen = set(t for r in chunks for t in r["chunk"].split(" "))
+    assert len(seen) == n_tok
+
+
+def test_chunk_documents_short_doc_yields_single_chunk(spark):
+    df = spark.createDataFrame([(7, "only three tokens")], ["doc_id", "text"])
+    rows = T.chunk_documents(df, "doc_id", "text", 50, 40).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk"] == "only three tokens"
+    assert rows[0]["chunk_tokens"] == 3
