@@ -1627,7 +1627,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantiles": q_quantiles,
     "string_funcs": q_string_funcs,
     "token_frequencies": q_token_frequencies,
-    "sketch_distinct": q_sketch_distinct,
     "pivot": q_pivot,
     "window_analytics": q_window_analytics,
     "set_ops": q_set_ops,
@@ -1675,6 +1674,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "star_join": q_star_join,
     # ---------------- driver-confirmed in rounds 1-2 ----------------
+    "sketch_distinct": q_sketch_distinct,
     "mode_event_type": q_mode_event_type,
     "hourly_with_mode": q_hourly_with_mode,
     "two_level_avg": q_two_level_avg,

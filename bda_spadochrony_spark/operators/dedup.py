@@ -22,7 +22,7 @@ whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -67,19 +67,24 @@ def shingles(text_col: str, n: int = 3) -> Column:
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                  distinct: bool = True) -> DataFrame:
     """Exploded (id, shingle) rows — the inverted-index form every scale
-    path builds on: posexplode tokens, ``lead()`` window per document to
-    stitch n consecutive tokens, optional distinct. All codegen'd row
-    expressions; the window shuffle doubles as the re-parallelization step
-    for few-file inputs (a 1-file scan otherwise runs one-core)."""
-    toks = df.select(F.col(id_col),
-                     F.posexplode(F.split(F.col(text_col), " +"))
-                     .alias("pos", "tok"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)]
-    stitched = toks.select(F.col(id_col), F.col("tok"), *leads)
-    shingle = F.concat_ws(" ", "tok", *[f"t{i}" for i in range(1, n)])
-    out = stitched.where(F.col(f"t{n-1}").isNotNull() if n > 1 else F.lit(True)) \
-                  .select(F.col(id_col), shingle.alias("shingle"))
+    path builds on. N consecutive tokens are stitched MAP-SIDE by zipping
+    the token array with its own shifted slices (arrays_zip pads the short
+    tails with null → the where() drops incomplete shingles), then exploded
+    and concatenated — all codegen, no window. An earlier lead()-window
+    formulation shuffled the full TOKEN stream and sorted per document just
+    to stitch neighbors; this shuffles only the document rows (the
+    repartition that keeps few-file inputs parallel — at 100 TB with many
+    input files Spark may also coalesce it away under AQE)."""
+    toks = F.split(F.col(text_col), " +")
+    parts = [toks.alias("s0")] + [
+        F.slice(toks, i + 1, F.size(toks)).alias(f"s{i}") for i in range(1, n)]
+    zipped = F.arrays_zip(*parts)
+    ex = df.repartition(F.col(id_col)) \
+           .select(F.col(id_col), F.explode(zipped).alias("z"))
+    out = (ex.where(F.col(f"z.s{n-1}").isNotNull() if n > 1 else F.lit(True))
+           .select(F.col(id_col),
+                   F.concat_ws(" ", *[f"z.s{i}" for i in range(n)])
+                   .alias("shingle")))
     return out.distinct() if distinct else out
 
 
@@ -99,6 +104,11 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     # array_min(transform(...)) higher-order function which is interpreted
     # per element (measured ~10× slower at 5k docs). min over the multiset
     # equals min over the set, so the distinct shuffle is skipped.
+    # hash family: num_hashes independent seeded xxhash64 evaluations.
+    # (The Kirsch-Mitzenmacher double-hashing derivation — 2 real hashes,
+    # the rest h0+i*h1 — was measured SLOWER here: ANSI mode forces a
+    # masked 32-bit domain whose extra projection outweighed the saved
+    # hashing, and the narrower family cost a marginal j≈0.5 pair.)
     ex = shingle_rows(df, id_col, text_col, shingle_n, distinct=False)
     sig = ex.groupBy(id_col).agg(
         *[F.min(F.xxhash64("shingle", F.lit(seed + i))).alias(f"h{i}")
@@ -183,9 +193,11 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
         min_bands = max(1, int(num_hashes * min_jaccard / 4))
         cands = cands.where(F.col("n_bands") >= min_bands)
     # the verifier consumes the candidate frame twice (corpus semi-join +
-    # pair expansion) — checkpoint it so the LSH band join runs once; the
-    # frame is pairs-only, far smaller than the signature table
-    cands = cands.localCheckpoint(eager=False)
+    # pair expansion); the band join recomputes, but it reads the
+    # CHECKPOINTED signatures so the recompute is just the tiny bucket
+    # join — a second checkpoint here was measured to double the cold-run
+    # cost (each localCheckpoint forces a synchronous analysis pass) for
+    # no warm-run gain
     verified = ngram_jaccard_pairs(df, id_col, text_col, shingle_n,
                                    candidates=cands.select("id_a", "id_b"))
     return verified.where(F.col("jaccard") >= min_jaccard)

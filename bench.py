@@ -57,6 +57,14 @@ HEADLINE = [
     ("min_cost_per_part", "count"),
     ("market_share", "collect"),
     ("stats_agg", "collect"),
+    # round 3 additions
+    ("shipping_priority", "collect"),
+    ("local_supplier_volume", "collect"),
+    ("customer_distribution", "collect"),
+    ("large_volume_customer", "count"),
+    ("corpus_prep", "collect"),
+    ("doc_chunks", "count"),
+    ("hash_sample", "count"),
 ]
 
 
