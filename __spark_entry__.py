@@ -344,6 +344,27 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def q_stream_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 update-mode flavor + UNWINDOWED streaming aggregation: running
+    per-event-type totals over the stream, drained with availableNow in
+    update mode. The single-file source drains as one micro-batch, so the
+    update stream emits each key exactly once with its final value — which
+    is what lets plain GROUP BY SQL oracle an update-mode stream."""
+    from bda_spadochrony_spark.streaming.sources import file_stream
+    from bda_spadochrony_spark.streaming.runner import run_available_now
+    configure(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = file_stream(spark, f"{sf_dir}/events*.parquet", EVENTS_SCHEMA)
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            stable_round(F.sum("value"), 2).alias("sum_value"))
+        return run_available_now(spark, agg, output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 — the reference's SIGNATURE operator: stream-stream FULL-OUTER
     interval join (``pyspark/stream_combined.py:190-198`` — 1-minute
@@ -1272,6 +1293,58 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens")])
 
 
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL API surface: temp views + ``spark.sql`` running a
+    multi-feature statement (CTE, join, window, aggregate) — proves a
+    reference user can drive this engine with plain SQL, not just the
+    DataFrame API. Catalyst plans it identically to the DataFrame form
+    (broadcast dim, pushed filters)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql("""
+        WITH rev AS (
+            SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS o_year,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue
+            FROM v_lineitem JOIN v_orders ON l_orderkey = o_orderkey
+            GROUP BY o_custkey, year(o_orderdate)
+        )
+        SELECT o_year, o_custkey, revenue, rk
+        FROM (SELECT o_year, o_custkey,
+                     round(revenue + 1e-06, 2) AS revenue,
+                     row_number() OVER (PARTITION BY o_year
+                                        ORDER BY round(revenue + 1e-06, 2)
+                                                 DESC,
+                                                 o_custkey ASC) AS rk
+              FROM rev)
+        WHERE rk <= 5
+    """)
+
+
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term scoring: per-document term frequency × inverse document
+    frequency, top-3 terms per document — the inverted-index scoring stage
+    of corpus search/relevance pipelines. The document-frequency aggregate
+    and the per-doc TF reuse one exploded token frame; N arrives as a
+    broadcast 1-row cross join, never a collect."""
+    from bda_spadochrony_spark.operators.text import tokens
+    from bda_spadochrony_spark.operators.windows import ranked
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dfreq, "token")
+                .crossJoin(F.broadcast(n))
+                .withColumn("tfidf", stable_round(
+                    F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)))
+    # rank on the ROUNDED score (then token) so cross-engine ln() ulp noise
+    # can't reorder near-equal terms
+    top = ranked(scored, ["doc_id"],
+                 [F.col("tfidf").desc(), F.col("token").asc()], "rk")
+    return top.where(F.col("rk") <= 3).select(
+        "doc_id", "token", "tf", "df", "tfidf", "rk")
+
+
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T4 sliding flavor — streaming event-time aggregate over 1-hour
     windows sliding every 30 minutes (each event lands in exactly 2
@@ -1619,15 +1692,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_normalize": q_text_normalize,
     "doc_chunks": q_doc_chunks,
     "corpus_prep": q_corpus_prep,
+    "sql_surface": q_sql_surface,
+    "tf_idf": q_tf_idf,
+    "stream_update": q_stream_update,
     # --- no driver correctness row as of round 2 (VERDICT.md "What's missing" #1)
     "late_supplier_blame": q_late_supplier_blame,
     "top_supplier": q_top_supplier,
     "grouping_sets": q_grouping_sets,
-    "asof_join": q_asof_join,
-    "quantiles": q_quantiles,
-    "string_funcs": q_string_funcs,
-    "token_frequencies": q_token_frequencies,
-    "pivot": q_pivot,
     "window_analytics": q_window_analytics,
     "set_ops": q_set_ops,
     "unpivot": q_unpivot,
@@ -1654,6 +1725,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- implementation touched in round 3: keep under the driver oracle
     "minhash_near_dup": q_minhash_near_dup,
     "embedding_lsh_topk": q_embedding_lsh_topk,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash_pairs": q_simhash_pairs,
     # --- streaming / ML contract surface (re-confirm every round)
     "stream_dedup": q_stream_dedup,
     "stream_serving_pipeline": q_stream_serving_pipeline,
@@ -1666,7 +1739,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_topk": q_embedding_topk,
     "exact_dedup_digest": q_exact_dedup_digest,
-    "simhash_pairs": q_simhash_pairs,
     "doc_fingerprint": q_doc_fingerprint,
     "traffic_hourly": q_traffic_hourly,
     "traffic_hourly_fused": q_traffic_hourly_fused,
@@ -1694,8 +1766,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "tz_hourly": q_tz_hourly,
     "text_stats": q_text_stats,
-    "ngram_jaccard": q_ngram_jaccard,
     "text_quality": q_text_quality,
+    "asof_join": q_asof_join,
+    "quantiles": q_quantiles,
+    "string_funcs": q_string_funcs,
+    "token_frequencies": q_token_frequencies,
+    "pivot": q_pivot,
     "ml_features": q_ml_features,
     "stock_hourly": q_stock_hourly,
     "weather_hourly": q_weather_hourly,
@@ -2545,6 +2621,54 @@ def _oracle_sql_literal() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY 1
+        """,
+        "stream_update": """
+            SELECT event_type, count(*) AS cnt,
+                   round((sum(value)) + 1e-06, 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "sql_surface": """
+            WITH rev AS (
+                SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                       sum(l_extendedprice * (1 - l_discount)) AS revenue
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY o_custkey, year(o_orderdate)
+            )
+            SELECT o_year, o_custkey, revenue, CAST(rk AS INTEGER) AS rk
+            FROM (SELECT o_year, o_custkey,
+                         round(revenue + 1e-06, 2) AS revenue,
+                         row_number() OVER (PARTITION BY o_year
+                                            ORDER BY round(revenue + 1e-06, 2)
+                                                     DESC,
+                                                     o_custkey ASC) AS rk
+                  FROM rev)
+            WHERE rk <= 5
+        """,
+        "tf_idf": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS token
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+            ), dfreq AS (
+                SELECT token, count(*) AS df FROM tf GROUP BY 1
+            ), n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT doc_id, token, tf, df, tfidf, CAST(rk AS INTEGER) AS rk
+            FROM (
+                SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                       round((tf.tf * ln(CAST(n_docs AS DOUBLE) / dfreq.df))
+                             + 1e-10, 6) AS tfidf,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY round((tf.tf * ln(CAST(n_docs AS DOUBLE)
+                                                      / dfreq.df))
+                                          + 1e-10, 6) DESC,
+                                    tf.token ASC) AS rk
+                FROM tf JOIN dfreq USING (token) CROSS JOIN n
+            )
+            WHERE rk <= 3
         """,
         "hash_sample": """
             SELECT doc_id, lang, source FROM documents

@@ -138,3 +138,63 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
         raise NotImplementedError("real frame extraction needs a video library")
     return frames.withColumn(
         "frame_key", F.concat_ws(":", F.col("media_id"), F.col("frame_ms")))
+
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("duration_ms", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("rms_level", LongType()),       # 0-255 proxy
+])
+
+
+def _decode_audio_bytes(payload: bytes, duration_ms, fake: bool):
+    if not fake:
+        # real decode behind an optional import, mirroring the image path:
+        # soundfile/librosa when present, the documented stub error otherwise
+        try:
+            import io
+
+            import soundfile  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "audio decoding requires soundfile/librosa, not present in "
+                "this environment; pass fake=True for the deterministic stub"
+            ) from exc
+        data, rate = soundfile.read(io.BytesIO(payload))
+        import numpy as np
+        return {"n_bytes": len(payload or b""),
+                "duration_ms": int(1000 * len(data) / rate),
+                "sample_rate": int(rate),
+                "rms_level": int(255 * float(np.sqrt((data ** 2).mean())))}
+    # deterministic fake: rate/level derived from bytes, duration passed
+    # through the typed metadata column (the real header field). A null
+    # metadata cell arrives as pandas NaN, not None — the self-equality
+    # check catches both.
+    n = len(payload or b"")
+    has_dur = duration_ms is not None and duration_ms == duration_ms
+    return {
+        "n_bytes": n,
+        "duration_ms": int(duration_ms) if has_dur else None,
+        "sample_rate": 8000 * ((n % 6) + 1),
+        "rms_level": (sum(payload[:64]) // max(min(n, 64), 1)) if n else 0,
+    }
+
+
+def extract_audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Audio twin of ``extract_image_features``: map-only Arrow-batched
+    feature extraction (duration, sample rate, RMS level) over opaque
+    audio payloads; same iterator protocol, same batch-bounded memory."""
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        for pdf in batches:
+            feats = [_decode_audio_bytes(p, d, fake)
+                     for p, d in zip(pdf["payload"], pdf["duration_ms"])]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return (df.where(F.col("kind") == "audio")
+              .select("media_id", "payload", "duration_ms")
+              .mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA))

@@ -65,6 +65,8 @@ HEADLINE = [
     ("corpus_prep", "collect"),
     ("doc_chunks", "count"),
     ("hash_sample", "count"),
+    ("tf_idf", "count"),
+    ("sql_surface", "collect"),
 ]
 
 

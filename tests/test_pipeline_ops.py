@@ -390,3 +390,18 @@ def test_chunk_documents_short_doc_yields_single_chunk(spark):
     assert len(rows) == 1
     assert rows[0]["chunk"] == "only three tokens"
     assert rows[0]["chunk_tokens"] == 3
+
+
+def test_multimodal_audio_features(spark):
+    rows = [(1, "audio", "audio/fake", bytes(range(10)), None, None, 2500),
+            (2, "image", "image/fake", b"\x01", None, None, None),
+            (3, "audio", "audio/fake", b"", None, None, None)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           M.extract_audio_features(df, fake=True).collect()}
+    assert set(out) == {1, 3}                      # image row filtered out
+    assert out[1]["n_bytes"] == 10
+    assert out[1]["duration_ms"] == 2500           # metadata passthrough
+    assert out[1]["sample_rate"] == 8000 * ((10 % 6) + 1)
+    assert out[1]["rms_level"] == sum(range(10)) // 10
+    assert out[3]["n_bytes"] == 0 and out[3]["duration_ms"] is None
