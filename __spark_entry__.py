@@ -258,6 +258,24 @@ def q_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("err_id", "click_id", "err_user")
 
 
+def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 scale flavor — interval join with NO equality key (every error
+    matched to every click within ±2 min, across all users): the
+    tolerance-width bin bucketing turns the would-be nested-loop into an
+    equi hash join (3 candidate bins per left row), with the exact range
+    refined post-join."""
+    from bda_spadochrony_spark.operators.joins import binned_interval_join
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error") \
+               .select(F.col("event_id").alias("err_id"),
+                       F.col("ts").alias("err_ts"))
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select(F.col("event_id").alias("click_id"),
+                       F.col("ts").alias("click_ts"))
+    j = binned_interval_join(errors, clicks, "err_ts", "click_ts", 120.0)
+    return j.select("err_id", "click_id")
+
+
 def q_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed top-k per group (partitioned row_number — the scale-safe
     alternative to a global sort; SURVEY §2.5 absent-ops row)."""
@@ -1695,6 +1713,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_surface": q_sql_surface,
     "tf_idf": q_tf_idf,
     "stream_update": q_stream_update,
+    "interval_join_binned": q_interval_join_binned,
     # --- no driver correctness row as of round 2 (VERDICT.md "What's missing" #1)
     "late_supplier_blame": q_late_supplier_blame,
     "top_supplier": q_top_supplier,
@@ -1726,7 +1745,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dup": q_minhash_near_dup,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "ngram_jaccard": q_ngram_jaccard,
-    "simhash_pairs": q_simhash_pairs,
     # --- streaming / ML contract surface (re-confirm every round)
     "stream_dedup": q_stream_dedup,
     "stream_serving_pipeline": q_stream_serving_pipeline,
@@ -1739,6 +1757,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_topk": q_embedding_topk,
     "exact_dedup_digest": q_exact_dedup_digest,
+    "simhash_pairs": q_simhash_pairs,
     "doc_fingerprint": q_doc_fingerprint,
     "traffic_hourly": q_traffic_hourly,
     "traffic_hourly_fused": q_traffic_hourly_fused,
@@ -2621,6 +2640,13 @@ def _oracle_sql_literal() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY 1
+        """,
+        "interval_join_binned": """
+            SELECT e.event_id AS err_id, c.event_id AS click_id
+            FROM events e JOIN events c
+              ON e.event_type = 'error' AND c.event_type = 'click'
+             AND c.ts >= e.ts - INTERVAL 120 SECOND
+             AND c.ts <= e.ts + INTERVAL 120 SECOND
         """,
         "stream_update": """
             SELECT event_type, count(*) AS cnt,

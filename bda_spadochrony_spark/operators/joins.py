@@ -67,6 +67,38 @@ def interval_join(left: DataFrame, right: DataFrame,
     return left.join(right, on=cond, how=how)
 
 
+def binned_interval_join(left: DataFrame, right: DataFrame,
+                         left_ts: str, right_ts: str,
+                         tolerance_seconds: float = 30.0,
+                         extra_eq: list[tuple[str, str]] | None = None) -> DataFrame:
+    """Scale path for the interval join WITHOUT an equality conjunct.
+
+    ``interval_join`` hands Catalyst a pure range predicate; with no equi
+    key that plans as a nested-loop — quadratic, a non-starter at 100 TB.
+    This variant buckets both sides into tolerance-width time bins and
+    equi-joins on the bin: a right row within ±tol of a left row lands in
+    the left row's bin or an adjacent one, so the LEFT side explodes to
+    its 3 candidate bins (3× one side, never |L|×|R|) and the exact range
+    predicate refines after the hash join. Each qualifying pair matches on
+    exactly one bin value, so no dedup is needed. Inner-join semantics
+    (identical rows to ``interval_join(..., how="inner")``)."""
+    tol_ms = int(round(tolerance_seconds * 1000))
+    bin_ms = F.lit(tol_ms)
+    l_ms = (F.col(left_ts).cast("double") * 1000).cast("long")
+    r_ms = (F.col(right_ts).cast("double") * 1000).cast("long")
+    l = left.withColumn("__bin", F.explode(F.array(
+        F.floor(l_ms / bin_ms) - 1, F.floor(l_ms / bin_ms),
+        F.floor(l_ms / bin_ms) + 1)))
+    r = right.withColumn("__bin", F.floor(r_ms / bin_ms))
+    tol = f"interval {tol_ms} milliseconds"
+    cond = (l["__bin"] == r["__bin"]) & \
+           (F.col(right_ts) >= F.expr(f"{left_ts} - {tol}")) & \
+           (F.col(right_ts) <= F.expr(f"{left_ts} + {tol}"))
+    for lcol, rcol in (extra_eq or []):
+        cond = cond & (F.col(lcol) == F.col(rcol))
+    return l.join(r, on=cond, how="inner").drop("__bin")
+
+
 def as_of_align(left: DataFrame, right: DataFrame, left_ts: str, right_ts: str,
                 grain: str = "minute", how: str = "inner") -> DataFrame:
     """Truncation-based temporal alignment (J5; reference aligns weather

@@ -154,3 +154,47 @@ def test_asof_join_rejects_overlapping_columns(spark):
     r = spark.createDataFrame([("u", datetime(2024, 1, 1), 5)], ["k", "ts", "v"])
     with _pytest.raises(ValueError, match="both sides"):
         asof_join(l, r, "ts", "ts", by=["k"])
+
+
+def test_binned_interval_join_matches_naive_and_avoids_nested_loop(spark):
+    """The bin-bucketed interval join must return exactly the naive range
+    join's rows while planning as a hash join (no BroadcastNestedLoop /
+    CartesianProduct) even though there is no natural equality key."""
+    import datetime
+    from bda_spadochrony_spark.operators.joins import (binned_interval_join,
+                                                       interval_join)
+    base = datetime.datetime(2024, 1, 1)
+    lrows = [(i, base + datetime.timedelta(seconds=17 * i)) for i in range(80)]
+    rrows = [(1000 + i, base + datetime.timedelta(seconds=11 * i + 5))
+             for i in range(120)]
+    left = spark.createDataFrame(lrows, ["l_id", "l_ts"])
+    right = spark.createDataFrame(rrows, ["r_id", "r_ts"])
+    binned = binned_interval_join(left, right, "l_ts", "r_ts", 30.0) \
+        .select("l_id", "r_id")
+    naive = interval_join(left, right, "l_ts", "r_ts", 30.0, how="inner") \
+        .select("l_id", "r_id")
+    a = sorted(map(tuple, binned.collect()))
+    b = sorted(map(tuple, naive.collect()))
+    assert a == b and len(a) > 0
+    plan = binned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_binned_interval_join_boundary_pairs_included(spark):
+    """Rows exactly at ±tolerance and rows one bin apart must be kept;
+    rows just past the bound dropped."""
+    import datetime
+    from bda_spadochrony_spark.operators.joins import binned_interval_join
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, t0)], ["l_id", "l_ts"])
+    right = spark.createDataFrame(
+        [(10, t0 - datetime.timedelta(seconds=30)),   # at -tol: keep
+         (11, t0 + datetime.timedelta(seconds=30)),   # at +tol: keep
+         (12, t0 + datetime.timedelta(seconds=31)),   # past: drop
+         (13, t0)],                                   # same instant: keep
+        ["r_id", "r_ts"])
+    got = sorted(r["r_id"] for r in
+                 binned_interval_join(left, right, "l_ts", "r_ts", 30.0)
+                 .collect())
+    assert got == [10, 11, 13]
