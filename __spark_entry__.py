@@ -556,6 +556,16 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs, "doc_id", "text").select("doc_id", "fingerprint")
 
 
+def q_doc_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable fingerprint twin: min-md5 over sliding 5-token
+    windows (winnowing's select-the-minimum rule, document-wide). md5 and
+    string ordering are engine-independent, so unlike the xxhash64 variant
+    this one is fully oracled against DuckDB."""
+    from bda_spadochrony_spark.operators.text import fingerprint_md5
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint_md5(docs, "doc_id", "text").select("doc_id", "fingerprint")
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors per embedding (exact ANN
     baseline): distributed block matmul — corpus×query tiles meet in
@@ -782,15 +792,20 @@ def q_random_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator — per-user event sessions closed
     by a 30-minute inactivity gap, via applyInPandasWithState with
-    event-time timeouts. Not SQL-expressible (incremental state machine)
-    → rows-only check; exact semantics unit-tested."""
+    event-time timeouts. The incremental state machine IS SQL-verifiable
+    after an availableNow drain: emitted rows = gaps-and-islands sessions
+    minus the still-open ones, i.e. every non-final session per user plus
+    each user's final session iff the final event-time watermark
+    (max ts − 10 min) strictly passed its timeout (last event + gap)."""
     from bda_spadochrony_spark.streaming.sources import file_stream
     from bda_spadochrony_spark.streaming.stateful import sessionize
     from bda_spadochrony_spark.streaming.runner import run_available_now
     configure(spark)
     stream = file_stream(spark, f"{sf_dir}/events*.parquet", EVENTS_SCHEMA)
-    return run_available_now(spark, sessionize(stream, gap_seconds=1800),
-                             timeout_s=300)
+    out = run_available_now(spark, sessionize(stream, gap_seconds=1800),
+                            timeout_s=300)
+    return out.select("user_id", "session_start", "session_end", "n_events",
+                      stable_round(F.col("sum_value"), 2).alias("sum_value"))
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1693,8 +1708,61 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are listed FIRST.  Long-driver-confirmed round-1 entries sit at the tail;
 # their parity is continuously re-proven by tests/test_oracle_parity.py.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- new in round 3 (no driver correctness row yet) — keep in the
-    # driver's 50-query window
+    # --- round-4 window: new oracles (doc_fingerprint_md5, sessionize),
+    # the corpus_prep hash fix, and every implementation touched this
+    # round, followed by queries whose last driver row is from rounds 1-2
+    # (rotated back under the driver oracle after two rounds out)
+    "doc_fingerprint_md5": q_doc_fingerprint_md5,
+    "sessionize": q_sessionize,
+    "corpus_prep": q_corpus_prep,
+    "interval_join_binned": q_interval_join_binned,
+    "minhash_near_dup": q_minhash_near_dup,
+    "stream_hourly": q_stream_hourly,
+    "stream_join_outer": q_stream_join_outer,
+    "session_window": q_session_window,
+    "random_split_counts": q_random_split_counts,
+    "ml_train_eval": q_ml_train_eval,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_topk": q_embedding_topk,
+    "exact_dedup_digest": q_exact_dedup_digest,
+    "simhash_pairs": q_simhash_pairs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "traffic_hourly": q_traffic_hourly,
+    "traffic_hourly_fused": q_traffic_hourly_fused,
+    "hourly_agg": q_hourly_agg,
+    "pricing_summary": q_pricing_summary,
+    "star_join": q_star_join,
+    "sketch_distinct": q_sketch_distinct,
+    "mode_event_type": q_mode_event_type,
+    "hourly_with_mode": q_hourly_with_mode,
+    "two_level_avg": q_two_level_avg,
+    "null_skipping_agg": q_null_skipping_agg,
+    "filtered_hourly": q_filtered_hourly,
+    "range_window_sum": q_range_window_sum,
+    "union_drift": q_union_drift,
+    "json_payload": q_json_payload,
+    "asof_minute_join": q_asof_minute_join,
+    "interval_join_batch": q_interval_join_batch,
+    "top_k_per_group": q_top_k_per_group,
+    "tz_hourly": q_tz_hourly,
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "asof_join": q_asof_join,
+    "quantiles": q_quantiles,
+    "string_funcs": q_string_funcs,
+    "token_frequencies": q_token_frequencies,
+    "pivot": q_pivot,
+    "ml_features": q_ml_features,
+    "stock_hourly": q_stock_hourly,
+    "weather_hourly": q_weather_hourly,
+    "range_window_partitioned": q_range_window_partitioned,
+    "rollup_agg": q_rollup_agg,
+    "cube_agg": q_cube_agg,
+    "distinct_agg": q_distinct_agg,
+    "volume_shipping": q_volume_shipping,
+    "small_qty_revenue": q_small_qty_revenue,
+    "exact_dedup": q_exact_dedup,
+    # ---------------- driver-confirmed in round 3 ----------------
     "shipping_priority": q_shipping_priority,
     "order_priority": q_order_priority,
     "local_supplier_volume": q_local_supplier_volume,
@@ -1709,12 +1777,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "text_normalize": q_text_normalize,
     "doc_chunks": q_doc_chunks,
-    "corpus_prep": q_corpus_prep,
     "sql_surface": q_sql_surface,
     "tf_idf": q_tf_idf,
     "stream_update": q_stream_update,
-    "interval_join_binned": q_interval_join_binned,
-    # --- no driver correctness row as of round 2 (VERDICT.md "What's missing" #1)
     "late_supplier_blame": q_late_supplier_blame,
     "top_supplier": q_top_supplier,
     "grouping_sets": q_grouping_sets,
@@ -1741,67 +1806,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_funcs": q_hash_funcs,
     "dedup_clusters": q_dedup_clusters,
     "multimodal_features": q_multimodal_features,
-    # --- implementation touched in round 3: keep under the driver oracle
-    "minhash_near_dup": q_minhash_near_dup,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "ngram_jaccard": q_ngram_jaccard,
-    # --- streaming / ML contract surface (re-confirm every round)
     "stream_dedup": q_stream_dedup,
     "stream_serving_pipeline": q_stream_serving_pipeline,
-    "stream_hourly": q_stream_hourly,
-    "stream_join_outer": q_stream_join_outer,
-    "session_window": q_session_window,
-    "sessionize": q_sessionize,
-    "random_split_counts": q_random_split_counts,
-    "ml_train_eval": q_ml_train_eval,
-    "embedding_ivf_topk": q_embedding_ivf_topk,
-    "embedding_topk": q_embedding_topk,
-    "exact_dedup_digest": q_exact_dedup_digest,
-    "simhash_pairs": q_simhash_pairs,
-    "doc_fingerprint": q_doc_fingerprint,
-    "traffic_hourly": q_traffic_hourly,
-    "traffic_hourly_fused": q_traffic_hourly_fused,
-    "hourly_agg": q_hourly_agg,
-    "pricing_summary": q_pricing_summary,
-    "star_join": q_star_join,
-    # ---------------- driver-confirmed in rounds 1-2 ----------------
-    "sketch_distinct": q_sketch_distinct,
-    "mode_event_type": q_mode_event_type,
-    "hourly_with_mode": q_hourly_with_mode,
-    "two_level_avg": q_two_level_avg,
-    "null_skipping_agg": q_null_skipping_agg,
-    "filtered_hourly": q_filtered_hourly,
-    "range_window_sum": q_range_window_sum,
-    "union_drift": q_union_drift,
     "conform_schema": q_conform_schema,
     "onehot_features": q_onehot_features,
     "calendar_features": q_calendar_features,
     "interval_shift": q_interval_shift,
     "serving_keys": q_serving_keys,
-    "json_payload": q_json_payload,
-    "asof_minute_join": q_asof_minute_join,
-    "interval_join_batch": q_interval_join_batch,
-    "top_k_per_group": q_top_k_per_group,
-    "exact_dedup": q_exact_dedup,
-    "tz_hourly": q_tz_hourly,
-    "text_stats": q_text_stats,
-    "text_quality": q_text_quality,
-    "asof_join": q_asof_join,
-    "quantiles": q_quantiles,
-    "string_funcs": q_string_funcs,
-    "token_frequencies": q_token_frequencies,
-    "pivot": q_pivot,
-    "ml_features": q_ml_features,
-    "stock_hourly": q_stock_hourly,
-    "weather_hourly": q_weather_hourly,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
-    "range_window_partitioned": q_range_window_partitioned,
-    "rollup_agg": q_rollup_agg,
-    "cube_agg": q_cube_agg,
-    "distinct_agg": q_distinct_agg,
-    "volume_shipping": q_volume_shipping,
-    "small_qty_revenue": q_small_qty_revenue,
 }
 
 
@@ -2352,6 +2367,47 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round((sum(value)) + 1e-06, 2) AS sum_value
             FROM grp GROUP BY user_id, sid
         """,
+        "sessionize": """
+            WITH marked AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), grp AS (
+                SELECT user_id, ts, value,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            ), sess AS (
+                SELECT user_id, min(ts) AS session_start,
+                       max(ts) AS session_end,
+                       count(*) AS n_events,
+                       round((sum(value)) + 1e-06, 2) AS sum_value
+                FROM grp GROUP BY user_id, sid
+            )
+            -- the stateful operator emits only CLOSED sessions: every
+            -- non-final session per user (closed inline by the next event)
+            -- plus the final one iff the end-of-stream watermark
+            -- (max ts - 10 min) STRICTLY passed last_event + 30 min gap
+            SELECT user_id, session_start, session_end, n_events, sum_value
+            FROM sess
+            WHERE session_end < (SELECT max(session_end) FROM sess s2
+                                 WHERE s2.user_id = sess.user_id)
+               OR session_end + INTERVAL 30 MINUTE
+                  < (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+        """,
+        "doc_fingerprint_md5": """
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 5
+                        THEN list_min([md5(array_to_string(toks[i:i+4], ' '))
+                                       for i in range(1, len(toks) - 5 + 2)])
+                        ELSE md5(lower(trim(text))) END AS fingerprint
+            FROM (SELECT doc_id, text,
+                         string_split_regex(lower(trim(text)), '\\s+') AS toks
+                  FROM documents)
+        """,
         "volume_shipping": """
             SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
                    round((sum(l_extendedprice * (1 - l_discount))) + 1e-06, 2) AS revenue,
@@ -2762,7 +2818,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT lang, count(*) AS n_docs,
                    round((avg(n_tokens)) + 1e-06, 2) AS avg_tokens,
-                   sum(n_tokens) AS total_tokens
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
             FROM first GROUP BY 1
         """,
         "stream_sliding": """

@@ -84,8 +84,10 @@ def binned_interval_join(left: DataFrame, right: DataFrame,
     (identical rows to ``interval_join(..., how="inner")``)."""
     tol_ms = int(round(tolerance_seconds * 1000))
     bin_ms = F.lit(tol_ms)
-    l_ms = (F.col(left_ts).cast("double") * 1000).cast("long")
-    r_ms = (F.col(right_ts).cast("double") * 1000).cast("long")
+    # cast via timestamp_ltz: NTZ → double is an analysis error, and with
+    # the session tz pinned to UTC the NTZ→LTZ cast is value-preserving
+    l_ms = (F.col(left_ts).cast("timestamp_ltz").cast("double") * 1000).cast("long")
+    r_ms = (F.col(right_ts).cast("timestamp_ltz").cast("double") * 1000).cast("long")
     l = left.withColumn("__bin", F.explode(F.array(
         F.floor(l_ms / bin_ms) - 1, F.floor(l_ms / bin_ms),
         F.floor(l_ms / bin_ms) + 1)))

@@ -158,3 +158,26 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str,
                      lambda acc, h: acc.bitwiseXOR(h))
     return df.withColumn(out_col, F.when(F.size(toks) >= window, fp)
                          .otherwise(F.xxhash64(F.lower(F.trim(F.col(text_col))))))
+
+
+def fingerprint_md5(df: DataFrame, id_col: str, text_col: str,
+                    window: int = 5, out_col: str = "fingerprint") -> DataFrame:
+    """Engine-portable fingerprint twin of ``fingerprint``: the document's
+    fingerprint is the lexicographic MIN of the md5 hex digests of each
+    sliding token window — the winnowing 'select the minimum hash' rule
+    applied document-wide. md5-on-UTF-8 and string ordering are identical
+    across engines (unlike xxhash64), so this variant is exactly
+    reproducible in ANSI SQL / DuckDB for cross-engine verification.
+    Short docs (< ``window`` tokens) fall back to md5 of the normalized
+    text. Same codegen properties as ``fingerprint``: map-only, no shuffle.
+    """
+    toks = tokens(text_col)
+    win_hashes = F.filter(
+        F.transform(toks, lambda _, i: F.when(
+            i + window <= F.size(toks),
+            F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))))),
+        lambda x: x.isNotNull())
+    return df.withColumn(
+        out_col,
+        F.when(F.size(toks) >= window, F.array_min(win_hashes))
+        .otherwise(F.md5(F.lower(F.trim(F.col(text_col))))))

@@ -34,6 +34,11 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.streaming.schemaInference": "false",
     # testdata parquet stores TIMESTAMP(NANOS); read as long, convert in scan
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # parquet TIMESTAMP(isAdjustedToUTC=false) reads as TIMESTAMP_NTZ under
+    # Spark 4 defaults; pin to LTZ so every session (ours and the driver's)
+    # sees one timestamp type — with the session tz fixed to UTC the values
+    # are identical, but NTZ rejects casts LTZ allows (e.g. → double)
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # write MICROS (not legacy INT96) so our own output round-trips everywhere
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }

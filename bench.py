@@ -101,19 +101,22 @@ def main() -> None:
         build[name] = round(t1 - t0, 3)
         execute[name] = round(t2 - t1, 3)
 
+    # The driver captures a bounded tail of stdout and parses the final
+    # line as JSON — round 3's line (with per-query build/exec dicts
+    # inlined) overflowed that window and failed to parse. Keep the stdout
+    # line to the contract fields only, compactly encoded, and park the
+    # build/exec split in a side file for human inspection.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SPLIT.json"), "w") as fh:
+        json.dump({"build": build, "exec": execute, "sf": sf}, fh, indent=1)
+
     print(json.dumps({
-        "metric": "headline query wall time at sf (local mode)",
+        "metric": "headline wall sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        # split: 'build' = python plan construction (incl. any stream drain
-        # the builder performs), 'exec' = the timed action. build+exec ==
-        # queries (modulo rounding); streaming queries legitimately carry
-        # their cost in 'build'.
-        "build": build,
-        "exec": execute,
         "sf": sf,
-    }))
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -56,8 +56,60 @@ def duck_canonical(con, sql):
     return canonical(cur.fetchall(), cols), sorted(cols)
 
 
+def _spark_num_kind(dtype: str):
+    """Numeric 'kind' a pandas round-trip would give this Spark column.
+
+    The driver hashes stringified pandas values, so a column that is int64
+    on one side and float64 on the other hashes differently even when every
+    value is equal (3549 vs 3549.0). Spark longs stay int64; decimals stay
+    ``Decimal`` objects (stringified with trailing zeros) — flag them."""
+    if dtype in ("tinyint", "smallint", "int", "bigint", "long"):
+        return "int"
+    if dtype in ("float", "double"):
+        return "float"
+    if dtype.startswith("decimal"):
+        return "decimal"
+    return None
+
+
+def _duck_num_kind(type_name: str):
+    """Same, for a DuckDB logical type: HUGEINT (the default type of
+    sum(BIGINT)) and DECIMAL both become float64 under fetchdf(), so they
+    must pair with a Spark float column, not a long."""
+    t = type_name.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("HUGEINT", "UHUGEINT", "FLOAT", "DOUBLE", "REAL") \
+            or t.startswith("DECIMAL"):
+        return "float"
+    return None
+
+
+def assert_numeric_kinds_match(df, con, sql, name=""):
+    """Mirror the driver's dtype sensitivity: every numeric output column
+    must be int-kind on both sides or float-kind on both sides."""
+    spark_kinds = {c: _spark_num_kind(t) for c, t in df.dtypes}
+    duck_kinds = {
+        r[0]: _duck_num_kind(r[1])
+        for r in con.execute(f"DESCRIBE {sql}").fetchall()
+    }
+    for col, sk in spark_kinds.items():
+        dk = duck_kinds.get(col)
+        if sk is None or dk is None:
+            continue
+        ok = (sk == dk == "int") or (sk == "float" and dk == "float")
+        assert ok, (
+            f"{name}.{col}: spark kind {sk!r} vs duckdb kind {dk!r} — "
+            "pandas stringification will hash-mismatch (e.g. 3549 vs 3549.0);"
+            " cast the oracle (HUGEINT sums need CAST(... AS BIGINT)) or the"
+            " Spark column so both sides agree")
+
+
 def assert_query_matches_oracle(spark, con, query_fn, sql, sf_dir, name=""):
-    got, got_cols = spark_canonical(query_fn(spark, sf_dir))
+    df = query_fn(spark, sf_dir)
+    assert_numeric_kinds_match(df, con, sql, name=name)
+    got, got_cols = spark_canonical(df)
     want, want_cols = duck_canonical(con, sql)
     assert got_cols == want_cols, f"{name}: columns {got_cols} != {want_cols}"
     assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
