@@ -192,14 +192,17 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
         # the single-band-collision bulk before the expensive exact check.
         min_bands = max(1, int(num_hashes * min_jaccard / 4))
         cands = cands.where(F.col("n_bands") >= min_bands)
-    # the verifier consumes the candidate frame twice (corpus semi-join +
-    # pair expansion); the band join recomputes, but it reads the
-    # CHECKPOINTED signatures so the recompute is just the tiny bucket
-    # join — a second checkpoint here was measured to double the cold-run
-    # cost (each localCheckpoint forces a synchronous analysis pass) for
-    # no warm-run gain
+    cands = cands.select("id_a", "id_b")
+    if materialize:
+        # the verifier consumes the candidate frame three times (two
+        # branches of the corpus semi-join's id union + the pair join) —
+        # without a checkpoint each consumer re-runs the band self-join
+        # (measured ~2× the whole-pipeline cost at sf0.1; AQE never
+        # cross-stage-reuses the exchange). The frame is pairs-of-ids —
+        # tiny at any scale
+        cands = cands.localCheckpoint(eager=False)
     verified = ngram_jaccard_pairs(df, id_col, text_col, shingle_n,
-                                   candidates=cands.select("id_a", "id_b"))
+                                   candidates=cands, verify_mode="join")
     return verified.where(F.col("jaccard") >= min_jaccard)
 
 
@@ -373,18 +376,31 @@ def simhash_near_pairs(fp_df: DataFrame, id_col: str, max_hamming: int = 3,
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         shingle_n: int = 3,
                         candidates: DataFrame | None = None,
-                        min_jaccard: float = 0.0) -> DataFrame:
+                        min_jaccard: float = 0.0,
+                        verify_mode: str = "join") -> DataFrame:
     """Exact n-gram Jaccard similarity between document pairs.
 
     Without ``candidates``: all pairs sharing ≥1 shingle (explode + equi
     join on the shingle — the inverted-index pattern; shuffle is keyed on
     shingle, so stopword-like shingles are the skew risk). With
-    ``candidates`` (from LSH): verification only, via two array lookups.
-    jaccard = |A∩B| / |A∪B| computed from array_intersect/array_union sizes.
+    ``candidates`` (from LSH): verification only, over the candidate pairs.
+
+    ``verify_mode`` (candidates mode only):
+
+    - ``"join"``: expand each pair by id_a's shingle rows and count matches
+      against id_b's — never materializes a per-doc shingle array; row
+      width stays constant, best when individual documents can be huge.
+    - ``"array"``: build each candidate doc's distinct shingle ARRAY
+      (collect_set-sized to the doc itself, ~1-2× its text) and score each
+      pair with array_intersect/array_union — two doc-id-keyed joins and
+      zero pair-expansion shuffle. Fewer stages but measured SLIGHTLY
+      slower than join mode at sf0.1 (collect_set array building costs
+      more than the expansion join saves at ~50-shingle docs); it wins
+      when pairs-per-doc is high (expansion fan-out) and costs one
+      doc-sized row per candidate doc. Join mode is the default.
+
+    jaccard = |A∩B| / |A∪B| in both modes.
     """
-    # no .cache(): Spark's ReusedExchange shares the distinct's shuffle
-    # output across the three consumers, and an operator-held cache would
-    # pin executor storage for the session lifetime
     if candidates is not None:
         # verification mode only touches docs that appear in a candidate
         # pair — semi-join the corpus down BEFORE shingling, so the
@@ -396,7 +412,32 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                     .union(candidates.select(F.col("id_b").alias(id_col)))
                     .distinct())
         df = df.join(cand_ids, id_col, "left_semi")
+    if candidates is not None and verify_mode == "array":
+        # single-consumer path: NON-distinct shingle rows straight into
+        # collect_set (dedup happens inside the aggregate, map-side partial
+        # included) — no distinct exchange, no checkpoint needed
+        sh = shingle_rows(df, id_col, text_col, shingle_n, distinct=False)
+        arrs = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
+        return (candidates
+                    .join(arrs.select(F.col(id_col).alias("id_a"),
+                                      F.col("sh").alias("sh_a")), "id_a")
+                    .join(arrs.select(F.col(id_col).alias("id_b"),
+                                      F.col("sh").alias("sh_b")), "id_b")
+                    .select("id_a", "id_b",
+                            (F.size(F.array_intersect("sh_a", "sh_b")) /
+                             F.size(F.array_union("sh_a", "sh_b")))
+                            .alias("jaccard"))
+                    .where(F.col("jaccard") >= min_jaccard))
+    # no .cache(): Spark's ReusedExchange shares the distinct's shuffle
+    # output across the exhaustive path's consumers, and an operator-held
+    # cache would pin executor storage for the session lifetime
     sh = shingle_rows(df, id_col, text_col, shingle_n, distinct=True)
+    if candidates is not None:
+        # join mode has three consumers below (counts + both pair sides);
+        # AQE does not cross-stage-reuse the distinct's exchange, so
+        # checkpoint the candidate-restricted shingle frame once instead of
+        # computing it three times (candidate-sized, not corpus-sized)
+        sh = sh.localCheckpoint(eager=False)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
