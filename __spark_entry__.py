@@ -606,6 +606,33 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "q_stopword_ratio", "quality")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document (distinct-token
+    fraction, top-token fraction, duplicate-3-gram fraction) — the
+    low-quality-content filter signals for corpus prep."""
+    from bda_spadochrony_spark.operators.text import repetition_features
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_features(docs, "doc_id", "text")
+    return out.select("doc_id", "r_n_tokens", "r_distinct_token_fraction",
+                      "r_top_token_fraction", "r_dup_3gram_fraction")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL redaction pass. The corpus is synthetic word-soup with no
+    real PII, so the query plants a deterministic email/URL/digit-run per
+    document first (both engines build the identical augmented text) and
+    the scrubber must actually remove them — a non-vacuous oracle."""
+    from bda_spadochrony_spark.operators.text import pii_scrub
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com see https://ex.org/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" ref 123456789 end"))
+    return docs.select("doc_id", pii_scrub(aug).alias("scrubbed"))
+
+
 def q_ml_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1+M2+W1 composite — the reference's ML feature/target frame
     (``pyspark/ML_stock.py:87-171``): calendar + one-hot features and a
@@ -1713,6 +1740,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round, followed by queries whose last driver row is from rounds 1-2
     # (rotated back under the driver oracle after two rounds out)
     "doc_fingerprint_md5": q_doc_fingerprint_md5,
+    "repetition_stats": q_repetition_stats,
+    "pii_scrub": q_pii_scrub,
     "sessionize": q_sessionize,
     "corpus_prep": q_corpus_prep,
     "interval_join_binned": q_interval_join_binned,
@@ -1760,9 +1789,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_agg": q_cube_agg,
     "distinct_agg": q_distinct_agg,
     "volume_shipping": q_volume_shipping,
+    # ---------------- driver-confirmed in round 3 ----------------
     "small_qty_revenue": q_small_qty_revenue,
     "exact_dedup": q_exact_dedup,
-    # ---------------- driver-confirmed in round 3 ----------------
     "shipping_priority": q_shipping_priority,
     "order_priority": q_order_priority,
     "local_supplier_volume": q_local_supplier_volume,
@@ -2366,6 +2395,49 @@ def _oracle_sql_literal() -> dict[str, str]:
                    count(*) AS n_events,
                    round((sum(value)) + 1e-06, 2) AS sum_value
             FROM grp GROUP BY user_id, sid
+        """,
+        "repetition_stats": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       string_split_regex(lower(trim(text)), '\\s+') AS lt,
+                       string_split_regex(text, ' +') AS rt
+                FROM documents
+            ), tok_rows AS (
+                SELECT doc_id, unnest(lt) AS tok FROM base
+            ), per_tok AS (
+                SELECT doc_id, tok, count(*) AS c FROM tok_rows GROUP BY 1, 2
+            ), tok_stats AS (
+                SELECT doc_id, count(*) AS n_distinct, max(c) AS top_c,
+                       CAST(sum(c) AS BIGINT) AS n_tokens
+                FROM per_tok GROUP BY 1
+            ), gram_stats AS (
+                SELECT doc_id,
+                       greatest(len(rt) - 2, 0) AS n3,
+                       len(list_distinct([array_to_string(rt[i:i+2], ' ')
+                                          for i in range(1, len(rt) - 3 + 2)])) AS nd3
+                FROM base
+            )
+            SELECT b.doc_id, t.n_tokens AS r_n_tokens,
+                   round((t.n_distinct / greatest(t.n_tokens, 1)) + 1e-08, 4)
+                       AS r_distinct_token_fraction,
+                   round((t.top_c / greatest(t.n_tokens, 1)) + 1e-08, 4)
+                       AS r_top_token_fraction,
+                   round((1.0 - g.nd3 / greatest(g.n3, 1)) + 1e-08, 4)
+                       AS r_dup_3gram_fraction
+            FROM base b
+            JOIN tok_stats t USING (doc_id) JOIN gram_stats g USING (doc_id)
+        """,
+        "pii_scrub": """
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       substr(text, 1, 40) || ' contact user' ||
+                       CAST(doc_id AS VARCHAR) ||
+                       '@mail.example.com see https://ex.org/d/' ||
+                       CAST(doc_id AS VARCHAR) || ' ref 123456789 end',
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       'https?://[^\\s]+', '<URL>', 'g'),
+                       '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+            FROM documents
         """,
         "sessionize": """
             WITH marked AS (

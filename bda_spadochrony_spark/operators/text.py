@@ -108,6 +108,77 @@ def quality_score(df: DataFrame, text_col: str, out_col: str = "quality",
     return out
 
 
+def repetition_features(df: DataFrame, id_col: str, text_col: str,
+                        prefix: str = "r_") -> DataFrame:
+    """Gopher-style repetition metrics per document — the standard
+    low-quality-content signals for corpus filtering:
+
+    - ``distinct_token_fraction``: |set(tokens)| / |tokens| (low → loops)
+    - ``top_token_fraction``: occurrences of the most frequent token /
+      |tokens| (high → one token dominates)
+    - ``dup_3gram_fraction``: 1 − |set(3-grams)| / |3-grams| (high →
+      repeated phrases)
+
+    Computed via explode + two doc-keyed aggregations (codegen, map-side
+    partial aggregation; shuffle carries (doc_id, token) pairs keyed on
+    doc_id — uniform by construction, no skew). Array-HOF formulations
+    would be map-only but run interpreted per element, O(n·distinct) per
+    doc; the exploded form is the 100 TB shape.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    base = df.select(F.col(id_col), toks.alias("__toks"), n.alias("__n"))
+    tok_rows = base.select(id_col, "__n", F.explode("__toks").alias("tok"))
+    per_tok = tok_rows.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("c"), F.first("__n").alias("__n"))
+    tok_stats = per_tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+        F.first("__n").alias("n_tokens"))
+    # 3-gram repetition from the shared shingle machinery (non-distinct)
+    from bda_spadochrony_spark.operators.dedup import shingle_rows
+    g = shingle_rows(df.select(id_col, text_col), id_col, text_col, 3,
+                     distinct=False)
+    g_stats = g.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_3grams"),
+        F.count_distinct("shingle").alias("n_distinct_3grams"))
+    out = (df.join(tok_stats, id_col, "left").join(g_stats, id_col, "left")
+           .withColumns({
+               prefix + "n_tokens": F.coalesce("n_tokens", F.lit(0)),
+               prefix + "distinct_token_fraction": stable_round(
+                   F.col("n_distinct") /
+                   F.greatest(F.col("n_tokens"), F.lit(1)), 4),
+               prefix + "top_token_fraction": stable_round(
+                   F.col("top_c") /
+                   F.greatest(F.col("n_tokens"), F.lit(1)), 4),
+               prefix + "dup_3gram_fraction": stable_round(
+                   F.lit(1.0) - F.col("n_distinct_3grams") /
+                   F.greatest(F.col("n_3grams"), F.lit(1)), 4),
+           }))
+    return out.drop("n_distinct", "top_c", "n_tokens", "n_3grams",
+                    "n_distinct_3grams")
+
+
+# deterministic scrub targets, ordered: emails before URLs (an email's
+# domain must not be half-eaten by the URL rule), long digit runs last
+_PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[0-9]{6,}", "<NUM>"),
+]
+
+
+def pii_scrub(text_col: str | Column) -> Column:
+    """Scrub emails / URLs / long digit runs to typed placeholder tokens —
+    the standard pre-training redaction pass. Pure codegen regexp_replace
+    chain (map-only at any scale); the patterns avoid engine-specific
+    regex syntax so the same rules state the DuckDB oracle."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pat, repl in _PII_RULES:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def normalize_text(text_col: str | Column) -> Column:
     """Canonical text normalization for dedup/filter pipelines: lowercase,
     strip everything but letters/digits/whitespace (Unicode classes, so

@@ -358,6 +358,32 @@ def test_stratified_default_fraction_zero_drops_unknown_strata(spark):
     assert [r["lang"] for r in out.collect()] == ["en"]
 
 
+def test_repetition_features_known_values(spark):
+    # "a a a b c" -> 5 tokens, 3 distinct, top "a"×3; 3-grams:
+    # "a a a","a a b","a b c" -> all distinct -> dup fraction 0
+    # "x y x y x y" -> 6 tokens, 2 distinct, top 3; 3-grams:
+    # "x y x","y x y","x y x","y x y" -> 2 distinct of 4 -> 0.5
+    df = spark.createDataFrame(
+        [(1, "a a a b c"), (2, "x y x y x y")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in
+            T.repetition_features(df, "doc_id", "text").collect()}
+    assert rows[1]["r_n_tokens"] == 5
+    assert rows[1]["r_distinct_token_fraction"] == 0.6
+    assert rows[1]["r_top_token_fraction"] == 0.6
+    assert rows[1]["r_dup_3gram_fraction"] == 0.0
+    assert rows[2]["r_n_tokens"] == 6
+    assert abs(rows[2]["r_distinct_token_fraction"] - 2 / 6) < 1e-3
+    assert rows[2]["r_top_token_fraction"] == 0.5
+    assert rows[2]["r_dup_3gram_fraction"] == 0.5
+
+
+def test_pii_scrub_redacts_each_kind_and_leaves_text(spark):
+    raw = "mail bob.smith+x@corp.example.org at https://a.b/c?d=1 tel 12345678 ok 12345"
+    out = spark.createDataFrame([(raw,)], ["t"]) \
+        .select(T.pii_scrub("t").alias("s")).first()["s"]
+    assert out == "mail <EMAIL> at <URL> tel <NUM> ok 12345"
+
+
 # --------------------------------------------------- normalize / chunking --
 
 def test_normalize_text_strips_punct_and_collapses_whitespace(spark):
