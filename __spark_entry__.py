@@ -548,6 +548,18 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(fp, "doc_id", max_hamming=12, prefix_bits=8)
 
 
+def q_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable SimHash near-dup twin: 32-bit md5-derived
+    fingerprints, 8-bit prefix buckets, Hamming ≤ 8 — unlike the
+    xxhash64 ``simhash_pairs`` this one is fully oracled (md5 and integer
+    bit ops agree across engines)."""
+    from bda_spadochrony_spark.operators.dedup import simhash_md5, simhash_near_pairs
+    docs = _t(spark, sf_dir, "documents")
+    fp = simhash_md5(docs, "doc_id", "text", bits=32, shingle_n=2)
+    return simhash_near_pairs(fp, "doc_id", max_hamming=8, prefix_bits=8,
+                              bits=32)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash document fingerprints (xxhash64-based →
     rows-only check; dup-equality is asserted in unit tests)."""
@@ -604,6 +616,71 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.withColumn("lang_detected", detect_language("text"))
     return out.select("doc_id", "lang_detected", "q_n_tokens", "q_punct_ratio",
                       "q_stopword_ratio", "quality")
+
+
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-type profit by nation and order year
+    (reference behavior class: multi-dim join tree + derived measure,
+    ``pyspark/batch_tomtom.py``-style rollups generalized). The testdata
+    lake has no partsupp table, so supply cost is the documented proxy
+    0.6 × p_retailprice × quantity; the SHAPE (part-name filter, 4-table
+    join, profit = revenue − cost, nation×year rollup) is Q9's. Dims
+    broadcast; the fact scan carries the only shuffle (final agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    j = (li.join(F.broadcast(part.where(F.col("p_name").like("%widget%"))),
+                 li.l_partkey == part.p_partkey)
+           .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+           .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+           .join(orders, li.l_orderkey == orders.o_orderkey))
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount")) -
+              F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (j.groupBy(F.col("n_name").alias("nation"),
+                      F.year("o_orderdate").alias("o_year"))
+             .agg(stable_round(F.sum(profit), 2).alias("profit"))
+             .orderBy("nation", "o_year"))
+
+
+def q_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional priority counts per lineitem category
+    for one ship year. The lake has no l_shipmode/commitdate columns, so
+    the category is l_returnflag and the date predicate is on l_shipdate;
+    the SHAPE (fact-dimension join + CASE-bucketed counts per category)
+    is Q12's. One broadcast join, one aggregation shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = (li.where((F.col("l_shipdate") >= F.lit("1997-01-01")) &
+                  (F.col("l_shipdate") < F.lit("1998-01-01")))
+           .join(orders, li.l_orderkey == orders.o_orderkey))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (j.groupBy(F.col("l_returnflag").alias("returnflag"))
+             .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                  F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+             .orderBy("returnflag"))
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — revenue under an OR of brand/size/quantity
+    conjunct blocks (the classic disjunctive-predicate pushdown test;
+    l_shipinstruct/shipmode absent from the lake, so the blocks use the
+    available columns). Part side broadcasts; Catalyst pushes the
+    disjunction's part-only conjuncts into the part scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    block = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand) &
+        (F.col("p_size").between(1, smax)) &
+        (F.col("l_quantity").between(qlo, qhi)))
+    cond = (block("Brand#12", 5, 1, 11) | block("Brand#23", 10, 10, 20) |
+            block("Brand#34", 15, 20, 30))
+    return j.where(cond).agg(
+        stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"))
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1740,6 +1817,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round, followed by queries whose last driver row is from rounds 1-2
     # (rotated back under the driver oracle after two rounds out)
     "doc_fingerprint_md5": q_doc_fingerprint_md5,
+    "simhash_md5_pairs": q_simhash_md5_pairs,
+    "nation_profit": q_nation_profit,
+    "priority_lines": q_priority_lines,
+    "disjunctive_revenue": q_disjunctive_revenue,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "sessionize": q_sessionize,
@@ -1785,11 +1866,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stock_hourly": q_stock_hourly,
     "weather_hourly": q_weather_hourly,
     "range_window_partitioned": q_range_window_partitioned,
+    # ---------------- driver-confirmed in round 3 ----------------
+    "volume_shipping": q_volume_shipping,
     "rollup_agg": q_rollup_agg,
     "cube_agg": q_cube_agg,
     "distinct_agg": q_distinct_agg,
-    "volume_shipping": q_volume_shipping,
-    # ---------------- driver-confirmed in round 3 ----------------
     "small_qty_revenue": q_small_qty_revenue,
     "exact_dedup": q_exact_dedup,
     "shipping_priority": q_shipping_priority,
@@ -2396,6 +2477,42 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round((sum(value)) + 1e-06, 2) AS sum_value
             FROM grp GROUP BY user_id, sid
         """,
+        "nation_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round((sum(l_extendedprice * (1 - l_discount)
+                              - 0.6 * p_retailprice * l_quantity)) + 1e-06, 2)
+                       AS profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "priority_lines": """
+            SELECT l_returnflag AS returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "disjunctive_revenue": """
+            SELECT round((sum(l_extendedprice * (1 - l_discount))) + 1e-06, 2)
+                       AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
         "repetition_stats": """
             WITH base AS (
                 SELECT doc_id, text,
@@ -2469,6 +2586,37 @@ def _oracle_sql_literal() -> dict[str, str]:
                                  WHERE s2.user_id = sess.user_id)
                OR session_end + INTERVAL 30 MINUTE
                   < (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+        """,
+        "simhash_md5_pairs": """
+            WITH base AS (
+                SELECT doc_id, string_split_regex(text, ' +') AS rt
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(rt[i:i+1], ' ')
+                                      for i in range(1, len(rt) - 2 + 2)]) AS gs
+                FROM base
+            ), hrows AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) AS h
+                FROM grams, unnest(gs) AS t(g)
+            ), per_bit AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM hrows, range(32) r(b)
+                GROUP BY 1, 2
+            ), fp AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b)
+                                     ELSE 0 END) AS BIGINT) AS simhash
+                FROM per_bit GROUP BY 1
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM fp a JOIN fp b
+              ON (a.simhash >> 24) = (b.simhash >> 24)
+             AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
         """,
         "doc_fingerprint_md5": """
             SELECT doc_id,

@@ -353,14 +353,38 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64,
     return with_bits.select(F.col(id_col), fp.alias("simhash"))
 
 
+def simhash_md5(df: DataFrame, id_col: str, text_col: str,
+                bits: int = 32, shingle_n: int = 2) -> DataFrame:
+    """Engine-portable SimHash twin: the shingle hash is the first 8 md5
+    hex chars parsed base-16 (32-bit domain) instead of xxhash64, so the
+    whole fingerprint — md5, bit tests, sign sums — is exactly
+    reproducible in ANSI SQL / DuckDB for cross-engine verification.
+    Same sign-of-bit-sum construction as ``simhash``; the production
+    variant stays xxhash64/64-bit."""
+    ex = shingle_rows(df, id_col, text_col, shingle_n, distinct=True) \
+        .select(F.col(id_col),
+                F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+                .cast("long").alias("h"))
+    bit_sums = ex.groupBy(id_col).agg(
+        *[F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1,
+                       F.lit(1)).otherwise(F.lit(-1))).alias(f"s{b}")
+          for b in range(bits)])
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)) \
+                .otherwise(F.lit(0)).cast("long")
+        fp = term if fp is None else fp + term
+    return bit_sums.select(F.col(id_col), fp.alias("simhash"))
+
+
 def simhash_near_pairs(fp_df: DataFrame, id_col: str, max_hamming: int = 3,
-                       prefix_bits: int = 16) -> DataFrame:
+                       prefix_bits: int = 16, bits: int = 64) -> DataFrame:
     """Candidate pairs whose fingerprints share a ``prefix_bits`` block
     (bucketing) and differ in ≤ ``max_hamming`` bits overall. bit_count on
     XOR is a built-in — exact Hamming verification after the bucket join."""
     bucketed = fp_df.select(
         F.col(id_col), F.col("simhash"),
-        F.shiftright("simhash", 64 - prefix_bits).alias("bucket"))
+        F.shiftright("simhash", bits - prefix_bits).alias("bucket"))
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (a.join(b, on="bucket")
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
