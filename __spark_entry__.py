@@ -683,6 +683,25 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"))
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 3-gram overlap of each corpus document
+    against a held-out benchmark slice (doc_id % 97 == 0 — deterministic,
+    so both engines carve the identical benchmark)."""
+    from bda_spadochrony_spark.operators.corpus import contamination
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corp = docs.where(F.col("doc_id") % 97 != 0)
+    return contamination(corp, bench, "doc_id", "text", shingle_n=3)
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concat-and-cut context-window assignment
+    (512-token windows, 8 shards packed independently in doc-id order)."""
+    from bda_spadochrony_spark.operators.corpus import pack_documents
+    docs = _t(spark, sf_dir, "documents")
+    return pack_documents(docs, "doc_id", "text", budget=512, num_shards=8)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics per document (distinct-token
     fraction, top-token fraction, duplicate-3-gram fraction) — the
@@ -1823,6 +1842,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "disjunctive_revenue": q_disjunctive_revenue,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
+    "contamination": q_contamination,
+    "pack_documents": q_pack_documents,
     "sessionize": q_sessionize,
     "corpus_prep": q_corpus_prep,
     "interval_join_binned": q_interval_join_binned,
@@ -1864,9 +1885,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot": q_pivot,
     "ml_features": q_ml_features,
     "stock_hourly": q_stock_hourly,
+    # ---------------- driver-confirmed in round 3 ----------------
     "weather_hourly": q_weather_hourly,
     "range_window_partitioned": q_range_window_partitioned,
-    # ---------------- driver-confirmed in round 3 ----------------
     "volume_shipping": q_volume_shipping,
     "rollup_agg": q_rollup_agg,
     "cube_agg": q_cube_agg,
@@ -2512,6 +2533,55 @@ def _oracle_sql_literal() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "contamination": """
+            WITH corp AS (
+                SELECT doc_id, string_split_regex(text, ' +') AS rt
+                FROM documents WHERE doc_id % 97 <> 0
+            ), bench AS (
+                SELECT string_split_regex(text, ' +') AS rt
+                FROM documents WHERE doc_id % 97 = 0
+            ), c_sh AS (
+                SELECT DISTINCT doc_id, g AS shingle FROM (
+                    SELECT doc_id,
+                           unnest([array_to_string(rt[i:i+2], ' ')
+                                   for i in range(1, len(rt) - 3 + 2)]) AS g
+                    FROM corp)
+            ), b_sh AS (
+                SELECT DISTINCT g AS shingle FROM (
+                    SELECT unnest([array_to_string(rt[i:i+2], ' ')
+                                   for i in range(1, len(rt) - 3 + 2)]) AS g
+                    FROM bench)
+            ), totals AS (
+                SELECT doc_id, count(*) AS n_shingles FROM c_sh GROUP BY 1
+            ), hits AS (
+                SELECT doc_id, count(*) AS n_cont FROM c_sh
+                WHERE shingle IN (SELECT shingle FROM b_sh) GROUP BY 1
+            )
+            SELECT t.doc_id, t.n_shingles,
+                   COALESCE(h.n_cont, 0) AS n_contaminated,
+                   round((COALESCE(h.n_cont, 0) / greatest(t.n_shingles, 1))
+                         + 1e-08, 4) AS contamination
+            FROM totals t LEFT JOIN hits h USING (doc_id)
+        """,
+        "pack_documents": """
+            WITH base AS (
+                SELECT doc_id, doc_id % 8 AS shard,
+                       len(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS n_tokens
+                FROM documents
+            ), laid AS (
+                SELECT doc_id, shard, n_tokens,
+                       COALESCE(sum(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS start
+                FROM base
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(start // 512 AS BIGINT) AS pack_id,
+                   CAST(start % 512 AS BIGINT) AS pack_offset
+            FROM laid
         """,
         "repetition_stats": """
             WITH base AS (

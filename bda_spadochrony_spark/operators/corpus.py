@@ -1,0 +1,85 @@
+"""Corpus-assembly operators for pretraining pipelines: benchmark
+decontamination and sequence packing.
+
+Both are first-class stages in any LLM data pipeline (the reference has no
+analogue; SURVEY.md's training-data extension surface):
+
+- **Decontamination**: before training, measure each corpus document's
+  n-gram overlap against an evaluation/benchmark set and drop documents
+  whose overlap fraction exceeds a threshold — the standard guard against
+  benchmark leakage (GPT-3 appendix C / PaLM-style 'contamination' checks).
+- **Sequence packing**: pretraining consumes fixed-length token windows;
+  documents are concatenated in a deterministic order and cut every
+  ``budget`` tokens. Each document's pack assignment is a pure function of
+  the running token offset — reproducible across engines and reruns.
+
+Scale design: decontamination is an inverted-index semi-join keyed on the
+shingle (at 100 TB key the join on ``xxhash64(shingle)`` so the shuffle
+carries 8-byte digests; the string form here keeps the DuckDB oracle
+engine-portable). Packing windows over a single global order would
+serialize; the operator shards first (``doc_id % num_shards``) and packs
+within shards — embarrassingly parallel, the standard practice (each shard
+becomes one training-data stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bda_spadochrony_spark.functions.numeric import stable_round
+from bda_spadochrony_spark.operators.dedup import shingle_rows
+
+
+def contamination(corpus: DataFrame, benchmark: DataFrame, id_col: str,
+                  text_col: str, shingle_n: int = 3) -> DataFrame:
+    """Per-corpus-document benchmark contamination: the fraction of the
+    document's distinct ``shingle_n``-gram shingles that also occur
+    anywhere in ``benchmark``.
+
+    Returns (id, n_shingles, n_contaminated, contamination) — filter on
+    ``contamination`` to drop leaked documents. The benchmark shingle set
+    is deduplicated once; the overlap join is an inverted-index semi-join
+    keyed on the shingle (map-side combinable, AQE-splittable on skewed
+    boilerplate shingles).
+    """
+    c_sh = shingle_rows(corpus, id_col, text_col, shingle_n, distinct=True)
+    b_sh = (shingle_rows(benchmark, id_col, text_col, shingle_n,
+                         distinct=False)
+            .select("shingle").distinct())
+    totals = c_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (c_sh.join(b_sh, "shingle", "left_semi")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_contaminated")))
+    return (totals.join(hits, id_col, "left")
+            .select(F.col(id_col),
+                    F.col("n_shingles"),
+                    F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+                    stable_round(F.coalesce("n_contaminated", F.lit(0)) /
+                                 F.greatest(F.col("n_shingles"), F.lit(1)), 4)
+                    .alias("contamination")))
+
+
+def pack_documents(df: DataFrame, id_col: str, text_col: str,
+                   budget: int = 512, num_shards: int = 8) -> DataFrame:
+    """Concatenate-and-cut sequence packing: within each shard
+    (``id % num_shards``), documents are laid out in id order and the
+    token stream is cut every ``budget`` tokens. A document's ``pack_id``
+    is the window its FIRST token lands in; ``pack_offset`` is its token
+    offset within that window (documents longer than the remaining window
+    straddle the cut, exactly like pretraining-corpus concatenation).
+
+    One shuffle (the shard window); within a shard the running sum is a
+    single sort-based window — shards bound the sort size, so parallelism
+    is ``num_shards`` regardless of corpus size.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col),
+                     (F.col(id_col) % num_shards).alias("shard"),
+                     F.size(toks).alias("n_tokens"))
+    w = Window.partitionBy("shard").orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        id_col, "shard", "n_tokens",
+        (F.floor(start / budget)).cast("long").alias("pack_id"),
+        (start % budget).cast("long").alias("pack_offset"))

@@ -358,6 +358,36 @@ def test_stratified_default_fraction_zero_drops_unknown_strata(spark):
     assert [r["lang"] for r in out.collect()] == ["en"]
 
 
+def test_contamination_fractions(spark):
+    from bda_spadochrony_spark.operators.corpus import contamination
+    corp = spark.createDataFrame(
+        [(1, "a b c d e"),          # shingles: abc bcd cde -> 1 hit (abc)
+         (2, "x y z w v")],         # no overlap
+        ["doc_id", "text"])
+    bench = spark.createDataFrame([(9, "a b c q r")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in
+            contamination(corp, bench, "doc_id", "text", 3).collect()}
+    assert rows[1]["n_shingles"] == 3 and rows[1]["n_contaminated"] == 1
+    assert abs(rows[1]["contamination"] - 1 / 3) < 1e-3
+    assert rows[2]["n_contaminated"] == 0 and rows[2]["contamination"] == 0.0
+
+
+def test_pack_documents_offsets_and_straddle(spark):
+    from bda_spadochrony_spark.operators.corpus import pack_documents
+    # one shard; docs of 3,4,5 tokens, budget 6:
+    # id 0 starts at 0 (pack 0, off 0); id 8 starts at 3 (pack 0, off 3,
+    # straddles the cut); id 16 starts at 7 (pack 1, off 1)
+    df = spark.createDataFrame(
+        [(0, "a b c"), (8, "d e f g"), (16, "h i j k l")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in
+            pack_documents(df, "doc_id", "text", budget=6, num_shards=8).collect()}
+    assert all(r["shard"] == 0 for r in rows.values())
+    assert (rows[0]["pack_id"], rows[0]["pack_offset"]) == (0, 0)
+    assert (rows[8]["pack_id"], rows[8]["pack_offset"]) == (0, 3)
+    assert (rows[16]["pack_id"], rows[16]["pack_offset"]) == (1, 1)
+
+
 def test_repetition_features_known_values(spark):
     # "a a a b c" -> 5 tokens, 3 distinct, top "a"×3; 3-grams:
     # "a a a","a a b","a b c" -> all distinct -> dup fraction 0
