@@ -67,6 +67,15 @@ HEADLINE = [
     ("hash_sample", "count"),
     ("tf_idf", "count"),
     ("sql_surface", "collect"),
+    # round 4 additions
+    ("nation_profit", "collect"),
+    ("disjunctive_revenue", "collect"),
+    ("repetition_stats", "count"),
+    ("pii_scrub", "count"),
+    ("contamination", "count"),
+    ("pack_documents", "count"),
+    ("doc_fingerprint_md5", "count"),
+    ("simhash_md5_pairs", "count"),
 ]
 
 
@@ -106,9 +115,27 @@ def main() -> None:
     # inlined) overflowed that window and failed to parse. Keep the stdout
     # line to the contract fields only, compactly encoded, and park the
     # build/exec split in a side file for human inspection.
+    # second timed run for the slow queries: the cold number above bills
+    # first-use codegen/JIT to whichever query triggers it; the warm number
+    # is the long-lived-cluster-session throughput (what a resident engine
+    # at 100 TB actually sustains). Reported in the side file only — the
+    # contract line stays the honest cold measurement.
+    warm: dict[str, float] = {}
+    for name, action in HEADLINE:
+        if timings[name] < 1.5:
+            continue
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        if action == "collect":
+            df.collect()
+        else:
+            df.count()
+        warm[name] = round(time.perf_counter() - t0, 3)
+
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_SPLIT.json"), "w") as fh:
-        json.dump({"build": build, "exec": execute, "sf": sf}, fh, indent=1)
+        json.dump({"build": build, "exec": execute, "warm_rerun": warm,
+                   "sf": sf}, fh, indent=1)
 
     print(json.dumps({
         "metric": "headline wall sec",
