@@ -607,6 +607,21 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       stable_round(F.col("cosine"), 6).alias("cosine"))
 
 
+def q_embedding_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH cosine top-1 with md5-derived LITERAL planes — the
+    fully-oracled twin of embedding_lsh_topk: both engines bucket with the
+    identical plane constants, so even the approximate ANN path is
+    value-verified (the xxhash64-plane variant stays rows-only)."""
+    from bda_spadochrony_spark.operators.similarity import (
+        deterministic_planes, lsh_bucket_topk)
+    emb = _t(spark, sf_dir, "embeddings")
+    pm = deterministic_planes(6, 64)
+    out = lsh_bucket_topk(emb, emb, "vec_id", "vec_id", k=1, planes=6, dim=64,
+                          broadcast_queries=False, plane_matrix=pm)
+    return out.select("query_id", "corpus_id",
+                      stable_round(F.col("cosine"), 6).alias("cosine"))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID (stopword-hit heuristic) + quality features + composite
     quality score per document — the Gopher/C4-style filter inputs."""
@@ -1844,6 +1859,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "contamination": q_contamination,
     "pack_documents": q_pack_documents,
+    "embedding_lsh_portable": q_embedding_lsh_portable,
     "sessionize": q_sessionize,
     "corpus_prep": q_corpus_prep,
     "interval_join_binned": q_interval_join_binned,
@@ -1884,8 +1900,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_frequencies": q_token_frequencies,
     "pivot": q_pivot,
     "ml_features": q_ml_features,
-    "stock_hourly": q_stock_hourly,
     # ---------------- driver-confirmed in round 3 ----------------
+    "stock_hourly": q_stock_hourly,
     "weather_hourly": q_weather_hourly,
     "range_window_partitioned": q_range_window_partitioned,
     "volume_shipping": q_volume_shipping,
@@ -1965,7 +1981,42 @@ def oracle_sql() -> dict[str, str]:
     # the fused rewrite must produce byte-identical rows to the parity
     # pipeline — one oracle serves both
     d["traffic_hourly_fused"] = d["traffic_hourly"]
+    d["embedding_lsh_portable"] = _lsh_portable_oracle()
     return d
+
+
+def _lsh_portable_oracle() -> str:
+    """Generated, not hand-written: the md5-derived hyperplane constants
+    (similarity.deterministic_planes) are inlined as SQL literals so DuckDB
+    buckets with the exact doubles Spark uses (repr() round-trips floats)."""
+    from bda_spadochrony_spark.operators.similarity import deterministic_planes
+    pm = deterministic_planes(6, 64)
+    bits = "\n                   || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(v) for v in row)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for row in pm)
+    return f"""
+            WITH n AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), b AS (
+                SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                   {bits} AS bucket
+                FROM n
+            ), scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                       list_dot_product(c.v, q.v) / (c.nrm * q.nrm) AS cos
+                FROM b q JOIN b c
+                  ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+            ), ranked AS (
+                SELECT query_id, corpus_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, corpus_id ASC) AS rn
+                FROM scored
+            )
+            SELECT query_id, corpus_id, round((cos) + 1e-10, 6) AS cosine
+            FROM ranked WHERE rn <= 1
+        """
 
 
 def _oracle_sql_literal() -> dict[str, str]:

@@ -198,11 +198,28 @@ def cosine_topk_blocked(corpus: DataFrame, queries: DataFrame,
             .where(F.col("rn") <= k).drop("rn"))
 
 
+def deterministic_planes(planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Hyperplane matrix derived from md5 — engine-independent constants
+    (hashlib is the same md5 every engine computes), so an oracle can
+    restate the identical planes as SQL literals. Component (p, d) =
+    (int(md5(f"{seed}_{p}_{d}")[:8], 16) % 1000) / 500 − 1 ∈ [−1, 1)."""
+    import hashlib
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}_{p}_{d}".encode()).hexdigest()
+            row.append((int(h[:8], 16) % 1000) / 500.0 - 1.0)
+        out.append(row)
+    return out
+
+
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame,
                     corpus_id: str, query_id: str, vec_col: str = "embedding",
                     k: int = 5, planes: int = 8, seed: int = 42,
                     dim: int | None = None,
-                    broadcast_queries: bool | None = None) -> DataFrame:
+                    broadcast_queries: bool | None = None,
+                    plane_matrix: list[list[float]] | None = None) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH: bucket =
     sign-bit string of ``planes`` random projections; candidates = same
     bucket; exact cosine re-rank within. Recall < 1 by design — the
@@ -227,15 +244,20 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame,
     def bucket_expr(vcol: str):
         bits = []
         for p in range(planes):
-            # deterministic pseudo-random plane: component d = hash(p,d) scaled
+            if plane_matrix is not None:
+                # literal plane components (e.g. from deterministic_planes):
+                # zero per-row hashing, and an oracle can restate the exact
+                # constants — the cross-engine-verifiable configuration
+                comps = [F.lit(plane_matrix[p][d]) for d in range(dim)]
+            else:
+                # deterministic pseudo-random plane: component d = hash(p,d)
+                # scaled — self-contained, Spark-only reproducibility
+                comps = [
+                    (F.pmod(F.xxhash64(F.lit(p * 10007 + d), F.lit(seed)), F.lit(1000))
+                     .cast("double") / 500.0 - 1.0)
+                    for d in range(dim)]
             proj = F.aggregate(
-                F.zip_with(
-                    F.col(vcol),
-                    F.array(*[
-                        (F.pmod(F.xxhash64(F.lit(p * 10007 + d), F.lit(seed)), F.lit(1000))
-                         .cast("double") / 500.0 - 1.0)
-                        for d in range(dim)]),
-                    lambda x, h: x * h),
+                F.zip_with(F.col(vcol), F.array(*comps), lambda x, h: x * h),
                 F.lit(0.0), lambda acc, v: acc + v)
             bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
         return F.concat(*bits)
