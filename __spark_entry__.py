@@ -607,6 +607,22 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       stable_round(F.col("cosine"), 6).alias("cosine"))
 
 
+def q_embedding_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with FIXED subset centers (vectors with vec_id < 16 act
+    as the 16 coarse centroids) — the fully-oracled twin of
+    embedding_ivf_topk: cell assignment and probing become pure
+    engine-independent expressions (the KMeans variant stays rows-only)."""
+    from bda_spadochrony_spark.operators.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    centers = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid"))
+    out = ivf_topk(emb, emb, "vec_id", "vec_id", k=3, n_lists=16, n_probe=4,
+                   centers=centers)
+    return out.select("query_id", "corpus_id",
+                      stable_round(F.col("cosine"), 6).alias("cosine"))
+
+
 def q_embedding_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH cosine top-1 with md5-derived LITERAL planes — the
     fully-oracled twin of embedding_lsh_topk: both engines bucket with the
@@ -1860,6 +1876,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination": q_contamination,
     "pack_documents": q_pack_documents,
     "embedding_lsh_portable": q_embedding_lsh_portable,
+    "embedding_ivf_portable": q_embedding_ivf_portable,
     "sessionize": q_sessionize,
     "corpus_prep": q_corpus_prep,
     "interval_join_binned": q_interval_join_binned,
@@ -1899,8 +1916,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_funcs": q_string_funcs,
     "token_frequencies": q_token_frequencies,
     "pivot": q_pivot,
-    "ml_features": q_ml_features,
     # ---------------- driver-confirmed in round 3 ----------------
+    "ml_features": q_ml_features,
     "stock_hourly": q_stock_hourly,
     "weather_hourly": q_weather_hourly,
     "range_window_partitioned": q_range_window_partitioned,
@@ -2584,6 +2601,46 @@ def _oracle_sql_literal() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "embedding_ivf_portable": """
+            WITH n AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])) AS nrm
+                FROM embeddings
+            ), cent AS (
+                SELECT vec_id AS cell, v AS c FROM n WHERE vec_id < 16
+            ), dists AS (
+                SELECT n.vec_id, n.v, n.nrm, cent.cell,
+                       list_dot_product(
+                           [n.v[i+1] - cent.c[i+1] for i in range(64)],
+                           [n.v[i+1] - cent.c[i+1] for i in range(64)]) AS d2
+                FROM n, cent
+            ), assigned AS (
+                SELECT vec_id, v, nrm, cell FROM (
+                    SELECT vec_id, v, nrm, cell,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d2 ASC, cell ASC) AS rn
+                    FROM dists) WHERE rn = 1
+            ), probes AS (
+                SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cell FROM (
+                    SELECT vec_id, v, nrm, cell,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d2 ASC, cell ASC) AS rn
+                    FROM dists) WHERE rn <= 4
+            ), scored AS (
+                SELECT p.query_id, a.vec_id AS corpus_id,
+                       list_dot_product(a.v, p.qv) / (a.nrm * p.qnrm) AS cos
+                FROM assigned a JOIN probes p
+                  ON a.cell = p.cell AND a.vec_id != p.query_id
+            ), ranked AS (
+                SELECT query_id, corpus_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, corpus_id ASC) AS rn
+                FROM scored
+            )
+            SELECT query_id, corpus_id, round((cos) + 1e-10, 6) AS cosine
+            FROM ranked WHERE rn <= 3
         """,
         "contamination": """
             WITH corp AS (

@@ -289,34 +289,54 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame,
 def ivf_topk(corpus: DataFrame, queries: DataFrame,
              corpus_id: str, query_id: str, vec_col: str = "embedding",
              k: int = 5, n_lists: int = 16, n_probe: int = 4,
-             seed: int = 42) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
-    partitions the corpus into ``n_lists`` cells; each query scores only
-    its ``n_probe`` nearest cells. The standard disk-scale ANN layout —
-    at 100 TB the cell assignment becomes the parquet partition key, so a
+             seed: int = 42, centers: DataFrame | None = None) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer partitions
+    the corpus into ``n_lists`` cells; each query scores only its
+    ``n_probe`` nearest cells. The standard disk-scale ANN layout — at
+    100 TB the cell assignment becomes the parquet partition key, so a
     query reads n_probe/n_lists of the data (partition pruning does the
     rest).
 
-    Recall grows with ``n_probe`` (n_probe == n_lists ⇒ exact). Centroids
-    are fit once (seeded KMeans on a sample) — in production a persisted
-    artifact, refit only on drift.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    Recall grows with ``n_probe`` (n_probe == n_lists ⇒ exact).
 
+    Quantizer: by default a seeded KMeans fit (in production a persisted
+    artifact, refit only on drift). Pass ``centers`` — a tiny
+    (cell, centroid array<double>) frame — to use FIXED centers instead:
+    e.g. a deterministic subset of the vectors themselves (random-subset
+    quantization), which makes cell assignment a pure engine-independent
+    expression a SQL oracle can restate exactly.
+    """
     c = corpus.select(F.col(corpus_id).alias("corpus_id"),
                       F.col(vec_col).cast("array<double>").alias("cvec"))
-    cv = c.withColumn("features", array_to_vector("cvec"))
-    km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(cv)
-    c_assigned = km.transform(cv).select("corpus_id", "cvec",
-                                         F.col("prediction").alias("cell"))
-    c_assigned = with_norm(c_assigned, "cvec", "cnorm")
+    if centers is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    # query → n_probe nearest centroids (centroid table is tiny: crossJoin
-    # against a literal array, rank, keep n_probe)
-    centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(km.clusterCenters())]
-    cent_df = F.broadcast(corpus.sparkSession.createDataFrame(
-        centroids, ["cell", "centroid"]))
+        cv = c.withColumn("features", array_to_vector("cvec"))
+        km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(cv)
+        c_assigned = km.transform(cv).select("corpus_id", "cvec",
+                                             F.col("prediction").alias("cell"))
+        centroids = [(i, [float(x) for x in ctr])
+                     for i, ctr in enumerate(km.clusterCenters())]
+        cent_df = F.broadcast(corpus.sparkSession.createDataFrame(
+            centroids, ["cell", "centroid"]))
+    else:
+        cent_df = F.broadcast(
+            centers.select(F.col("cell"),
+                           F.col("centroid").cast("array<double>").alias("centroid")))
+        # nearest-center assignment (squared euclidean; ties → lower cell),
+        # same rule the probe stage uses — broadcast nested loop over the
+        # tiny center table, one window per corpus row
+        cc = (c.crossJoin(cent_df)
+              .withColumn("dist2", F.aggregate(
+                  F.zip_with("cvec", "centroid", lambda a, b: (a - b) * (a - b)),
+                  F.lit(0.0), lambda acc, v: acc + v)))
+        wc = Window.partitionBy("corpus_id").orderBy(F.col("dist2").asc(),
+                                                     F.col("cell").asc())
+        c_assigned = (cc.withColumn("rn", F.row_number().over(wc))
+                      .where(F.col("rn") == 1)
+                      .select("corpus_id", "cvec", "cell"))
+    c_assigned = with_norm(c_assigned, "cvec", "cnorm")
     q = queries.select(F.col(query_id).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qvec"))
     q = with_norm(q, "qvec", "qnorm")
