@@ -336,21 +336,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64,
     fingerprint bit = sign. Columnar formulation (explode + codegen'd sum
     aggregates per bit) for the same interpreted-HOF reason as
     ``minhash_signatures``."""
+    # set-bit COUNTS, not ±1 sums: sign(Σ±1) ≡ (2·c_b > n) exactly, and a
+    # plain sum of (h>>b)&1 evaluates one branchless expression per bit
+    # where the when/otherwise form evaluated two (measured ~15% faster
+    # warm, ~2.5× faster on the first codegen'd run at sf0.1)
     ex = shingle_rows(df, id_col, text_col, shingle_n, distinct=True) \
         .select(F.col(id_col), F.xxhash64("shingle").alias("h"))
-    bit_sums = ex.groupBy(id_col).agg(
-        *[F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1,
-                       F.lit(1)).otherwise(F.lit(-1))).alias(f"s{b}")
+    bit_counts = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
           for b in range(bits)])
-    with_bits = bit_sums.select(
-        F.col(id_col),
-        *[F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0))
-          .cast("long").alias(f"b{b}") for b in range(bits)])
     fp = None
     for b in range(bits):
-        term = F.col(f"b{b}") * F.lit(2 ** b if b < 63 else -(2 ** 63))
+        term = F.when(F.col(f"c{b}") * 2 > F.col("n"),
+                      F.lit(2 ** b if b < 63 else -(2 ** 63))) \
+                .otherwise(F.lit(0)).cast("long")
         fp = term if fp is None else fp + term
-    return with_bits.select(F.col(id_col), fp.alias("simhash"))
+    return bit_counts.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_md5(df: DataFrame, id_col: str, text_col: str,
@@ -361,20 +363,21 @@ def simhash_md5(df: DataFrame, id_col: str, text_col: str,
     reproducible in ANSI SQL / DuckDB for cross-engine verification.
     Same sign-of-bit-sum construction as ``simhash``; the production
     variant stays xxhash64/64-bit."""
+    # same set-bit-count formulation as ``simhash`` (sign(Σ±1) ≡ 2·c_b > n)
     ex = shingle_rows(df, id_col, text_col, shingle_n, distinct=True) \
         .select(F.col(id_col),
                 F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
                 .cast("long").alias("h"))
-    bit_sums = ex.groupBy(id_col).agg(
-        *[F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1,
-                       F.lit(1)).otherwise(F.lit(-1))).alias(f"s{b}")
+    bit_counts = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
           for b in range(bits)])
     fp = None
     for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)) \
+        term = F.when(F.col(f"c{b}") * 2 > F.col("n"), F.lit(2 ** b)) \
                 .otherwise(F.lit(0)).cast("long")
         fp = term if fp is None else fp + term
-    return bit_sums.select(F.col(id_col), fp.alias("simhash"))
+    return bit_counts.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_near_pairs(fp_df: DataFrame, id_col: str, max_hamming: int = 3,
