@@ -74,3 +74,48 @@ def test_hash_sample_is_monotone_in_fraction(spark, f1, f2):
     small = set(r[0] for r in hash_sample(df, "doc_id", lo).collect())
     big = set(r[0] for r in hash_sample(df, "doc_id", hi).collect())
     assert small <= big
+
+
+@settings(**SETTINGS)
+@given(n_docs=st.integers(min_value=1, max_value=30),
+       budget=st.integers(min_value=1, max_value=40),
+       shards=st.integers(min_value=1, max_value=4))
+def test_pack_documents_reconstructs_token_stream(spark, n_docs, budget, shards):
+    from bda_spadochrony_spark.operators.corpus import pack_documents
+    import random
+    rng = random.Random(n_docs * 1000 + budget)
+    docs = [(i, " ".join("w" for _ in range(rng.randint(1, 15))))
+            for i in range(n_docs)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = pack_documents(df, "doc_id", "text", budget=budget,
+                          num_shards=shards).collect()
+    assert len(rows) == n_docs
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert r["shard"] == r["doc_id"] % shards
+        assert 0 <= r["pack_offset"] < budget
+        by_shard.setdefault(r["shard"], []).append(r)
+    # within a shard: each doc's start offset equals the running token
+    # total of all preceding docs (the concat-and-cut invariant)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        total = 0
+        for r in shard_rows:
+            assert r["pack_id"] * budget + r["pack_offset"] == total
+            total += r["n_tokens"]
+
+
+@settings(**SETTINGS)
+@given(overlap=st.integers(min_value=0, max_value=10))
+def test_contamination_is_bounded_and_monotone(spark, overlap):
+    from bda_spadochrony_spark.operators.corpus import contamination
+    # corpus doc: 12 distinct tokens -> 10 distinct 3-gram shingles;
+    # benchmark shares the first `overlap` shingles
+    corp_toks = [f"c{i}" for i in range(12)]
+    bench_toks = corp_toks[:overlap + 2] if overlap else ["z1", "z2", "z3"]
+    corp = spark.createDataFrame([(1, " ".join(corp_toks))], ["doc_id", "text"])
+    bench = spark.createDataFrame([(9, " ".join(bench_toks))], ["doc_id", "text"])
+    row = contamination(corp, bench, "doc_id", "text", 3).first()
+    assert row["n_shingles"] == 10
+    assert row["n_contaminated"] == overlap
+    assert 0.0 <= row["contamination"] <= 1.0
