@@ -607,6 +607,16 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       stable_round(F.col("cosine"), 6).alias("cosine"))
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (per-vector scale
+    + int8 codes) — engine-portable floor rounding, fully oracled."""
+    from bda_spadochrony_spark.operators.similarity import quantize_embeddings
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(emb, "vec_id")
+    return out.select("vec_id", stable_round(F.col("scale"), 6).alias("scale"),
+                      F.col("q"))
+
+
 def q_embedding_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with FIXED subset centers (vectors with vec_id < 16 act
     as the 16 coarse centroids) — the fully-oracled twin of
@@ -1877,6 +1887,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_documents": q_pack_documents,
     "embedding_lsh_portable": q_embedding_lsh_portable,
     "embedding_ivf_portable": q_embedding_ivf_portable,
+    "embedding_quantize": q_embedding_quantize,
     "sessionize": q_sessionize,
     "corpus_prep": q_corpus_prep,
     "interval_join_binned": q_interval_join_binned,
@@ -1915,8 +1926,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantiles": q_quantiles,
     "string_funcs": q_string_funcs,
     "token_frequencies": q_token_frequencies,
-    "pivot": q_pivot,
     # ---------------- driver-confirmed in round 3 ----------------
+    "pivot": q_pivot,
     "ml_features": q_ml_features,
     "stock_hourly": q_stock_hourly,
     "weather_hourly": q_weather_hourly,
@@ -2601,6 +2612,17 @@ def _oracle_sql_literal() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "embedding_quantize": """
+            SELECT vec_id,
+                   round((mx / 127.0) + 1e-10, 6) AS scale,
+                   [CASE WHEN mx = 0 THEN 0
+                         ELSE CAST(floor(v[i+1] / (mx / 127.0) + 0.5) AS BIGINT)
+                    END for i in range(64)] AS q
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                         list_max(list_transform(embedding::DOUBLE[],
+                                                 x -> abs(x))) AS mx
+                  FROM embeddings)
         """,
         "embedding_ivf_portable": """
             WITH n AS (

@@ -360,6 +360,28 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
             .where(F.col("rn") <= k).drop("rn"))
 
 
+def quantize_embeddings(df: DataFrame, id_col: str,
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 scalar quantization per vector — the standard 4×
+    storage/IO reduction for 100 TB embedding columns (search scans read
+    int8 + one float scale; full precision only for final re-rank).
+
+    scale = max|v| / 127;  q[i] = floor(v[i]/scale + 0.5)  ∈ [−127, 127].
+
+    floor(x + 0.5) instead of round(): engines disagree on round()'s
+    half-rule (Spark HALF_UP on decimal repr vs binary rounding), while
+    floor on identical doubles is bit-deterministic — so the quantized
+    vectors are exactly reproducible in the DuckDB oracle. Map-only,
+    zero shuffle; all-zero vectors quantize to zeros (scale 0 guard).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = mx / F.lit(127.0)
+    q = F.transform(v, lambda x: F.when(mx == 0, F.lit(0)).otherwise(
+        F.floor(x / scale + F.lit(0.5))).cast("long"))
+    return df.select(F.col(id_col), scale.alias("scale"), q.alias("q"))
+
+
 def pairwise_cosine_blocked(df: DataFrame, id_col: str,
                             vec_col: str = "embedding",
                             min_cosine: float = 0.9,

@@ -461,3 +461,18 @@ def test_multimodal_audio_features(spark):
     assert out[1]["sample_rate"] == 8000 * ((10 % 6) + 1)
     assert out[1]["rms_level"] == sum(range(10)) // 10
     assert out[3]["n_bytes"] == 0 and out[3]["duration_ms"] is None
+
+
+def test_quantize_embeddings_range_and_error(spark):
+    from bda_spadochrony_spark.operators.similarity import quantize_embeddings
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"])
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df, "vec_id").collect()}
+    q1, s1 = rows[1]["q"], rows[1]["scale"]
+    assert all(-127 <= v <= 127 for v in q1)
+    assert q1[0] == 127  # max component hits full range
+    # dequantization error bounded by scale/2 per component
+    for orig, code in zip([1.0, -0.5, 0.25, 0.0], q1):
+        assert abs(code * s1 - orig) <= s1 / 2 + 1e-12
+    assert rows[2]["q"] == [0, 0, 0, 0] and rows[2]["scale"] == 0.0
