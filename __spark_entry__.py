@@ -607,6 +607,55 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       stable_round(F.col("cosine"), 6).alias("cosine"))
 
 
+def q_embedding_ann_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN stack in one query — LSH bucket (portable
+    literal planes) → cheap int8-code approximate scoring (scales cancel
+    in the cosine, so candidate ranking is pure integer dot products) →
+    exact float64 cosine rerank of each query's top-10 candidates, k=3.
+    At 100 TB the bucket is the partition key, the int8 codes are the
+    only columns the candidate scan reads, and full-precision vectors
+    load just for the rerank. Every stage is engine-portable → fully
+    oracled."""
+    from bda_spadochrony_spark.operators.similarity import (
+        deterministic_planes, quantize_embeddings, with_hyperplane_bucket)
+    from pyspark.sql import Window
+    emb = _t(spark, sf_dir, "embeddings")
+    pm = deterministic_planes(6, 64)
+    base = emb.select(F.col("vec_id"),
+                      F.col("embedding").cast("array<double>").alias("v"))
+    base = with_hyperplane_bucket(base, "v", pm)
+    qz = quantize_embeddings(emb, "vec_id").select("vec_id", "q")
+    idot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"),
+        lambda acc, v: acc + v)
+    d = (base.join(qz, "vec_id")
+         .withColumn("qn", F.sqrt(idot(F.col("q"), F.col("q")).cast("double"))))
+    a = d.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                 F.col("q").alias("qa"), F.col("qn").alias("qna"), "bucket")
+    b = d.select(F.col("vec_id").alias("corpus_id"), F.col("v").alias("cv"),
+                 F.col("q").alias("qb"), F.col("qn").alias("qnb"), "bucket")
+    pairs = (a.join(b, "bucket")
+             .where((F.col("query_id") != F.col("corpus_id")) &
+                    (F.col("qna") > 0) & (F.col("qnb") > 0))
+             .withColumn("approx", idot(F.col("qa"), F.col("qb")).cast("double") /
+                         (F.col("qna") * F.col("qnb"))))
+    w1 = Window.partitionBy("query_id").orderBy(F.col("approx").desc(),
+                                                F.col("corpus_id").asc())
+    cand = (pairs.withColumn("rn", F.row_number().over(w1))
+            .where(F.col("rn") <= 10))
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0),
+                                       lambda acc, v: acc + v * v))
+    exact = cand.withColumn("cosine", dot / (nrm(F.col("qv")) * nrm(F.col("cv"))))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col("corpus_id").asc())
+    out = (exact.withColumn("rn2", F.row_number().over(w2))
+           .where(F.col("rn2") <= 3))
+    return out.select("query_id", "corpus_id",
+                      stable_round(F.col("cosine"), 6).alias("cosine"))
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding column (per-vector scale
     + int8 codes) — engine-portable floor rounding, fully oracled."""
@@ -1888,6 +1937,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_lsh_portable": q_embedding_lsh_portable,
     "embedding_ivf_portable": q_embedding_ivf_portable,
     "embedding_quantize": q_embedding_quantize,
+    "embedding_ann_stack": q_embedding_ann_stack,
     "sessionize": q_sessionize,
     "corpus_prep": q_corpus_prep,
     "interval_join_binned": q_interval_join_binned,
@@ -1925,8 +1975,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "quantiles": q_quantiles,
     "string_funcs": q_string_funcs,
-    "token_frequencies": q_token_frequencies,
     # ---------------- driver-confirmed in round 3 ----------------
+    "token_frequencies": q_token_frequencies,
     "pivot": q_pivot,
     "ml_features": q_ml_features,
     "stock_hourly": q_stock_hourly,
@@ -2010,7 +2060,64 @@ def oracle_sql() -> dict[str, str]:
     # pipeline — one oracle serves both
     d["traffic_hourly_fused"] = d["traffic_hourly"]
     d["embedding_lsh_portable"] = _lsh_portable_oracle()
+    d["embedding_ann_stack"] = _ann_stack_oracle()
     return d
+
+
+def _ann_stack_oracle() -> str:
+    """Generated like _lsh_portable_oracle: literal planes for the bucket
+    stage, int8 codes for candidate scoring (exact in double — 64 terms of
+    |code| <= 127), exact float64 cosine for the rerank."""
+    from bda_spadochrony_spark.operators.similarity import deterministic_planes
+    pm = deterministic_planes(6, 64)
+    bits = "\n                   || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(v) for v in row)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for row in pm)
+    return f"""
+            WITH n AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), qz AS (
+                SELECT vec_id,
+                       [CASE WHEN mx = 0 THEN 0.0
+                             ELSE floor(v[i+1] / (mx / 127.0) + 0.5)
+                        END for i in range(64)]::DOUBLE[] AS q
+                FROM (SELECT vec_id, v,
+                             list_max(list_transform(v, x -> abs(x))) AS mx
+                      FROM n)
+            ), b AS (
+                SELECT n.vec_id, n.v, qz.q,
+                       sqrt(list_dot_product(qz.q, qz.q)) AS qn,
+                   {bits} AS bucket
+                FROM n JOIN qz USING (vec_id)
+            ), pairs AS (
+                SELECT qa.vec_id AS query_id, cb.vec_id AS corpus_id,
+                       qa.v AS qv, cb.v AS cv,
+                       list_dot_product(qa.q, cb.q) / (qa.qn * cb.qn) AS approx
+                FROM b qa JOIN b cb
+                  ON qa.bucket = cb.bucket AND qa.vec_id != cb.vec_id
+                WHERE qa.qn > 0 AND cb.qn > 0
+            ), cand AS (
+                SELECT query_id, corpus_id, qv, cv FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx DESC, corpus_id ASC) AS rn
+                    FROM pairs) WHERE rn <= 10
+            ), exact AS (
+                SELECT query_id, corpus_id,
+                       list_dot_product(qv, cv) /
+                       (sqrt(list_dot_product(qv, qv)) *
+                        sqrt(list_dot_product(cv, cv))) AS cos
+                FROM cand
+            ), ranked AS (
+                SELECT query_id, corpus_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, corpus_id ASC) AS rn
+                FROM exact
+            )
+            SELECT query_id, corpus_id, round((cos) + 1e-10, 6) AS cosine
+            FROM ranked WHERE rn <= 3
+        """
 
 
 def _lsh_portable_oracle() -> str:

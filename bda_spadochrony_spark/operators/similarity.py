@@ -360,6 +360,23 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
             .where(F.col("rn") <= k).drop("rn"))
 
 
+def with_hyperplane_bucket(df: DataFrame, vec_col: str,
+                           plane_matrix: list[list[float]],
+                           out_col: str = "bucket") -> DataFrame:
+    """Attach the sign-bit hyperplane bucket for a LITERAL plane matrix
+    (see ``deterministic_planes``) — the standalone bucket assignment used
+    when LSH bucketing composes with other stages (e.g. quantized scoring
+    + exact rerank) instead of going through ``lsh_bucket_topk``."""
+    bits = []
+    for row in plane_matrix:
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), F.array(*[F.lit(c) for c in row]),
+                       lambda x, h: x * h),
+            F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.withColumn(out_col, F.concat(*bits))
+
+
 def quantize_embeddings(df: DataFrame, id_col: str,
                         vec_col: str = "embedding") -> DataFrame:
     """Symmetric int8 scalar quantization per vector — the standard 4×
