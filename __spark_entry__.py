@@ -1960,11 +1960,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_distinct": q_sketch_distinct,
     "mode_event_type": q_mode_event_type,
     "hourly_with_mode": q_hourly_with_mode,
-    "two_level_avg": q_two_level_avg,
     "null_skipping_agg": q_null_skipping_agg,
     "filtered_hourly": q_filtered_hourly,
     "range_window_sum": q_range_window_sum,
-    "union_drift": q_union_drift,
     "json_payload": q_json_payload,
     "asof_minute_join": q_asof_minute_join,
     "interval_join_batch": q_interval_join_batch,
@@ -1975,9 +1973,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "quantiles": q_quantiles,
     "string_funcs": q_string_funcs,
-    # ---------------- driver-confirmed in round 3 ----------------
     "token_frequencies": q_token_frequencies,
     "pivot": q_pivot,
+    # ---------------- driver-confirmed in round 3 ----------------
+    "two_level_avg": q_two_level_avg,
+    "union_drift": q_union_drift,
     "ml_features": q_ml_features,
     "stock_hourly": q_stock_hourly,
     "weather_hourly": q_weather_hourly,
