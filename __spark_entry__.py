@@ -784,6 +784,17 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(corp, bench, "doc_id", "text", shingle_n=3)
 
 
+def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding: top-100-token vocab built from the corpus
+    itself (deterministic ranking), each document re-emitted as its
+    token-id sequence with OOV→0 — order-stable reassembly via
+    sort_array over (pos, id) structs."""
+    from bda_spadochrony_spark.operators.corpus import build_vocab, tokens_to_ids
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", size=100)
+    return tokens_to_ids(docs, "doc_id", "text", vocab)
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: concat-and-cut context-window assignment
     (512-token windows, 8 shards packed independently in doc-id order)."""
@@ -1934,6 +1945,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "contamination": q_contamination,
     "pack_documents": q_pack_documents,
+    "tokens_to_ids": q_tokens_to_ids,
     "embedding_lsh_portable": q_embedding_lsh_portable,
     "embedding_ivf_portable": q_embedding_ivf_portable,
     "embedding_quantize": q_embedding_quantize,
@@ -1974,8 +1986,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantiles": q_quantiles,
     "string_funcs": q_string_funcs,
     "token_frequencies": q_token_frequencies,
-    "pivot": q_pivot,
     # ---------------- driver-confirmed in round 3 ----------------
+    "pivot": q_pivot,
     "two_level_avg": q_two_level_avg,
     "union_drift": q_union_drift,
     "ml_features": q_ml_features,
@@ -2800,6 +2812,27 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round((COALESCE(h.n_cont, 0) / greatest(t.n_shingles, 1))
                          + 1e-08, 4) AS contamination
             FROM totals t LEFT JOIN hits h USING (doc_id)
+        """,
+        "tokens_to_ids": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS token,
+                       generate_subscripts(
+                           string_split_regex(lower(trim(text)), '\\s+'), 1)
+                           AS pos
+                FROM documents
+            ), vocab AS (
+                SELECT token,
+                       row_number() OVER (ORDER BY count(*) DESC, token ASC)
+                           AS token_id
+                FROM toks GROUP BY token
+                QUALIFY token_id <= 100
+            )
+            SELECT t.doc_id,
+                   list(COALESCE(v.token_id, 0) ORDER BY t.pos) AS token_ids
+            FROM toks t LEFT JOIN vocab v USING (token)
+            GROUP BY t.doc_id
         """,
         "pack_documents": """
             WITH base AS (

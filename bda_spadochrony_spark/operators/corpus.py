@@ -59,6 +59,44 @@ def contamination(corpus: DataFrame, benchmark: DataFrame, id_col: str,
                     .alias("contamination")))
 
 
+def build_vocab(df: DataFrame, text_col: str, size: int = 100) -> DataFrame:
+    """Top-``size`` tokens by corpus frequency (ties broken by token,
+    ascending) → (token, token_id) with ids 1..size. One explode + one
+    count shuffle; the result is dimension-table-sized by construction."""
+    from bda_spadochrony_spark.operators.text import tokens
+    from pyspark.sql import Window
+    tok_rows = df.select(F.explode(tokens(text_col)).alias("token"))
+    counts = tok_rows.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("token").asc())
+    return (counts.withColumn("token_id", F.row_number().over(w))
+            .where(F.col("token_id") <= size)
+            .select("token", "token_id"))
+
+
+def tokens_to_ids(df: DataFrame, id_col: str, text_col: str,
+                  vocab: DataFrame, unk_id: int = 0) -> DataFrame:
+    """Encode each document as its token-id sequence against a fixed
+    vocabulary — the tokenize-against-vocab step of a pretraining
+    pipeline. Out-of-vocabulary tokens map to ``unk_id``.
+
+    The vocabulary broadcasts (dimension-sized); the reassembly is
+    ORDER-STABLE by construction: collect_list order is not guaranteed
+    across partitions/retries, so the ids are collected as (pos, id)
+    structs and sort_array restores token order before the positions are
+    projected away — the correct Spark pattern for sequence rebuilds.
+    """
+    from bda_spadochrony_spark.operators.text import tokens
+    ex = df.select(F.col(id_col),
+                   F.posexplode(tokens(text_col)).alias("pos", "token"))
+    j = (ex.join(F.broadcast(vocab), "token", "left")
+         .select(id_col, "pos",
+                 F.coalesce("token_id", F.lit(unk_id)).alias("tid")))
+    return (j.groupBy(id_col)
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"]).alias("token_ids")))
+
+
 def pack_documents(df: DataFrame, id_col: str, text_col: str,
                    budget: int = 512, num_shards: int = 8) -> DataFrame:
     """Concatenate-and-cut sequence packing: within each shard

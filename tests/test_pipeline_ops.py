@@ -476,3 +476,11 @@ def test_quantize_embeddings_range_and_error(spark):
     for orig, code in zip([1.0, -0.5, 0.25, 0.0], q1):
         assert abs(code * s1 - orig) <= s1 / 2 + 1e-12
     assert rows[2]["q"] == [0, 0, 0, 0] and rows[2]["scale"] == 0.0
+
+
+def test_tokens_to_ids_order_and_oov(spark):
+    from bda_spadochrony_spark.operators.corpus import tokens_to_ids
+    vocab = spark.createDataFrame([("a", 1), ("b", 2)], ["token", "token_id"])
+    df = spark.createDataFrame([(1, "b a zz a")], ["doc_id", "text"])
+    row = tokens_to_ids(df, "doc_id", "text", vocab).first()
+    assert row["token_ids"] == [2, 1, 0, 1]  # order kept, OOV -> 0
