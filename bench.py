@@ -76,6 +76,9 @@ HEADLINE = [
     ("pack_documents", "count"),
     ("doc_fingerprint_md5", "count"),
     ("simhash_md5_pairs", "count"),
+    ("embedding_quantize", "count"),
+    ("embedding_ann_stack", "count"),
+    ("tokens_to_ids", "count"),
 ]
 
 

@@ -484,3 +484,20 @@ def test_tokens_to_ids_order_and_oov(spark):
     df = spark.createDataFrame([(1, "b a zz a")], ["doc_id", "text"])
     row = tokens_to_ids(df, "doc_id", "text", vocab).first()
     assert row["token_ids"] == [2, 1, 0, 1]  # order kept, OOV -> 0
+
+
+def test_tokens_to_ids_invariant_under_repartition(spark):
+    """The order-stable rebuild must give identical sequences no matter
+    how the exploded rows are partitioned — the failure mode a bare
+    collect_list hits at scale."""
+    from bda_spadochrony_spark.operators.corpus import build_vocab, tokens_to_ids
+    docs = [(i, " ".join(f"t{(i * 7 + j) % 13}" for j in range(20)))
+            for i in range(30)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    vocab = build_vocab(df, "text", size=8)
+    base = {r["doc_id"]: r["token_ids"]
+            for r in tokens_to_ids(df, "doc_id", "text", vocab).collect()}
+    shuffled = {r["doc_id"]: r["token_ids"]
+                for r in tokens_to_ids(df.repartition(7), "doc_id", "text",
+                                       vocab).collect()}
+    assert base == shuffled
