@@ -620,7 +620,7 @@ def q_embedding_ann_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         deterministic_planes, quantize_embeddings, with_hyperplane_bucket)
     from pyspark.sql import Window
     emb = _t(spark, sf_dir, "embeddings")
-    pm = deterministic_planes(6, 64)
+    pm = deterministic_planes(8, 64)
     base = emb.select(F.col("vec_id"),
                       F.col("embedding").cast("array<double>").alias("v"))
     base = with_hyperplane_bucket(base, "v", pm)
@@ -2081,7 +2081,7 @@ def _ann_stack_oracle() -> str:
     stage, int8 codes for candidate scoring (exact in double — 64 terms of
     |code| <= 127), exact float64 cosine for the rerank."""
     from bda_spadochrony_spark.operators.similarity import deterministic_planes
-    pm = deterministic_planes(6, 64)
+    pm = deterministic_planes(8, 64)
     bits = "\n                   || ".join(
         "(CASE WHEN list_dot_product(v, ["
         + ", ".join(repr(v) for v in row)
