@@ -784,6 +784,22 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(corp, bench, "doc_id", "text", shingle_n=3)
 
 
+def q_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct sketches: one sketch per event DATE, unioned
+    to a global distinct-user count without rescanning — the
+    store-sketches-per-partition rollup. At the testdata cardinality
+    (≤1500 users) the lg_k=14 sketch is in its exact coupon regime, so
+    the estimate equals exact COUNT(DISTINCT) and the query carries a
+    value oracle; beyond that regime the operator is approximate by
+    design (accuracy asserted in unit tests)."""
+    from bda_spadochrony_spark.operators.sketches import (
+        merged_distinct_estimate, partition_distinct_sketches)
+    ev = with_date_hour(_t(spark, sf_dir, "events"), "ts")
+    sk = partition_distinct_sketches(ev, ["date"], "user_id", lg_k=14)
+    out = merged_distinct_estimate(sk)
+    return out.select(F.col("distinct_estimate").alias("distinct_users"))
+
+
 def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary encoding: top-100-token vocab built from the corpus
     itself (deterministic ranking), each document re-emitted as its
@@ -1946,6 +1962,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination": q_contamination,
     "pack_documents": q_pack_documents,
     "tokens_to_ids": q_tokens_to_ids,
+    "sketch_mergeable": q_sketch_mergeable,
     "embedding_lsh_portable": q_embedding_lsh_portable,
     "embedding_ivf_portable": q_embedding_ivf_portable,
     "embedding_quantize": q_embedding_quantize,
@@ -2812,6 +2829,10 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round((COALESCE(h.n_cont, 0) / greatest(t.n_shingles, 1))
                          + 1e-08, 4) AS contamination
             FROM totals t LEFT JOIN hits h USING (doc_id)
+        """,
+        "sketch_mergeable": """
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+            FROM events
         """,
         "tokens_to_ids": """
             WITH toks AS (

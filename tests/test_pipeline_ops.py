@@ -501,3 +501,25 @@ def test_tokens_to_ids_invariant_under_repartition(spark):
                 for r in tokens_to_ids(df.repartition(7), "doc_id", "text",
                                        vocab).collect()}
     assert base == shuffled
+
+
+def test_hll_sketch_merge_is_lossless_and_exact_in_coupon_regime(spark):
+    from bda_spadochrony_spark.operators.sketches import (
+        merged_distinct_estimate, partition_distinct_sketches)
+    # beyond the exact regime: merged estimate must equal the single-pass
+    # sketch estimate bit-for-bit (lossless union), even when both differ
+    # from the true count
+    df = spark.range(0, 100000).select(
+        (F.col("id") % 8000).alias("u"), (F.col("id") % 30).alias("d"))
+    merged = merged_distinct_estimate(
+        partition_distinct_sketches(df, ["d"], "u", lg_k=12)).first()[0]
+    direct = merged_distinct_estimate(
+        partition_distinct_sketches(df.withColumn("one", F.lit(1)),
+                                    ["one"], "u", lg_k=12)).first()[0]
+    assert merged == direct
+    # inside the coupon regime the estimate is exact
+    small = spark.range(0, 100000).select(
+        (F.col("id") % 1500).alias("u"), (F.col("id") % 30).alias("d"))
+    est = merged_distinct_estimate(
+        partition_distinct_sketches(small, ["d"], "u", lg_k=14)).first()[0]
+    assert est == 1500
