@@ -79,6 +79,7 @@ HEADLINE = [
     ("embedding_quantize", "count"),
     ("embedding_ann_stack", "count"),
     ("tokens_to_ids", "count"),
+    ("sketch_mergeable", "collect"),
 ]
 
 
