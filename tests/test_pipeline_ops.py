@@ -523,3 +523,20 @@ def test_hll_sketch_merge_is_lossless_and_exact_in_coupon_regime(spark):
     est = merged_distinct_estimate(
         partition_distinct_sketches(small, ["d"], "u", lg_k=14)).first()[0]
     assert est == 1500
+
+
+def test_hll_sketch_grouped_rollup(spark):
+    from bda_spadochrony_spark.operators.sketches import (
+        merged_distinct_estimate, partition_distinct_sketches)
+    # group A = even ids -> 50 even residues of id%100; group B = odd ids
+    # with a further %50 -> 25 odd residues. Rollup per group across days.
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 100).alias("u"),
+        (F.col("id") % 10).alias("d"),
+        F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("g"))
+    df = df.withColumn("u", F.when(F.col("g") == "B", F.col("u") % 50)
+                       .otherwise(F.col("u")))
+    sk = partition_distinct_sketches(df, ["g", "d"], "u", lg_k=14)
+    out = {r["g"]: r["distinct_estimate"]
+           for r in merged_distinct_estimate(sk, group_cols=["g"]).collect()}
+    assert out == {"A": 50, "B": 25}
