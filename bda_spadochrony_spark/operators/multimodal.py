@@ -16,12 +16,26 @@ bounds Arrow batch memory when payloads are MBs each.
 
 from __future__ import annotations
 
+import sys
 from typing import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
                                StructField, StructType)
+
+# The mapInPandas closures below call module-level helpers
+# (_decode_image_bytes etc.), which cloudpickle serializes BY REFERENCE —
+# so Python workers must be able to import this package, which only holds
+# when the driver process runs with the repo on its import path AND the
+# workers inherit it. Registering the module for by-value pickling makes
+# the UDFs self-contained: the driver can run from any cwd / an external
+# harness without shipping the package to workers.
+try:  # cloudpickle >= 2.0 (bundled with pyspark 3.3+)
+    from pyspark import cloudpickle as _cloudpickle
+    _cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - older cloudpickle: keep by-reference
+    pass
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType()),
