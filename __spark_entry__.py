@@ -1507,6 +1507,16 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(docs, "doc_id", 0.2).select("doc_id", "lang", "source")
 
 
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced subsample: exactly 20 documents per language,
+    chosen by deterministic (hash, id) rank within each class — the
+    rebalancing cap for skewed training data."""
+    from bda_spadochrony_spark.operators.sampling import balanced_sample
+    docs = _t(spark, sf_dir, "documents")
+    out = balanced_sample(docs, "doc_id", "lang", n_per_class=20)
+    return out.select("doc_id", "lang")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified deterministic sampling: downsample English to 10%, keep
     half of everything else — the language-rebalancing step of a corpus
@@ -1963,6 +1973,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_documents": q_pack_documents,
     "tokens_to_ids": q_tokens_to_ids,
     "sketch_mergeable": q_sketch_mergeable,
+    "balanced_sample": q_balanced_sample,
     "embedding_lsh_portable": q_embedding_lsh_portable,
     "embedding_ivf_portable": q_embedding_ivf_portable,
     "embedding_quantize": q_embedding_quantize,
@@ -2002,8 +2013,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "quantiles": q_quantiles,
     "string_funcs": q_string_funcs,
-    "token_frequencies": q_token_frequencies,
     # ---------------- driver-confirmed in round 3 ----------------
+    "token_frequencies": q_token_frequencies,
     "pivot": q_pivot,
     "two_level_avg": q_two_level_avg,
     "union_drift": q_union_drift,
@@ -3337,6 +3348,16 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE (doc_id * 2654435761) % 4294967296
                   < CAST(0.2 * 4294967296 AS BIGINT)
+        """,
+        "balanced_sample": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 4294967296 ASC,
+                                    doc_id ASC) AS rk
+                FROM documents
+            ) WHERE rk <= 20
         """,
         "stratified_sample": """
             SELECT lang, count(*) AS n_docs, min(doc_id) AS first_doc

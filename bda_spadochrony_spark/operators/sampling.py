@@ -42,6 +42,26 @@ def hash_sample(df: DataFrame, id_col: str, fraction: float,
     return df.where(hash_bucket(id_col, salt) < F.lit(int(fraction * _MOD)))
 
 
+def balanced_sample(df: DataFrame, id_col: str, class_col: str,
+                    n_per_class: int, salt: int = 0) -> DataFrame:
+    """Exactly ``n_per_class`` rows per class (fewer if the class is
+    smaller), chosen deterministically: rows rank within their class by
+    (hash, id) and the first n win — the class-rebalancing subsample for
+    skewed training data (cap the dominant classes, keep the tail whole).
+
+    Unlike the map-only fraction gates above this needs one shuffle (the
+    per-class rank window), keyed on the class — bounded by class
+    cardinality, and AQE-splittable when one class dominates. The
+    (hash, id) order is row-pure, so the selected set is independent of
+    partitioning and reproducible in any engine.
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(class_col).orderBy(
+        hash_bucket(id_col, salt).asc(), F.col(id_col).asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= n_per_class).drop("__rk"))
+
+
 def stratified_hash_sample(df: DataFrame, id_col: str, strata_col: str,
                            fractions: dict[str, float],
                            default_fraction: float = 0.0,

@@ -540,3 +540,19 @@ def test_hll_sketch_grouped_rollup(spark):
     out = {r["g"]: r["distinct_estimate"]
            for r in merged_distinct_estimate(sk, group_cols=["g"]).collect()}
     assert out == {"A": 50, "B": 25}
+
+
+def test_balanced_sample_caps_classes_and_is_partition_invariant(spark):
+    from bda_spadochrony_spark.operators.sampling import balanced_sample
+    df = spark.createDataFrame(
+        [(i, "big" if i < 80 else "small") for i in range(90)],
+        ["doc_id", "cls"])
+    out = balanced_sample(df, "doc_id", "cls", n_per_class=15)
+    counts = {r["cls"]: r["n"] for r in
+              out.groupBy("cls").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"big": 15, "small": 10}  # small class kept whole
+    base = sorted(r["doc_id"] for r in out.collect())
+    reparted = sorted(r["doc_id"] for r in
+                      balanced_sample(df.repartition(7), "doc_id", "cls",
+                                      n_per_class=15).collect())
+    assert base == reparted
