@@ -1507,6 +1507,20 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(docs, "doc_id", 0.2).select("doc_id", "lang", "source")
 
 
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass ANALYZE-style numeric profile of lineitem (n, nulls,
+    exact NDV, min/max/avg per column) — 6·k aggregates in one scan,
+    unpivoted to one row per column."""
+    from bda_spadochrony_spark.operators.aggregates import profile_columns
+    li = _t(spark, sf_dir, "lineitem")
+    out = profile_columns(li, ["l_quantity", "l_extendedprice",
+                               "l_discount", "l_tax"])
+    return out.select("column", "n_rows", "n_null", "n_distinct",
+                      stable_round(F.col("min_value"), 4).alias("min_value"),
+                      stable_round(F.col("max_value"), 4).alias("max_value"),
+                      stable_round(F.col("avg_value"), 4).alias("avg_value"))
+
+
 def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-balanced subsample: exactly 20 documents per language,
     chosen by deterministic (hash, id) rank within each class — the
@@ -1974,6 +1988,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokens_to_ids": q_tokens_to_ids,
     "sketch_mergeable": q_sketch_mergeable,
     "balanced_sample": q_balanced_sample,
+    "column_profile": q_column_profile,
     "embedding_lsh_portable": q_embedding_lsh_portable,
     "embedding_ivf_portable": q_embedding_ivf_portable,
     "embedding_quantize": q_embedding_quantize,
@@ -2012,8 +2027,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "asof_join": q_asof_join,
     "quantiles": q_quantiles,
-    "string_funcs": q_string_funcs,
     # ---------------- driver-confirmed in round 3 ----------------
+    "string_funcs": q_string_funcs,
     "token_frequencies": q_token_frequencies,
     "pivot": q_pivot,
     "two_level_avg": q_two_level_avg,
@@ -3348,6 +3363,40 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE (doc_id * 2654435761) % 4294967296
                   < CAST(0.2 * 4294967296 AS BIGINT)
+        """,
+        "column_profile": """
+            WITH stats AS (
+                SELECT 'l_quantity' AS column, count(*) AS n_rows,
+                       count(*) - count(l_quantity) AS n_null,
+                       count(DISTINCT l_quantity) AS n_distinct,
+                       round((min(l_quantity)::DOUBLE) + 1e-08, 4) AS min_value,
+                       round((max(l_quantity)::DOUBLE) + 1e-08, 4) AS max_value,
+                       round((avg(l_quantity)::DOUBLE) + 1e-08, 4) AS avg_value
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', count(*),
+                       count(*) - count(l_extendedprice),
+                       count(DISTINCT l_extendedprice),
+                       round((min(l_extendedprice)::DOUBLE) + 1e-08, 4),
+                       round((max(l_extendedprice)::DOUBLE) + 1e-08, 4),
+                       round((avg(l_extendedprice)::DOUBLE) + 1e-08, 4)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', count(*), count(*) - count(l_discount),
+                       count(DISTINCT l_discount),
+                       round((min(l_discount)::DOUBLE) + 1e-08, 4),
+                       round((max(l_discount)::DOUBLE) + 1e-08, 4),
+                       round((avg(l_discount)::DOUBLE) + 1e-08, 4)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_tax', count(*), count(*) - count(l_tax),
+                       count(DISTINCT l_tax),
+                       round((min(l_tax)::DOUBLE) + 1e-08, 4),
+                       round((max(l_tax)::DOUBLE) + 1e-08, 4),
+                       round((avg(l_tax)::DOUBLE) + 1e-08, 4)
+                FROM lineitem
+            )
+            SELECT * FROM stats
         """,
         "balanced_sample": """
             SELECT doc_id, lang FROM (

@@ -105,3 +105,39 @@ def agg_with_mode(df: DataFrame, keys: list[str], avg_col: str,
 def global_agg(df: DataFrame, measures: list[Column]) -> DataFrame:
     """No-group aggregate (A8; reference ``pyspark/ML_stock.py:177-179``)."""
     return df.agg(*measures)
+
+
+def profile_columns(df: DataFrame, num_cols: list[str]) -> DataFrame:
+    """ANALYZE-style numeric column profile in ONE pass: for each column,
+    (n_rows, n_null, n_distinct, min, max, avg) — the stats collection a
+    100 TB lake runs per table to drive pruning decisions and data-quality
+    checks. All 6·k aggregates evaluate in a single scan + single
+    reduction (no per-column jobs); the wide agg row is unpivoted to one
+    row per column afterwards, which is a metadata-sized stack operation.
+
+    count_distinct makes the aggregation exact; swap in
+    ``approx_count_distinct`` (or the mergeable sketches in
+    ``operators/sketches``) when exact NDV is not worth its shuffle at
+    full scale.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in num_cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.count_distinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("double").alias(f"__min_{c}"),
+            F.max(c).cast("double").alias(f"__max_{c}"),
+            F.avg(c).cast("double").alias(f"__avg_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = []
+    for c in num_cols:
+        stack_args += [
+            f"'{c}'", f"__n - __nn_{c}", f"__nd_{c}",
+            f"__min_{c}", f"__max_{c}", f"__avg_{c}"]
+    return wide.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(f"stack({len(num_cols)}, {', '.join(stack_args)}) AS "
+               "(column, n_null, n_distinct, min_value, max_value, avg_value)")
+    ).select("column", "n_rows", "n_null", "n_distinct",
+             "min_value", "max_value", "avg_value")
