@@ -80,6 +80,8 @@ HEADLINE = [
     ("embedding_ann_stack", "count"),
     ("tokens_to_ids", "count"),
     ("sketch_mergeable", "collect"),
+    ("balanced_sample", "count"),
+    ("column_profile", "collect"),
 ]
 
 
