@@ -630,6 +630,11 @@ def q_embedding_ann_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc + v)
     d = (base.join(qz, "vec_id")
          .withColumn("qn", F.sqrt(idot(F.col("q"), F.col("q")).cast("double"))))
+    # Checkpoint before the bucket self-join: AQE never cross-stage-reuses
+    # the exchange, so both sides would otherwise recompute the 8-plane
+    # projections + quantization (the same failure minhash_dedup fixes —
+    # dedup.py). One row per vector (codes + norm) — tiny at any scale.
+    d = d.localCheckpoint(eager=False)
     a = d.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
                  F.col("q").alias("qa"), F.col("qn").alias("qna"), "bucket")
     b = d.select(F.col("vec_id").alias("corpus_id"), F.col("v").alias("cv"),
@@ -658,12 +663,16 @@ def q_embedding_ann_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding column (per-vector scale
-    + int8 codes) — engine-portable floor rounding, fully oracled."""
+    + int8 codes) — engine-portable floor rounding, fully oracled. The
+    code array is serialized to a comma-joined string for the driver's
+    hash (its pandas canonicalization cannot sort raw numpy arrays —
+    the proven q_array_agg pattern, CORRECTNESS_r04 err)."""
     from bda_spadochrony_spark.operators.similarity import quantize_embeddings
     emb = _t(spark, sf_dir, "embeddings")
     out = quantize_embeddings(emb, "vec_id")
     return out.select("vec_id", stable_round(F.col("scale"), 6).alias("scale"),
-                      F.col("q"))
+                      F.concat_ws(",", F.col("q").cast("array<string>"))
+                      .alias("q"))
 
 
 def q_embedding_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -746,9 +755,12 @@ def q_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (F.col("l_shipdate") < F.lit("1998-01-01")))
            .join(orders, li.l_orderkey == orders.o_orderkey))
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # when(high,0).otherwise(1), NOT when(~high,1): a NULL priority makes
+    # both `high` and `~high` NULL, so the ~ form counted NULL rows in
+    # neither bucket while the oracle's CASE ... ELSE 1 counts them low.
     return (j.groupBy(F.col("l_returnflag").alias("returnflag"))
              .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-                  F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+                  F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
              .orderBy("returnflag"))
 
 
@@ -808,7 +820,13 @@ def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bda_spadochrony_spark.operators.corpus import build_vocab, tokens_to_ids
     docs = _t(spark, sf_dir, "documents")
     vocab = build_vocab(docs, "text", size=100)
-    return tokens_to_ids(docs, "doc_id", "text", vocab)
+    out = tokens_to_ids(docs, "doc_id", "text", vocab)
+    # Serialize the id array for the driver's hash: its pandas
+    # canonicalization cannot sort raw numpy arrays (CORRECTNESS_r04 err;
+    # the proven q_array_agg pattern).
+    return out.select("doc_id",
+                      F.concat_ws(",", F.col("token_ids").cast("array<string>"))
+                      .alias("token_ids"))
 
 
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2778,9 +2796,11 @@ def _oracle_sql_literal() -> dict[str, str]:
         "embedding_quantize": """
             SELECT vec_id,
                    round((mx / 127.0) + 1e-10, 6) AS scale,
-                   [CASE WHEN mx = 0 THEN 0
-                         ELSE CAST(floor(v[i+1] / (mx / 127.0) + 0.5) AS BIGINT)
-                    END for i in range(64)] AS q
+                   array_to_string(
+                       [CASE WHEN mx = 0 THEN 0
+                             ELSE CAST(floor(v[i+1] / (mx / 127.0) + 0.5)
+                                       AS BIGINT)
+                        END for i in range(64)], ',') AS q
             FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
                          list_max(list_transform(embedding::DOUBLE[],
                                                  x -> abs(x))) AS mx
@@ -2877,7 +2897,9 @@ def _oracle_sql_literal() -> dict[str, str]:
                 QUALIFY token_id <= 100
             )
             SELECT t.doc_id,
-                   list(COALESCE(v.token_id, 0) ORDER BY t.pos) AS token_ids
+                   array_to_string(
+                       list(COALESCE(v.token_id, 0) ORDER BY t.pos),
+                       ',') AS token_ids
             FROM toks t LEFT JOIN vocab v USING (token)
             GROUP BY t.doc_id
         """,
@@ -2926,7 +2948,8 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS r_distinct_token_fraction,
                    round((t.top_c / greatest(t.n_tokens, 1)) + 1e-08, 4)
                        AS r_top_token_fraction,
-                   round((1.0 - g.nd3 / greatest(g.n3, 1)) + 1e-08, 4)
+                   round((CASE WHEN g.n3 = 0 THEN 0.0
+                               ELSE 1.0 - g.nd3 / g.n3 END) + 1e-08, 4)
                        AS r_dup_3gram_fraction
             FROM base b
             JOIN tok_stats t USING (doc_id) JOIN gram_stats g USING (doc_id)

@@ -59,16 +59,33 @@ def contamination(corpus: DataFrame, benchmark: DataFrame, id_col: str,
                     .alias("contamination")))
 
 
-def build_vocab(df: DataFrame, text_col: str, size: int = 100) -> DataFrame:
+def build_vocab(df: DataFrame, text_col: str, size: int = 100,
+                prune_groups: int = 64) -> DataFrame:
     """Top-``size`` tokens by corpus frequency (ties broken by token,
     ascending) → (token, token_id) with ids 1..size. One explode + one
-    count shuffle; the result is dimension-table-sized by construction."""
+    count shuffle; the result is dimension-table-sized by construction.
+
+    Scale design: the final rank is a global (unpartitioned) window, which
+    funnels its input through one partition — so that input is PRE-PRUNED
+    first. The global top-``size`` under any total order is a subset of
+    the union of per-group top-``size`` for ANY disjoint grouping of the
+    tokens, so we rank within ``prune_groups`` hash groups (a partitioned,
+    parallel window) and keep each group's top-``size``: the single-
+    partition sort then sees at most ``prune_groups * size`` rows no
+    matter how large the distinct-token table is. Output is identical to
+    the naive global rank (same order key both levels).
+    """
     from bda_spadochrony_spark.operators.text import tokens
     from pyspark.sql import Window
     tok_rows = df.select(F.explode(tokens(text_col)).alias("token"))
     counts = tok_rows.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    gw = (Window.partitionBy(F.pmod(F.xxhash64("token"),
+                                    F.lit(prune_groups)))
+          .orderBy(F.col("c").desc(), F.col("token").asc()))
+    pruned = (counts.withColumn("gr", F.row_number().over(gw))
+              .where(F.col("gr") <= size).drop("gr"))
     w = Window.orderBy(F.col("c").desc(), F.col("token").asc())
-    return (counts.withColumn("token_id", F.row_number().over(w))
+    return (pruned.withColumn("token_id", F.row_number().over(w))
             .where(F.col("token_id") <= size)
             .select("token", "token_id"))
 

@@ -381,13 +381,23 @@ def simhash_md5(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash_near_pairs(fp_df: DataFrame, id_col: str, max_hamming: int = 3,
-                       prefix_bits: int = 16, bits: int = 64) -> DataFrame:
+                       prefix_bits: int = 16, bits: int = 64,
+                       materialize: bool = True) -> DataFrame:
     """Candidate pairs whose fingerprints share a ``prefix_bits`` block
     (bucketing) and differ in ≤ ``max_hamming`` bits overall. bit_count on
-    XOR is a built-in — exact Hamming verification after the bucket join."""
+    XOR is a built-in — exact Hamming verification after the bucket join.
+
+    ``materialize`` checkpoints the fingerprint frame before the bucket
+    self-join: AQE never cross-stage-reuses an exchange, so both join
+    sides otherwise recompute the whole shingle-explode + per-bit-sum
+    fingerprint aggregate (the same failure ``minhash_dedup`` fixes — see
+    its docstring). The fingerprint table is one long per document, so at
+    100 TB this is the persist-the-sketch design, not a memory risk."""
     bucketed = fp_df.select(
         F.col(id_col), F.col("simhash"),
         F.shiftright("simhash", bits - prefix_bits).alias("bucket"))
+    if materialize:
+        bucketed = bucketed.localCheckpoint(eager=False)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (a.join(b, on="bucket")
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -151,9 +151,13 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str,
                prefix + "top_token_fraction": stable_round(
                    F.col("top_c") /
                    F.greatest(F.col("n_tokens"), F.lit(1)), 4),
+               # a doc with <3 tokens has NO shingle rows: g_stats left-join
+               # NULLs must read as "no 3-grams → no duplication" (0.0),
+               # not NULL (and not the 1.0 a naive 1−0/1 would give)
                prefix + "dup_3gram_fraction": stable_round(
-                   F.lit(1.0) - F.col("n_distinct_3grams") /
-                   F.greatest(F.col("n_3grams"), F.lit(1)), 4),
+                   F.when(F.coalesce("n_3grams", F.lit(0)) == 0, F.lit(0.0))
+                   .otherwise(F.lit(1.0) - F.col("n_distinct_3grams") /
+                              F.col("n_3grams")), 4),
            }))
     return out.drop("n_distinct", "top_c", "n_tokens", "n_3grams",
                     "n_distinct_3grams")

@@ -106,8 +106,29 @@ def assert_numeric_kinds_match(df, con, sql, name=""):
             " Spark column so both sides agree")
 
 
+def assert_no_complex_columns(df, con, sql, name=""):
+    """The driver's pandas canonicalization (``sort_values`` over the
+    result frame) crashes on array/map/struct cells (``TypeError:
+    unhashable type: 'numpy.ndarray'`` — tokens_to_ids and
+    embedding_quantize died this way in round 4 while this local mirror
+    passed, because ``_norm_cell`` tuple-izes lists). Reject complex
+    output columns here so oracled queries must serialize
+    (``concat_ws`` / ``array_to_string``) before registration."""
+    for c, t in df.dtypes:
+        assert not t.startswith(("array", "map", "struct")), (
+            f"{name}.{c}: Spark type {t!r} would crash the driver's pandas "
+            "hash — serialize with concat_ws(',', col.cast('array<string>'))")
+    for r in con.execute(f"DESCRIBE {sql}").fetchall():
+        t = r[1].upper()
+        assert not (t.endswith("[]") or t.startswith(("STRUCT", "MAP"))
+                    or "LIST" in t), (
+            f"{name}.{r[0]}: DuckDB type {r[1]!r} would crash the driver's "
+            "pandas hash — serialize with array_to_string(..., ',')")
+
+
 def assert_query_matches_oracle(spark, con, query_fn, sql, sf_dir, name=""):
     df = query_fn(spark, sf_dir)
+    assert_no_complex_columns(df, con, sql, name=name)
     assert_numeric_kinds_match(df, con, sql, name=name)
     got, got_cols = spark_canonical(df)
     want, want_cols = duck_canonical(con, sql)

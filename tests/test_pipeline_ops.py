@@ -407,6 +407,18 @@ def test_repetition_features_known_values(spark):
     assert rows[2]["r_dup_3gram_fraction"] == 0.5
 
 
+def test_repetition_features_short_doc_has_zero_dup_3gram(spark):
+    """Docs with <3 raw-split tokens produce NO shingle rows; the
+    left-join NULL must read as 0.0 (no 3-grams → no duplication), not
+    NULL and not 1.0 — the round-4 advice divergence vs the oracle."""
+    df = spark.createDataFrame(
+        [(1, "ab cd"), (2, "solo"), (3, "")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in
+            T.repetition_features(df, "doc_id", "text").collect()}
+    for d in (1, 2, 3):
+        assert rows[d]["r_dup_3gram_fraction"] == 0.0, rows[d]
+
+
 def test_pii_scrub_redacts_each_kind_and_leaves_text(spark):
     raw = "mail bob.smith+x@corp.example.org at https://a.b/c?d=1 tel 12345678 ok 12345"
     out = spark.createDataFrame([(raw,)], ["t"]) \
@@ -501,6 +513,35 @@ def test_tokens_to_ids_invariant_under_repartition(spark):
                 for r in tokens_to_ids(df.repartition(7), "doc_id", "text",
                                        vocab).collect()}
     assert base == shuffled
+
+
+def test_build_vocab_prunes_before_global_rank(spark):
+    """The global rank window must see a pre-pruned candidate set, not the
+    full distinct-token table (the 100 TB single-partition-sort hazard,
+    round-4 advice), and the pruned result must equal the naive global
+    top-k exactly — including on count ties, where the token-asc
+    tie-break decides."""
+    from bda_spadochrony_spark.operators.corpus import build_vocab
+    # 200 distinct tokens with many ties: token t{i} appears (i % 10) + 1
+    # times -> heavy tie groups so any prune/tie-break drift shows up.
+    docs = [(i, " ".join(f"t{j:03d}" for j in range(200)
+                         for _ in range((j + i) % 3 + 1)))
+            for i in range(6)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r["token"], r["token_id"])
+           for r in build_vocab(df, "text", size=17, prune_groups=8).collect()}
+    # Naive expected top-k computed driver-side.
+    from collections import Counter
+    c = Counter(tok for _, text in docs for tok in text.split())
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:17]
+    assert got == {(tok, i + 1) for i, (tok, _) in enumerate(expect)}
+    # Plan shape: two Window nodes — a partitioned per-group rank feeding
+    # the single global rank — with a Filter between (the prune).
+    plan = (build_vocab(df, "text", size=17, prune_groups=8)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert plan.count("Window [row_number()") == 2, plan
+    global_part, _, pruned_part = plan.partition("Window [row_number()")
+    assert "pmod" in pruned_part, plan  # inner rank is hash-group-partitioned
 
 
 def test_hll_sketch_merge_is_lossless_and_exact_in_coupon_regime(spark):
