@@ -802,14 +802,21 @@ def q_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     store-sketches-per-partition rollup. At the testdata cardinality
     (≤1500 users) the lg_k=14 sketch is in its exact coupon regime, so
     the estimate equals exact COUNT(DISTINCT) and the query carries a
-    value oracle; beyond that regime the operator is approximate by
-    design (accuracy asserted in unit tests)."""
+    value oracle; a runtime guard RAISES if the estimate ever nears the
+    regime ceiling (round-4 advice: loud error beats a silent hash
+    mismatch on a bigger sf — and the ceiling is coupon-collision-bound,
+    so raising lg_k would not extend it; see sketches.exact_regime_max).
+    Beyond the regime the operator is approximate by design (accuracy
+    asserted in unit tests)."""
     from bda_spadochrony_spark.operators.sketches import (
-        merged_distinct_estimate, partition_distinct_sketches)
+        assert_coupon_regime, merged_distinct_estimate,
+        partition_distinct_sketches)
     ev = with_date_hour(_t(spark, sf_dir, "events"), "ts")
     sk = partition_distinct_sketches(ev, ["date"], "user_id", lg_k=14)
     out = merged_distinct_estimate(sk)
-    return out.select(F.col("distinct_estimate").alias("distinct_users"))
+    return out.select(
+        assert_coupon_regime(F.col("distinct_estimate"), lg_k=14)
+        .alias("distinct_users"))
 
 
 def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -895,6 +902,21 @@ def q_ml_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(float(mae_train), float(mae_test), train_pred.count(), test_pred.count())],
         ["mae_train", "mae_test", "n_train", "n_test"])
+
+
+def q_ml_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form linear regression (normal equations, centered form) of
+    l_extendedprice on l_quantity + MAE of the fitted line — the fully
+    ORACLED regression twin of the rows-only GBT/XGBoost leg (reference
+    ``pyspark/ML_stock.py:190,204-216``): same fit/evaluate contract, but
+    every number is a deterministic aggregate both engines reproduce."""
+    from bda_spadochrony_spark.ml.regress import linear_fit
+    li = _t(spark, sf_dir, "lineitem")
+    out = linear_fit(li, "l_quantity", "l_extendedprice")
+    return out.select(F.col("n"),
+                      stable_round(F.col("slope"), 6).alias("slope"),
+                      stable_round(F.col("intercept"), 6).alias("intercept"),
+                      stable_round(F.col("mae"), 6).alias("mae"))
 
 
 def q_traffic_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1984,37 +2006,79 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 for c in ["click", "view", "purchase", "signup", "error"]])
 
 
-# Registry order matters: the driver's CORRECTNESS run covers a limited
-# front window (50 rows in rounds 1-2), so queries that still lack a green
-# driver row — plus any query whose implementation changed this round —
-# are listed FIRST.  Long-driver-confirmed round-1 entries sit at the tail;
-# their parity is continuously re-proven by tests/test_oracle_parity.py.
-_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-4 window: new oracles (doc_fingerprint_md5, sessionize),
-    # the corpus_prep hash fix, and every implementation touched this
-    # round, followed by queries whose last driver row is from rounds 1-2
-    # (rotated back under the driver oracle after two rounds out)
-    "doc_fingerprint_md5": q_doc_fingerprint_md5,
-    "simhash_md5_pairs": q_simhash_md5_pairs,
-    "nation_profit": q_nation_profit,
+# Registry order matters: the driver's CORRECTNESS run covers EXACTLY the
+# first 50 entries (_WINDOW below; round 4 accidentally placed 51 ahead of
+# the marker and `quantiles` silently missed its slot — the split dicts +
+# the window-size test make that impossible now). _WINDOW holds this
+# round's changed/fixed queries followed by the oldest single-driver-
+# confirmation backlog; _TAIL holds long-confirmed queries whose parity is
+# continuously re-proven by tests/test_oracle_parity.py.
+_WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tokens_to_ids": q_tokens_to_ids,
+    "embedding_quantize": q_embedding_quantize,
+    "ml_linear_fit": q_ml_linear_fit,
+    "sketch_mergeable": q_sketch_mergeable,
     "priority_lines": q_priority_lines,
-    "disjunctive_revenue": q_disjunctive_revenue,
     "repetition_stats": q_repetition_stats,
+    "embedding_ann_stack": q_embedding_ann_stack,
+    "simhash_md5_pairs": q_simhash_md5_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "minhash_near_dup": q_minhash_near_dup,
+    "quantiles": q_quantiles,
+    "string_funcs": q_string_funcs,
+    "token_frequencies": q_token_frequencies,
+    "pivot": q_pivot,
+    "stock_hourly": q_stock_hourly,
+    "weather_hourly": q_weather_hourly,
+    "shipping_priority": q_shipping_priority,
+    "order_priority": q_order_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+    "revenue_change": q_revenue_change,
+    "returned_items": q_returned_items,
+    "customer_distribution": q_customer_distribution,
+    "promo_revenue": q_promo_revenue,
+    "supplier_part_counts": q_supplier_part_counts,
+    "large_volume_customer": q_large_volume_customer,
+    "idle_customers": q_idle_customers,
+    "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
+    "tf_idf": q_tf_idf,
+    "stream_update": q_stream_update,
+    "late_supplier_blame": q_late_supplier_blame,
+    "top_supplier": q_top_supplier,
+    "grouping_sets": q_grouping_sets,
+    "window_analytics": q_window_analytics,
+    "set_ops": q_set_ops,
+    "min_cost_per_part": q_min_cost_per_part,
+    "market_share": q_market_share,
+    "stream_sliding": q_stream_sliding,
+    "partition_pruned": q_partition_pruned,
+    "embedding_near_dup": q_embedding_near_dup,
+    "stats_agg": q_stats_agg,
+    "argmax_agg": q_argmax_agg,
+    "regr_agg": q_regr_agg,
+    "salted_hourly": q_salted_hourly,
+    "nullsafe_join": q_nullsafe_join,
+    "dedup_clusters": q_dedup_clusters,
+    "multimodal_features": q_multimodal_features,
+    "stream_dedup": q_stream_dedup,
+    "stream_serving_pipeline": q_stream_serving_pipeline,
+    "corpus_prep": q_corpus_prep,
+}
+
+_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_fingerprint_md5": q_doc_fingerprint_md5,
+    "nation_profit": q_nation_profit,
+    "disjunctive_revenue": q_disjunctive_revenue,
     "pii_scrub": q_pii_scrub,
     "contamination": q_contamination,
     "pack_documents": q_pack_documents,
-    "tokens_to_ids": q_tokens_to_ids,
-    "sketch_mergeable": q_sketch_mergeable,
     "balanced_sample": q_balanced_sample,
     "column_profile": q_column_profile,
     "embedding_lsh_portable": q_embedding_lsh_portable,
     "embedding_ivf_portable": q_embedding_ivf_portable,
-    "embedding_quantize": q_embedding_quantize,
-    "embedding_ann_stack": q_embedding_ann_stack,
     "sessionize": q_sessionize,
-    "corpus_prep": q_corpus_prep,
     "interval_join_binned": q_interval_join_binned,
-    "minhash_near_dup": q_minhash_near_dup,
     "stream_hourly": q_stream_hourly,
     "stream_join_outer": q_stream_join_outer,
     "session_window": q_session_window,
@@ -2023,7 +2087,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_topk": q_embedding_topk,
     "exact_dedup_digest": q_exact_dedup_digest,
-    "simhash_pairs": q_simhash_pairs,
     "doc_fingerprint": q_doc_fingerprint,
     "traffic_hourly": q_traffic_hourly,
     "traffic_hourly_fused": q_traffic_hourly_fused,
@@ -2044,16 +2107,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "asof_join": q_asof_join,
-    "quantiles": q_quantiles,
-    # ---------------- driver-confirmed in round 3 ----------------
-    "string_funcs": q_string_funcs,
-    "token_frequencies": q_token_frequencies,
-    "pivot": q_pivot,
     "two_level_avg": q_two_level_avg,
     "union_drift": q_union_drift,
     "ml_features": q_ml_features,
-    "stock_hourly": q_stock_hourly,
-    "weather_hourly": q_weather_hourly,
     "range_window_partitioned": q_range_window_partitioned,
     "volume_shipping": q_volume_shipping,
     "rollup_agg": q_rollup_agg,
@@ -2061,53 +2117,20 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_agg": q_distinct_agg,
     "small_qty_revenue": q_small_qty_revenue,
     "exact_dedup": q_exact_dedup,
-    "shipping_priority": q_shipping_priority,
-    "order_priority": q_order_priority,
-    "local_supplier_volume": q_local_supplier_volume,
-    "revenue_change": q_revenue_change,
-    "returned_items": q_returned_items,
-    "customer_distribution": q_customer_distribution,
-    "promo_revenue": q_promo_revenue,
-    "supplier_part_counts": q_supplier_part_counts,
-    "large_volume_customer": q_large_volume_customer,
-    "idle_customers": q_idle_customers,
-    "hash_sample": q_hash_sample,
-    "stratified_sample": q_stratified_sample,
     "text_normalize": q_text_normalize,
     "doc_chunks": q_doc_chunks,
     "sql_surface": q_sql_surface,
-    "tf_idf": q_tf_idf,
-    "stream_update": q_stream_update,
-    "late_supplier_blame": q_late_supplier_blame,
-    "top_supplier": q_top_supplier,
-    "grouping_sets": q_grouping_sets,
-    "window_analytics": q_window_analytics,
-    "set_ops": q_set_ops,
     "unpivot": q_unpivot,
-    "min_cost_per_part": q_min_cost_per_part,
-    "market_share": q_market_share,
-    "stream_sliding": q_stream_sliding,
-    "partition_pruned": q_partition_pruned,
-    "embedding_near_dup": q_embedding_near_dup,
-    "stats_agg": q_stats_agg,
-    "argmax_agg": q_argmax_agg,
     "histogram": q_histogram,
-    "regr_agg": q_regr_agg,
     "array_agg": q_array_agg,
     "date_functions": q_date_functions,
     "string_funcs2": q_string_funcs2,
-    "nullsafe_join": q_nullsafe_join,
-    "salted_hourly": q_salted_hourly,
     "csv_roundtrip": q_csv_roundtrip,
     "conditional_funcs": q_conditional_funcs,
     "bitwise_funcs": q_bitwise_funcs,
     "hash_funcs": q_hash_funcs,
-    "dedup_clusters": q_dedup_clusters,
-    "multimodal_features": q_multimodal_features,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "ngram_jaccard": q_ngram_jaccard,
-    "stream_dedup": q_stream_dedup,
-    "stream_serving_pipeline": q_stream_serving_pipeline,
     "conform_schema": q_conform_schema,
     "onehot_features": q_onehot_features,
     "calendar_features": q_calendar_features,
@@ -2116,6 +2139,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
 }
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {**_WINDOW, **_TAIL}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3606,6 +3631,32 @@ def _oracle_sql_literal() -> dict[str, str]:
                    array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
                    count(DISTINCT event_type) AS n_types
             FROM events GROUP BY 1
+        """,
+        "ml_linear_fit": """
+            WITH xy AS (
+                SELECT CAST(l_quantity AS DOUBLE) AS x,
+                       CAST(l_extendedprice AS DOUBLE) AS y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            ), m AS (
+                SELECT avg(x) AS mx, avg(y) AS my,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM xy
+            ), f AS (
+                SELECT n, mx, my,
+                       sum((x - mx) * (y - my)) /
+                       sum((x - mx) * (x - mx)) AS slope
+                FROM xy, m GROUP BY n, mx, my
+            ), fit AS (
+                SELECT n, slope, my - slope * mx AS intercept FROM f
+            )
+            SELECT fit.n AS n,
+                   round(fit.slope + 1e-10, 6) AS slope,
+                   round(fit.intercept + 1e-10, 6) AS intercept,
+                   round(avg(abs(y - (fit.slope * x + fit.intercept)))
+                         + 1e-10, 6) AS mae
+            FROM xy, fit
+            GROUP BY fit.n, fit.slope, fit.intercept
         """,
         "date_functions": """
             SELECT event_id,

@@ -12,6 +12,7 @@ depth/rounds — same API (fit/transform/save/load), same pipeline shape.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def make_regressor(label_col: str, features_col: str = "features",
@@ -45,6 +46,42 @@ def train_regressor(df: DataFrame, label_col: str,
     est = make_regressor(label_col, features_col, seed=seed, **estimator_kwargs)
     model = est.fit(train)
     return model, model.transform(train), model.transform(test)
+
+
+def linear_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Closed-form simple linear regression (normal equations) as pure
+    aggregates — the fully-oracled twin of the GBT/XGBoost leg (whose
+    engine-seeded split and tree internals are inherently rows-only).
+
+    slope = Σ(x−x̄)(y−ȳ) / Σ(x−x̄)², intercept = ȳ − slope·x̄, plus MAE of
+    the fitted line — the CENTERED form, not the raw-moment
+    n·Σxy − Σx·Σy quotient, whose catastrophic cancellation would make a
+    cross-engine value oracle float-fragile. Three aggregate passes, each
+    map-side combinable; the one-row fit frame broadcasts back for the
+    residual pass — no window, no collect, scale-free at any row count.
+    Rows with a NULL in either column are excluded (SQL regr_* domain).
+    """
+    xy = df.select(F.col(x_col).cast("double").alias("x"),
+                   F.col(y_col).cast("double").alias("y")) \
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    means = xy.agg(F.avg("x").alias("mx"), F.avg("y").alias("my"),
+                   F.count(F.lit(1)).alias("n"))
+    centered = xy.join(F.broadcast(means))
+    fit = (centered.groupBy("mx", "my", "n")
+           .agg(F.sum((F.col("x") - F.col("mx")) *
+                      (F.col("y") - F.col("my"))).alias("sxy"),
+                F.sum((F.col("x") - F.col("mx")) *
+                      (F.col("x") - F.col("mx"))).alias("sxx"))
+           .select("mx", "my", "n",
+                   (F.col("sxy") / F.col("sxx")).alias("slope")))
+    fit = fit.select("n", "slope",
+                     (F.col("my") - F.col("slope") * F.col("mx"))
+                     .alias("intercept"))
+    resid = (xy.join(F.broadcast(fit))
+             .groupBy("n", "slope", "intercept")
+             .agg(F.avg(F.abs(F.col("y") - (F.col("slope") * F.col("x") +
+                                            F.col("intercept")))).alias("mae")))
+    return resid.select("n", "slope", "intercept", "mae")
 
 
 def evaluate_mae(pred: DataFrame, label_col: str,

@@ -93,3 +93,39 @@ def test_streaming_inference(feature_frame, spark):
         assert len(rows) > 0 and all(r["prediction"] is not None for r in rows)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_linear_fit_matches_sql_regr_functions(spark):
+    """linear_fit's centered normal-equations output must agree with the
+    SQL-standard regr_slope/regr_intercept (DuckDB) on real data — the
+    equivalence that justifies oracling the ML family's closed-form twin."""
+    import duckdb
+    from bda_spadochrony_spark.ml.regress import linear_fit
+    from bda_spadochrony_spark.sources.readers import scan
+    sf = "/root/testdata/sf0.001"
+    li = scan(spark, f"{sf}/lineitem.parquet")
+    row = linear_fit(li, "l_quantity", "l_extendedprice").first()
+    want = duckdb.sql(
+        "SELECT regr_slope(l_extendedprice, l_quantity) AS slope,"
+        "       regr_intercept(l_extendedprice, l_quantity) AS intercept,"
+        "       regr_count(l_extendedprice, l_quantity) AS n "
+        f"FROM '{sf}/lineitem.parquet'").fetchone()
+    assert row["n"] == want[2]
+    assert abs(row["slope"] - want[0]) < 1e-6 * max(1.0, abs(want[0]))
+    assert abs(row["intercept"] - want[1]) < 1e-6 * max(1.0, abs(want[1]))
+    # MAE of the fitted line is positive and below the label's mean |y|
+    assert 0 < row["mae"] < 1e6
+
+
+def test_linear_fit_exact_on_known_line(spark):
+    """On exactly-linear data the fit recovers slope/intercept and MAE 0;
+    NULL rows in either column are excluded (regr_* domain)."""
+    from bda_spadochrony_spark.ml.regress import linear_fit
+    rows = [(float(x), 3.5 * x - 2.0) for x in range(50)]
+    rows += [(None, 99.0), (1.0, None)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    r = linear_fit(df, "x", "y").first()
+    assert r["n"] == 50
+    assert abs(r["slope"] - 3.5) < 1e-9
+    assert abs(r["intercept"] + 2.0) < 1e-9
+    assert r["mae"] < 1e-9

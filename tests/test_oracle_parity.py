@@ -25,6 +25,16 @@ def test_every_query_has_oracle_or_is_declared_weak():
     assert not missing, f"oracle entries without a query: {missing}"
 
 
+def test_driver_window_is_exactly_50():
+    """The driver's CORRECTNESS run checks EXACTLY the first 50 queries()
+    entries. Round 4 placed 51 ahead of the rotation marker, so the 51st
+    (`quantiles`) silently lost its slot — pin the contract: the window
+    dict is exactly 50 and leads the registry."""
+    assert len(entry_mod._WINDOW) == 50
+    assert list(QUERIES)[:50] == list(entry_mod._WINDOW)
+    assert not set(entry_mod._WINDOW) & set(entry_mod._TAIL)
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     assert_query_matches_oracle(spark, duck, QUERIES[name], ORACLES[name],

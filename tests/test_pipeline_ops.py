@@ -566,6 +566,42 @@ def test_hll_sketch_merge_is_lossless_and_exact_in_coupon_regime(spark):
     assert est == 1500
 
 
+def test_hll_regime_guard_loud_failure_beyond_exact_regime(spark):
+    """Round-4 advice: the exact-count oracle must not silently go red on
+    a bigger sf. At 10^5 distinct keys the estimate is APPROXIMATE no
+    matter the lg_k (the 2^26 coupon space is lg_k-independent, so
+    raising lg_k cannot extend exactness — measured 100009 at lg_k=21),
+    and assert_coupon_regime must raise loudly there; inside the regime
+    the guard passes the exact value through."""
+    import pytest
+    from bda_spadochrony_spark.operators.sketches import (
+        assert_coupon_regime, exact_regime_max, merged_distinct_estimate,
+        partition_distinct_sketches)
+    n = 100_000
+    df = spark.range(0, n).select(F.col("id").alias("u"),
+                                  (F.col("id") % 30).alias("d"))
+    est = merged_distinct_estimate(
+        partition_distinct_sketches(df, ["d"], "u", lg_k=21))
+    raw = est.first()["distinct_estimate"]
+    assert abs(raw - n) <= 0.01 * n      # close (±2% regime) ...
+    # ... but NOT guaranteed exact → the guard must refuse loudly at any
+    # lg_k rather than let an exact-count oracle silently mismatch
+    for lg_k in (14, 21):
+        assert exact_regime_max(lg_k) <= 2500
+        bad = est.select(
+            assert_coupon_regime(F.col("distinct_estimate"), lg_k).alias("v"))
+        with pytest.raises(Exception, match="exact regime"):
+            bad.collect()
+    # inside the regime: guard passes and the value is exact
+    small = spark.range(0, 100_000).select(
+        (F.col("id") % 1500).alias("u"), (F.col("id") % 30).alias("d"))
+    got = (merged_distinct_estimate(
+        partition_distinct_sketches(small, ["d"], "u", lg_k=14))
+        .select(assert_coupon_regime(F.col("distinct_estimate"), 14)
+                .alias("v")).first()["v"])
+    assert got == 1500
+
+
 def test_hll_sketch_grouped_rollup(spark):
     from bda_spadochrony_spark.operators.sketches import (
         merged_distinct_estimate, partition_distinct_sketches)
