@@ -178,7 +178,17 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     otherwise recompute the whole shingle+signature pipeline (measured ~2×
     the stage cost at sf0.1). The signature table is tiny — 8·num_hashes
     bytes per document, ~0.1% of corpus size — so at 100 TB this is the
-    standard persist-the-sketch design, not a memory risk."""
+    standard persist-the-sketch design, not a memory risk.
+
+    Single-node latency floor (round-5 A/B, sf0.1, local[32]): EXEC is
+    ~1.3 s and warm end-to-end ~2.6-2.7 s; a cold mid-session run adds
+    ~1 s of one-time plan-construction/analysis/codegen. Measured dead
+    ends, do not retry: shared shingle frame between signature and verify
+    (2.5× slower, rounds 2+4), eager instead of lazy checkpoints (equal
+    warm, slower cold), Kirsch-Mitzenmacher double hashing (slower under
+    ANSI), sp=8 shuffle partitions (slower), synthetic compiler warm-up
+    (no effect, round 5). The residual is session-level cost a resident
+    engine amortizes — per-run wall time at scale is exec-bound."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
     if materialize:
         sigs = sigs.localCheckpoint(eager=False)

@@ -82,6 +82,8 @@ HEADLINE = [
     ("sketch_mergeable", "collect"),
     ("balanced_sample", "count"),
     ("column_profile", "collect"),
+    # round 5 additions
+    ("ml_linear_fit", "collect"),
 ]
 
 
