@@ -377,6 +377,33 @@ def with_hyperplane_bucket(df: DataFrame, vec_col: str,
     return df.withColumn(out_col, F.concat(*bits))
 
 
+def write_bucketed_index(df: DataFrame, path: str, id_col: str,
+                         vec_col: str = "embedding",
+                         plane_matrix: list[list[float]] | None = None,
+                         planes: int = 8, dim: int = 64) -> None:
+    """Persist the LSH-bucketed ANN index with the bucket as the PHYSICAL
+    partition key (``partitionBy``) — the 100 TB layout behind SCALE.md's
+    'bucket is the partition key' claim: a probe filters on its bucket and
+    the scan prunes to that bucket's files alone (no shuffle, no full
+    scan). Int8 codes + scale ride along so candidate scoring reads 4×
+    less than full precision; full vectors stay for the final rerank."""
+    pm = plane_matrix or deterministic_planes(planes, dim)
+    base = df.select(F.col(id_col),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    b = with_hyperplane_bucket(base, "v", pm)
+    qz = quantize_embeddings(df, id_col, vec_col)
+    (b.join(qz, id_col)
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def probe_bucketed_index(spark, path: str, bucket: str) -> DataFrame:
+    """Read one bucket of a ``write_bucketed_index`` layout. The bucket
+    equality predicate reaches the scan as a PartitionFilter, so only
+    ``bucket=<value>/`` files are listed/read — assert via
+    ``df.inputFiles()`` or the executed plan."""
+    return spark.read.parquet(path).where(F.col("bucket") == bucket)
+
+
 def quantize_embeddings(df: DataFrame, id_col: str,
                         vec_col: str = "embedding") -> DataFrame:
     """Symmetric int8 scalar quantization per vector — the standard 4×

@@ -515,6 +515,29 @@ def test_tokens_to_ids_invariant_under_repartition(spark):
     assert base == shuffled
 
 
+def test_bucketed_ann_index_partition_pruning(spark, tmp_path):
+    """SCALE.md's 'LSH bucket is the partition key' claim, demonstrated:
+    write the index partitionBy(bucket), probe one bucket, and assert the
+    bucket predicate reaches the scan as a PartitionFilter (pruned file
+    listing, not a full scan + filter)."""
+    from bda_spadochrony_spark.sources.readers import scan
+    emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ann_index")
+    S.write_bucketed_index(emb, path, "vec_id", planes=4, dim=64)
+    some = spark.read.parquet(path).select("bucket").first()["bucket"]
+    probe = S.probe_bucketed_index(spark, path, some)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scan_part = plan[plan.index("PartitionFilters"):]
+    assert scan_part[:300].count("bucket") >= 2, plan   # isnotnull + equality
+    assert f"= {some})" in scan_part[:300], plan
+    # the probe carries codes + full vectors for rerank, rows only from
+    # the probed bucket, and fewer rows than the whole index
+    got = probe.select("vec_id", "scale", "q", "v", "bucket")
+    n_all = spark.read.parquet(path).count()
+    assert 0 < got.count() < n_all
+    assert got.where(F.col("bucket") != some).count() == 0
+
+
 def test_build_vocab_prunes_before_global_rank(spark):
     """The global rank window must see a pre-pruned candidate set, not the
     full distinct-token table (the 100 TB single-partition-sort hazard,
