@@ -819,6 +819,22 @@ def q_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("distinct_users"))
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter tokens (frequency > 3% of the corpus token
+    stream) via the two-pass Misra-Gries plan: a per-partition mergeable
+    sketch nominates candidates, an exact candidate-restricted count
+    removes false positives — provably identical to the naive
+    ``HAVING count(*) > phi*N`` (which IS the oracle) while never
+    shuffling the full distinct-token table (`operators/frequency.py`
+    module docstring for the guarantee; the boilerplate-token detector of
+    a corpus pipeline)."""
+    from bda_spadochrony_spark.operators.frequency import heavy_hitters
+    from bda_spadochrony_spark.operators.text import tokens
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    return heavy_hitters(tok, "token", phi=0.03)
+
+
 def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary encoding: top-100-token vocab built from the corpus
     itself (deterministic ranking), each document re-emitted as its
@@ -2014,6 +2030,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # confirmation backlog; _TAIL holds long-confirmed queries whose parity is
 # continuously re-proven by tests/test_oracle_parity.py.
 _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "heavy_hitters": q_heavy_hitters,
     "tokens_to_ids": q_tokens_to_ids,
     "embedding_quantize": q_embedding_quantize,
     "ml_linear_fit": q_ml_linear_fit,
@@ -2063,10 +2080,10 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "stream_dedup": q_stream_dedup,
     "stream_serving_pipeline": q_stream_serving_pipeline,
-    "corpus_prep": q_corpus_prep,
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "corpus_prep": q_corpus_prep,
     "doc_fingerprint_md5": q_doc_fingerprint_md5,
     "nation_profit": q_nation_profit,
     "disjunctive_revenue": q_disjunctive_revenue,
@@ -3146,6 +3163,20 @@ def _oracle_sql_literal() -> dict[str, str]:
                    event_type || '|' || CAST(user_id AS VARCHAR) AS et_uid,
                    regexp_extract(props, '"k": ([0-9]+)', 1) AS k_str
             FROM events
+        """,
+        "heavy_hitters": """
+            WITH tok AS (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS token
+                FROM documents
+            ), tot AS (
+                SELECT count(*) AS total FROM tok WHERE token IS NOT NULL
+            )
+            SELECT token, count(*) AS n
+            FROM tok CROSS JOIN tot
+            WHERE token IS NOT NULL
+            GROUP BY token, tot.total
+            HAVING count(*) > 0.03 * tot.total
         """,
         "token_frequencies": """
             SELECT token, n, CAST(rn AS INTEGER) AS rn FROM (

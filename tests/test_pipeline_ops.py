@@ -656,3 +656,141 @@ def test_balanced_sample_caps_classes_and_is_partition_invariant(spark):
                       balanced_sample(df.repartition(7), "doc_id", "cls",
                                       n_per_class=15).collect())
     assert base == reparted
+
+
+def test_heavy_hitters_matches_exact_having(spark):
+    from bda_spadochrony_spark.operators.frequency import heavy_hitters
+    # Zipf-ish: key j appears ~N/j times for j in 1..200 -> a long tail of
+    # distinct keys with a handful of true heavy hitters
+    df = spark.range(0, 20000).select(
+        F.floor(20000 / (F.col("id") + 1)).cast("string").alias("k"))
+    got = {(r["k"], r["n"]) for r in heavy_hitters(df, "k", 0.02).collect()}
+    exact = {(r["k"], r["n"]) for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+             .where(F.col("n") > 0.02 * df.count()).collect()}
+    assert got == exact and len(exact) > 0
+    # identical under a different partitioning (per-partition sketch state
+    # must not change the answer)
+    reparted = {(r["k"], r["n"]) for r in
+                heavy_hitters(df.repartition(13), "k", 0.02).collect()}
+    assert reparted == exact
+
+
+def test_heavy_hitters_multi_batch_merge_and_nulls(spark):
+    from bda_spadochrony_spark.operators.frequency import heavy_hitters
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        # one heavy key (30%) + unique tail + NULLs; tiny Arrow batches
+        # force many MG merges inside each partition
+        df = spark.range(0, 3000).select(
+            F.when(F.col("id") % 10 < 3, F.lit("hot"))
+             .when(F.col("id") % 97 == 0, F.lit(None))
+             .otherwise(F.col("id").cast("string")).alias("k"))
+        out = {r["k"]: r["n"] for r in heavy_hitters(df, "k", 0.25).collect()}
+        expect = df.where(F.col("k") == "hot").count()
+        assert out == {"hot": expect}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_heavy_hitters_rejects_bad_params(spark):
+    from bda_spadochrony_spark.operators.frequency import heavy_hitters
+    df = spark.range(5).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "k", 0.0)
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "k", 0.01, k=3)
+
+
+def test_misra_gries_summary_state_is_bounded(spark):
+    from bda_spadochrony_spark.operators.frequency import misra_gries_summary
+    df = spark.range(0, 50000).select(F.col("id").cast("string").alias("k"))
+    summary = misra_gries_summary(df.coalesce(2), "k", k=16).collect()
+    cand = [r for r in summary if r["k"] is not None]
+    sentinels = [r["n_rows"] for r in summary if r["k"] is None]
+    assert len(cand) <= 2 * 16          # <= k candidates per partition
+    assert sum(sentinels) == 50000      # exact N from the same pass
+
+
+def test_unigram_surprisal_known_values(spark):
+    from bda_spadochrony_spark.operators.corpus import unigram_surprisal
+    import math
+    # corpus: "a a a b" -> p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame([(1, "a a a"), (2, "b")], ["doc_id", "text"])
+    out = {r["doc_id"]: (r["n_tokens"], r["surprisal"])
+           for r in unigram_surprisal(df, "doc_id", "text").collect()}
+    assert out[1] == (3, round(-math.log2(3 / 4), 4))
+    assert out[2] == (1, round(-math.log2(1 / 4), 4))
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    from bda_spadochrony_spark.operators.sampling import mixture_sample
+    rows = [(i, "en") for i in range(400)] + \
+           [(i + 1000, "de") for i in range(80)] + \
+           [(i + 2000, "fr") for i in range(40)] + \
+           [(i + 3000, "xx") for i in range(25)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = mixture_sample(df, "doc_id", "lang",
+                         {"en": 0.5, "de": 0.25, "fr": 0.25})
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # fr binds: T = 40/0.25 = 160 -> quotas en 80, de 40, fr 40; xx dropped
+    assert got == {"en": 80, "de": 40, "fr": 40}
+    base = sorted(r["doc_id"] for r in out.collect())
+    reparted = sorted(r["doc_id"] for r in
+                      mixture_sample(df.repartition(7), "doc_id", "lang",
+                                     {"en": 0.5, "de": 0.25, "fr": 0.25})
+                      .collect())
+    assert base == reparted
+
+
+def test_mixture_sample_binding_group_kept_whole(spark):
+    from bda_spadochrony_spark.operators.sampling import mixture_sample
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(10)] + [(i + 100, "b") for i in range(90)],
+        ["doc_id", "g"])
+    out = mixture_sample(df, "doc_id", "g", {"a": 0.5, "b": 0.5})
+    got = {r["g"]: r["n"] for r in
+           out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"a": 10, "b": 10}
+
+
+def test_dedup_survivors_keeps_canonicals_and_singletons(spark):
+    from bda_spadochrony_spark.operators.dedup import dedup_survivors
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(1, 8)],
+                               ["doc_id", "payload"])
+    # components: {1,2,3} (chain), {5,6}; 4 and 7 match nothing
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    out = {r["doc_id"]: r["n_members"]
+           for r in dedup_survivors(df, "doc_id", pairs).collect()}
+    assert out == {1: 3, 4: 1, 5: 2, 7: 1}
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    from bda_spadochrony_spark.ml.stats import covariance_matrix
+    import numpy as np
+    rng = np.random.RandomState(7)
+    data = rng.randn(50, 5)
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in data], ["embedding"])
+    got = {(r["i"], r["j"]): r["cov"]
+           for r in covariance_matrix(df, "embedding").collect()}
+    exp = np.cov(data, rowvar=False)  # sample covariance (ddof=1)
+    assert len(got) == 15
+    for (i, j), c in got.items():
+        assert abs(c - exp[i - 1, j - 1]) < 1e-3, (i, j)
+
+
+def test_covariance_matrix_skips_null_vectors(spark):
+    from bda_spadochrony_spark.ml.stats import covariance_matrix
+    df = spark.createDataFrame(
+        [([1.0, 2.0],), ([3.0, 4.0],), (None,)],
+        "embedding: array<double>")
+    got = {(r["i"], r["j"]): r["cov"]
+           for r in covariance_matrix(df, "embedding").collect()}
+    assert got == {(1, 1): 2.0, (1, 2): 2.0, (2, 2): 2.0}
