@@ -819,6 +819,59 @@ def q_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("distinct_users"))
 
 
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free quality scoring: per-document mean token surprisal under
+    the corpus's own unigram distribution (the cheap stand-in for the
+    CCNet/Gopher perplexity filter — low = boilerplate, high = gibberish;
+    filter both tails). Two bounded shuffles; the frequency join is
+    token-keyed with AQE handling stopword skew."""
+    from bda_spadochrony_spark.operators.corpus import unigram_surprisal
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_surprisal(docs, "doc_id", "text")
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mix rebalancing: subsample so language shares hit the
+    target mixture (en 50%, de/fr/es/zh 12.5% each) with exact per-group
+    quotas — the binding group is kept whole, the rest downsample to
+    match, rows chosen by the deterministic (hash, id) rank so the
+    selected set is identical across runs, partitionings, and engines.
+    Shares are binary-exact fractions, so the floor() quota boundary is
+    bit-identical in the oracle."""
+    from bda_spadochrony_spark.operators.sampling import mixture_sample
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(docs, "doc_id", "lang",
+                         {"en": 0.5, "de": 0.125, "fr": 0.125,
+                          "es": 0.125, "zh": 0.125})
+    return out.select("doc_id", "lang")
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop END of the dedup pipeline: embedding near-dup pairs
+    (cosine >= 0.42) -> connected components -> the deduplicated corpus
+    itself (cluster canonicals + unmatched singletons), each survivor
+    annotated with its cluster size. Oracle = the dedup_clusters
+    recursive-CTE reachability extended with the survivor anti-join."""
+    from bda_spadochrony_spark.operators.dedup import dedup_survivors
+    from bda_spadochrony_spark.operators.similarity import pairwise_cosine_blocked
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = pairwise_cosine_blocked(emb, "vec_id", min_cosine=0.42, blocks=4)
+    return dedup_survivors(emb.select("vec_id"), "vec_id", pairs)
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass covariance matrix of the 64-dim embedding column: two
+    chained posexplodes (no self-join, no collect) into one shuffle over
+    d(d+1)/2 = 2080 dimension-pair keys — the PCA/whitening front half,
+    map-side combined so the shuffle moves partial sums only. Oracle =
+    DuckDB covar_samp over the unnested self-join."""
+    from bda_spadochrony_spark.ml.stats import covariance_matrix
+    emb = _t(spark, sf_dir, "embeddings")
+    out = covariance_matrix(emb, "embedding", round_digits=4)
+    return out.select(F.col("i").cast("int").alias("i"),
+                      F.col("j").cast("int").alias("j"), "cov")
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy-hitter tokens (frequency > 3% of the corpus token
     stream) via the two-pass Misra-Gries plan: a per-partition mergeable
@@ -2031,6 +2084,10 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # continuously re-proven by tests/test_oracle_parity.py.
 _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
+    "unigram_surprisal": q_unigram_surprisal,
+    "mixture_sample": q_mixture_sample,
+    "dedup_survivors": q_dedup_survivors,
+    "embedding_covariance": q_embedding_covariance,
     "tokens_to_ids": q_tokens_to_ids,
     "embedding_quantize": q_embedding_quantize,
     "ml_linear_fit": q_ml_linear_fit,
@@ -2076,13 +2133,13 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regr_agg": q_regr_agg,
     "salted_hourly": q_salted_hourly,
     "nullsafe_join": q_nullsafe_join,
+}
+
+_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "multimodal_features": q_multimodal_features,
     "stream_dedup": q_stream_dedup,
     "stream_serving_pipeline": q_stream_serving_pipeline,
-}
-
-_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_prep": q_corpus_prep,
     "doc_fingerprint_md5": q_doc_fingerprint_md5,
     "nation_profit": q_nation_profit,
@@ -3163,6 +3220,91 @@ def _oracle_sql_literal() -> dict[str, str]:
                    event_type || '|' || CAST(user_id AS VARCHAR) AS et_uid,
                    regexp_extract(props, '"k": ([0-9]+)', 1) AS k_str
             FROM events
+        """,
+        "unigram_surprisal": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS token
+                FROM documents
+            ), counts AS (
+                SELECT token, count(*) AS tf FROM tok GROUP BY 1
+            ), tot AS (
+                SELECT sum(tf)::DOUBLE AS n_total FROM counts
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   round((avg(-log2(tf / n_total))) + 1e-08, 4) AS surprisal
+            FROM tok JOIN counts USING (token) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
+        "mixture_sample": """
+            WITH counts AS (
+                SELECT lang, count(*) AS c,
+                       (CASE lang WHEN 'en' THEN 0.5
+                                  WHEN 'de' THEN 0.125 WHEN 'fr' THEN 0.125
+                                  WHEN 'es' THEN 0.125 WHEN 'zh' THEN 0.125
+                        END)::DOUBLE AS w
+                FROM documents GROUP BY 1
+            ), t AS (
+                SELECT min(c / w) AS T FROM counts WHERE w IS NOT NULL
+            ), quotas AS (
+                SELECT lang, CAST(floor(T * w) AS BIGINT) AS quota
+                FROM counts CROSS JOIN t WHERE w IS NOT NULL
+            ), ranked AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 4294967296 ASC,
+                                    doc_id ASC) AS rk
+                FROM documents
+            )
+            SELECT doc_id, lang
+            FROM ranked JOIN quotas USING (lang)
+            WHERE rk <= quota
+        """,
+        "dedup_survivors": """
+            WITH RECURSIVE n AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), nn AS (
+                SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
+            ), pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+                WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.42
+            ), sym AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+                SELECT s, s FROM (SELECT DISTINCT s FROM sym)
+                UNION
+                SELECT s.s, reach.r FROM sym s JOIN reach ON reach.id = s.d
+            ), labels AS (
+                SELECT id, min(r) AS canonical_id FROM reach GROUP BY id
+            ), sizes AS (
+                SELECT canonical_id, count(*) AS n_members
+                FROM labels GROUP BY 1
+            )
+            SELECT e.vec_id, coalesce(z.n_members, 1) AS n_members
+            FROM embeddings e
+            LEFT JOIN (
+                SELECT l.id, s.n_members
+                FROM labels l JOIN sizes s USING (canonical_id)
+                WHERE l.id = l.canonical_id
+            ) z ON e.vec_id = z.id
+            WHERE e.vec_id NOT IN
+                  (SELECT id FROM labels WHERE id != canonical_id)
+        """,
+        "embedding_covariance": """
+            WITH e AS (
+                SELECT vec_id, CAST(i AS INTEGER) AS i,
+                       embedding[i]::DOUBLE AS x
+                FROM embeddings CROSS JOIN range(1, 65) r(i)
+            )
+            SELECT a.i AS i, b.i AS j,
+                   round((covar_samp(a.x, b.x)) + 1e-08, 4) + 0.0 AS cov
+            FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+            GROUP BY 1, 2
         """,
         "heavy_hitters": """
             WITH tok AS (

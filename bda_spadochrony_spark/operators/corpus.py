@@ -138,3 +138,34 @@ def pack_documents(df: DataFrame, id_col: str, text_col: str,
         id_col, "shard", "n_tokens",
         (F.floor(start / budget)).cast("long").alias("pack_id"),
         (start % budget).cast("long").alias("pack_offset"))
+
+
+def unigram_surprisal(df: DataFrame, id_col: str, text_col: str,
+                      round_digits: int = 4) -> DataFrame:
+    """Per-document mean token surprisal (self-information) under the
+    corpus's own unigram model: ``avg(-log2(count(token) / N))`` — the
+    cheap, model-free stand-in for the CCNet/Gopher perplexity quality
+    filter. Low surprisal = boilerplate/repetitive (every token common),
+    high surprisal = rare-token soup (OCR noise, gibberish); filter both
+    tails for training data.
+
+    Returns (id, n_tokens, surprisal). Two shuffles at any scale: the
+    token-frequency count (map-side combined, key = token) and the
+    per-document average (key = id). The frequency table is
+    vocabulary-sized — after Zipf truncation it broadcasts; here it flows
+    through a shuffled join keyed on the token, whose skew (stopwords)
+    AQE splits. The token explode is recomputed for the join side rather
+    than checkpointed: it is a pure map of the scan, and persisting
+    ``n_tokens * rows`` would cost more than the rescan.
+    """
+    from bda_spadochrony_spark.operators.text import tokens
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = counts.agg(F.sum("tf").alias("n_total"))
+    return (tok.join(counts, "token")
+            .crossJoin(F.broadcast(total))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 stable_round(
+                     F.avg(-F.log2(F.col("tf") / F.col("n_total"))),
+                     round_digits).alias("surprisal")))

@@ -509,3 +509,35 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                     (F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
                     .alias("jaccard"))
             .where(F.col("jaccard") >= min_jaccard))
+
+
+def dedup_survivors(df: DataFrame, id_col: str, pairs: DataFrame,
+                    id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """The keep/drop MATERIALIZATION of a near-dup pipeline: resolve
+    pairwise matches into connected components (``dedup_clusters``), keep
+    each component's canonical (minimum-id) member plus every row that
+    matched nothing, and annotate each survivor with its cluster size
+    (``n_members`` = 1 for singletons) — the frame you actually write
+    back out as the deduplicated corpus.
+
+    Plan shape on top of the component resolution: one count aggregate
+    over the (bounded, component-keyed) label table and one left join
+    from the corpus to it — survivors are ``canonical_id == id`` or
+    unlabeled. No extra scan of the pair set.
+    """
+    # labels fans out three ways (sizes, canonicals, dropped) and its
+    # lineage reaches back through the pair generator (often an expensive
+    # similarity self-join) — checkpoint or every consumer replays it
+    # (AQE never reuses an exchange across stages)
+    labels = dedup_clusters(pairs, id_a, id_b).localCheckpoint(eager=False)
+    sizes = labels.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    canon = (labels.where(F.col("id") == F.col("canonical_id"))
+             .join(sizes, "canonical_id")
+             .select(F.col("id").alias("__kid"), "n_members"))
+    dropped = labels.where(F.col("id") != F.col("canonical_id")) \
+                    .select(F.col("id").alias("__kid"))
+    return (df.join(dropped, df[id_col] == dropped["__kid"], "left_anti")
+            .join(canon, df[id_col] == canon["__kid"], "left")
+            .select(df["*"],
+                    F.coalesce("n_members", F.lit(1)).alias("n_members")))

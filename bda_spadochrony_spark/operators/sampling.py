@@ -75,3 +75,40 @@ def stratified_hash_sample(df: DataFrame, id_col: str, strata_col: str,
         thr = F.when(F.col(strata_col) == value,
                      F.lit(int(frac * _MOD))).otherwise(thr)
     return df.where(hash_bucket(id_col, salt) < thr)
+
+
+def mixture_sample(df: DataFrame, id_col: str, group_col: str,
+                   targets: dict[str, float], salt: int = 0) -> DataFrame:
+    """Rebalance the corpus to a TARGET GROUP MIXTURE (e.g. language
+    shares for a pretraining mix) with exact per-group quotas and maximum
+    retention: the largest total T such that T * share_g <= count_g for
+    every targeted group is feasible, so each group keeps exactly
+    ``floor(T * share_g)`` rows — the binding (scarcest-relative-to-
+    target) group is kept whole and every other group is downsampled to
+    match. Groups absent from ``targets`` are dropped.
+
+    Row selection within a group is the deterministic (hash, id) rank —
+    reproducible across runs, partitionings, and engines. Plan shape: one
+    tiny count aggregate -> a scalar min -> a broadcast quota join -> one
+    per-group rank window (same bounded shuffle as ``balanced_sample``).
+    Shares should be binary-exact fractions (0.5, 0.125, ...) if an
+    external SQL oracle must reproduce the floor() boundary bit-for-bit.
+    """
+    from pyspark.sql import Window
+    total_w = sum(targets.values())
+    share: Column = F.lit(None).cast("double")
+    for g, wgt in targets.items():
+        share = F.when(F.col(group_col) == g,
+                       F.lit(wgt / total_w)).otherwise(share)
+    counts = (df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__c"))
+              .withColumn("__w", share).where(F.col("__w").isNotNull()))
+    feasible = counts.agg(F.min(F.col("__c") / F.col("__w")).alias("__T"))
+    quotas = (counts.crossJoin(F.broadcast(feasible))
+              .select(group_col,
+                      F.floor(F.col("__T") * F.col("__w")).alias("__quota")))
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(id_col, salt).asc(), F.col(id_col).asc())
+    return (df.join(F.broadcast(quotas), group_col)
+            .withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= F.col("__quota"))
+            .drop("__rk", "__quota"))

@@ -84,6 +84,11 @@ HEADLINE = [
     ("column_profile", "collect"),
     # round 5 additions
     ("ml_linear_fit", "collect"),
+    ("heavy_hitters", "collect"),
+    ("unigram_surprisal", "count"),
+    ("mixture_sample", "count"),
+    ("embedding_covariance", "count"),
+    ("dedup_survivors", "count"),
 ]
 
 
