@@ -888,6 +888,48 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(tok, "token", phi=0.03)
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10): each document's
+    split is a pure function of its id hash — identical across runs,
+    partitionings, cluster sizes, and engines (the property randomSplit
+    cannot give; this is its oracled portable twin). Map-only, zero
+    shuffle. The oracle restates the exact integer CASE cut points."""
+    from bda_spadochrony_spark.operators.sampling import hash_split
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id",
+                     {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split")
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed BPE-training iteration: corpus-wide adjacent token
+    pair counts, top-50 with deterministic tie-break — the statistic the
+    tokenizer-training loop argmaxes each merge round. Pair explode is a
+    pure map (indexed transform, no self-join); the global rank input is
+    pre-pruned by per-hash-group top-k exactly like build_vocab."""
+    from bda_spadochrony_spark.operators.corpus import bpe_pair_counts
+    docs = _t(spark, sf_dir, "documents")
+    return (bpe_pair_counts(docs, "text", top_n=50)
+            .select(F.col("rank").cast("int").alias("rank"), "a", "b", "n"))
+
+
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-scoring of the embedding column against the
+    corpus's own mean/stddev (the whitening precursor for clustering and
+    distance pruning): fit = one posexplode into a d-row broadcastable
+    stats frame; transform = broadcast join + order-stable array rebuild.
+    The z array is serialized as scaled integers (floor(z*1e4 + 0.5)) —
+    engine-identical strings, dodging double->string format divergence AND
+    the driver's no-array-output hash limitation."""
+    from bda_spadochrony_spark.ml.stats import standardize_embeddings
+    emb = _t(spark, sf_dir, "embeddings")
+    out = standardize_embeddings(emb, "vec_id", "embedding", round_digits=4)
+    q = F.transform(F.col("zvec"),
+                    lambda z: F.floor(z * 10000 + F.lit(0.5)).cast("long"))
+    return out.select("vec_id", F.concat_ws(",", q.cast("array<string>"))
+                      .alias("zq"))
+
+
 def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary encoding: top-100-token vocab built from the corpus
     itself (deterministic ranking), each document re-emitted as its
@@ -2083,6 +2125,9 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # confirmation backlog; _TAIL holds long-confirmed queries whose parity is
 # continuously re-proven by tests/test_oracle_parity.py.
 _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "hash_split": q_hash_split,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "embedding_standardize": q_embedding_standardize,
     "heavy_hitters": q_heavy_hitters,
     "unigram_surprisal": q_unigram_surprisal,
     "mixture_sample": q_mixture_sample,
@@ -2130,12 +2175,14 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "stats_agg": q_stats_agg,
     "argmax_agg": q_argmax_agg,
-    "regr_agg": q_regr_agg,
-    "salted_hourly": q_salted_hourly,
-    "nullsafe_join": q_nullsafe_join,
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # displaced from the round-5 window by the three new queries above;
+    # still single-driver-confirmation — rotate back in next round
+    "regr_agg": q_regr_agg,
+    "salted_hourly": q_salted_hourly,
+    "nullsafe_join": q_nullsafe_join,
     "dedup_clusters": q_dedup_clusters,
     "multimodal_features": q_multimodal_features,
     "stream_dedup": q_stream_dedup,
@@ -3319,6 +3366,54 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE token IS NOT NULL
             GROUP BY token, tot.total
             HAVING count(*) > 0.03 * tot.total
+        """,
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
+                             THEN 'train'
+                        WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
+                             THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "bpe_pair_counts": """
+            WITH lst AS (
+                SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), idx AS (
+                SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                FROM lst
+            ), pairs AS (
+                SELECT t[i] AS a, t[i + 1] AS b FROM idx
+            ), counts AS (
+                SELECT a, b, count(*) AS n FROM pairs GROUP BY 1, 2
+            )
+            SELECT CAST(rank AS INTEGER) AS rank, a, b, n FROM (
+                SELECT a, b, n,
+                       row_number() OVER (ORDER BY n DESC, a ASC, b ASC)
+                       AS rank
+                FROM counts
+            ) WHERE rank <= 50
+        """,
+        "embedding_standardize": """
+            WITH e AS (
+                SELECT vec_id, CAST(i AS INTEGER) AS i,
+                       embedding[i]::DOUBLE AS x
+                FROM embeddings CROSS JOIN range(1, 65) r(i)
+                WHERE embedding IS NOT NULL
+            ), s AS (
+                SELECT i, avg(x) AS mu, stddev_samp(x) AS sd
+                FROM e GROUP BY 1
+            )
+            SELECT vec_id,
+                   array_to_string(
+                       list(CAST(floor(
+                           (CASE WHEN sd > 0
+                                 THEN round(((x - mu) / sd) + 1e-08, 4) + 0.0
+                                 ELSE 0.0 END) * 10000 + 0.5) AS BIGINT)
+                            ORDER BY i), ',') AS zq
+            FROM e JOIN s USING (i)
+            GROUP BY vec_id
         """,
         "token_frequencies": """
             SELECT token, n, CAST(rn AS INTEGER) AS rn FROM (

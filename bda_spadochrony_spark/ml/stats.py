@@ -21,6 +21,52 @@ from pyspark.sql import functions as F
 from bda_spadochrony_spark.functions.numeric import stable_round
 
 
+def dimension_stats(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension (1-based ``pos``) mean and sample stddev of an
+    ``array<numeric>`` column: one posexplode + one shuffle over d keys,
+    map-side combined — the fit half of feature standardization. The
+    result is dimension-table-sized (d rows) and broadcasts."""
+    ex = (df.where(F.col(vec_col).isNotNull())
+          .select(F.posexplode(F.col(vec_col).cast("array<double>"))
+                  .alias("pos0", "x")))
+    return (ex.groupBy((F.col("pos0") + 1).alias("pos"))
+            .agg(F.avg("x").alias("mu"),
+                 F.stddev_samp("x").alias("sd")))
+
+
+def standardize_embeddings(df: DataFrame, id_col: str, vec_col: str,
+                           round_digits: int = 4,
+                           out_col: str = "zvec") -> DataFrame:
+    """Z-score each embedding dimension against the corpus's own
+    per-dimension mean/stddev (feature standardization — the whitening
+    precursor for PCA / clustering / distance pruning). Zero-variance
+    dimensions standardize to 0.0 rather than NULL/inf.
+
+    Plan shape at 100 TB: the stats frame is d rows (broadcast); the
+    transform is posexplode → broadcast join on the dimension → order-
+    stable array rebuild (sort_array over (pos, z) structs — collect_list
+    alone is not order-stable), so the only data-sized shuffle is the
+    per-id rebuild, keyed on the id. The rounded z values get ``+ 0.0``
+    so near-zero cells can't split into -0.0 vs 0.0 across engines.
+    """
+    stats = dimension_stats(df, vec_col)
+    ex = (df.where(F.col(vec_col).isNotNull())
+          .select(F.col(id_col),
+                  F.posexplode(F.col(vec_col).cast("array<double>"))
+                  .alias("pos0", "x"))
+          .select(id_col, (F.col("pos0") + 1).alias("pos"), "x"))
+    z = (stable_round(
+            F.when(F.col("sd") > 0, (F.col("x") - F.col("mu")) / F.col("sd"))
+             .otherwise(F.lit(0.0)),
+            round_digits) + F.lit(0.0))
+    joined = (ex.join(F.broadcast(stats), "pos")
+              .select(id_col, "pos", z.alias("z")))
+    return (joined.groupBy(id_col)
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "z"))),
+                lambda s: s["z"]).alias(out_col)))
+
+
 def covariance_matrix(df: DataFrame, vec_col: str,
                       round_digits: int | None = 4) -> DataFrame:
     """Upper-triangle SAMPLE covariance of an ``array<numeric>`` column:

@@ -140,6 +140,42 @@ def pack_documents(df: DataFrame, id_col: str, text_col: str,
         (start % budget).cast("long").alias("pack_offset"))
 
 
+def bpe_pair_counts(df: DataFrame, text_col: str, top_n: int = 50,
+                    prune_groups: int = 64) -> DataFrame:
+    """The distributed core of one BPE-training iteration: corpus-wide
+    counts of ADJACENT token pairs, top-``top_n`` by frequency (ties broken
+    by the pair, ascending). Tokenizer training at corpus scale is exactly
+    this statistic in a loop — the merge choice is the argmax row; only the
+    (tiny) merge application is iterative driver logic.
+
+    Plan shape: the pair explode is a pure map (``transform`` over index
+    ``sequence`` — no self-join of token rows against themselves), the
+    count is one map-side-combined shuffle keyed on the pair, and the final
+    rank reuses the ``build_vocab`` pruning discipline: a partitioned
+    per-hash-group top-``top_n`` window bounds the single-partition global
+    rank input to ``prune_groups * top_n`` rows at any corpus size.
+    """
+    from bda_spadochrony_spark.operators.text import tokens
+    t = df.select(tokens(text_col).alias("__t"))
+    # walk the head slice with its index and pair each token with its
+    # successor; the slice length is clamped to 0 so single-token documents
+    # emit no pairs (sequence(1, 0) would DESCEND and index negatively)
+    pairs = t.select(F.explode(F.expr(
+        "transform(slice(__t, 1, greatest(size(__t) - 1, 0)),"
+        " (x, i) -> struct(x AS a, __t[i + 1] AS b))")).alias("p"))
+    counts = (pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n")))
+    gw = (Window.partitionBy(F.pmod(F.xxhash64("a", "b"),
+                                    F.lit(prune_groups)))
+          .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc()))
+    pruned = (counts.withColumn("gr", F.row_number().over(gw))
+              .where(F.col("gr") <= top_n).drop("gr"))
+    w = Window.orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+    return (pruned.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_n)
+            .select("rank", "a", "b", "n"))
+
+
 def unigram_surprisal(df: DataFrame, id_col: str, text_col: str,
                       round_digits: int = 4) -> DataFrame:
     """Per-document mean token surprisal (self-information) under the

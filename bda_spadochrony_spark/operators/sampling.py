@@ -77,6 +77,45 @@ def stratified_hash_sample(df: DataFrame, id_col: str, strata_col: str,
     return df.where(hash_bucket(id_col, salt) < thr)
 
 
+def hash_split(df: DataFrame, id_col: str, splits: dict[str, float],
+               salt: int = 0, split_col: str = "split") -> DataFrame:
+    """Named deterministic dataset split (train/val/test): each row's split
+    is a pure function of its id hash, so the SAME row lands in the SAME
+    split across runs, partitionings, cluster sizes, and engines — the
+    property ``randomSplit`` cannot give (its assignment depends on the
+    physical partitioning). Fractions are normalized; the last split
+    absorbs the remainder, so every row is assigned.
+
+    Map-only (zero shuffle at any scale); cut points are exact integers
+    over the 2^32 bucket space computed once on the driver, so an external
+    SQL oracle can restate the identical CASE expression.
+    """
+    total = sum(splits.values())
+    names = list(splits)
+    bucket = hash_bucket(id_col, salt)
+    acc = 0.0
+    out: Column | None = None
+    for name in names[:-1]:
+        acc += splits[name] / total
+        cond = bucket < F.lit(int(acc * _MOD))
+        out = F.when(cond, name) if out is None else out.when(cond, name)
+    out = F.lit(names[0]) if out is None else out.otherwise(names[-1])
+    return df.withColumn(split_col, out)
+
+
+def hash_split_cutpoints(splits: dict[str, float]) -> list[tuple[str, int]]:
+    """The exact integer cut points ``hash_split`` uses, for restating the
+    assignment in an external SQL oracle: [(name, upper_bound_exclusive)]
+    for every split but the last (which is the CASE ELSE branch)."""
+    total = sum(splits.values())
+    names = list(splits)
+    acc, cuts = 0.0, []
+    for name in names[:-1]:
+        acc += splits[name] / total
+        cuts.append((name, int(acc * _MOD)))
+    return cuts
+
+
 def mixture_sample(df: DataFrame, id_col: str, group_col: str,
                    targets: dict[str, float], salt: int = 0) -> DataFrame:
     """Rebalance the corpus to a TARGET GROUP MIXTURE (e.g. language

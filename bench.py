@@ -89,6 +89,9 @@ HEADLINE = [
     ("mixture_sample", "count"),
     ("embedding_covariance", "count"),
     ("dedup_survivors", "count"),
+    ("hash_split", "count"),
+    ("bpe_pair_counts", "collect"),
+    ("embedding_standardize", "count"),
 ]
 
 

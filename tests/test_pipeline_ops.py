@@ -794,3 +794,80 @@ def test_covariance_matrix_skips_null_vectors(spark):
     got = {(r["i"], r["j"]): r["cov"]
            for r in covariance_matrix(df, "embedding").collect()}
     assert got == {(1, 1): 2.0, (1, 2): 2.0, (2, 2): 2.0}
+
+
+def test_hash_split_assigns_every_row_and_is_partition_invariant(spark):
+    from bda_spadochrony_spark.operators.sampling import hash_split
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 1000          # every row assigned
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"]       # roughly proportional
+    base = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    reparted = sorted(
+        (r["doc_id"], r["split"]) for r in
+        hash_split(df.repartition(13), "doc_id",
+                   {"train": 0.8, "val": 0.1, "test": 0.1}).collect())
+    assert base == reparted
+
+
+def test_hash_split_salt_shifts_assignment(spark):
+    from bda_spadochrony_spark.operators.sampling import hash_split
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = dict((r["doc_id"], r["split"]) for r in
+             hash_split(df, "doc_id", {"a": 0.5, "b": 0.5}).collect())
+    b = dict((r["doc_id"], r["split"]) for r in
+             hash_split(df, "doc_id", {"a": 0.5, "b": 0.5}, salt=99).collect())
+    assert a != b                                # independent assignment
+    assert set(a) == set(b)                      # same rows, all assigned
+
+
+def test_bpe_pair_counts_known_values_and_single_token_docs(spark):
+    from bda_spadochrony_spark.operators.corpus import bpe_pair_counts
+    df = spark.createDataFrame(
+        [("a b a b c",), ("b a b",), ("solo",)], ["text"])
+    got = [(r["rank"], r["a"], r["b"], r["n"])
+           for r in bpe_pair_counts(df, "text", top_n=10).collect()]
+    # pairs: doc1 = ab,ba,ab,bc ; doc2 = ba,ab ; doc3 = none
+    assert got == [(1, "a", "b", 3), (2, "b", "a", 2), (3, "b", "c", 1)]
+
+
+def test_bpe_pair_counts_prune_does_not_change_result(spark):
+    from bda_spadochrony_spark.operators.corpus import bpe_pair_counts
+    df = spark.createDataFrame(
+        [(" ".join(chr(97 + (i + j) % 7) for j in range(30)),)
+         for i in range(20)], ["text"])
+    a = bpe_pair_counts(df, "text", top_n=5, prune_groups=1).collect()
+    b = bpe_pair_counts(df, "text", top_n=5, prune_groups=64).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_standardize_embeddings_matches_numpy(spark):
+    import numpy as np
+    from bda_spadochrony_spark.ml.stats import standardize_embeddings
+    rng = np.random.RandomState(3)
+    data = rng.randn(40, 6) * [1, 2, 3, 4, 5, 6] + [10, 0, -5, 1, 2, 3]
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(data)],
+        ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["zvec"]
+           for r in standardize_embeddings(df, "vec_id", "embedding",
+                                           round_digits=6).collect()}
+    exp = (data - data.mean(axis=0)) / data.std(axis=0, ddof=1)
+    assert len(out) == 40
+    for i, zrow in out.items():
+        assert np.allclose(zrow, exp[i], atol=1e-4), i
+
+
+def test_standardize_embeddings_zero_variance_and_nulls(spark):
+    from bda_spadochrony_spark.ml.stats import standardize_embeddings
+    df = spark.createDataFrame(
+        [(1, [5.0, 1.0]), (2, [5.0, 3.0]), (3, None)],
+        "vec_id: long, embedding: array<double>")
+    out = {r["vec_id"]: r["zvec"]
+           for r in standardize_embeddings(df, "vec_id", "embedding").collect()}
+    assert set(out) == {1, 2}                    # null vector skipped
+    assert out[1][0] == 0.0 and out[2][0] == 0.0  # zero-variance dim -> 0
+    assert out[1][1] < 0 < out[2][1]
