@@ -930,6 +930,37 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("zq"))
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets a
+    pure-function shuffle key; range partition + local sort make the
+    concatenated output a total shuffled order with NO single-partition
+    sort (the layout property is plan-asserted in unit tests). The
+    contract returns the first 100 documents of the epoch-0 order —
+    TakeOrdered, scale-safe — so the oracle verifies the key function and
+    tie-break exactly."""
+    from bda_spadochrony_spark.operators.corpus import shuffle_corpus
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = shuffle_corpus(docs, "doc_id")
+    return (out.orderBy("shuffle_key", "doc_id").limit(100)
+            .select("doc_id", "shuffle_key"))
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-growth admission control: the corpus is hash-split into an
+    EXISTING half and an incoming NEW batch; each new document is flagged
+    dup_exact (digest semi-join) and dup_near (cross-frame MinHash bands +
+    exact Jaccard >= 0.5 verify) against the existing half only — cost
+    proportional to the batch, never corpus x corpus. Oracle restates the
+    split and the exhaustive new x existing Jaccard."""
+    from bda_spadochrony_spark.operators.dedup import incremental_dedup
+    from bda_spadochrony_spark.operators.sampling import hash_bucket
+    docs = _t(spark, sf_dir, "documents")
+    is_existing = hash_bucket("doc_id") < F.lit(2147483648)
+    return incremental_dedup(docs.where(~is_existing),
+                             docs.where(is_existing),
+                             "doc_id", "text", min_jaccard=0.5)
+
+
 def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary encoding: top-100-token vocab built from the corpus
     itself (deterministic ranking), each document re-emitted as its
@@ -2128,6 +2159,8 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,
     "bpe_pair_counts": q_bpe_pair_counts,
     "embedding_standardize": q_embedding_standardize,
+    "corpus_shuffle": q_corpus_shuffle,
+    "incremental_dedup": q_incremental_dedup,
     "heavy_hitters": q_heavy_hitters,
     "unigram_surprisal": q_unigram_surprisal,
     "mixture_sample": q_mixture_sample,
@@ -2173,13 +2206,13 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sliding": q_stream_sliding,
     "partition_pruned": q_partition_pruned,
     "embedding_near_dup": q_embedding_near_dup,
-    "stats_agg": q_stats_agg,
-    "argmax_agg": q_argmax_agg,
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # displaced from the round-5 window by the three new queries above;
+    # displaced from the round-5 window by the five new queries above;
     # still single-driver-confirmation — rotate back in next round
+    "stats_agg": q_stats_agg,
+    "argmax_agg": q_argmax_agg,
     "regr_agg": q_regr_agg,
     "salted_hourly": q_salted_hourly,
     "nullsafe_join": q_nullsafe_join,
@@ -3414,6 +3447,63 @@ def _oracle_sql_literal() -> dict[str, str]:
                             ORDER BY i), ',') AS zq
             FROM e JOIN s USING (i)
             GROUP BY vec_id
+        """,
+        "corpus_shuffle": """
+            SELECT doc_id,
+                   (doc_id * 2654435761) % 4294967296 AS shuffle_key
+            FROM documents
+            ORDER BY 2 ASC, 1 ASC
+            LIMIT 100
+        """,
+        "incremental_dedup": """
+            WITH split AS (
+                SELECT doc_id, text,
+                       (doc_id * 2654435761) % 4294967296 < 2147483648
+                       AS is_existing
+                FROM documents
+            ), ls AS (
+                SELECT doc_id, is_existing,
+                       string_split_regex(text, ' +') AS l
+                FROM split
+            ), toks AS (
+                SELECT doc_id, unnest(l) AS tok,
+                       generate_subscripts(l, 1) AS ord
+                FROM ls
+            ), sh AS (
+                SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok
+                       AS shingle
+                FROM toks a
+                JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+                JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+                GROUP BY 1, 2
+            ), cnt AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+            ), inter AS (
+                SELECT x.doc_id AS id_new, y.doc_id AS id_old, count(*) AS i
+                FROM sh x
+                JOIN split sx ON sx.doc_id = x.doc_id AND NOT sx.is_existing
+                JOIN sh y ON x.shingle = y.shingle
+                JOIN split sy ON sy.doc_id = y.doc_id AND sy.is_existing
+                GROUP BY 1, 2
+            ), near AS (
+                SELECT DISTINCT id_new
+                FROM inter
+                JOIN cnt na ON na.doc_id = id_new
+                JOIN cnt nb ON nb.doc_id = id_old
+                WHERE i * 1.0 / (na.n + nb.n - i) >= 0.5
+            )
+            SELECT n.doc_id,
+                   CASE WHEN EXISTS (SELECT 1 FROM split o
+                                     WHERE o.is_existing AND o.text = n.text)
+                        THEN 1 ELSE 0 END AS dup_exact,
+                   CASE WHEN n.doc_id IN (SELECT id_new FROM near)
+                        THEN 1 ELSE 0 END AS dup_near,
+                   CASE WHEN NOT EXISTS (SELECT 1 FROM split o
+                                         WHERE o.is_existing
+                                           AND o.text = n.text)
+                         AND n.doc_id NOT IN (SELECT id_new FROM near)
+                        THEN 1 ELSE 0 END AS admitted
+            FROM split n WHERE NOT n.is_existing
         """,
         "token_frequencies": """
             SELECT token, n, CAST(rn AS INTEGER) AS rn FROM (

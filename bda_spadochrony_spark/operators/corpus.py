@@ -140,6 +140,27 @@ def pack_documents(df: DataFrame, id_col: str, text_col: str,
         (start % budget).cast("long").alias("pack_offset"))
 
 
+def shuffle_corpus(df: DataFrame, id_col: str, salt: int = 0,
+                   num_partitions: int | None = None,
+                   key_col: str = "shuffle_key") -> DataFrame:
+    """Deterministic global corpus shuffle for training order: every row
+    gets a pure-function shuffle key (the Knuth multiplicative hash of its
+    id + salt), and the frame is range-partitioned and sorted on
+    ``(key, id)`` — so the CONCATENATION of output partitions is a total
+    shuffled order, with no single-partition global sort anywhere (the
+    range exchange samples boundaries; each partition sorts locally).
+    Write the result ``partitionBy``-free and readers stream the corpus in
+    shuffled order; a different ``salt`` is a fresh epoch permutation,
+    and the same salt reproduces the identical order on any cluster.
+    """
+    from bda_spadochrony_spark.operators.sampling import hash_bucket
+    d = df.withColumn(key_col, hash_bucket(id_col, salt))
+    parts = (num_partitions
+             or d.sparkSession.sparkContext.defaultParallelism)
+    return (d.repartitionByRange(parts, F.col(key_col), F.col(id_col))
+            .sortWithinPartitions(key_col, id_col))
+
+
 def bpe_pair_counts(df: DataFrame, text_col: str, top_n: int = 50,
                     prune_groups: int = 64) -> DataFrame:
     """The distributed core of one BPE-training iteration: corpus-wide

@@ -216,6 +216,72 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     return verified.where(F.col("jaccard") >= min_jaccard)
 
 
+def incremental_dedup(new: DataFrame, existing: DataFrame, id_col: str,
+                      text_col: str, min_jaccard: float = 0.5,
+                      num_hashes: int = 16, shingle_n: int = 3,
+                      seed: int = 42, materialize: bool = True) -> DataFrame:
+    """Admission control for corpus GROWTH: classify each document of an
+    incoming batch against the existing corpus — without re-deduping the
+    corpus itself. Returns one row per new document:
+    ``(id, dup_exact, dup_near, admitted)``.
+
+    Two gates, both batch-vs-corpus (never corpus-vs-corpus):
+
+    - **exact**: left-semi join on the 64-bit content digest — the shuffle
+      carries 8 bytes per row on the corpus side.
+    - **near**: MinHash band buckets joined NEW × EXISTING (a cross-frame
+      equi join, not a self-join), then the candidate-restricted exact
+      n-gram Jaccard verify. At scale the existing side's signature table
+      is the persisted sketch from the original dedup run (8·num_hashes
+      bytes/doc) — it is recomputed here only for self-containment; the
+      incremental cost is then proportional to the BATCH, not the corpus.
+
+    Flags are independent: an exact duplicate is also a near duplicate
+    (identical shingles ⇒ jaccard 1.0). Documents shorter than
+    ``shingle_n`` tokens emit no shingles and can only be exact dups —
+    identical semantics in the SQL oracle.
+    """
+    nh = new.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("__h"))
+    eh = existing.select(F.xxhash64(F.col(text_col)).alias("__h")).distinct()
+    exact_dups = nh.join(eh, "__h", "left_semi").select(id_col)
+
+    nsig = minhash_signatures(new, id_col, text_col, num_hashes,
+                              shingle_n, seed)
+    esig = minhash_signatures(existing, id_col, text_col, num_hashes,
+                              shingle_n, seed)
+    if materialize:
+        # both band-join inputs feed one join; the NEW side also feeds the
+        # verifier via candidates — checkpoint the (tiny) sketch tables so
+        # AQE's no-cross-stage-reuse cannot replay the shingle pipelines
+        nsig = nsig.localCheckpoint(eager=False)
+        esig = esig.localCheckpoint(eager=False)
+    nb = nsig.select(F.col(id_col).alias("id_a"),
+                     F.posexplode("sig").alias("band_id", "band_hash"))
+    eb = esig.select(F.col(id_col).alias("id_b"),
+                     F.posexplode("sig").alias("band_id", "band_hash"))
+    cands = (nb.join(eb, ["band_id", "band_hash"])
+             .select("id_a", "id_b").distinct())
+    if materialize:
+        cands = cands.localCheckpoint(eager=False)
+    union_docs = (new.select(F.col(id_col), F.col(text_col))
+                  .unionByName(existing.select(F.col(id_col),
+                                               F.col(text_col))))
+    near = ngram_jaccard_pairs(union_docs, id_col, text_col, shingle_n,
+                               candidates=cands, verify_mode="join")
+    near_dups = (near.where(F.col("jaccard") >= min_jaccard)
+                 .select(F.col("id_a").alias(id_col)).distinct())
+
+    return (new.select(id_col)
+            .join(exact_dups.withColumn("__e", F.lit(1)), id_col, "left")
+            .join(near_dups.withColumn("__n", F.lit(1)), id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("__e", F.lit(0)).alias("dup_exact"),
+                    F.coalesce("__n", F.lit(0)).alias("dup_near"),
+                    F.when((F.coalesce("__e", F.lit(0)) == 0) &
+                           (F.coalesce("__n", F.lit(0)) == 0), 1)
+                    .otherwise(0).alias("admitted")))
+
+
 def _min_label_propagation(pairs: DataFrame, id_a: str, id_b: str,
                            max_iter: int) -> tuple[DataFrame, int]:
     """Minimum-label propagation: every round each node adopts

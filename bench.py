@@ -92,6 +92,8 @@ HEADLINE = [
     ("hash_split", "count"),
     ("bpe_pair_counts", "collect"),
     ("embedding_standardize", "count"),
+    ("corpus_shuffle", "collect"),
+    ("incremental_dedup", "count"),
 ]
 
 

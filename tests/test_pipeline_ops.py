@@ -871,3 +871,61 @@ def test_standardize_embeddings_zero_variance_and_nulls(spark):
     assert set(out) == {1, 2}                    # null vector skipped
     assert out[1][0] == 0.0 and out[2][0] == 0.0  # zero-variance dim -> 0
     assert out[1][1] < 0 < out[2][1]
+
+
+def test_shuffle_corpus_total_order_and_no_global_sort(spark):
+    from bda_spadochrony_spark.operators.corpus import shuffle_corpus
+    from bda_spadochrony_spark.operators.sampling import hash_bucket
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = shuffle_corpus(df, "doc_id", num_partitions=8)
+    # concatenating partitions in partition order yields a total order
+    parts = out.select("shuffle_key", "doc_id").rdd.glom().collect()
+    flat = [tuple(r) for p in parts for r in p]
+    assert flat == sorted(flat)
+    assert len(flat) == 2000
+    # the plan range-partitions; there is no single-partition exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "singlepartition" not in plan.lower()
+
+
+def test_shuffle_corpus_salt_is_new_epoch_and_reproducible(spark):
+    from bda_spadochrony_spark.operators.corpus import shuffle_corpus
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    order0 = [r["doc_id"] for r in
+              shuffle_corpus(df, "doc_id", num_partitions=4)
+              .select("doc_id").rdd.glom().collect() for r in r]
+    order0b = [r["doc_id"] for r in
+               shuffle_corpus(df.repartition(11), "doc_id", num_partitions=4)
+               .select("doc_id").rdd.glom().collect() for r in r]
+    order1 = [r["doc_id"] for r in
+              shuffle_corpus(df, "doc_id", salt=7, num_partitions=4)
+              .select("doc_id").rdd.glom().collect() for r in r]
+    assert order0 == order0b            # same epoch, any input partitioning
+    assert order0 != order1             # new salt = new permutation
+    assert sorted(order0) == sorted(order1) == list(range(300))
+
+
+def test_incremental_dedup_flags(spark):
+    from bda_spadochrony_spark.operators.dedup import incremental_dedup
+    existing = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different corpus content about spark engines"),
+         (3, "short doc")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),   # exact
+         (11, "the quick brown fox jumps over the lazy cat today"),   # near
+         (12, "novel text that shares nothing with anything else"),   # novel
+         (13, "short doc"),                                           # exact, too short to shingle-match
+         (14, "xy")],                                                 # novel short
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["dup_exact"], r["dup_near"], r["admitted"])
+           for r in incremental_dedup(new, existing, "doc_id", "text",
+                                      min_jaccard=0.5).collect()}
+    assert got[10] == (1, 1, 0)     # exact dup is also a near dup
+    assert got[11] == (0, 1, 0)
+    assert got[12] == (0, 0, 1)
+    assert got[13][0] == 1 and got[13][2] == 0   # digest catches short docs
+    assert got[14] == (0, 0, 1)
+    assert len(got) == 5
