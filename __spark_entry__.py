@@ -961,6 +961,23 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "doc_id", "text", min_jaccard=0.5)
 
 
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction (rows-only by design: the eigensolve
+    has no SQL twin): covariance is computed DISTRIBUTED in one pass,
+    only the d x d matrix reaches the driver for numpy eigh, and the
+    projection is a pure map with the sign-fixed basis inlined as
+    literals — zero shuffle, zero Python on the transform path. Basis
+    determinism + numpy parity are unit-tested
+    (test_pca_project_matches_numpy)."""
+    from bda_spadochrony_spark.ml.stats import pca_project
+    from bda_spadochrony_spark.functions.numeric import stable_round
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pca_project(emb, "vec_id", "embedding", k=4)
+    return out.select("vec_id",
+                      *[stable_round(F.col(f"pc{i}"), 4).alias(f"pc{i}")
+                        for i in range(1, 5)])
+
+
 def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary encoding: top-100-token vocab built from the corpus
     itself (deterministic ranking), each document re-emitted as its
@@ -2161,6 +2178,7 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_standardize": q_embedding_standardize,
     "corpus_shuffle": q_corpus_shuffle,
     "incremental_dedup": q_incremental_dedup,
+    "pca_project": q_pca_project,
     "heavy_hitters": q_heavy_hitters,
     "unigram_surprisal": q_unigram_surprisal,
     "mixture_sample": q_mixture_sample,
@@ -2205,12 +2223,12 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_share": q_market_share,
     "stream_sliding": q_stream_sliding,
     "partition_pruned": q_partition_pruned,
-    "embedding_near_dup": q_embedding_near_dup,
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # displaced from the round-5 window by the five new queries above;
-    # still single-driver-confirmation — rotate back in next round
+    # displaced from the round-5 window by the new queries above; still
+    # single-driver-confirmation — rotate back in next round
+    "embedding_near_dup": q_embedding_near_dup,
     "stats_agg": q_stats_agg,
     "argmax_agg": q_argmax_agg,
     "regr_agg": q_regr_agg,

@@ -67,6 +67,66 @@ def standardize_embeddings(df: DataFrame, id_col: str, vec_col: str,
                 lambda s: s["z"]).alias(out_col)))
 
 
+def pca_components(df: DataFrame, vec_col: str, k: int = 8
+                   ) -> tuple[list[float], list[list[float]], list[float]]:
+    """PCA fit at corpus scale: the covariance matrix is computed
+    DISTRIBUTED (one pass, ``covariance_matrix``), and only the d×d
+    result — dimension-table-sized at ANY corpus size — is collected for
+    the driver-side eigensolve, the standard split for tall-skinny PCA
+    (compute moments in the cluster, eigendecompose the tiny Gram matrix
+    locally). Returns ``(means, components, eigenvalues)`` with the top-k
+    eigenvectors sign-fixed (largest-|component| positive) so the basis is
+    deterministic across BLAS builds.
+    """
+    import numpy as np
+    cov_rows = covariance_matrix(df, vec_col, round_digits=None).collect()
+    d = max(r["j"] for r in cov_rows)
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["i"] - 1, r["j"] - 1] = r["cov"]
+        C[r["j"] - 1, r["i"] - 1] = r["cov"]
+    mu = np.zeros(d)
+    for r in dimension_stats(df, vec_col).collect():
+        mu[r["pos"] - 1] = r["mu"]
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return ([float(x) for x in mu], comps,
+            [float(vals[i]) for i in order])
+
+
+def pca_project(df: DataFrame, id_col: str, vec_col: str, k: int = 8,
+                components: list[list[float]] | None = None,
+                means: list[float] | None = None) -> DataFrame:
+    """Project each embedding onto the top-k principal components —
+    dimensionality reduction ahead of clustering / ANN / visualization.
+    With ``components``/``means`` given (e.g. persisted from a fit job)
+    the transform is a PURE MAP: the basis is inlined as literals, every
+    projection a codegen'd zip_with/aggregate fold, zero shuffle and zero
+    Python. Without them, ``pca_components`` fits first (two bounded
+    passes). Output columns ``pc1..pck`` (scalars, not an array — driver-
+    hash-safe and unpivotable).
+    """
+    if components is None or means is None:
+        means, components, _ = pca_components(df, vec_col, k)
+    v = F.col(vec_col).cast("array<double>")
+    centered = F.zip_with(
+        v, F.array(*[F.lit(m) for m in means]), lambda x, m: x - m)
+    cols = []
+    for j, comp in enumerate(components):
+        proj = F.aggregate(
+            F.zip_with(centered, F.array(*[F.lit(c) for c in comp]),
+                       lambda x, c: x * c),
+            F.lit(0.0), lambda acc, x: acc + x)
+        cols.append(proj.alias(f"pc{j + 1}"))
+    return df.where(F.col(vec_col).isNotNull()).select(F.col(id_col), *cols)
+
+
 def covariance_matrix(df: DataFrame, vec_col: str,
                       round_digits: int | None = 4) -> DataFrame:
     """Upper-triangle SAMPLE covariance of an ``array<numeric>`` column:

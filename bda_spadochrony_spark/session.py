@@ -30,6 +30,15 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB scan splits
     "spark.sql.autoBroadcastJoinThreshold": "33554432",  # 32 MiB dims broadcast
     "spark.sql.shuffle.partitions": "32",
+    # runtime Bloom-filter join pruning: when a selective filter sits on one
+    # side of a shuffle join, Spark builds a bloom_filter_agg of the join
+    # keys and injects might_contain() into the OTHER side's scan — rows
+    # that cannot match die before the shuffle. Default-on upstream; pinned
+    # here because at 100 TB it is the difference between shuffling the
+    # fact table and shuffling the ~matching slice (the application-side
+    # 10 GB scan threshold keeps it from firing at local test scale —
+    # tests/test_skew.py lowers it to demonstrate the plan).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.ui.enabled": "false",
     "spark.sql.streaming.schemaInference": "false",
     # testdata parquet stores TIMESTAMP(NANOS); read as long, convert in scan

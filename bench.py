@@ -94,6 +94,7 @@ HEADLINE = [
     ("embedding_standardize", "count"),
     ("corpus_shuffle", "collect"),
     ("incremental_dedup", "count"),
+    ("pca_project", "count"),
 ]
 
 

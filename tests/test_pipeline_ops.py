@@ -929,3 +929,49 @@ def test_incremental_dedup_flags(spark):
     assert got[13][0] == 1 and got[13][2] == 0   # digest catches short docs
     assert got[14] == (0, 0, 1)
     assert len(got) == 5
+
+
+def test_pca_project_matches_numpy(spark):
+    import numpy as np
+    from bda_spadochrony_spark.ml.stats import pca_components, pca_project
+    rng = np.random.RandomState(11)
+    # anisotropic cloud so the component order is unambiguous
+    base = rng.randn(60, 5) * [6, 3, 1.5, 0.7, 0.2]
+    mix = rng.randn(5, 5)
+    data = base @ mix
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(data)],
+        ["vec_id", "embedding"])
+    means, comps, eigvals = pca_components(df, "embedding", k=3)
+    # numpy reference with the identical sign convention
+    C = np.cov(data, rowvar=False)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:3]
+    for rank, idx in enumerate(order):
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        assert np.allclose(comps[rank], v, atol=1e-6), rank
+        assert abs(eigvals[rank] - vals[idx]) < 1e-6
+    got = {r["vec_id"]: [r["pc1"], r["pc2"], r["pc3"]]
+           for r in pca_project(df, "vec_id", "embedding", k=3,
+                                components=comps, means=means).collect()}
+    exp = (data - data.mean(axis=0)) @ np.array(comps).T
+    for i in range(60):
+        assert np.allclose(got[i], exp[i], atol=1e-6), i
+    # projected variance recovers the eigenvalues
+    proj = np.array([got[i] for i in range(60)])
+    assert np.allclose(proj.var(axis=0, ddof=1), eigvals[:3], rtol=1e-4)
+
+
+def test_pca_project_with_literal_basis_is_map_only(spark):
+    from bda_spadochrony_spark.ml.stats import pca_project
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, None)],
+        "vec_id: long, embedding: array<double>")
+    out = pca_project(df, "vec_id", "embedding",
+                      components=[[1.0, 0.0]], means=[0.0, 0.0])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "exchange" not in plan.lower()          # zero shuffle
+    got = {r["vec_id"]: r["pc1"] for r in out.collect()}
+    assert got == {1: 1.0, 2: 3.0}                 # null vec dropped

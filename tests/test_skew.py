@@ -107,3 +107,39 @@ def test_partition_pruning_static_and_dynamic(spark):
         assert n_dates >= 2
     finally:
         shutil.rmtree(lake, ignore_errors=True)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """The 100 TB fact-dim shuffle-join path: a selective filter on the
+    creation side makes Spark build a bloom_filter_agg of the join keys
+    and inject might_contain() into the fact side BEFORE its shuffle.
+    Default-on (session.py pins it); only the 10 GB application-side scan
+    threshold keeps it quiet at test scale (and the rule needs file-source
+    stats, hence parquet inputs), so the test lowers the threshold and
+    asserts both the plan shape and result parity with the filter off."""
+    from tests.conftest import SF_SMALL
+    from bda_spadochrony_spark.sources.readers import scan
+    li = scan(spark, f"{SF_SMALL}/lineitem.parquet")
+    orders = (scan(spark, f"{SF_SMALL}/orders.parquet")
+              .where(F.col("o_orderpriority") == "1-URGENT"))
+    expected = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .count())  # broadcast plan, no bloom — the parity baseline
+    prev_b = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_t = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0")
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        n_bloom = joined.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_b)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_t)
+    assert n_bloom == expected > 0  # bloom prunes, never drops matches
