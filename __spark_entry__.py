@@ -339,6 +339,34 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (the one streaming join family the engine
+    had not yet evidenced): the event stream joins the CURRENT snapshot
+    of a static customer dimension per micro-batch — broadcast, so the
+    fact stream never shuffles for the join — then aggregates counts and
+    value sums per (market segment, event type). Complete mode; the
+    oracle is the equivalent batch join+group."""
+    from bda_spadochrony_spark.streaming.sources import file_stream
+    from bda_spadochrony_spark.streaming.ops import stream_static_join
+    from bda_spadochrony_spark.streaming.runner import run_available_now
+    configure(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = file_stream(spark, f"{sf_dir}/events*.parquet",
+                             EVENTS_SCHEMA)
+        dim = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"))
+        enriched = stream_static_join(stream, dim, ["user_id"])
+        agg = (enriched.groupBy("segment", "event_type")
+               .agg(F.count(F.lit(1)).alias("cnt"),
+                    stable_round(F.sum("value"), 2).alias("sum_value")))
+        return run_available_now(spark, agg, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T4/S8 — Structured Streaming pipeline run to completion: file
     source → event-time tumbling window aggregate → memory sink
@@ -2179,6 +2207,7 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_shuffle": q_corpus_shuffle,
     "incremental_dedup": q_incremental_dedup,
     "pca_project": q_pca_project,
+    "stream_enrich": q_stream_enrich,
     "heavy_hitters": q_heavy_hitters,
     "unigram_surprisal": q_unigram_surprisal,
     "mixture_sample": q_mixture_sample,
@@ -2222,12 +2251,12 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "min_cost_per_part": q_min_cost_per_part,
     "market_share": q_market_share,
     "stream_sliding": q_stream_sliding,
-    "partition_pruned": q_partition_pruned,
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced from the round-5 window by the new queries above; still
     # single-driver-confirmation — rotate back in next round
+    "partition_pruned": q_partition_pruned,
     "embedding_near_dup": q_embedding_near_dup,
     "stats_agg": q_stats_agg,
     "argmax_agg": q_argmax_agg,
@@ -2610,6 +2639,13 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM (SELECT timezone('America/New_York', timezone('UTC', ts))
                          - INTERVAL 20 MINUTE AS nyts, value
                   FROM events)
+            GROUP BY 1, 2
+        """,
+        "stream_enrich": """
+            SELECT c.c_mktsegment AS segment, e.event_type,
+                   count(*) AS cnt,
+                   round((sum(e.value)) + 1e-06, 2) AS sum_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY 1, 2
         """,
         "stream_hourly": """

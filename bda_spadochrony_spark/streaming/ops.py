@@ -29,6 +29,22 @@ def stream_dedup(df: DataFrame, keys: list[str], ts_col: str,
     return df.withWatermark(ts_col, delay).dropDuplicates(keys)
 
 
+def stream_static_join(stream: DataFrame, static: DataFrame,
+                       on: list[str] | Column, how: str = "inner",
+                       broadcast_static: bool = True) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    CURRENT snapshot of the static side — the standard dimension-table
+    enrichment (stream of facts × slowly-changing dim). Stateless on the
+    stream side (no watermark needed for an inner/left join; Spark
+    re-plans the static side per batch, so a refreshed dim table is
+    picked up between batches). ``broadcast_static`` hints the dim
+    broadcast — at 100 TB the fact stream never shuffles for the join;
+    only dims above the broadcast threshold fall back to a shuffled join.
+    """
+    s = F.broadcast(static) if broadcast_static else static
+    return stream.join(s, on, how)
+
+
 def stream_interval_join(left: DataFrame, right: DataFrame,
                          left_ts: str, right_ts: str,
                          tolerance_seconds: float = 30.0,

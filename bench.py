@@ -95,6 +95,7 @@ HEADLINE = [
     ("corpus_shuffle", "collect"),
     ("incremental_dedup", "count"),
     ("pca_project", "count"),
+    ("stream_enrich", "collect"),
 ]
 
 
