@@ -1006,6 +1006,58 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for i in range(1, 5)])
 
 
+def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-oracled distributed classifier: per-label mean centroids
+    (posexplode → |labels|·d aggregate, dimension-sized) and nearest-
+    centroid assignment (broadcast centroid join + (id,label) partial-sum
+    shuffle + struct-min argmin) — no driver collect, no pairwise rows,
+    and unlike KMeans/GBT every value is SQL-checkable. Distances are
+    stable-rounded before the argmin so accumulation order can't flip a
+    near-tie."""
+    from bda_spadochrony_spark.ml.centroids import (centroid_classify,
+                                                    label_centroids)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb, "embedding", "label")
+    return centroid_classify(emb, "vec_id", "embedding", cents)
+
+
+def q_classify_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model evaluation as a first-class operator: confusion-matrix
+    counts (label, pred_label, n) of the nearest-centroid classifier
+    against the true labels — one id-keyed join + one |labels|² count
+    shuffle. Accuracy = trace/total downstream."""
+    from bda_spadochrony_spark.ml.centroids import (centroid_classify,
+                                                    classification_report,
+                                                    label_centroids)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb, "embedding", "label")
+    pred = centroid_classify(emb, "vec_id", "embedding", cents)
+    return classification_report(pred, emb, "vec_id")
+
+
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-drift monitor: per-source KL divergence of the source's
+    token distribution from the corpus distribution — one token scan,
+    per-(source, token) counts checkpointed and rolled up three ways
+    (group totals, corpus token counts, corpus total). No smoothing
+    needed: every source token exists in the corpus by construction."""
+    from bda_spadochrony_spark.operators.corpus import source_kl_divergence
+    docs = _t(spark, sf_dir, "documents")
+    return source_kl_divergence(docs, "source", "text")
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admission verdict a production filter pipeline emits: length
+    floor + Gopher repetition metrics + unigram-surprisal band composed
+    into keep/drop with the first failing reason per document. Inputs
+    are stable-rounded before thresholding so the verdict is engine-
+    exact; thresholds chosen so every reason fires on the testdata (the
+    oracle is non-vacuous for each branch)."""
+    from bda_spadochrony_spark.operators.corpus import quality_gate
+    docs = _t(spark, sf_dir, "documents")
+    return quality_gate(docs, "doc_id", "text")
+
+
 def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary encoding: top-100-token vocab built from the corpus
     itself (deterministic ranking), each document re-emitted as its
@@ -2208,6 +2260,10 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "pca_project": q_pca_project,
     "stream_enrich": q_stream_enrich,
+    "centroid_classify": q_centroid_classify,
+    "classify_eval": q_classify_eval,
+    "source_kl": q_source_kl,
+    "quality_gate": q_quality_gate,
     "heavy_hitters": q_heavy_hitters,
     "unigram_surprisal": q_unigram_surprisal,
     "mixture_sample": q_mixture_sample,
@@ -2247,15 +2303,15 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_supplier": q_top_supplier,
     "grouping_sets": q_grouping_sets,
     "window_analytics": q_window_analytics,
-    "set_ops": q_set_ops,
-    "min_cost_per_part": q_min_cost_per_part,
-    "market_share": q_market_share,
-    "stream_sliding": q_stream_sliding,
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced from the round-5 window by the new queries above; still
     # single-driver-confirmation — rotate back in next round
+    "set_ops": q_set_ops,
+    "min_cost_per_part": q_min_cost_per_part,
+    "market_share": q_market_share,
+    "stream_sliding": q_stream_sliding,
     "partition_pruned": q_partition_pruned,
     "embedding_near_dup": q_embedding_near_dup,
     "stats_agg": q_stats_agg,
@@ -3501,6 +3557,141 @@ def _oracle_sql_literal() -> dict[str, str]:
                             ORDER BY i), ',') AS zq
             FROM e JOIN s USING (i)
             GROUP BY vec_id
+        """,
+        "centroid_classify": """
+            WITH e AS (
+                SELECT vec_id, label, CAST(i AS INTEGER) AS pos,
+                       embedding[i]::DOUBLE AS x
+                FROM embeddings CROSS JOIN range(1, 65) r(i)
+                WHERE embedding IS NOT NULL
+            ), c AS (
+                SELECT label, pos, avg(x) AS mu
+                FROM e WHERE label IS NOT NULL GROUP BY 1, 2
+            ), d AS (
+                SELECT e.vec_id, c.label,
+                       round((sum((e.x - c.mu) * (e.x - c.mu))) + 1e-10, 6)
+                       AS dist
+                FROM e JOIN c USING (pos)
+                GROUP BY 1, 2
+            )
+            SELECT vec_id, label AS pred_label, dist FROM (
+                SELECT vec_id, label, dist,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist ASC, label ASC) AS rn
+                FROM d
+            ) WHERE rn = 1
+        """,
+        "classify_eval": """
+            WITH e AS (
+                SELECT vec_id, label, CAST(i AS INTEGER) AS pos,
+                       embedding[i]::DOUBLE AS x
+                FROM embeddings CROSS JOIN range(1, 65) r(i)
+                WHERE embedding IS NOT NULL
+            ), c AS (
+                SELECT label, pos, avg(x) AS mu
+                FROM e WHERE label IS NOT NULL GROUP BY 1, 2
+            ), d AS (
+                SELECT e.vec_id, c.label,
+                       round((sum((e.x - c.mu) * (e.x - c.mu))) + 1e-10, 6)
+                       AS dist
+                FROM e JOIN c USING (pos)
+                GROUP BY 1, 2
+            ), pred AS (
+                SELECT vec_id, label AS pred_label FROM (
+                    SELECT vec_id, label, dist,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist ASC, label ASC)
+                           AS rn
+                    FROM d
+                ) WHERE rn = 1
+            )
+            SELECT t.label, p.pred_label, count(*) AS n
+            FROM pred p JOIN embeddings t USING (vec_id)
+            GROUP BY 1, 2
+        """,
+        "source_kl": """
+            WITH tok AS (
+                SELECT source,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS token
+                FROM documents
+            ), gt AS (
+                SELECT source, token, count(*) AS c_gt
+                FROM tok GROUP BY 1, 2
+            ), g_tot AS (
+                SELECT source, sum(c_gt) AS n_g FROM gt GROUP BY 1
+            ), t_tot AS (
+                SELECT token, sum(c_gt) AS c_t FROM gt GROUP BY 1
+            ), n AS (
+                SELECT sum(c_t) AS n_total FROM t_tot
+            )
+            SELECT gt.source, CAST(max(n_g) AS BIGINT) AS n_tokens,
+                   round((sum((c_gt * 1.0 / n_g) *
+                              log2((c_gt * 1.0 / n_g) /
+                                   (c_t * 1.0 / n_total)))) + 1e-08, 4)
+                   AS kl
+            FROM gt
+            JOIN t_tot USING (token)
+            JOIN g_tot USING (source)
+            CROSS JOIN n
+            GROUP BY 1
+        """,
+        "quality_gate": """
+            WITH base AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS lt,
+                       string_split_regex(text, ' +') AS rt
+                FROM documents
+            ), tok_rows AS (
+                SELECT doc_id, unnest(lt) AS tok FROM base
+            ), per_tok AS (
+                SELECT doc_id, tok, count(*) AS c FROM tok_rows GROUP BY 1, 2
+            ), tok_stats AS (
+                SELECT doc_id, max(c) AS tc, CAST(sum(c) AS BIGINT) AS n
+                FROM per_tok GROUP BY 1
+            ), idx AS (
+                SELECT doc_id, rt,
+                       unnest(generate_series(1, len(rt) - 2)) AS i
+                FROM base
+            ), sh AS (
+                SELECT doc_id, rt[i] || ' ' || rt[i+1] || ' ' || rt[i+2]
+                       AS s
+                FROM idx
+            ), gram_stats AS (
+                SELECT doc_id, count(*) AS n3, count(DISTINCT s) AS nd3
+                FROM sh GROUP BY 1
+            ), cnts AS (
+                SELECT tok, count(*) AS tf FROM tok_rows GROUP BY 1
+            ), tot AS (
+                SELECT sum(tf)::DOUBLE AS n_total FROM cnts
+            ), sur AS (
+                SELECT doc_id,
+                       round((avg(-log2(tf / n_total))) + 1e-08, 4) AS s
+                FROM tok_rows JOIN cnts USING (tok) CROSS JOIN tot
+                GROUP BY doc_id
+            ), feats AS (
+                SELECT t.doc_id, t.n,
+                       round((coalesce(1.0 - g.nd3 * 1.0 / g.n3, 0.0))
+                             + 1e-08, 4) AS dup3,
+                       round((t.tc * 1.0 / greatest(t.n, 1))
+                             + 1e-08, 4) AS topf,
+                       coalesce(s.s, 0.0) AS sv
+                FROM tok_stats t
+                LEFT JOIN gram_stats g USING (doc_id)
+                LEFT JOIN sur s USING (doc_id)
+            )
+            SELECT doc_id, n_tokens, reason,
+                   CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS keep
+            FROM (
+                SELECT doc_id, n AS n_tokens,
+                       CASE WHEN n < 30 THEN 'too_short'
+                            WHEN dup3 > 0.03 THEN 'repetitive'
+                            WHEN topf > 0.15 THEN 'dominated'
+                            WHEN sv < 4.9 THEN 'low_surprisal'
+                            WHEN sv > 5.2 THEN 'high_surprisal'
+                            ELSE 'ok' END AS reason
+                FROM feats
+            )
         """,
         "corpus_shuffle": """
             SELECT doc_id,

@@ -197,6 +197,82 @@ def bpe_pair_counts(df: DataFrame, text_col: str, top_n: int = 50,
             .select("rank", "a", "b", "n"))
 
 
+def quality_gate(df: DataFrame, id_col: str, text_col: str,
+                 min_tokens: int = 30, max_dup3: float = 0.03,
+                 max_top_token: float = 0.15,
+                 surprisal_lo: float = 4.9,
+                 surprisal_hi: float = 5.2) -> DataFrame:
+    """The corpus admission VERDICT: compose the repetition metrics
+    (Gopher), the unigram-surprisal score (CCNet-style), and a length
+    floor into one keep/drop per document with the FIRST failing reason —
+    the auditable form a production filter pipeline emits (keep the
+    verdict frame, join it back to drop rows, aggregate it for filter-
+    rate monitoring). Rule order is fixed: too_short → repetitive →
+    dominated → low_surprisal → high_surprisal → ok.
+
+    All inputs are stable-rounded BEFORE thresholding, so the verdict is
+    engine-exact (the same comparisons on the same rounded values in the
+    SQL oracle); the plan is the union of the two underlying operators'
+    plans plus one id-keyed join.
+    """
+    from bda_spadochrony_spark.operators.text import repetition_features
+    rep = repetition_features(df.select(F.col(id_col), F.col(text_col)),
+                              id_col, text_col)
+    sur = unigram_surprisal(df, id_col, text_col)
+    j = rep.join(sur.select(F.col(id_col),
+                            F.col("surprisal")), id_col, "left")
+    s = F.coalesce("surprisal", F.lit(0.0))
+    reason = (F.when(F.col("r_n_tokens") < min_tokens, "too_short")
+              .when(F.col("r_dup_3gram_fraction") > max_dup3, "repetitive")
+              .when(F.col("r_top_token_fraction") > max_top_token,
+                    "dominated")
+              .when(s < surprisal_lo, "low_surprisal")
+              .when(s > surprisal_hi, "high_surprisal")
+              .otherwise("ok"))
+    return j.select(F.col(id_col),
+                    F.col("r_n_tokens").alias("n_tokens"),
+                    reason.alias("reason"),
+                    (reason == "ok").cast("int").alias("keep"))
+
+
+def source_kl_divergence(df: DataFrame, group_col: str, text_col: str,
+                         round_digits: int = 4) -> DataFrame:
+    """Domain-drift detection: per-group KL divergence of the group's
+    token distribution from the corpus-wide distribution,
+    ``KL(group ‖ corpus) = Σ_t p(t|g) · log2(p(t|g) / q(t))`` — the
+    source-anomaly score a corpus pipeline monitors when a crawl source
+    changes character (boilerplate floods, language shifts, spam). Every
+    group token exists in the corpus by construction, so no zero-q guard
+    is needed and no smoothing distorts the score.
+
+    One token scan serves everything: per-(group, token) counts roll up
+    to per-group totals, corpus token counts, AND the corpus total —
+    three bounded aggregates over the same frame (the per-group-token
+    table is the only data-sized shuffle, keyed on (group, token); the
+    rollups are vocabulary- and group-sized). Returns
+    ``(group, n_tokens, kl)``.
+    """
+    from bda_spadochrony_spark.operators.text import tokens
+    tok = df.select(F.col(group_col),
+                    F.explode(tokens(text_col)).alias("token"))
+    gt = (tok.groupBy(group_col, "token")
+          .agg(F.count(F.lit(1)).alias("c_gt")))
+    gt = gt.localCheckpoint(eager=False)  # three consumers below; AQE
+    # never reuses the exchange across stages (proven pattern: minhash)
+    g_tot = gt.groupBy(group_col).agg(F.sum("c_gt").alias("n_g"))
+    t_tot = gt.groupBy("token").agg(F.sum("c_gt").alias("c_t"))
+    n_tot = t_tot.agg(F.sum("c_t").alias("n_total"))
+    j = (gt.join(t_tot, "token")
+         .join(F.broadcast(g_tot), group_col)
+         .crossJoin(F.broadcast(n_tot)))
+    p = F.col("c_gt") / F.col("n_g")
+    q = F.col("c_t") / F.col("n_total")
+    return (j.groupBy(group_col)
+            .agg(F.max("n_g").alias("n_tokens"),
+                 stable_round(F.sum(p * F.log2(p / q)), round_digits)
+                 .alias("kl")))
+
+
 def unigram_surprisal(df: DataFrame, id_col: str, text_col: str,
                       round_digits: int = 4) -> DataFrame:
     """Per-document mean token surprisal (self-information) under the

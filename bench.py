@@ -96,6 +96,10 @@ HEADLINE = [
     ("incremental_dedup", "count"),
     ("pca_project", "count"),
     ("stream_enrich", "collect"),
+    ("centroid_classify", "count"),
+    ("classify_eval", "collect"),
+    ("source_kl", "collect"),
+    ("quality_gate", "count"),
 ]
 
 

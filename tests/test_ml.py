@@ -129,3 +129,37 @@ def test_linear_fit_exact_on_known_line(spark):
     assert abs(r["slope"] - 3.5) < 1e-9
     assert abs(r["intercept"] + 2.0) < 1e-9
     assert r["mae"] < 1e-9
+
+
+def test_centroid_classify_recovers_separated_clusters(spark):
+    import numpy as np
+    from bda_spadochrony_spark.ml.centroids import (centroid_classify,
+                                                    classification_report,
+                                                    label_centroids)
+    rng = np.random.RandomState(5)
+    rows = []
+    for lbl, center in [(0, [10, 0, 0]), (1, [0, 10, 0]), (2, [0, 0, 10])]:
+        for i in range(30):
+            v = (np.array(center) + rng.randn(3) * 0.5).tolist()
+            rows.append((lbl * 100 + i, v, lbl))
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>, label: int")
+    cents = label_centroids(df, "embedding", "label")
+    assert cents.count() == 9   # 3 labels x 3 dims
+    pred = centroid_classify(df, "vec_id", "embedding", cents)
+    got = {r["vec_id"]: r["pred_label"] for r in pred.collect()}
+    assert all(got[i] == i // 100 for i in got) and len(got) == 90
+    rep = {(r["label"], r["pred_label"]): r["n"]
+           for r in classification_report(pred, df, "vec_id").collect()}
+    assert rep == {(0, 0): 30, (1, 1): 30, (2, 2): 30}
+
+
+def test_centroid_classify_tie_breaks_to_smallest_label(spark):
+    from bda_spadochrony_spark.ml.centroids import centroid_classify
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id: long, embedding: array<double>")
+    cents = spark.createDataFrame(
+        [(7, 1, 3.0), (7, 2, 4.0), (3, 1, -3.0), (3, 2, -4.0)],
+        "label: int, pos: int, mu: double")   # equidistant centroids
+    got = centroid_classify(df, "vec_id", "embedding", cents).collect()
+    assert got[0]["pred_label"] == 3 and abs(got[0]["dist"] - 25.0) < 1e-6

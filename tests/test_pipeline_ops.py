@@ -975,3 +975,68 @@ def test_pca_project_with_literal_basis_is_map_only(spark):
     assert "exchange" not in plan.lower()          # zero shuffle
     got = {r["vec_id"]: r["pc1"] for r in out.collect()}
     assert got == {1: 1.0, 2: 3.0}                 # null vec dropped
+
+
+def test_source_kl_divergence_known_values(spark):
+    import math
+    from bda_spadochrony_spark.operators.corpus import source_kl_divergence
+    df = spark.createDataFrame(
+        [("A", "x x y"), ("B", "y y")], ["source", "text"])
+    got = {r["source"]: (r["n_tokens"], r["kl"])
+           for r in source_kl_divergence(df, "source", "text").collect()}
+    # corpus: x=2, y=3, N=5 -> q(x)=0.4, q(y)=0.6
+    kl_a = (2/3) * math.log2((2/3) / 0.4) + (1/3) * math.log2((1/3) / 0.6)
+    kl_b = 1.0 * math.log2(1.0 / 0.6)
+    assert got["A"][0] == 3 and abs(got["A"][1] - kl_a) < 1e-3
+    assert got["B"][0] == 2 and abs(got["B"][1] - kl_b) < 1e-3
+
+
+def test_source_kl_divergence_identical_distribution_is_zero(spark):
+    from bda_spadochrony_spark.operators.corpus import source_kl_divergence
+    df = spark.createDataFrame(
+        [("A", "x y z"), ("B", "x y z")], ["source", "text"])
+    got = {r["source"]: r["kl"]
+           for r in source_kl_divergence(df, "source", "text").collect()}
+    assert got == {"A": 0.0, "B": 0.0}
+
+
+def test_quality_gate_reasons_fire_in_order(spark):
+    from bda_spadochrony_spark.operators.corpus import quality_gate
+    common = " ".join(f"w{i % 40}" for i in range(60))          # healthy doc
+    rows = [
+        (1, common),                                            # ok
+        (2, "just a few tokens"),                               # too_short
+        (3, " ".join(["a b c"] * 20)),                          # repetitive (dup 3-grams) but also short? 60 tokens -> not short
+        # 'z' dominates but no 3-gram repeats (z z x0, z x0 z, x0 z x1, ...)
+        (4, " ".join(["z", "z"] +
+                     [t for i in range(34) for t in (f"x{i}", "z")])),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["reason"], r["keep"])
+           for r in quality_gate(df, "doc_id", "text",
+                                 min_tokens=30, max_dup3=0.5,
+                                 max_top_token=0.5,
+                                 surprisal_lo=0.0,
+                                 surprisal_hi=100.0).collect()}
+    assert got[2] == ("too_short", 0)
+    assert got[3][0] == "repetitive" and got[3][1] == 0
+    assert got[4][0] == "dominated"
+    assert got[1] == ("ok", 1)
+
+
+def test_quality_gate_surprisal_band(spark):
+    from bda_spadochrony_spark.operators.corpus import quality_gate
+    # 3 docs of distinct-token soup; doc 30 repeats the common token pool
+    # so its tokens are corpus-common (low surprisal), doc 31 is all
+    # hapaxes (high surprisal)
+    pool = " ".join(["common"] * 64)
+    rows = [(30, pool), (32, pool),
+            (31, " ".join(f"rare{i}" for i in range(64)))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["reason"]
+           for r in quality_gate(df, "doc_id", "text", min_tokens=1,
+                                 max_dup3=1.1, max_top_token=1.1,
+                                 surprisal_lo=0.6,
+                                 surprisal_hi=5.0).collect()}
+    assert got[30] == "low_surprisal"   # -log2(128/192) ≈ 0.585 < 0.6
+    assert got[31] == "high_surprisal"  # hapaxes: -log2(1/192) ≈ 7.6
