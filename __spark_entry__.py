@@ -1058,6 +1058,46 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_gate(docs, "doc_id", "text")
 
 
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One K-Means Lloyd iteration under the value oracle — the
+    distributed core of iterative clustering (MLlib runs exactly this
+    dataflow per round): deterministic seed centers (every 100th vector,
+    the IVF portable twin's convention), nearest-center assignment, and
+    the |centers|·d mean recompute. The loop is driver logic; the STEP is
+    what the engine owns, and it is SQL-checkable end-to-end."""
+    from bda_spadochrony_spark.ml.centroids import kmeans_lloyd_step
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = (emb.where(F.col("vec_id") % 100 == 0)
+             .select(F.col("vec_id").alias("label"),
+                     F.posexplode(F.col("embedding").cast("array<double>"))
+                     .alias("pos0", "mu"))
+             .select("label", (F.col("pos0") + 1).alias("pos"), "mu"))
+    out = kmeans_lloyd_step(emb, "vec_id", "embedding", seeds,
+                            round_digits=4)
+    return out.select(F.col("label").cast("long").alias("center_id"),
+                      F.col("pos").cast("int").alias("pos"), "mu")
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric outlier filter for embedding columns: top-20 vectors by
+    diagonal Mahalanobis distance² (sum of squared per-dimension
+    z-scores) — the cheap pre-ANN screen for corrupt embeddings.
+    Broadcast stats + one id-keyed sum + TakeOrdered head."""
+    from bda_spadochrony_spark.ml.stats import embedding_outliers
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, "vec_id", "embedding", top_n=20)
+
+
+def q_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight shuffle-key profiling: hottest order keys of the
+    lineitem fact with their share and the key-space skew factor — the
+    numbers that pick plain shuffle vs AQE splitting vs explicit salting
+    before a 100 TB join. Global rank pre-pruned per hash group."""
+    from bda_spadochrony_spark.operators.skew import key_skew_diagnostics
+    li = _t(spark, sf_dir, "lineitem")
+    return key_skew_diagnostics(li, "l_orderkey", top_k=10)
+
+
 def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary encoding: top-100-token vocab built from the corpus
     itself (deterministic ranking), each document re-emitted as its
@@ -2264,6 +2304,9 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classify_eval": q_classify_eval,
     "source_kl": q_source_kl,
     "quality_gate": q_quality_gate,
+    "kmeans_step": q_kmeans_step,
+    "embedding_outliers": q_embedding_outliers,
+    "skew_diagnostics": q_skew_diagnostics,
     "heavy_hitters": q_heavy_hitters,
     "unigram_surprisal": q_unigram_surprisal,
     "mixture_sample": q_mixture_sample,
@@ -2300,14 +2343,14 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_idf": q_tf_idf,
     "stream_update": q_stream_update,
     "late_supplier_blame": q_late_supplier_blame,
-    "top_supplier": q_top_supplier,
-    "grouping_sets": q_grouping_sets,
-    "window_analytics": q_window_analytics,
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced from the round-5 window by the new queries above; still
     # single-driver-confirmation — rotate back in next round
+    "top_supplier": q_top_supplier,
+    "grouping_sets": q_grouping_sets,
+    "window_analytics": q_window_analytics,
     "set_ops": q_set_ops,
     "min_cost_per_part": q_min_cost_per_part,
     "market_share": q_market_share,
@@ -3692,6 +3735,74 @@ def _oracle_sql_literal() -> dict[str, str]:
                             ELSE 'ok' END AS reason
                 FROM feats
             )
+        """,
+        "kmeans_step": """
+            WITH e AS (
+                SELECT vec_id, CAST(i AS INTEGER) AS pos,
+                       embedding[i]::DOUBLE AS x
+                FROM embeddings CROSS JOIN range(1, 65) r(i)
+                WHERE embedding IS NOT NULL
+            ), seeds AS (
+                SELECT vec_id AS label, pos, x AS mu
+                FROM e WHERE vec_id % 100 = 0
+            ), d AS (
+                SELECT e.vec_id, s.label,
+                       round((sum((e.x - s.mu) * (e.x - s.mu))) + 1e-10, 6)
+                       AS dist
+                FROM e JOIN seeds s USING (pos)
+                GROUP BY 1, 2
+            ), assign AS (
+                SELECT vec_id, label FROM (
+                    SELECT vec_id, label,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist ASC, label ASC)
+                           AS rn
+                    FROM d
+                ) WHERE rn = 1
+            )
+            SELECT a.label AS center_id, e.pos,
+                   round((avg(e.x)) + 1e-08, 4) + 0.0 AS mu
+            FROM e JOIN assign a USING (vec_id)
+            GROUP BY 1, 2
+        """,
+        "embedding_outliers": """
+            WITH e AS (
+                SELECT vec_id, CAST(i AS INTEGER) AS pos,
+                       embedding[i]::DOUBLE AS x
+                FROM embeddings CROSS JOIN range(1, 65) r(i)
+                WHERE embedding IS NOT NULL
+            ), s AS (
+                SELECT pos, avg(x) AS mu, stddev_samp(x) AS sd
+                FROM e GROUP BY 1
+            )
+            SELECT vec_id,
+                   round((sum(CASE WHEN sd > 0
+                                   THEN ((x - mu) / sd) * ((x - mu) / sd)
+                                   ELSE 0.0 END)) + 1e-08, 4) AS score
+            FROM e JOIN s USING (pos)
+            GROUP BY 1
+            ORDER BY score DESC, vec_id ASC
+            LIMIT 20
+        """,
+        "skew_diagnostics": """
+            WITH c AS (
+                SELECT CAST(l_orderkey AS VARCHAR) AS key, count(*) AS n
+                FROM lineitem GROUP BY 1
+            ), s AS (
+                SELECT count(*) AS n_keys, sum(n) AS total,
+                       max(n) AS max_n, avg(n) AS avg_n
+                FROM c
+            )
+            SELECT CAST(rank AS INTEGER) AS rank, key, n,
+                   round((n * 1.0 / total) + 1e-10, 6) AS share,
+                   CAST(n_keys AS BIGINT) AS n_keys,
+                   round((max_n * 1.0 / avg_n) + 1e-08, 4) AS skew_factor
+            FROM (
+                SELECT key, n,
+                       row_number() OVER (ORDER BY n DESC, key ASC) AS rank
+                FROM c
+            ) CROSS JOIN s
+            WHERE rank <= 10
         """,
         "corpus_shuffle": """
             SELECT doc_id,

@@ -63,6 +63,37 @@ def centroid_classify(df: DataFrame, id_col: str, vec_col: str,
                        F.col("__b.dist").alias("dist"))
 
 
+def kmeans_lloyd_step(df: DataFrame, id_col: str, vec_col: str,
+                      centers: DataFrame,
+                      round_digits: int | None = None) -> DataFrame:
+    """ONE Lloyd iteration of K-Means, fully distributed and fully
+    SQL-checkable: assign every vector to its nearest center
+    (``centroid_classify`` — broadcast join + argmin) and recompute each
+    center as the mean of its assigned vectors (``label_centroids`` —
+    |centers|·d aggregate). The training loop is driver logic calling
+    this step to convergence; each step's cluster-sized results make the
+    iteration itself value-verifiable — the part of iterative ML an
+    engine owns (MLlib's KMeans runs exactly this dataflow per
+    iteration). A center that captures no vectors drops out of the
+    result (standard empty-cluster behavior; re-seed in the loop if
+    undesired). ``centers`` comes in row form ``(label, pos, mu)``.
+    """
+    assign = centroid_classify(df, id_col, vec_col, centers)
+    # private assignment column: the input frame may itself carry a
+    # column named like the centers' label (e.g. a supervised label)
+    labeled = (df.select(F.col(id_col), F.col(vec_col))
+               .join(assign.select(F.col(id_col),
+                                   F.col("pred_label").alias("__cluster")),
+                     id_col))
+    out = (label_centroids(labeled, vec_col, "__cluster")
+           .withColumnRenamed("__cluster", "label"))
+    if round_digits is not None:
+        out = out.select("label", "pos",
+                         (stable_round(F.col("mu"), round_digits)
+                          + F.lit(0.0)).alias("mu"))
+    return out
+
+
 def classification_report(pred: DataFrame, truth: DataFrame, id_col: str,
                           label_col: str = "label",
                           pred_col: str = "pred_label") -> DataFrame:

@@ -127,6 +127,37 @@ def pca_project(df: DataFrame, id_col: str, vec_col: str, k: int = 8,
     return df.where(F.col(vec_col).isNotNull()).select(F.col(id_col), *cols)
 
 
+def embedding_outliers(df: DataFrame, id_col: str, vec_col: str,
+                       top_n: int = 20,
+                       round_digits: int = 4) -> DataFrame:
+    """Outlier scoring for embedding columns: per-vector sum of squared
+    per-dimension z-scores (the diagonal-covariance Mahalanobis
+    distance²) — the cheap geometric filter for corrupt / off-manifold
+    embeddings before they poison ANN graphs or centroids. Returns the
+    ``top_n`` by score (ties → smaller id).
+
+    Plan: the d-row stats frame broadcasts; scoring is posexplode +
+    broadcast join + one id-keyed partial-sum shuffle; the head is
+    TakeOrdered (no global sort materialization). Zero-variance
+    dimensions contribute 0 — same convention as ``standardize_
+    embeddings``.
+    """
+    stats = dimension_stats(df, vec_col)
+    ex = (df.where(F.col(vec_col).isNotNull())
+          .select(F.col(id_col),
+                  F.posexplode(F.col(vec_col).cast("array<double>"))
+                  .alias("pos0", "x"))
+          .select(id_col, (F.col("pos0") + 1).alias("pos"), "x"))
+    z2 = F.when(F.col("sd") > 0,
+                ((F.col("x") - F.col("mu")) / F.col("sd")) ** 2) \
+          .otherwise(F.lit(0.0))
+    scored = (ex.join(F.broadcast(stats), "pos")
+              .groupBy(id_col)
+              .agg(stable_round(F.sum(z2), round_digits).alias("score")))
+    return (scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(top_n))
+
+
 def covariance_matrix(df: DataFrame, vec_col: str,
                       round_digits: int | None = 4) -> DataFrame:
     """Upper-triangle SAMPLE covariance of an ``array<numeric>`` column:

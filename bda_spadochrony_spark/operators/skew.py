@@ -13,6 +13,47 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def key_skew_diagnostics(df: DataFrame, key_col: str,
+                         top_k: int = 10) -> DataFrame:
+    """Pre-flight skew profiling for a prospective join/agg key: the
+    ``top_k`` hottest key values with their row counts, corpus share, and
+    the key-space context (distinct keys, max/avg skew factor) repeated on
+    every row — the numbers that decide between a plain shuffle join,
+    AQE splitting, and explicit salting BEFORE burning a 100 TB shuffle.
+
+    One map-side-combined count shuffle keyed on the key; the global
+    stats are a second aggregate over the (distinct-key-sized) count
+    frame, broadcast back. Rank ties break to the smaller key string.
+    The global top-k rank is pre-pruned per hash group (build_vocab's
+    discipline) so its single-partition sort input is bounded even when
+    the distinct-key table is itself huge.
+    """
+    from bda_spadochrony_spark.functions.numeric import stable_round
+    from pyspark.sql import Window
+    counts = (df.groupBy(F.col(key_col).cast("string").alias("key"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    counts = counts.localCheckpoint(eager=False)  # feeds stats + top-k
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total"),
+        F.max("n").alias("max_n"),
+        F.avg("n").alias("avg_n"))
+    gw = (Window.partitionBy(F.pmod(F.xxhash64("key"), F.lit(64)))
+          .orderBy(F.col("n").desc(), F.col("key").asc()))
+    pruned = (counts.withColumn("gr", F.row_number().over(gw))
+              .where(F.col("gr") <= top_k).drop("gr"))
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    hot = (pruned.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= top_k))
+    return (hot.crossJoin(F.broadcast(stats))
+            .select(F.col("rank").cast("int").alias("rank"), "key", "n",
+                    stable_round(F.col("n") / F.col("total"), 6)
+                    .alias("share"),
+                    "n_keys",
+                    stable_round(F.col("max_n") / F.col("avg_n"), 4)
+                    .alias("skew_factor")))
+
+
 def salted_agg(df: DataFrame, keys: list[str], measures: list[Column],
                final_measures: list[Column], salt_buckets: int = 16) -> DataFrame:
     """Two-phase aggregation with a random salt: phase 1 aggregates on

@@ -100,6 +100,9 @@ HEADLINE = [
     ("classify_eval", "collect"),
     ("source_kl", "collect"),
     ("quality_gate", "count"),
+    ("kmeans_step", "count"),
+    ("embedding_outliers", "collect"),
+    ("skew_diagnostics", "collect"),
 ]
 
 

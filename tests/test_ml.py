@@ -163,3 +163,41 @@ def test_centroid_classify_tie_breaks_to_smallest_label(spark):
         "label: int, pos: int, mu: double")   # equidistant centroids
     got = centroid_classify(df, "vec_id", "embedding", cents).collect()
     assert got[0]["pred_label"] == 3 and abs(got[0]["dist"] - 25.0) < 1e-6
+
+
+def test_kmeans_lloyd_step_moves_centers_toward_clusters(spark):
+    import numpy as np
+    from bda_spadochrony_spark.ml.centroids import kmeans_lloyd_step
+    rng = np.random.RandomState(9)
+    rows = []
+    for lbl, center in [(0, [10.0, 0.0]), (1, [-10.0, 0.0])]:
+        for i in range(25):
+            rows.append((lbl * 100 + i,
+                         (np.array(center) + rng.randn(2)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    # bad seeds: both on the x axis but offset — step should land each on
+    # its cluster's true mean
+    seeds = spark.createDataFrame(
+        [(0, 1, 5.0), (0, 2, 0.0), (1, 1, -5.0), (1, 2, 0.0)],
+        "label: int, pos: int, mu: double")
+    new = {(r["label"], r["pos"]): r["mu"]
+           for r in kmeans_lloyd_step(df, "vec_id", "embedding",
+                                      seeds).collect()}
+    a = np.array([r[1] for r in rows[:25]])
+    b = np.array([r[1] for r in rows[25:]])
+    assert abs(new[(0, 1)] - a[:, 0].mean()) < 1e-9
+    assert abs(new[(0, 2)] - a[:, 1].mean()) < 1e-9
+    assert abs(new[(1, 1)] - b[:, 0].mean()) < 1e-9
+    assert abs(new[(1, 2)] - b[:, 1].mean()) < 1e-9
+
+
+def test_kmeans_lloyd_step_drops_empty_clusters(spark):
+    from bda_spadochrony_spark.ml.centroids import kmeans_lloyd_step
+    df = spark.createDataFrame(
+        [(1, [0.0]), (2, [1.0])], "vec_id: long, embedding: array<double>")
+    seeds = spark.createDataFrame(
+        [(0, 1, 0.4), (1, 1, 99.0)], "label: int, pos: int, mu: double")
+    got = {r["label"]: r["mu"]
+           for r in kmeans_lloyd_step(df, "vec_id", "embedding",
+                                      seeds).collect()}
+    assert got == {0: 0.5}   # far center captured nothing and dropped out

@@ -1040,3 +1040,27 @@ def test_quality_gate_surprisal_band(spark):
                                  surprisal_hi=5.0).collect()}
     assert got[30] == "low_surprisal"   # -log2(128/192) ≈ 0.585 < 0.6
     assert got[31] == "high_surprisal"  # hapaxes: -log2(1/192) ≈ 7.6
+
+
+def test_embedding_outliers_finds_planted_outlier(spark):
+    import numpy as np
+    from bda_spadochrony_spark.ml.stats import embedding_outliers
+    rng = np.random.RandomState(13)
+    rows = [(i, rng.randn(4).tolist()) for i in range(50)]
+    rows.append((999, [25.0, -25.0, 25.0, -25.0]))   # way off-manifold
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = embedding_outliers(df, "vec_id", "embedding", top_n=3).collect()
+    assert got[0]["vec_id"] == 999
+    assert got[0]["score"] > got[1]["score"] * 5
+
+
+def test_key_skew_diagnostics_values(spark):
+    from bda_spadochrony_spark.operators.skew import key_skew_diagnostics
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("a",)] * 5 + [("b",)] * 5
+    df = spark.createDataFrame(rows, ["k"])
+    got = key_skew_diagnostics(df, "k", top_k=2).collect()
+    assert [(r["rank"], r["key"], r["n"]) for r in got] == \
+        [(1, "hot", 60), (2, "warm", 30)]
+    assert got[0]["n_keys"] == 4
+    assert abs(got[0]["share"] - 0.6) < 1e-6
+    assert abs(got[0]["skew_factor"] - 60 / 25.0) < 1e-3
