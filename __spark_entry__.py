@@ -1098,6 +1098,47 @@ def q_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_diagnostics(li, "l_orderkey", top_k=10)
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering for two-column data skipping: events
+    keyed by the bit-interleave of (user_id, hour) — range partition +
+    local sort on the code, so every output file covers a small bounding
+    box in BOTH dimensions and parquet min/max stats prune predicates on
+    either (Delta/Iceberg ZORDER BY as a plain operator). The contract
+    returns the first 100 rows of the clustered order (TakeOrdered), so
+    the oracle verifies the exact bit arithmetic."""
+    from bda_spadochrony_spark.operators.layout import zorder_layout
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.hour("ts").alias("hr"))
+    out = zorder_layout(ev, "user_id", "hr", bits=8, num_partitions=8)
+    return (out.orderBy("zkey", "event_id").limit(100)
+            .select("event_id", "zkey"))
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an observation log:
+    per user, consecutive re-observations of the same event_type merge
+    into one validity interval; each version row carries valid_from /
+    valid_to (NULL = current) + is_current — the warehouse temporal-
+    table MERGE, as one key-partitioned window pass (no self-joins).
+    Timestamp ties break on the attribute tuple in both engines."""
+    from bda_spadochrony_spark.operators.scd import scd2_history
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(ev.select("user_id", "event_type", "ts"),
+                        "user_id", ["event_type"], "ts")
+
+
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join sizing: the EXACT lineitem ⋈ orders output
+    cardinality computed from per-key counts (Σ n_l·n_r) without running
+    the data-sized join — two count aggregates + a key-sized count join.
+    The companion to skew_diagnostics: together they answer 'how big and
+    how skewed' before a 100 TB shuffle is committed."""
+    from bda_spadochrony_spark.operators.skew import join_cardinality_estimate
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return join_cardinality_estimate(li, orders, "l_orderkey", "o_orderkey")
+
+
 def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary encoding: top-100-token vocab built from the corpus
     itself (deterministic ranking), each document re-emitted as its
@@ -2307,6 +2348,9 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_step": q_kmeans_step,
     "embedding_outliers": q_embedding_outliers,
     "skew_diagnostics": q_skew_diagnostics,
+    "zorder_layout": q_zorder_layout,
+    "scd2_history": q_scd2_history,
+    "join_cardinality": q_join_cardinality,
     "heavy_hitters": q_heavy_hitters,
     "unigram_surprisal": q_unigram_surprisal,
     "mixture_sample": q_mixture_sample,
@@ -2340,14 +2384,14 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idle_customers": q_idle_customers,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
-    "tf_idf": q_tf_idf,
-    "stream_update": q_stream_update,
-    "late_supplier_blame": q_late_supplier_blame,
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced from the round-5 window by the new queries above; still
     # single-driver-confirmation — rotate back in next round
+    "tf_idf": q_tf_idf,
+    "stream_update": q_stream_update,
+    "late_supplier_blame": q_late_supplier_blame,
     "top_supplier": q_top_supplier,
     "grouping_sets": q_grouping_sets,
     "window_analytics": q_window_analytics,
@@ -2452,8 +2496,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
 
+def _zorder_oracle() -> str:
+    from bda_spadochrony_spark.operators.layout import morton_key_sql
+    expr = morton_key_sql("user_id", "hr", bits=8)
+    return f"""
+        SELECT event_id, {expr} AS zkey
+        FROM (SELECT event_id, user_id,
+                     CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr
+              FROM events)
+        ORDER BY 2 ASC, 1 ASC
+        LIMIT 100
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_literal()
+    d["zorder_layout"] = _zorder_oracle()
     # the fused rewrite must produce byte-identical rows to the parity
     # pipeline — one oracle serves both
     d["traffic_hourly_fused"] = d["traffic_hourly"]
@@ -3803,6 +3861,40 @@ def _oracle_sql_literal() -> dict[str, str]:
                 FROM c
             ) CROSS JOIN s
             WHERE rank <= 10
+        """,
+        "scd2_history": """
+            WITH t AS (
+                SELECT user_id, ts, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_type)
+                       AS prev
+                FROM events
+            ), c AS (
+                SELECT user_id, ts, event_type
+                FROM t WHERE prev IS NULL OR event_type != prev
+            )
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   CASE WHEN lead(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_current
+            FROM c
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+        """,
+        "join_cardinality": """
+            WITH l AS (
+                SELECT l_orderkey AS k, count(*) AS n
+                FROM lineitem GROUP BY 1
+            ), r AS (
+                SELECT o_orderkey AS k, count(*) AS n
+                FROM orders GROUP BY 1
+            ), j AS (
+                SELECT l.n AS ln, r.n AS rn FROM l JOIN r USING (k)
+            )
+            SELECT (SELECT CAST(sum(n) AS BIGINT) FROM l) AS left_rows,
+                   (SELECT CAST(sum(n) AS BIGINT) FROM r) AS right_rows,
+                   (SELECT count(*) FROM j) AS matching_keys,
+                   CAST(coalesce((SELECT sum(ln * rn) FROM j), 0)
+                        AS BIGINT) AS join_rows
         """,
         "corpus_shuffle": """
             SELECT doc_id,

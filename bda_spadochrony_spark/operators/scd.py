@@ -1,0 +1,47 @@
+"""Slowly-changing-dimension (SCD type 2) history building — the
+warehouse-side temporal-table operator: turn an observation log of
+attribute values into versioned validity intervals.
+
+Scale shape: everything is ONE key-partitioned window pass (lag for change
+detection, lead for interval close) — shuffle keyed on the dimension key,
+bounded per-key state, no self-joins. The same pass works as the MERGE
+step of an incremental SCD2 pipeline: union the current snapshot with the
+new observations and rebuild the affected keys' intervals (only the keys
+present in the update batch need reprocessing — semi-join first, exactly
+like ``dedup.incremental_dedup``'s batch-vs-corpus discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_history(df: DataFrame, key_col: str, attr_cols: list[str],
+                 ts_col: str) -> DataFrame:
+    """Build the SCD2 history from an observation log: per key, order
+    observations by time, drop rows where no tracked attribute changed
+    (consecutive dedup — re-observing the same value extends the current
+    interval), and emit one row per VERSION with ``valid_from`` /
+    ``valid_to`` (NULL = still current) and an ``is_current`` flag.
+
+    Ties on the timestamp break deterministically on the attribute tuple
+    so the history is reproducible under any partitioning.
+    """
+    attrs = [F.col(c) for c in attr_cols]
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(ts_col).asc(), *[a.asc() for a in attrs]))
+    tagged = df.select(
+        F.col(key_col), F.col(ts_col), *attrs,
+        F.struct(*attrs).alias("__a"),
+        F.lag(F.struct(*attrs)).over(w).alias("__prev"))
+    changed = tagged.where(F.col("__prev").isNull() |
+                           (F.col("__a") != F.col("__prev")))
+    w2 = (Window.partitionBy(key_col)
+          .orderBy(F.col(ts_col).asc(), *[a.asc() for a in attrs]))
+    return (changed.select(
+        key_col, *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"))
+        .withColumn("is_current",
+                    F.col("valid_to").isNull().cast("int")))

@@ -54,6 +54,35 @@ def key_skew_diagnostics(df: DataFrame, key_col: str,
                     .alias("skew_factor")))
 
 
+def join_cardinality_estimate(left: DataFrame, right: DataFrame,
+                              left_key: str, right_key: str) -> DataFrame:
+    """EXACT output cardinality of an equi join — without running the
+    join: ``Σ_k n_left(k) · n_right(k)`` over the shared keys. The only
+    shuffles are two map-side-combined count aggregates and a
+    distinct-key-sized count join — never the data-sized join itself.
+    The pre-flight answer to \"can this join's output even fit\" before
+    committing a 100 TB shuffle (a fact-fact join with hot keys explodes
+    quadratically; this surfaces it for the cost of two counts).
+
+    Returns one row: (left_rows, right_rows, matching_keys, join_rows).
+    """
+    lc = (left.groupBy(F.col(left_key).alias("k"))
+          .agg(F.count(F.lit(1)).alias("ln")))
+    rc = (right.groupBy(F.col(right_key).alias("k"))
+          .agg(F.count(F.lit(1)).alias("rn")))
+    lc = lc.localCheckpoint(eager=False)   # each feeds a total AND the
+    rc = rc.localCheckpoint(eager=False)   # key join; AQE won't reuse
+    j = (lc.join(rc, "k")
+         .agg(F.count(F.lit(1)).alias("matching_keys"),
+              F.coalesce(F.sum(F.col("ln") * F.col("rn")), F.lit(0))
+              .alias("join_rows")))
+    lt = lc.agg(F.sum("ln").alias("left_rows"))
+    rt = rc.agg(F.sum("rn").alias("right_rows"))
+    return (lt.crossJoin(F.broadcast(rt)).crossJoin(F.broadcast(j))
+            .select("left_rows", "right_rows", "matching_keys",
+                    "join_rows"))
+
+
 def salted_agg(df: DataFrame, keys: list[str], measures: list[Column],
                final_measures: list[Column], salt_buckets: int = 16) -> DataFrame:
     """Two-phase aggregation with a random salt: phase 1 aggregates on

@@ -103,6 +103,9 @@ HEADLINE = [
     ("kmeans_step", "count"),
     ("embedding_outliers", "collect"),
     ("skew_diagnostics", "collect"),
+    ("zorder_layout", "collect"),
+    ("scd2_history", "count"),
+    ("join_cardinality", "collect"),
 ]
 
 

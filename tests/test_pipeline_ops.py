@@ -1064,3 +1064,50 @@ def test_key_skew_diagnostics_values(spark):
     assert got[0]["n_keys"] == 4
     assert abs(got[0]["share"] - 0.6) < 1e-6
     assert abs(got[0]["skew_factor"] - 60 / 25.0) < 1e-3
+
+
+def test_morton_key_known_values(spark):
+    from bda_spadochrony_spark.operators.layout import morton_key
+    df = spark.createDataFrame([(3, 1), (0, 0), (2, 3)], ["a", "b"])
+    got = sorted(r["m"] for r in
+                 df.select(morton_key("a", "b", bits=2).alias("m")).collect())
+    # interleave: a bits at even positions, b bits at odd
+    # (3,1)->0b0111=7, (0,0)->0, (2,3)->0b1110=14
+    assert got == [0, 7, 14]
+
+
+def test_zorder_layout_bounds_both_dimensions(spark):
+    from bda_spadochrony_spark.operators.layout import zorder_layout
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], ["x", "y"])
+    parts = (zorder_layout(grid, "x", "y", bits=5, num_partitions=8)
+             .select("x", "y").rdd.glom().collect())
+    parts = [p for p in parts if p]
+    # every partition covers a small box in BOTH dimensions; an x-sorted
+    # layout would give thin stripes spanning the full y range (32)
+    for p in parts:
+        xs = [r["x"] for r in p]
+        ys = [r["y"] for r in p]
+        assert max(xs) - min(xs) <= 16
+        assert max(ys) - min(ys) <= 16
+    assert sum(len(p) for p in parts) == 1024
+
+
+def test_scd2_history_versions_and_consecutive_dedup(spark):
+    from datetime import datetime
+    from bda_spadochrony_spark.operators.scd import scd2_history
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    df = spark.createDataFrame(
+        [(1, "A", t(0)), (1, "A", t(1)), (1, "B", t(2)), (1, "A", t(3)),
+         (2, "X", t(0))],
+        ["user_id", "event_type", "ts"])
+    got = sorted(
+        (r["user_id"], r["event_type"], r["valid_from"].minute,
+         r["valid_to"].minute if r["valid_to"] else None, r["is_current"])
+        for r in scd2_history(df, "user_id", ["event_type"], "ts").collect())
+    assert got == [
+        (1, "A", 0, 2, 0),     # re-observation at t1 merged away
+        (1, "A", 3, None, 1),
+        (1, "B", 2, 3, 0),
+        (2, "X", 0, None, 1),
+    ]
