@@ -191,7 +191,10 @@ def test_stream_static_join_matches_batch_and_broadcasts(spark, events_stream_di
            for r in batch.join(dim, "user_id").groupBy("segment")
            .agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert got == exp and sum(got.values()) == batch.count()
-    # the static dim broadcasts: the fact stream never shuffles for the join
+    # the static dim carries the broadcast hint into the logical plan, so
+    # every micro-batch plans a broadcast join — the fact stream never
+    # shuffles for the join (physical plans exist only per micro-batch;
+    # the analyzed plan is the pre-batch contract)
     plan = (stream_static_join(stream, dim, ["user_id"])
             ._jdf.queryExecution().analyzed().toString())
-    assert "user_id" in plan  # analyzed ok; physical join strategy is per-batch
+    assert "ResolvedHint (strategy=broadcast)" in plan
