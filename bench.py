@@ -117,7 +117,10 @@ def main() -> None:
     from bda_spadochrony_spark.session import get_session
     import __spark_entry__ as entry_mod
 
-    spark = get_session("bda-bench")
+    # no progress bars: they share stdout with the contract JSON line and
+    # flooded the driver's bounded tail capture in round 4
+    spark = get_session("bda-bench",
+                        extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
 
@@ -167,11 +170,14 @@ def main() -> None:
         json.dump({"build": build, "exec": execute, "warm_rerun": warm,
                    "sf": sf}, fh, indent=1)
 
+    # keep the contract line well under the driver's ~2 KB stdout tail
+    # (round 3 overflowed it): per-query values at 2 decimals — the
+    # 3-decimal split stays in BENCH_SPLIT.json
     print(json.dumps({
         "metric": "headline wall sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
     }, separators=(",", ":")))
 

@@ -119,3 +119,62 @@ def test_contamination_is_bounded_and_monotone(spark, overlap):
     assert row["n_shingles"] == 10
     assert row["n_contaminated"] == overlap
     assert 0.0 <= row["contamination"] <= 1.0
+
+
+@settings(**SETTINGS)
+@given(weights=st.lists(st.floats(min_value=0.05, max_value=1.0,
+                                  allow_nan=False), min_size=2, max_size=5),
+       salt=st.integers(min_value=0, max_value=1000))
+def test_hash_split_is_total_and_salt_deterministic(spark, weights, salt):
+    from bda_spadochrony_spark.operators.sampling import hash_split
+    names = [f"s{i}" for i in range(len(weights))]
+    splits = dict(zip(names, weights))
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", splits, salt=salt).collect()
+    # total: every row assigned to exactly one declared split
+    assert len(out) == 200
+    assert {r["split"] for r in out} <= set(names)
+    # deterministic: identical re-run, any input partitioning
+    again = hash_split(df.repartition(7), "doc_id", splits,
+                       salt=salt).collect()
+    assert sorted((r["doc_id"], r["split"]) for r in out) == \
+        sorted((r["doc_id"], r["split"]) for r in again)
+
+
+@settings(**SETTINGS)
+@given(pairs=st.lists(st.tuples(st.integers(min_value=0, max_value=255),
+                                st.integers(min_value=0, max_value=255)),
+                      min_size=1, max_size=30, unique=True))
+def test_morton_key_is_injective_and_order_bounds(spark, pairs):
+    from bda_spadochrony_spark.operators.layout import morton_key
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = [r["m"] for r in
+           df.select(morton_key("a", "b", bits=8).alias("m")).collect()]
+    # injective over the 8-bit domain: distinct inputs -> distinct codes
+    assert len(set(got)) == len(pairs)
+    # every code fits in 2*bits bits
+    assert all(0 <= m < 2 ** 16 for m in got)
+
+
+@settings(**SETTINGS)
+@given(obs=st.lists(st.tuples(st.integers(min_value=0, max_value=2),
+                              st.sampled_from(["A", "B", "C"])),
+                    min_size=1, max_size=25))
+def test_scd2_history_intervals_partition_each_keys_timeline(spark, obs):
+    from datetime import datetime
+    from bda_spadochrony_spark.operators.scd import scd2_history
+    rows = [(k, v, datetime(2024, 1, 1, 0, i))
+            for i, (k, v) in enumerate(obs)]
+    df = spark.createDataFrame(rows, ["k", "v", "ts"])
+    hist = scd2_history(df, "k", ["v"], "ts").collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r["valid_from"])
+        # exactly one current version per key; intervals chain gaplessly
+        assert sum(r["is_current"] for r in versions) == 1
+        assert versions[-1]["valid_to"] is None
+        for prev, nxt in zip(versions, versions[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]
+            assert prev["v"] != nxt["v"]   # consecutive dedup held
