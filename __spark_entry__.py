@@ -1139,6 +1139,28 @@ def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_cardinality_estimate(li, orders, "l_orderkey", "o_orderkey")
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered behavioral funnel (click → view → purchase): per step, the
+    users who performed every prior step in temporal order, earliest-
+    occurrence-after-previous semantics (greedy = optimal). One union of
+    per-step survivor frames counted in a single plan — no per-step
+    driver actions, no event-vs-event self-joins."""
+    from bda_spadochrony_spark.operators.analytics import funnel_analysis
+    ev = _t(spark, sf_dir, "events")
+    return funnel_analysis(ev, "user_id", "event_type", "ts",
+                           ["click", "view", "purchase"])
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = first-activity week; k = whole
+    weeks since the cohort week's start (relative day arithmetic — no
+    engine week-truncation quirks in the offsets); one (user, k) dedup +
+    one count shuffle."""
+    from bda_spadochrony_spark.operators.analytics import cohort_retention
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", max_periods=8)
+
+
 def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary encoding: top-100-token vocab built from the corpus
     itself (deterministic ranking), each document re-emitted as its
@@ -2387,6 +2409,11 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # new in round 5 but placed TAIL-FIRST: the window's 25 new-query slots
+    # are spent and the other 25 are reserved for the single-confirmation
+    # backlog (the round-4 ask) — these two enter the window next rotation
+    "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
     # displaced from the round-5 window by the new queries above; still
     # single-driver-confirmation — rotate back in next round
     "tf_idf": q_tf_idf,
@@ -3895,6 +3922,48 @@ def _oracle_sql_literal() -> dict[str, str]:
                    (SELECT count(*) FROM j) AS matching_keys,
                    CAST(coalesce((SELECT sum(ln * rn) FROM j), 0)
                         AS BIGINT) AS join_rows
+        """,
+        "funnel": """
+            WITH s1 AS (
+                SELECT user_id AS u, min(ts) AS t
+                FROM events WHERE event_type = 'click' GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id AS u, min(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+                WHERE e.event_type = 'view' GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id AS u, min(e.ts) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+                WHERE e.event_type = 'purchase' GROUP BY 1
+            ), c AS (
+                SELECT 1 AS step_order, 'click' AS step,
+                       (SELECT count(*) FROM s1) AS n_users
+                UNION ALL
+                SELECT 2, 'view', (SELECT count(*) FROM s2)
+                UNION ALL
+                SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+            )
+            SELECT CAST(step_order AS INTEGER) AS step_order, step, n_users,
+                   round((n_users * 1.0 /
+                          greatest((SELECT count(*) FROM s1), 1))
+                         + 1e-08, 4) AS conversion
+            FROM c
+        """,
+        "cohort_retention": """
+            WITH firsts AS (
+                SELECT user_id AS u, min(ts) AS f FROM events GROUP BY 1
+            ), cohorts AS (
+                SELECT u, date_trunc('week', f) AS cw FROM firsts
+            ), acts AS (
+                SELECT DISTINCT e.user_id AS u, c.cw,
+                       CAST(floor(date_diff('day', CAST(c.cw AS DATE),
+                                            CAST(e.ts AS DATE)) / 7)
+                            AS INTEGER) AS k
+                FROM events e JOIN cohorts c ON e.user_id = c.u
+            )
+            SELECT CAST(cw AS DATE) AS cohort_week, k, count(*) AS n_users
+            FROM acts WHERE k <= 8
+            GROUP BY 1, 2
         """,
         "corpus_shuffle": """
             SELECT doc_id,

@@ -106,6 +106,8 @@ HEADLINE = [
     ("zorder_layout", "collect"),
     ("scd2_history", "count"),
     ("join_cardinality", "collect"),
+    ("funnel", "collect"),
+    ("cohort_retention", "collect"),
 ]
 
 

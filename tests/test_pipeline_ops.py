@@ -1111,3 +1111,45 @@ def test_scd2_history_versions_and_consecutive_dedup(spark):
         (1, "B", 2, 3, 0),
         (2, "X", 0, None, 1),
     ]
+
+
+def test_funnel_analysis_order_semantics(spark):
+    from datetime import datetime
+    from bda_spadochrony_spark.operators.analytics import funnel_analysis
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1 converts in order
+        (1, "a", t(0)), (1, "b", t(1)), (1, "c", t(2)),
+        # user 2 does b BEFORE a -> counts for a only
+        (2, "b", t(0)), (2, "a", t(1)),
+        # user 3 does a,b but c precedes b -> stops at b
+        (3, "a", t(0)), (3, "c", t(1)), (3, "b", t(2)),
+        # user 4 never does a
+        (4, "b", t(0)), (4, "c", t(1)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {r["step"]: (r["n_users"], r["conversion"])
+           for r in funnel_analysis(df, "user_id", "event_type", "ts",
+                                    ["a", "b", "c"]).collect()}
+    assert got["a"][0] == 3
+    assert got["b"][0] == 2          # users 1 and 3
+    assert got["c"][0] == 1          # user 1 only
+    assert abs(got["c"][1] - round(1 / 3, 4)) < 1e-9
+
+
+def test_cohort_retention_weeks(spark):
+    from datetime import datetime
+    from bda_spadochrony_spark.operators.analytics import cohort_retention
+    rows = [
+        (1, datetime(2024, 1, 1)),    # Monday: cohort week 2024-01-01
+        (1, datetime(2024, 1, 9)),    # week 1
+        (1, datetime(2024, 1, 16)),   # week 2
+        (2, datetime(2024, 1, 3)),    # same cohort week
+        (2, datetime(2024, 1, 4)),    # still week 0 (dedup)
+        (3, datetime(2024, 1, 10)),   # next cohort week
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {(str(r["cohort_week"]), r["k"]): r["n_users"]
+           for r in cohort_retention(df, "user_id", "ts").collect()}
+    assert got == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
+                   ("2024-01-01", 2): 1, ("2024-01-08", 0): 1}
