@@ -1161,6 +1161,52 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, "user_id", "ts", max_periods=8)
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (deequ-style): five constraints over
+    the events table — null, range, set-membership, regex, uniqueness —
+    reported as one row per rule. All row-level rules share ONE scan (a
+    single multi-aggregate); uniqueness adds one exact count-distinct.
+    The CI check a lake pipeline runs before publishing."""
+    from bda_spadochrony_spark.operators.expectations import (
+        check_expectations, expect_between, expect_in_set, expect_matches,
+        expect_not_null, expect_unique)
+    ev = _t(spark, sf_dir, "events")
+    return check_expectations(ev, [
+        expect_not_null("user_id"),
+        expect_between("value", 0, 100),
+        expect_in_set("event_type",
+                      ["click", "view", "purchase", "signup", "error"]),
+        expect_matches("props", "^\\{"),
+        expect_unique("event_id"),
+    ])
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-30 token pairs by document-level PMI,
+    restricted UP FRONT to the 50 most frequent tokens so the doc-keyed
+    co-occurrence join is bounded at 50²/2 pairs per document at any
+    corpus size; document frequencies reuse the same deduped inverted
+    index (checkpointed — three consumers)."""
+    from bda_spadochrony_spark.operators.corpus import token_pmi
+    docs = _t(spark, sf_dir, "documents")
+    return token_pmi(docs, "doc_id", "text", top_tokens=50, top_k=30)
+
+
+def q_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power iteration over the embedding near-dup graph
+    (cosine ≥ 0.42 pairs), uniform seed — iterative graph centrality's
+    distributed step under the value oracle, the same loop-is-driver /
+    step-is-engine contract as kmeans_step. Within a near-dup cluster
+    rank concentrates on the most-connected member (a centrality-based
+    canonical choice)."""
+    from bda_spadochrony_spark.operators.dedup import pagerank_step
+    from bda_spadochrony_spark.operators.similarity import pairwise_cosine_blocked
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = pairwise_cosine_blocked(emb, "vec_id", min_cosine=0.42, blocks=4)
+    return (pagerank_step(pairs, round_digits=6)
+            .select(F.col("id").cast("long").alias("id"), "rank"))
+
+
 def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary encoding: top-100-token vocab built from the corpus
     itself (deterministic ranking), each document re-emitted as its
@@ -2414,6 +2460,9 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # backlog (the round-4 ask) — these two enter the window next rotation
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
+    "expectations": q_expectations,
+    "token_pmi": q_token_pmi,
+    "pagerank_step": q_pagerank_step,
     # displaced from the round-5 window by the new queries above; still
     # single-driver-confirmation — rotate back in next round
     "tf_idf": q_tf_idf,
@@ -3964,6 +4013,123 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT CAST(cw AS DATE) AS cohort_week, k, count(*) AS n_users
             FROM acts WHERE k <= 8
             GROUP BY 1, 2
+        """,
+        "expectations": """
+            WITH base AS (
+                SELECT count(*) AS n,
+                       count(CASE WHEN user_id IS NULL THEN 1 END) AS v0,
+                       count(CASE WHEN value IS NOT NULL
+                                   AND (value < 0 OR value > 100)
+                             THEN 1 END) AS v1,
+                       count(CASE WHEN event_type IS NOT NULL
+                                   AND event_type NOT IN
+                                       ('click','view','purchase',
+                                        'signup','error')
+                             THEN 1 END) AS v2,
+                       count(CASE WHEN props IS NOT NULL
+                                   AND NOT regexp_matches(props, '^\\{')
+                             THEN 1 END) AS v3,
+                       count(event_id) - count(DISTINCT event_id) AS v4
+                FROM events
+            )
+            SELECT rule, "column", n AS n_rows,
+                   CAST(n_violations AS BIGINT) AS n_violations,
+                   CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+            FROM (
+                SELECT 'not_null(user_id)' AS rule, 'user_id' AS "column",
+                       v0 AS n_violations, n FROM base
+                UNION ALL
+                SELECT 'between(value,0,100)', 'value', v1, n FROM base
+                UNION ALL
+                SELECT 'in_set(event_type)', 'event_type', v2, n FROM base
+                UNION ALL
+                SELECT 'matches(props)', 'props', v3, n FROM base
+                UNION ALL
+                SELECT 'unique(event_id)', 'event_id', v4, n FROM base
+            )
+        """,
+        "token_pmi": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS token
+                FROM documents
+            ), alltok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS token
+                FROM documents
+            ), counts AS (
+                SELECT token, count(*) AS c FROM alltok GROUP BY 1
+            ), vocab AS (
+                SELECT token FROM (
+                    SELECT token,
+                           row_number() OVER (ORDER BY c DESC, token ASC)
+                           AS rk
+                    FROM counts
+                ) WHERE rk <= 50
+            ), t AS (
+                SELECT doc_id, token FROM tok
+                WHERE token IN (SELECT token FROM vocab)
+            ), nd AS (
+                SELECT count(DISTINCT doc_id) AS n FROM documents
+            ), dfreq AS (
+                SELECT token, count(*) AS df FROM t GROUP BY 1
+            ), co AS (
+                SELECT x.token AS a, y.token AS b, count(*) AS co
+                FROM t x JOIN t y
+                  ON x.doc_id = y.doc_id AND x.token < y.token
+                GROUP BY 1, 2
+            )
+            SELECT CAST(rank AS INTEGER) AS rank, a, b, co, pmi FROM (
+                SELECT a, b, co,
+                       round((log2((co * 1.0 * nd.n) /
+                                   (da.df * 1.0 * db.df))) + 1e-08, 4)
+                       AS pmi,
+                       row_number() OVER (
+                           ORDER BY round((log2((co * 1.0 * nd.n) /
+                                          (da.df * 1.0 * db.df)))
+                                          + 1e-08, 4) DESC,
+                                    a ASC, b ASC) AS rank
+                FROM co
+                JOIN dfreq da ON da.token = co.a
+                JOIN dfreq db ON db.token = co.b
+                CROSS JOIN nd
+                WHERE co >= 2
+            ) WHERE rank <= 30
+        """,
+        "pagerank_step": """
+            WITH n AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), nn AS (
+                SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+                FROM n
+            ), pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+                WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.42
+            ), sym AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ), nodes AS (
+                SELECT DISTINCT src AS id FROM sym
+            ), nc AS (
+                SELECT count(*) AS n FROM nodes
+            ), deg AS (
+                SELECT src, count(*) AS d FROM sym GROUP BY 1
+            ), contrib AS (
+                SELECT s.dst AS id, sum((1.0 / nc.n) / g.d) AS sm
+                FROM sym s JOIN deg g ON g.src = s.src CROSS JOIN nc
+                GROUP BY 1
+            )
+            SELECT nodes.id,
+                   round((0.15 / nc.n +
+                          0.85 * coalesce(c.sm, 0.0)) + 1e-10, 6) + 0.0
+                   AS rank
+            FROM nodes
+            LEFT JOIN contrib c ON c.id = nodes.id
+            CROSS JOIN nc
         """,
         "corpus_shuffle": """
             SELECT doc_id,

@@ -235,6 +235,56 @@ def quality_gate(df: DataFrame, id_col: str, text_col: str,
                     (reason == "ok").cast("int").alias("keep"))
 
 
+def token_pmi(df: DataFrame, id_col: str, text_col: str,
+              top_tokens: int = 50, top_k: int = 30, min_docs: int = 2,
+              round_digits: int = 4) -> DataFrame:
+    """Collocation mining: top-``top_k`` token pairs by document-level
+    pointwise mutual information, ``PMI(a,b) = log2(p(a,b) / (p(a)p(b)))``
+    with probabilities = document frequencies — the corpus statistic that
+    surfaces multi-word expressions ("new york") and template artifacts
+    for tokenizer/cleaning decisions.
+
+    Scale design: the co-occurrence self-join is restricted UP FRONT to
+    the ``top_tokens`` most frequent tokens (reusing ``build_vocab``'s
+    bounded-rank build), so the doc-keyed join fans out to at most
+    ``top_tokens``² pairs per document regardless of corpus size; doc
+    frequencies are per-token counts of the same deduped inverted index.
+    Pairs seen in fewer than ``min_docs`` documents are dropped (PMI is
+    noise at singleton counts). Ties rank by the pair, ascending.
+    """
+    from bda_spadochrony_spark.operators.text import tokens
+    from pyspark.sql import Window
+    tok = (df.select(F.col(id_col),
+                     F.explode(tokens(text_col)).alias("token"))
+           .distinct())
+    vocab = build_vocab(df, text_col, size=top_tokens).select("token")
+    t = tok.join(F.broadcast(vocab), "token")
+    t = t.localCheckpoint(eager=False)  # feeds doc-counts + both join sides
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+    dfreq = t.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    a = t.select(F.col(id_col), F.col("token").alias("a"))
+    b = t.select(F.col(id_col), F.col("token").alias("b"))
+    co = (a.join(b, id_col)
+          .where(F.col("a") < F.col("b"))
+          .groupBy("a", "b").agg(F.count(F.lit(1)).alias("co")))
+    j = (co.where(F.col("co") >= min_docs)
+         .join(F.broadcast(dfreq.select(F.col("token").alias("a"),
+                                        F.col("df").alias("df_a"))), "a")
+         .join(F.broadcast(dfreq.select(F.col("token").alias("b"),
+                                        F.col("df").alias("df_b"))), "b")
+         .crossJoin(F.broadcast(n_docs)))
+    pmi = stable_round(
+        F.log2((F.col("co") * F.col("__nd").cast("double")) /
+               (F.col("df_a") * F.col("df_b"))), round_digits)
+    w = Window.orderBy(F.col("pmi").desc(), F.col("a").asc(),
+                       F.col("b").asc())
+    scored = j.select("a", "b", "co", pmi.alias("pmi"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .select(F.col("rank").cast("int").alias("rank"),
+                    "a", "b", "co", "pmi"))
+
+
 def source_kl_divergence(df: DataFrame, group_col: str, text_col: str,
                          round_digits: int = 4) -> DataFrame:
     """Domain-drift detection: per-group KL divergence of the group's

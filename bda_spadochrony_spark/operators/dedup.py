@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bda_spadochrony_spark.functions.numeric import stable_round
+
 
 # --------------------------------------------------------------- exact ----
 
@@ -214,6 +216,51 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     verified = ngram_jaccard_pairs(df, id_col, text_col, shingle_n,
                                    candidates=cands, verify_mode="join")
     return verified.where(F.col("jaccard") >= min_jaccard)
+
+
+def pagerank_step(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                  damping: float = 0.85, ranks: DataFrame | None = None,
+                  round_digits: int | None = None) -> DataFrame:
+    """One power iteration of PageRank over the undirected pair graph:
+    ``r'(v) = (1−d)/N + d·Σ_{u∈N(v)} r(u)/deg(u)`` — the distributed
+    step of iterative graph centrality, same contract as
+    ``kmeans_lloyd_step``: the LOOP is driver logic, the step is
+    engine-owned and (given deterministic input ranks) SQL-checkable.
+    Within a near-dup cluster, rank concentrates on the most-connected
+    member — a centrality-based canonical choice instead of min-id.
+
+    ``ranks`` is an optional ``(id, rank)`` frame from the previous
+    iteration; None seeds uniform 1/N. Every node in a symmetric pair
+    graph has degree ≥ 1, so there are no dangling-mass corrections.
+    Plan: one degree aggregate + one contribution join + one sum shuffle,
+    all keyed on node ids.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    sym = sym.localCheckpoint(eager=False)  # degrees + contributions +
+    # node set all read it; AQE never reuses the exchange
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    n = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    if ranks is None:
+        ranks = (nodes.crossJoin(F.broadcast(n))
+                 .select("id", (F.lit(1.0) / F.col("__n")).alias("rank")))
+    contrib = (sym.join(ranks.select(F.col("id").alias("src"),
+                                     F.col("rank")), "src")
+               .join(deg, "src")
+               .select(F.col("dst").alias("id"),
+                       (F.col("rank") / F.col("__deg")).alias("__c")))
+    sums = contrib.groupBy("id").agg(F.sum("__c").alias("__s"))
+    out = (nodes.join(sums, "id", "left")
+           .crossJoin(F.broadcast(n))
+           .select("id",
+                   ((1.0 - damping) / F.col("__n") +
+                    damping * F.coalesce("__s", F.lit(0.0))).alias("rank")))
+    if round_digits is not None:
+        out = out.select("id", (stable_round(F.col("rank"), round_digits)
+                                + F.lit(0.0)).alias("rank"))
+    return out
 
 
 def incremental_dedup(new: DataFrame, existing: DataFrame, id_col: str,

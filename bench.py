@@ -108,6 +108,9 @@ HEADLINE = [
     ("join_cardinality", "collect"),
     ("funnel", "collect"),
     ("cohort_retention", "collect"),
+    ("expectations", "collect"),
+    ("token_pmi", "collect"),
+    ("pagerank_step", "count"),
 ]
 
 

@@ -1153,3 +1153,84 @@ def test_cohort_retention_weeks(spark):
            for r in cohort_retention(df, "user_id", "ts").collect()}
     assert got == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
                    ("2024-01-01", 2): 1, ("2024-01-08", 0): 1}
+
+
+def test_check_expectations_counts_each_violation_kind(spark):
+    from bda_spadochrony_spark.operators.expectations import (
+        check_expectations, expect_between, expect_in_set, expect_matches,
+        expect_not_null, expect_unique)
+    df = spark.createDataFrame(
+        [(1, 5.0, "a", "{x}"),
+         (2, -1.0, "b", "{y}"),      # range violation
+         (None, 5.0, "a", "{z}"),    # null violation
+         (4, 200.0, "zz", "nope"),   # range + set + regex violations
+         (4, 5.0, "a", "{w}")],      # duplicate id
+        "id: long, v: double, cat: string, payload: string")
+    rep = {r["rule"]: (r["n_violations"], r["passed"])
+           for r in check_expectations(df, [
+               expect_not_null("id"),
+               expect_between("v", 0, 100),
+               expect_in_set("cat", ["a", "b"]),
+               expect_matches("payload", "^\\{"),
+               expect_unique("id"),
+           ]).collect()}
+    assert rep["not_null(id)"] == (1, 0)
+    assert rep["between(v,0,100)"] == (2, 0)
+    assert rep["in_set(cat)"] == (1, 0)
+    assert rep["matches(payload)"] == (1, 0)
+    assert rep["unique(id)"] == (1, 0)      # one surplus copy of id=4
+
+
+def test_check_expectations_single_scan_for_row_rules(spark):
+    from bda_spadochrony_spark.operators.expectations import (
+        check_expectations, expect_between, expect_not_null)
+    df = spark.range(0, 100).withColumn("v", F.col("id") * 1.0)
+    out = check_expectations(df, [expect_not_null("v"),
+                                  expect_between("v", 0, 1000)])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1 or plan.count("FileScan") <= 1
+    assert all(r["passed"] == 1 for r in out.collect())
+
+
+def test_token_pmi_scores_collocation_highest(spark):
+    import math
+    from bda_spadochrony_spark.operators.corpus import token_pmi
+    # "new york" always co-occur; "the" appears everywhere
+    docs = [(i, f"the w{i} new york") for i in range(10)] + \
+           [(100 + i, f"the w{100+i} filler{i}") for i in range(10)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = token_pmi(df, "doc_id", "text", top_tokens=10, top_k=5,
+                    min_docs=2).collect()
+    top = got[0]
+    assert {top["a"], top["b"]} == {"new", "york"}
+    # p(new,york)=10/20, p(new)=p(york)=10/20 -> PMI = log2(0.5/0.25) = 1
+    assert abs(top["pmi"] - 1.0) < 1e-3
+    # ubiquitous pair ("the" with anything) scores 0 or below
+    for r in got:
+        if "the" in (r["a"], r["b"]):
+            assert r["pmi"] <= top["pmi"]
+
+
+def test_pagerank_step_concentrates_on_hub(spark):
+    from bda_spadochrony_spark.operators.dedup import pagerank_step
+    # star graph: 0 connected to 1..4; plus an isolated pair 10-11
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11)], ["id_a", "id_b"])
+    got = {r["id"]: r["rank"] for r in pagerank_step(pairs).collect()}
+    n = 7
+    # leaves contribute their whole rank to the hub
+    assert abs(got[0] - (0.15 / n + 0.85 * 4 * (1 / n))) < 1e-9
+    assert abs(got[1] - (0.15 / n + 0.85 * (1 / n) / 4)) < 1e-9
+    assert abs(got[10] - (0.15 / n + 0.85 * (1 / n))) < 1e-9
+    # mass is conserved: symmetric graph, no dangling nodes
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_step_chains_iterations(spark):
+    from bda_spadochrony_spark.operators.dedup import pagerank_step
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    r1 = pagerank_step(pairs)
+    r2 = pagerank_step(pairs, ranks=r1)
+    got = {r["id"]: r["rank"] for r in r2.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[2] > got[1] == got[3]   # middle node dominates
