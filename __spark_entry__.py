@@ -1207,6 +1207,17 @@ def q_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("id").cast("long").alias("id"), "rank"))
 
 
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of event values (10 buckets): exact decile
+    boundaries from ONE percentile aggregate, broadcast assignment, one
+    count shuffle — the selectivity/range-partitioning statistic that
+    fixed-width bins lose under skew. Boundaries stable-rounded before
+    comparison on both engines."""
+    from bda_spadochrony_spark.operators.aggregates import equi_depth_histogram
+    ev = _t(spark, sf_dir, "events")
+    return equi_depth_histogram(ev, "value", buckets=10)
+
+
 def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary encoding: top-100-token vocab built from the corpus
     itself (deterministic ranking), each document re-emitted as its
@@ -2463,6 +2474,7 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "expectations": q_expectations,
     "token_pmi": q_token_pmi,
     "pagerank_step": q_pagerank_step,
+    "equi_depth_histogram": q_equi_depth_histogram,
     # displaced from the round-5 window by the new queries above; still
     # single-driver-confirmation — rotate back in next round
     "tf_idf": q_tf_idf,
@@ -4130,6 +4142,21 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM nodes
             LEFT JOIN contrib c ON c.id = nodes.id
             CROSS JOIN nc
+        """,
+        "equi_depth_histogram": """
+            WITH b AS (
+                SELECT list_transform(
+                           quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                                 0.6, 0.7, 0.8, 0.9]),
+                           x -> round(x + 1e-10, 6)) AS bnds
+                FROM events WHERE value IS NOT NULL
+            )
+            SELECT CAST(len(list_filter(bnds, t -> value > t)) AS INTEGER)
+                       AS bucket,
+                   count(*) AS n_rows
+            FROM events CROSS JOIN b
+            WHERE value IS NOT NULL
+            GROUP BY 1
         """,
         "corpus_shuffle": """
             SELECT doc_id,

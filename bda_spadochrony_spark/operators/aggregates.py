@@ -141,3 +141,32 @@ def profile_columns(df: DataFrame, num_cols: list[str]) -> DataFrame:
                "(column, n_null, n_distinct, min_value, max_value, avg_value)")
     ).select("column", "n_rows", "n_null", "n_distinct",
              "min_value", "max_value", "avg_value")
+
+
+def equi_depth_histogram(df: DataFrame, col: str, buckets: int = 10,
+                         round_digits: int = 6) -> DataFrame:
+    """Equi-DEPTH histogram (the fixed-width twin is ``q_histogram``):
+    bucket boundaries are the exact ``i/buckets`` percentiles, so every
+    bucket holds ~the same row count — the statistic a range partitioner
+    or an optimizer's selectivity model actually wants (fixed-width bins
+    collapse under skew; equi-depth bins track the mass).
+
+    Plan: ONE exact-percentile aggregate produces the (buckets−1)-value
+    boundary array; assignment is a broadcast of that single row + a
+    bounded ``filter`` fold per row (buckets−1 comparisons — a histogram
+    build, not a hot path); counts are one map-side-combined shuffle.
+    Boundaries are stable-rounded before comparison so interpolation
+    arithmetic can't split a boundary-valued row across engines.
+    Returns (bucket, n_rows) with bucket in 0..buckets−1.
+    """
+    qs = ", ".join(str((i + 1) / buckets) for i in range(buckets - 1))
+    bounds = (df.agg(F.expr(f"percentile({col}, array({qs}))")
+                     .alias("__b"))
+              .select(F.transform(
+                  "__b", lambda x: stable_round(x, round_digits))
+                  .alias("__b")))
+    j = (df.where(F.col(col).isNotNull())
+         .crossJoin(F.broadcast(bounds)))
+    bucket = F.size(F.filter("__b", lambda t: F.col(col) > t))
+    return (j.groupBy(bucket.cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows")))

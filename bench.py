@@ -111,6 +111,7 @@ HEADLINE = [
     ("expectations", "collect"),
     ("token_pmi", "collect"),
     ("pagerank_step", "count"),
+    ("equi_depth_histogram", "collect"),
 ]
 
 

@@ -1234,3 +1234,16 @@ def test_pagerank_step_chains_iterations(spark):
     got = {r["id"]: r["rank"] for r in r2.collect()}
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got[2] > got[1] == got[3]   # middle node dominates
+
+
+def test_equi_depth_histogram_balances_buckets_under_skew(spark):
+    from bda_spadochrony_spark.operators.aggregates import equi_depth_histogram
+    import math
+    # heavily skewed data: exponential-ish tail + a null
+    rows = [(float(i) ** 3,) for i in range(1, 1001)] + [(None,)]
+    df = spark.createDataFrame(rows, "v: double")
+    got = {r["bucket"]: r["n_rows"]
+           for r in equi_depth_histogram(df, "v", buckets=10).collect()}
+    assert sum(got.values()) == 1000                # null excluded
+    assert set(got) == set(range(10))
+    assert max(got.values()) - min(got.values()) <= 2   # equi-depth holds
