@@ -367,6 +367,28 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-hour distinct users on a stream: Spark forbids
+    count(DISTINCT) in streaming aggregates, so the engine ships the
+    dedup-then-count pattern — watermarked dropDuplicates on
+    (window, user) then a plain windowed count. Both stages watermark-
+    bounded; complete mode so the batch oracle checks every window
+    exactly."""
+    from bda_spadochrony_spark.streaming.sources import file_stream
+    from bda_spadochrony_spark.streaming.ops import stream_windowed_distinct
+    from bda_spadochrony_spark.streaming.runner import run_available_now
+    configure(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = file_stream(spark, f"{sf_dir}/events*.parquet",
+                             EVENTS_SCHEMA)
+        agg = stream_windowed_distinct(stream, "ts", "user_id", "1 hour")
+        return run_available_now(spark, agg, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T4/S8 — Structured Streaming pipeline run to completion: file
     source → event-time tumbling window aggregate → memory sink
@@ -2475,6 +2497,7 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_pmi": q_token_pmi,
     "pagerank_step": q_pagerank_step,
     "equi_depth_histogram": q_equi_depth_histogram,
+    "stream_distinct": q_stream_distinct,
     # displaced from the round-5 window by the new queries above; still
     # single-driver-confirmation — rotate back in next round
     "tf_idf": q_tf_idf,
@@ -2885,6 +2908,11 @@ def _oracle_sql_literal() -> dict[str, str]:
                          - INTERVAL 20 MINUTE AS nyts, value
                   FROM events)
             GROUP BY 1, 2
+        """,
+        "stream_distinct": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   count(DISTINCT user_id) AS distinct_keys
+            FROM events GROUP BY 1
         """,
         "stream_enrich": """
             SELECT c.c_mktsegment AS segment, e.event_type,

@@ -29,6 +29,29 @@ def stream_dedup(df: DataFrame, keys: list[str], ts_col: str,
     return df.withWatermark(ts_col, delay).dropDuplicates(keys)
 
 
+def stream_windowed_distinct(df: DataFrame, ts_col: str, key_col: str,
+                             window: str,
+                             delay: str = "1 minutes") -> DataFrame:
+    """EXACT per-window distinct-key counts on a stream. Spark forbids
+    ``count(DISTINCT ...)`` in streaming aggregates, and
+    ``approx_count_distinct`` trades exactness for state — the standard
+    exact pattern is dedup-then-count: a watermarked ``dropDuplicates``
+    on (window, key) collapses each key to one row per window (state =
+    one entry per distinct (window, key) inside the watermark horizon),
+    and a plain windowed count over the deduped stream is then the exact
+    distinct count. Two stateful stages, both watermark-bounded.
+    """
+    win = F.window(F.col(ts_col), window)
+    deduped = (df.withWatermark(ts_col, delay)
+               .select(F.col(ts_col), F.col(key_col),
+                       win.alias("__w"))
+               .dropDuplicates(["__w", key_col]))
+    return (deduped.groupBy("__w")
+            .agg(F.count(F.lit(1)).alias("distinct_keys"))
+            .select(F.col("__w.start").alias("window_start"),
+                    "distinct_keys"))
+
+
 def stream_static_join(stream: DataFrame, static: DataFrame,
                        on: list[str] | Column, how: str = "inner",
                        broadcast_static: bool = True) -> DataFrame:

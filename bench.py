@@ -112,6 +112,7 @@ HEADLINE = [
     ("token_pmi", "collect"),
     ("pagerank_step", "count"),
     ("equi_depth_histogram", "collect"),
+    ("stream_distinct", "count"),
 ]
 
 

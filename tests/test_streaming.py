@@ -198,3 +198,19 @@ def test_stream_static_join_matches_batch_and_broadcasts(spark, events_stream_di
     plan = (stream_static_join(stream, dim, ["user_id"])
             ._jdf.queryExecution().analyzed().toString())
     assert "ResolvedHint (strategy=broadcast)" in plan
+
+
+def test_stream_windowed_distinct_is_exact(spark, events_stream_dir):
+    from bda_spadochrony_spark.streaming.ops import stream_windowed_distinct
+    from bda_spadochrony_spark.sources.readers import scan
+    stream = file_stream(spark, events_stream_dir, EVENTS_SCHEMA)
+    agg = stream_windowed_distinct(stream, "ts", "user_id", "1 hour")
+    got = {r["window_start"]: r["distinct_keys"]
+           for r in run_available_now(spark, agg,
+                                      output_mode="complete").collect()}
+    batch = scan(spark, "/root/testdata/sf0.001/events.parquet")
+    exp = {r["h"]: r["n"] for r in
+           batch.select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+           .groupBy("h").agg(F.count_distinct("user_id").alias("n"))
+           .collect()}
+    assert got == exp and len(got) > 0
