@@ -1240,6 +1240,35 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_depth_histogram(ev, "value", buckets=10)
 
 
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order LM scoring: per-document mean conditional bigram
+    surprisal under the corpus's own bigram model — the step between
+    unigram_surprisal and a real perplexity filter. Indexed pair map
+    (no self-joins), checkpointed pair counts, one id-keyed average."""
+    from bda_spadochrony_spark.operators.corpus import bigram_surprisal
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_surprisal(docs, "doc_id", "text")
+
+
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time temporal join: facts pick the SCD2 dimension version
+    valid at their timestamp (half-open [valid_from, valid_to), NULL =
+    current) — the correctness half of the versioned-dim story; here the
+    dim is the scd2_history of the event stream itself, so every event
+    must land in exactly one version window (the oracle checks WHICH
+    one, value by value). Equi join on the key + disjoint-interval
+    filter: no nested loop, no fan-out."""
+    from bda_spadochrony_spark.operators.scd import (point_in_time_join,
+                                                     scd2_history)
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_history(ev.select("user_id", "event_type", "ts"),
+                       "user_id", ["event_type"], "ts")
+    out = point_in_time_join(ev.select("event_id", "user_id", "ts"),
+                             dim.select("user_id", "valid_from", "valid_to"),
+                             "user_id", "ts")
+    return out.select("event_id", "valid_from")
+
+
 def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary encoding: top-100-token vocab built from the corpus
     itself (deterministic ranking), each document re-emitted as its
@@ -2498,6 +2527,8 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_step": q_pagerank_step,
     "equi_depth_histogram": q_equi_depth_histogram,
     "stream_distinct": q_stream_distinct,
+    "bigram_surprisal": q_bigram_surprisal,
+    "pit_join": q_pit_join,
     # displaced from the round-5 window by the new queries above; still
     # single-driver-confirmation — rotate back in next round
     "tf_idf": q_tf_idf,
@@ -4185,6 +4216,52 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM events CROSS JOIN b
             WHERE value IS NOT NULL
             GROUP BY 1
+        """,
+        "bigram_surprisal": """
+            WITH lst AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), idx AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 1)) AS i
+                FROM lst
+            ), pairs AS (
+                SELECT doc_id, t[i] AS a, t[i + 1] AS b FROM idx
+            ), counts AS (
+                SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2
+            ), heads AS (
+                SELECT a, sum(c_ab) AS c_a FROM counts GROUP BY 1
+            )
+            SELECT p.doc_id, count(*) AS n_bigrams,
+                   round((avg(-log2(c.c_ab * 1.0 / h.c_a))) + 1e-08, 4)
+                   AS surprisal
+            FROM pairs p
+            JOIN counts c USING (a, b)
+            JOIN heads h USING (a)
+            GROUP BY 1
+        """,
+        "pit_join": """
+            WITH t AS (
+                SELECT user_id, ts, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_type)
+                       AS prev
+                FROM events
+            ), c AS (
+                SELECT user_id, ts, event_type
+                FROM t WHERE prev IS NULL OR event_type != prev
+            ), dim AS (
+                SELECT user_id, ts AS valid_from,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_type) AS valid_to
+                FROM c
+            )
+            SELECT e.event_id, d.valid_from
+            FROM events e
+            JOIN dim d ON e.user_id = d.user_id
+                      AND e.ts >= d.valid_from
+                      AND (d.valid_to IS NULL OR e.ts < d.valid_to)
         """,
         "corpus_shuffle": """
             SELECT doc_id,

@@ -285,6 +285,40 @@ def token_pmi(df: DataFrame, id_col: str, text_col: str,
                     "a", "b", "co", "pmi"))
 
 
+def bigram_surprisal(df: DataFrame, id_col: str, text_col: str,
+                     round_digits: int = 4) -> DataFrame:
+    """First-order LM quality scoring: per-document mean CONDITIONAL
+    bigram surprisal ``avg(−log2(c(a,b) / c_head(a)))`` over adjacent
+    token pairs, where ``c(a,b)`` is the corpus adjacent-pair count and
+    ``c_head(a) = Σ_b c(a,b)`` (so the conditional normalizes exactly) —
+    one step up from ``unigram_surprisal`` toward the CCNet perplexity
+    filter: low = the corpus's own bigram model predicts the document
+    (boilerplate), high = incoherent token soup. Documents with < 2
+    tokens emit no pairs and are excluded (no bigram evidence).
+
+    Plan: the indexed pair map (zero self-joins) feeds the corpus pair
+    counts; head counts are a rollup of the pair counts (checkpointed —
+    two consumers); the per-document average is one id-keyed shuffle.
+    Returns (id, n_bigrams, surprisal).
+    """
+    from bda_spadochrony_spark.operators.text import tokens
+    t = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    pairs = t.select(F.col(id_col), F.explode(F.expr(
+        "transform(slice(__t, 1, greatest(size(__t) - 1, 0)),"
+        " (x, i) -> struct(x AS a, __t[i + 1] AS b))")).alias("p")) \
+        .select(id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    counts = (pairs.groupBy("a", "b")
+              .agg(F.count(F.lit(1)).alias("c_ab")))
+    counts = counts.localCheckpoint(eager=False)  # feeds heads + the join
+    heads = counts.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    j = pairs.join(counts, ["a", "b"]).join(heads, "a")
+    return (j.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 stable_round(
+                     F.avg(-F.log2(F.col("c_ab") / F.col("c_a"))),
+                     round_digits).alias("surprisal")))
+
+
 def source_kl_divergence(df: DataFrame, group_col: str, text_col: str,
                          round_digits: int = 4) -> DataFrame:
     """Domain-drift detection: per-group KL divergence of the group's

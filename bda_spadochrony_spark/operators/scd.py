@@ -17,6 +17,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def point_in_time_join(facts: DataFrame, dim: DataFrame, key_col: str,
+                       fact_ts_col: str,
+                       valid_from_col: str = "valid_from",
+                       valid_to_col: str = "valid_to",
+                       how: str = "inner") -> DataFrame:
+    """Point-in-time (temporal validity) join: each fact row picks the
+    dimension VERSION that was valid at its timestamp —
+    ``fact.ts ∈ [valid_from, valid_to)`` with NULL ``valid_to`` = still
+    current. The correctness half of SCD2: a plain key join to a
+    versioned dim double-counts; this join is what makes the history
+    usable. Half-open intervals mean a fact AT a version boundary joins
+    the NEW version, and each fact matches at most one version.
+
+    Plan: an equi join on the dimension key carries the range predicate
+    as a post-join filter — SortMergeJoin/BroadcastHashJoin on the key,
+    never a nested loop, because SCD2 intervals per key are disjoint by
+    construction (at most one survives the filter; no fan-out).
+    """
+    f = facts.alias("f")
+    d = dim.alias("d")
+    cond = ((F.col(f"f.{key_col}") == F.col(f"d.{key_col}")) &
+            (F.col(f"f.{fact_ts_col}") >= F.col(f"d.{valid_from_col}")) &
+            (F.col(f"d.{valid_to_col}").isNull() |
+             (F.col(f"f.{fact_ts_col}") < F.col(f"d.{valid_to_col}"))))
+    return f.join(d, cond, how).drop(F.col(f"d.{key_col}"))
+
+
 def scd2_history(df: DataFrame, key_col: str, attr_cols: list[str],
                  ts_col: str) -> DataFrame:
     """Build the SCD2 history from an observation log: per key, order

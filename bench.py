@@ -113,6 +113,8 @@ HEADLINE = [
     ("pagerank_step", "count"),
     ("equi_depth_histogram", "collect"),
     ("stream_distinct", "count"),
+    ("bigram_surprisal", "count"),
+    ("pit_join", "count"),
 ]
 
 

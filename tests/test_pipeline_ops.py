@@ -1247,3 +1247,42 @@ def test_equi_depth_histogram_balances_buckets_under_skew(spark):
     assert sum(got.values()) == 1000                # null excluded
     assert set(got) == set(range(10))
     assert max(got.values()) - min(got.values()) <= 2   # equi-depth holds
+
+
+def test_bigram_surprisal_known_values(spark):
+    import math
+    from bda_spadochrony_spark.operators.corpus import bigram_surprisal
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b a c"), (3, "solo")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_bigrams"], r["surprisal"])
+           for r in bigram_surprisal(df, "doc_id", "text").collect()}
+    # corpus pairs: ab=3, ba=2, ac=1; heads: a->4, b->2
+    # doc1 = [ab, ba, ab]: -log2(3/4), -log2(2/2), -log2(3/4)
+    s1 = (2 * -math.log2(3 / 4) + 0.0) / 3
+    # doc2 = [ab, ba, ac]: -log2(3/4), 0, -log2(1/4)
+    s2 = (-math.log2(3 / 4) + 0.0 + 2.0) / 3
+    assert got[1][0] == 3 and abs(got[1][1] - s1) < 1e-3
+    assert got[2][0] == 3 and abs(got[2][1] - s2) < 1e-3
+    assert 3 not in got                      # <2 tokens: no evidence
+
+
+def test_point_in_time_join_picks_exactly_one_version(spark):
+    from datetime import datetime
+    from bda_spadochrony_spark.operators.scd import (point_in_time_join,
+                                                     scd2_history)
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    obs = spark.createDataFrame(
+        [(1, "A", t(0)), (1, "B", t(10)), (1, "A", t(20))],
+        ["k", "v", "ts"])
+    dim = scd2_history(obs, "k", ["v"], "ts")
+    facts = spark.createDataFrame(
+        [(100, 1, t(5)), (101, 1, t(10)),    # boundary -> NEW version
+         (102, 1, t(15)), (103, 1, t(25))],
+        ["fact_id", "k", "ts"])
+    got = {r["fact_id"]: (r["v"], r["valid_from"].minute)
+           for r in point_in_time_join(facts, dim, "k", "ts").collect()}
+    assert got == {100: ("A", 0), 101: ("B", 10),
+                   102: ("B", 10), 103: ("A", 20)}
+    # no fan-out: each fact matched at most once
+    assert point_in_time_join(facts, dim, "k", "ts").count() == 4
