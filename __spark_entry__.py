@@ -1269,6 +1269,22 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "valid_from")
 
 
+def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage with blocking: each customer's best-edit-distance
+    supplier within the same nation (blocked equi join + struct-min —
+    candidate space is per-nation, never the cross product; ties to the
+    smallest supplier key). The data-integration primitive behind
+    dedupe-across-sources at 100 TB, where blocking choice IS the
+    scalability story."""
+    from bda_spadochrony_spark.operators.joins import fuzzy_best_match
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_nationkey").alias("nk"))
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.col("s_nationkey").alias("nk"))
+    return fuzzy_best_match(cust, supp, ["nk"], "c_custkey", "s_suppkey",
+                            "c_name", "s_name")
+
+
 def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary encoding: top-100-token vocab built from the corpus
     itself (deterministic ranking), each document re-emitted as its
@@ -2529,6 +2545,7 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_distinct": q_stream_distinct,
     "bigram_surprisal": q_bigram_surprisal,
     "pit_join": q_pit_join,
+    "entity_match": q_entity_match,
     # displaced from the round-5 window by the new queries above; still
     # single-driver-confirmation — rotate back in next round
     "tf_idf": q_tf_idf,
@@ -4262,6 +4279,18 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN dim d ON e.user_id = d.user_id
                       AND e.ts >= d.valid_from
                       AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+        """,
+        "entity_match": """
+            SELECT c_custkey, s_suppkey, distance FROM (
+                SELECT c.c_custkey, s.s_suppkey,
+                       levenshtein(c.c_name, s.s_name) AS distance,
+                       row_number() OVER (
+                           PARTITION BY c.c_custkey
+                           ORDER BY levenshtein(c.c_name, s.s_name) ASC,
+                                    s.s_suppkey ASC) AS rn
+                FROM customer c
+                JOIN supplier s ON s.s_nationkey = c.c_nationkey
+            ) WHERE rn = 1
         """,
         "corpus_shuffle": """
             SELECT doc_id,

@@ -43,6 +43,38 @@ def join_chain(base: DataFrame, others: list[tuple[DataFrame, list[str]]],
     return out
 
 
+def fuzzy_best_match(left: DataFrame, right: DataFrame,
+                     block_on: list[str], left_id: str, right_id: str,
+                     left_text: str, right_text: str,
+                     max_distance: int | None = None) -> DataFrame:
+    """Entity-resolution join: for each left row, its single BEST right
+    match by edit distance — restricted to rows sharing the blocking
+    key(s), the discipline that keeps record linkage off the cross
+    product (candidate space = Σ per-block |L|·|R|, not |L|·|R|; pick
+    blocks like region/zip/phonetic-key so blocks stay small). Ties
+    break to the smallest right id; ``max_distance`` drops left rows
+    with no acceptable candidate.
+
+    One blocked equi join (broadcast when the right side is a dim) + a
+    struct-min per left id — no windows, no cross join. The verify
+    expression is JVM levenshtein, fully codegen'd.
+    """
+    l = left.select(*block_on, F.col(left_id),
+                    F.col(left_text).alias("__lt"))
+    r = right.select(*block_on, F.col(right_id),
+                     F.col(right_text).alias("__rt"))
+    j = l.join(r, block_on)
+    dist = F.levenshtein("__lt", "__rt")
+    if max_distance is not None:
+        j = j.where(dist <= max_distance)
+    best = (j.groupBy(left_id)
+            .agg(F.min(F.struct(dist.alias("distance"),
+                                F.col(right_id))).alias("__b")))
+    return best.select(left_id,
+                       F.col(f"__b.{right_id}").alias(right_id),
+                       F.col("__b.distance").alias("distance"))
+
+
 def interval_join(left: DataFrame, right: DataFrame,
                   left_ts: str, right_ts: str,
                   tolerance_seconds: float = 30.0,

@@ -115,6 +115,7 @@ HEADLINE = [
     ("stream_distinct", "count"),
     ("bigram_surprisal", "count"),
     ("pit_join", "count"),
+    ("entity_match", "count"),
 ]
 
 

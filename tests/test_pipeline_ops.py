@@ -1286,3 +1286,24 @@ def test_point_in_time_join_picks_exactly_one_version(spark):
                    102: ("B", 10), 103: ("A", 20)}
     # no fan-out: each fact matched at most once
     assert point_in_time_join(facts, dim, "k", "ts").count() == 4
+
+
+def test_fuzzy_best_match_blocks_and_picks_nearest(spark):
+    from bda_spadochrony_spark.operators.joins import fuzzy_best_match
+    left = spark.createDataFrame(
+        [(1, "acme corp", "us"), (2, "zzz ltd", "us"), (3, "acme corp", "de")],
+        ["lid", "lname", "country"])
+    right = spark.createDataFrame(
+        [(10, "acme corp.", "us"), (11, "acne corp", "us"),
+         (12, "acme corp", "de"), (13, "totally different", "us")],
+        ["rid", "rname", "country"])
+    got = {r["lid"]: (r["rid"], r["distance"])
+           for r in fuzzy_best_match(left, right, ["country"],
+                                     "lid", "rid", "lname", "rname").collect()}
+    assert got[1] == (10, 1)      # "acme corp." one insertion; beats "acne corp"
+    assert got[3] == (12, 0)      # blocking: only the de candidate considered
+    assert got[2][0] == 13 or got[2][1] > 3   # zzz ltd has no close match
+    # max_distance drops no-candidate rows
+    strict = fuzzy_best_match(left, right, ["country"], "lid", "rid",
+                              "lname", "rname", max_distance=2)
+    assert {r["lid"] for r in strict.collect()} == {1, 3}
