@@ -68,11 +68,18 @@ def run_to_memory(df: DataFrame, name: str | None = None,
 
 def run_foreach_batch(df: DataFrame, fn: Callable[[DataFrame, int], None],
                       output_mode: str = "append",
-                      available_now: bool = False) -> StreamingQuery:
+                      available_now: bool = False,
+                      checkpoint: str | None = None) -> StreamingQuery:
     """S11 — foreachBatch sink with checkpointing (S12). ``fn(batch_df,
-    batch_id)`` must write distributed (never ``collect()``)."""
+    batch_id)`` must write distributed (never ``collect()``).
+
+    Pass the SAME ``checkpoint`` directory across restarts and the query
+    RESUMES: source offsets committed there mean already-processed input
+    is never re-read — the exactly-once restart contract
+    (test_restart_resumes_from_checkpoint_exactly_once). Default is a
+    fresh directory (one-shot drain semantics)."""
     writer = (df.writeStream.foreachBatch(fn).outputMode(output_mode)
-              .option("checkpointLocation", _checkpoint()))
+              .option("checkpointLocation", checkpoint or _checkpoint()))
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

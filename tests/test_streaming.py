@@ -214,3 +214,41 @@ def test_stream_windowed_distinct_is_exact(spark, events_stream_dir):
            .groupBy("h").agg(F.count_distinct("user_id").alias("n"))
            .collect()}
     assert got == exp and len(got) > 0
+
+
+def test_restart_resumes_from_checkpoint_exactly_once(spark):
+    """S12's real contract: a restarted query with the SAME checkpoint
+    directory resumes from committed offsets — earlier input is never
+    reprocessed, new input is processed once."""
+    from bda_spadochrony_spark.streaming.runner import run_foreach_batch
+    base = tempfile.mkdtemp(prefix="bda_resume_")
+    src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    os.makedirs(src)
+    schema = StructType([StructField("k", LongType()),
+                         StructField("ts", TimestampType())])
+    try:
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        rows_a = [(i, datetime(2024, 1, 1, 0, i)) for i in range(5)]
+        spark.createDataFrame(rows_a, schema).coalesce(1) \
+            .write.parquet(os.path.join(src, "a"))
+        q = run_foreach_batch(file_stream(spark, src + "/*", schema),
+                              write_batch, available_now=True,
+                              checkpoint=ckpt)
+        assert q.awaitTermination(120)
+        first = sorted(r["k"] for r in spark.read.parquet(sink).collect())
+        assert first == [0, 1, 2, 3, 4]
+
+        rows_b = [(i, datetime(2024, 1, 1, 1, i)) for i in range(10, 13)]
+        spark.createDataFrame(rows_b, schema).coalesce(1) \
+            .write.parquet(os.path.join(src, "b"))
+        q2 = run_foreach_batch(file_stream(spark, src + "/*", schema),
+                               write_batch, available_now=True,
+                               checkpoint=ckpt)
+        assert q2.awaitTermination(120)
+        final = sorted(r["k"] for r in spark.read.parquet(sink).collect())
+        # exactly once: the first five appear ONCE, the new three appended
+        assert final == [0, 1, 2, 3, 4, 10, 11, 12]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
