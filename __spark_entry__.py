@@ -1285,6 +1285,35 @@ def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "c_name", "s_name")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res,
+    inclusion ∝ weight): 100 documents drawn by length weight — the
+    quality-weighted subsample where better documents survive more often
+    but nothing is excluded outright. Deterministic hash draw, so the
+    oracle reproduces the exact sample; keys stable-rounded (libm vs JVM
+    log ulp) with id tie-break; global rank pre-pruned per hash group."""
+    from bda_spadochrony_spark.operators.sampling import weighted_sample
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, "doc_id", "n_chars", k=100)
+    return out.select("doc_id", "n_chars")
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spread: seed every 5th embedding with its
+    true label, run ONE propagation round over the cosine ≥ 0.42 graph —
+    unlabeled nodes adopt their labeled neighbors' majority label (ties →
+    smallest). The oracle recomputes the graph and the vote exhaustively,
+    so the round is value-verified end-to-end."""
+    from bda_spadochrony_spark.operators.dedup import label_propagation_step
+    from bda_spadochrony_spark.operators.similarity import pairwise_cosine_blocked
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = pairwise_cosine_blocked(emb, "vec_id", min_cosine=0.42, blocks=4)
+    pairs = pairs.localCheckpoint(eager=False)
+    seeds = (emb.where(F.col("vec_id") % 5 == 0)
+             .select(F.col("vec_id").alias("id"), F.col("label")))
+    return label_propagation_step(pairs, seeds)
+
+
 def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary encoding: top-100-token vocab built from the corpus
     itself (deterministic ranking), each document re-emitted as its
@@ -2546,6 +2575,8 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_surprisal": q_bigram_surprisal,
     "pit_join": q_pit_join,
     "entity_match": q_entity_match,
+    "weighted_sample": q_weighted_sample,
+    "label_propagation": q_label_propagation,
     # displaced from the round-5 window by the new queries above; still
     # single-driver-confirmation — rotate back in next round
     "tf_idf": q_tf_idf,
@@ -4291,6 +4322,57 @@ def _oracle_sql_literal() -> dict[str, str]:
                 FROM customer c
                 JOIN supplier s ON s.s_nationkey = c.c_nationkey
             ) WHERE rn = 1
+        """,
+        "weighted_sample": """
+            WITH base AS (
+                SELECT doc_id, n_chars,
+                       round((-log2(((doc_id * 2654435761) % 4294967296
+                                     + 1) / 4294967296.0)
+                              / n_chars) + 1e-12, 8) AS key
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       row_number() OVER (ORDER BY key ASC, doc_id ASC)
+                       AS rk
+                FROM base
+            ) WHERE rk <= 100
+        """,
+        "label_propagation": """
+            WITH n AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), nn AS (
+                SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+                FROM n
+            ), pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+                WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.42
+            ), sym AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ), seeds AS (
+                SELECT vec_id AS id, label FROM embeddings
+                WHERE vec_id % 5 = 0
+            ), votes AS (
+                SELECT s.src AS id, l.label, count(*) AS n
+                FROM sym s JOIN seeds l ON l.id = s.dst
+                GROUP BY 1, 2
+            ), winners AS (
+                SELECT id, label FROM (
+                    SELECT id, label,
+                           row_number() OVER (PARTITION BY id
+                                              ORDER BY n DESC, label ASC)
+                           AS rk
+                    FROM votes
+                ) WHERE rk = 1
+            )
+            SELECT id, label FROM seeds
+            UNION ALL
+            SELECT id, label FROM winners
+            WHERE id NOT IN (SELECT id FROM seeds)
         """,
         "corpus_shuffle": """
             SELECT doc_id,

@@ -263,6 +263,38 @@ def pagerank_step(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     return out
 
 
+def label_propagation_step(pairs: DataFrame, seeds: DataFrame,
+                           id_a: str = "id_a", id_b: str = "id_b",
+                           id_col: str = "id",
+                           label_col: str = "label") -> DataFrame:
+    """One synchronous round of semi-supervised label propagation over
+    the similarity graph: every UNLABELED node adopts the MAJORITY label
+    among its currently-labeled neighbors (ties → the smallest label);
+    seeded/previously-labeled nodes keep theirs. Same loop-is-driver /
+    step-is-engine contract as ``pagerank_step`` — chain the output back
+    in as the next round's ``seeds`` until no new node gains a label.
+    The cheap way to spread a small set of human labels (or classifier
+    verdicts) across a near-dup graph.
+
+    Plan: one neighbor-label join + one (node, label) vote count + one
+    struct-min argmax — all keyed on node ids; returns ``(id, label)``
+    for every node labeled AFTER the round.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    labeled = seeds.select(F.col(id_col).alias("dst"), F.col(label_col))
+    votes = (sym.join(labeled, "dst")
+             .groupBy(F.col("src").alias(id_col), label_col)
+             .agg(F.count(F.lit(1)).alias("__n")))
+    winners = (votes.groupBy(id_col)
+               .agg(F.min(F.struct((-F.col("__n")).alias("__neg"),
+                                   F.col(label_col))).alias("__w"))
+               .select(id_col, F.col(f"__w.{label_col}").alias(label_col)))
+    fresh = winners.join(seeds.select(F.col(id_col)), id_col, "left_anti")
+    return seeds.select(F.col(id_col), F.col(label_col)).unionByName(fresh)
+
+
 def incremental_dedup(new: DataFrame, existing: DataFrame, id_col: str,
                       text_col: str, min_jaccard: float = 0.5,
                       num_hashes: int = 16, shingle_n: int = 3,

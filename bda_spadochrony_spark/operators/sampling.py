@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bda_spadochrony_spark.functions.numeric import stable_round
+
 _KNUTH = 2654435761
 _MOD = 2 ** 32
 
@@ -114,6 +116,41 @@ def hash_split_cutpoints(splits: dict[str, float]) -> list[tuple[str, int]]:
         acc += splits[name] / total
         cuts.append((name, int(acc * _MOD)))
     return cuts
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
+                    k: int, salt: int = 0,
+                    prune_groups: int = 64) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    each row draws ``u`` deterministically from its id hash and ranks by
+    ``-log2(u) / w`` ascending — the top-``k`` are a weighted sample
+    (inclusion probability ∝ weight, exactly the A-Res guarantee), e.g.
+    quality-weighted corpus subsampling where better documents should
+    survive more often but nothing is excluded outright.
+
+    Deterministic and engine-portable: ``u = (bucket + 1) / 2^32`` from
+    the same multiplicative hash as every sampler here, so reruns and the
+    SQL oracle reproduce the exact sample; a new ``salt`` is a fresh
+    draw. Keys are stable-rounded before ranking (libm vs JVM log differ
+    in the last ulp) with the id as the tie-break. The global top-k rank
+    is pre-pruned per hash group (build_vocab discipline). Rows with
+    non-positive or NULL weight are excluded (zero mass).
+    """
+    from pyspark.sql import Window
+    u = (hash_bucket(id_col, salt) + 1) / F.lit(float(_MOD))
+    key = stable_round(-F.log2(u) / F.col(weight_col), 8)
+    base = (df.where(F.col(weight_col).isNotNull() &
+                     (F.col(weight_col) > 0))
+            .withColumn("__key", key))
+    gw = (Window.partitionBy(F.pmod(F.xxhash64(F.col(id_col)
+                                               .cast("string")),
+                                    F.lit(prune_groups)))
+          .orderBy(F.col("__key").asc(), F.col(id_col).asc()))
+    pruned = (base.withColumn("__gr", F.row_number().over(gw))
+              .where(F.col("__gr") <= k).drop("__gr"))
+    w = Window.orderBy(F.col("__key").asc(), F.col(id_col).asc())
+    return (pruned.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k).drop("__rk", "__key"))
 
 
 def mixture_sample(df: DataFrame, id_col: str, group_col: str,

@@ -116,6 +116,8 @@ HEADLINE = [
     ("bigram_surprisal", "count"),
     ("pit_join", "count"),
     ("entity_match", "count"),
+    ("weighted_sample", "count"),
+    ("label_propagation", "count"),
 ]
 
 

@@ -1307,3 +1307,59 @@ def test_fuzzy_best_match_blocks_and_picks_nearest(spark):
     strict = fuzzy_best_match(left, right, ["country"], "lid", "rid",
                               "lname", "rname", max_distance=2)
     assert {r["lid"] for r in strict.collect()} == {1, 3}
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    from bda_spadochrony_spark.operators.sampling import weighted_sample
+    rows = [(i, 10.0 if i < 100 else 1.0) for i in range(1100)]
+    df = spark.createDataFrame(rows, "doc_id: long, w: double")
+    heavy_hits = 0
+    for salt in range(6):
+        got = {r["doc_id"] for r in
+               weighted_sample(df, "doc_id", "w", k=100, salt=salt).collect()}
+        assert len(got) == 100
+        heavy_hits += sum(1 for i in got if i < 100)
+    # 100 heavy rows hold 50% of total mass -> expect ~40-60 of each 100
+    # sampled per draw under A-Res; far above the 9% a uniform draw gives
+    assert heavy_hits / 6 > 25
+
+
+def test_weighted_sample_deterministic_and_excludes_nonpositive(spark):
+    from bda_spadochrony_spark.operators.sampling import weighted_sample
+    rows = [(1, 5.0), (2, 0.0), (3, None), (4, 3.0), (5, 1.0)]
+    df = spark.createDataFrame(rows, "doc_id: long, w: double")
+    a = sorted(r["doc_id"] for r in
+               weighted_sample(df, "doc_id", "w", k=3).collect())
+    b = sorted(r["doc_id"] for r in
+               weighted_sample(df.repartition(5), "doc_id", "w",
+                               k=3).collect())
+    assert a == b == [1, 4, 5]    # zero/NULL weight rows carry no mass
+
+
+def test_label_propagation_step_majority_and_tiebreak(spark):
+    from bda_spadochrony_spark.operators.dedup import label_propagation_step
+    # node 1: neighbors labeled A,A,B -> A ; node 2: neighbors A,B -> tie -> A
+    # node 3: no labeled neighbor -> stays unlabeled ; seeds keep labels
+    pairs = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10), (2, 12), (3, 4)],
+        ["id_a", "id_b"])
+    seeds = spark.createDataFrame(
+        [(10, "A"), (11, "A"), (12, "B")], ["id", "label"])
+    got = {r["id"]: r["label"]
+           for r in label_propagation_step(pairs, seeds).collect()}
+    assert got[1] == "A" and got[2] == "A"
+    assert got[10] == "A" and got[12] == "B"   # seeds unchanged
+    assert 3 not in got and 4 not in got       # no labeled neighbors
+
+
+def test_label_propagation_chains_until_covered(spark):
+    from bda_spadochrony_spark.operators.dedup import label_propagation_step
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
+    seeds = spark.createDataFrame([(1, 7)], "id: long, label: int")
+    r1 = label_propagation_step(chain, seeds)
+    r2 = label_propagation_step(chain, r1)
+    r3 = label_propagation_step(chain, r2)
+    assert {r["id"] for r in r1.collect()} == {1, 2}
+    assert {r["id"] for r in r2.collect()} == {1, 2, 3}
+    got = {r["id"]: r["label"] for r in r3.collect()}
+    assert got == {1: 7, 2: 7, 3: 7, 4: 7}     # label reached the far end
