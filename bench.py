@@ -182,16 +182,27 @@ def main() -> None:
         json.dump({"build": build, "exec": execute, "warm_rerun": warm,
                    "sf": sf}, fh, indent=1)
 
-    # keep the contract line well under the driver's ~2 KB stdout tail
-    # (round 3 overflowed it): per-query values at 2 decimals — the
-    # 3-decimal split stays in BENCH_SPLIT.json
-    print(json.dumps({
-        "metric": "headline wall sec",
+    # keep the contract line under the driver's 2 KB stdout tail (round 3
+    # overflowed it; at 89 queries 2-decimal values crossed 2048 again):
+    # per-query values at 1 decimal — comfortably inside measurement noise
+    # (±1 s run-to-run) — with the 3-decimal split in BENCH_SPLIT.json
+    payload = {
+        "metric": "wall sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": {k: round(v, 1) for k, v in timings.items()},
         "sf": sf,
-    }, separators=(",", ":")))
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    # hard guard: if the query list grows past the tail budget, drop the
+    # CHEAPEST queries from the line (their full timings stay in
+    # BENCH_SPLIT.json) rather than overflow and parse as null
+    for name, _ in sorted(timings.items(), key=lambda kv: kv[1]):
+        if len(line) <= 1900:
+            break
+        del payload["queries"][name]
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
