@@ -2564,7 +2564,9 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new in round 5 but placed TAIL-FIRST: the window's 25 new-query slots
     # are spent and the other 25 are reserved for the single-confirmation
-    # backlog (the round-4 ask) — these two enter the window next rotation
+    # backlog (the round-4 ask) — these twelve are fully oracled and
+    # locally driver-simulated green at sf0.01; they enter the window
+    # first at the next rotation
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
     "expectations": q_expectations,
