@@ -1,0 +1,79 @@
+"""Edge-case oracle parity: the text/corpus queries re-checked against a
+PATHOLOGICAL documents table — single/two-token docs, whitespace runs,
+unicode, dominant-token repetition, NULL lang — the input class where
+round-4's advisor found latent Spark↔DuckDB divergences (short-doc
+3-gram fractions, NULL bucketing). The regular testdata never exercises
+these rows; this fixture keeps the edge semantics pinned on both engines.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_SMALL
+from tests.oracle_utils import assert_query_matches_oracle, duck_connection
+
+EDGE_DOCS = [
+    (0, "x", "en", "src0", 1),                                   # 1 token
+    (1, "a b", "en", "src0", 3),                                 # 2 tokens
+    (2, "a  b   c", "de", "src1", 8),                            # ws runs
+    (3, "ÜNIcode tökens ärE fun ÜNIcode tökens", "de", "src1", 37),
+    (4, "the the the the the the", "en", "src2", 23),            # dominated
+    (5, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", None, "src2", 30),     # NULL lang
+    (6, "a b c d e f g h i j a b c d e f g h i j", "fr", "src3", 39),
+    (7, "solo", "fr", "src3", 4),
+    (8, "x y", "zh", "src4", 3),
+    (9, "numbers 123 456 789 numbers 123", "zh", "src4", 31),
+]
+
+# the queries whose semantics bend around short/degenerate documents
+EDGE_QUERIES = [
+    "repetition_stats", "quality_gate", "unigram_surprisal",
+    "bigram_surprisal", "source_kl", "bpe_pair_counts", "token_pmi",
+    "tokens_to_ids", "pack_documents", "doc_chunks", "text_stats",
+    "text_quality", "hash_split", "weighted_sample", "mixture_sample",
+    "doc_fingerprint_md5", "exact_dedup_digest",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir():
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tempfile.mkdtemp(prefix="bda_edge_sf_")
+    # a single parquet FILE (pyarrow), matching the testdata layout —
+    # Spark's writer would emit a directory DuckDB's view can't glob
+    cols = list(zip(*EDGE_DOCS))
+    table = pa.table({
+        "doc_id": pa.array(cols[0], pa.int64()),
+        "text": pa.array(cols[1], pa.string()),
+        "lang": pa.array(cols[2], pa.string()),
+        "source": pa.array(cols[3], pa.string()),
+        "n_chars": pa.array(cols[4], pa.int64()),
+    })
+    pq.write_table(table, os.path.join(d, "documents.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def edge_duck(edge_dir):
+    con = duck_connection(edge_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EDGE_QUERIES)
+def test_edge_docs_parity(spark, edge_dir, edge_duck, name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert_query_matches_oracle(spark, edge_duck, qs[name], oracles[name],
+                                edge_dir, name=f"edge:{name}")
