@@ -2726,6 +2726,7 @@ def _ann_stack_oracle() -> str:
     return f"""
             WITH n AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE embedding IS NOT NULL
             ), qz AS (
                 SELECT vec_id,
                        [CASE WHEN mx = 0 THEN 0.0
@@ -2782,10 +2783,11 @@ def _lsh_portable_oracle() -> str:
     return f"""
             WITH n AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE embedding IS NOT NULL
             ), b AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
                    {bits} AS bucket
-                FROM n
+                FROM n WHERE list_dot_product(v, v) > 0
             ), scored AS (
                 SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
                        list_dot_product(c.v, q.v) / (c.nrm * q.nrm) AS cos
@@ -3089,8 +3091,10 @@ def _oracle_sql_literal() -> dict[str, str]:
         "embedding_topk": """
             WITH n AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE embedding IS NOT NULL
             ), nn AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
+                WHERE list_dot_product(v, v) > 0
             ), scored AS (
                 SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
                        list_dot_product(c.v, q.v) / (c.nrm * q.nrm) AS cos
@@ -3391,7 +3395,8 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
                          list_max(list_transform(embedding::DOUBLE[],
                                                  x -> abs(x))) AS mx
-                  FROM embeddings)
+                  FROM embeddings
+                  WHERE embedding IS NOT NULL)
         """,
         "embedding_ivf_portable": """
             WITH n AS (
@@ -3399,6 +3404,9 @@ def _oracle_sql_literal() -> dict[str, str]:
                        sqrt(list_dot_product(embedding::DOUBLE[],
                                              embedding::DOUBLE[])) AS nrm
                 FROM embeddings
+                WHERE embedding IS NOT NULL
+                  AND list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]) > 0
             ), cent AS (
                 SELECT vec_id AS cell, v AS c FROM n WHERE vec_id < 16
             ), dists AS (
@@ -3753,8 +3761,10 @@ def _oracle_sql_literal() -> dict[str, str]:
         "dedup_survivors": """
             WITH RECURSIVE n AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE embedding IS NOT NULL
             ), nn AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
+                WHERE list_dot_product(v, v) > 0
             ), pairs AS (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b
                 FROM nn a JOIN nn b ON a.vec_id < b.vec_id
@@ -4222,9 +4232,10 @@ def _oracle_sql_literal() -> dict[str, str]:
         "pagerank_step": """
             WITH n AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE embedding IS NOT NULL
             ), nn AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
-                FROM n
+                FROM n WHERE list_dot_product(v, v) > 0
             ), pairs AS (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b
                 FROM nn a JOIN nn b ON a.vec_id < b.vec_id
@@ -4344,9 +4355,10 @@ def _oracle_sql_literal() -> dict[str, str]:
         "label_propagation": """
             WITH n AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE embedding IS NOT NULL
             ), nn AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
-                FROM n
+                FROM n WHERE list_dot_product(v, v) > 0
             ), pairs AS (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b
                 FROM nn a JOIN nn b ON a.vec_id < b.vec_id
@@ -4833,8 +4845,10 @@ def _oracle_sql_literal() -> dict[str, str]:
         "dedup_clusters": """
             WITH RECURSIVE n AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE embedding IS NOT NULL
             ), nn AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
+                WHERE list_dot_product(v, v) > 0
             ), pairs AS (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b
                 FROM nn a JOIN nn b ON a.vec_id < b.vec_id
@@ -4999,8 +5013,10 @@ def _oracle_sql_literal() -> dict[str, str]:
         "embedding_near_dup": """
             WITH n AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE embedding IS NOT NULL
             ), nn AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
+                WHERE list_dot_product(v, v) > 0
             )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) + 1e-10, 6) AS cosine

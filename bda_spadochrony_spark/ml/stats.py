@@ -177,14 +177,16 @@ def covariance_matrix(df: DataFrame, vec_col: str,
         "i0", "xi",
         F.posexplode(F.slice(v, F.col("i0") + 1,
                              F.size(v) - F.col("i0"))).alias("dj", "xj"))
+    # covar_samp, not the textbook (Σxy − ΣxΣy/n)/(n−1): Spark's and
+    # DuckDB's covar_samp both run numerically stable updating algorithms,
+    # while the naive two-sum form catastrophically cancels at extreme
+    # magnitudes (edge-probed with a 1e30 component: naive diverged
+    # between engines, covar_samp agrees). Still one map-side-combinable
+    # aggregate per (i, j) key.
     agg = (pairs.groupBy((F.col("i0") + 1).alias("i"),
                          (F.col("i0") + 1 + F.col("dj")).alias("j"))
-           .agg(F.count(F.lit(1)).alias("__n"),
-                F.sum("xi").alias("__sx"),
-                F.sum("xj").alias("__sy"),
-                F.sum(F.col("xi") * F.col("xj")).alias("__sxy")))
-    cov = ((F.col("__sxy") - F.col("__sx") * F.col("__sy") / F.col("__n"))
-           / (F.col("__n") - 1))
+           .agg(F.covar_samp("xi", "xj").alias("__cov")))
+    cov = F.col("__cov")
     if round_digits is not None:
         # + 0.0 after rounding: IEEE -0.0 + 0.0 = +0.0, so near-zero cells
         # (everywhere in an off-diagonal) can't split into -0.0 vs 0.0

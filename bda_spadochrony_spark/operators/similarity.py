@@ -30,6 +30,18 @@ def with_norm(df: DataFrame, vec_col: str, out_col: str = "norm") -> DataFrame:
         out_col, F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, v: acc + v * v)))
 
 
+def valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop rows whose vector is NULL or all-zero before any cosine path:
+    a NULL row crashes the Arrow→numpy batch inside the cogrouped BLAS
+    UDFs, and a zero-norm vector has no cosine direction (its similarity
+    divides by zero — an ANSI runtime error). Real 100 TB embedding
+    columns contain corrupt rows; ONE of them must not kill the job.
+    Map-only codegen filter; every cosine operator below applies it at
+    entry (edge-probed: see tests/test_edge_parity notes)."""
+    v = F.col(vec_col)
+    return df.where(v.isNotNull() & F.exists(v, lambda x: x != 0))
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame,
                 corpus_id: str, query_id: str, vec_col: str = "embedding",
                 k: int = 5, broadcast_queries: bool = True) -> DataFrame:
@@ -43,11 +55,13 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame,
     """
     # cast to double ONCE so all arithmetic is float64 — float32 ops would
     # diverge from any double-precision oracle at ~1e-7
-    c = with_norm(corpus.select(F.col(corpus_id).alias("corpus_id"),
-                                F.col(vec_col).cast("array<double>").alias("cvec")),
+    c = with_norm(valid_vectors(corpus, vec_col)
+                  .select(F.col(corpus_id).alias("corpus_id"),
+                          F.col(vec_col).cast("array<double>").alias("cvec")),
                   "cvec", "cnorm")
-    q = with_norm(queries.select(F.col(query_id).alias("query_id"),
-                                 F.col(vec_col).cast("array<double>").alias("qvec")),
+    q = with_norm(valid_vectors(queries, vec_col)
+                  .select(F.col(query_id).alias("query_id"),
+                          F.col(vec_col).cast("array<double>").alias("qvec")),
                   "qvec", "qnorm")
     if broadcast_queries:
         q = F.broadcast(q)
@@ -83,6 +97,8 @@ def cosine_topk_vectorized(corpus: DataFrame, queries: DataFrame,
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    corpus = valid_vectors(corpus, vec_col)
+    queries = valid_vectors(queries, vec_col)
     spark = corpus.sparkSession
     qrows = queries.select(F.col(query_id).alias("qid"),
                            F.col(vec_col).cast("array<double>").alias("v")).collect()
@@ -181,12 +197,14 @@ def cosine_topk_blocked(corpus: DataFrame, queries: DataFrame,
             "corpus_id": cids[idx].ravel(),
             "cosine": np.take_along_axis(cos, idx, axis=1).ravel()})
 
-    c = (corpus.select(F.col(corpus_id).alias("id"),
-                       F.col(vec_col).cast("array<double>").alias("v"))
+    c = (valid_vectors(corpus, vec_col)
+         .select(F.col(corpus_id).alias("id"),
+                 F.col(vec_col).cast("array<double>").alias("v"))
          .withColumn("cb", F.pmod(F.xxhash64("id"), F.lit(corpus_blocks)).cast("int"))
          .withColumn("qb", F.explode(F.array(*[F.lit(i) for i in range(query_blocks)]))))
-    q = (queries.select(F.col(query_id).alias("id"),
-                        F.col(vec_col).cast("array<double>").alias("v"))
+    q = (valid_vectors(queries, vec_col)
+         .select(F.col(query_id).alias("id"),
+                 F.col(vec_col).cast("array<double>").alias("v"))
          .withColumn("qb", F.pmod(F.xxhash64("id"), F.lit(query_blocks)).cast("int"))
          .withColumn("cb", F.explode(F.array(*[F.lit(i) for i in range(corpus_blocks)]))))
     scored = (c.groupBy("cb", "qb").cogroup(q.groupBy("cb", "qb"))
@@ -262,12 +280,14 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame,
             bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
         return F.concat(*bits)
 
-    c = (corpus.select(F.col(corpus_id).alias("corpus_id"),
-                       F.col(vec_col).cast("array<double>").alias("cvec"))
+    c = (valid_vectors(corpus, vec_col)
+         .select(F.col(corpus_id).alias("corpus_id"),
+                 F.col(vec_col).cast("array<double>").alias("cvec"))
          .withColumn("bucket", bucket_expr("cvec")))
     c = with_norm(c, "cvec", "cnorm")
-    q = (queries.select(F.col(query_id).alias("query_id"),
-                        F.col(vec_col).cast("array<double>").alias("qvec"))
+    q = (valid_vectors(queries, vec_col)
+         .select(F.col(query_id).alias("query_id"),
+                 F.col(vec_col).cast("array<double>").alias("qvec"))
          .withColumn("bucket", bucket_expr("qvec")))
     q = with_norm(q, "qvec", "qnorm")
     if broadcast_queries is True:
@@ -306,8 +326,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
     quantization), which makes cell assignment a pure engine-independent
     expression a SQL oracle can restate exactly.
     """
-    c = corpus.select(F.col(corpus_id).alias("corpus_id"),
-                      F.col(vec_col).cast("array<double>").alias("cvec"))
+    c = valid_vectors(corpus, vec_col) \
+        .select(F.col(corpus_id).alias("corpus_id"),
+                F.col(vec_col).cast("array<double>").alias("cvec"))
     if centers is None:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -337,8 +358,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
                       .where(F.col("rn") == 1)
                       .select("corpus_id", "cvec", "cell"))
     c_assigned = with_norm(c_assigned, "cvec", "cnorm")
-    q = queries.select(F.col(query_id).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("qvec"))
+    q = valid_vectors(queries, vec_col) \
+        .select(F.col(query_id).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("qvec"))
     q = with_norm(q, "qvec", "qnorm")
     qc = (q.crossJoin(cent_df)
           .withColumn("dist", F.sqrt(F.aggregate(
@@ -416,14 +438,17 @@ def quantize_embeddings(df: DataFrame, id_col: str,
     half-rule (Spark HALF_UP on decimal repr vs binary rounding), while
     floor on identical doubles is bit-deterministic — so the quantized
     vectors are exactly reproducible in the DuckDB oracle. Map-only,
-    zero shuffle; all-zero vectors quantize to zeros (scale 0 guard).
+    zero shuffle; all-zero vectors quantize to zeros (scale 0 guard) and
+    NULL vectors are dropped (nothing to quantize — and a NULL q would
+    crash the serialized-output hash downstream).
     """
     v = F.col(vec_col).cast("array<double>")
     mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = mx / F.lit(127.0)
     q = F.transform(v, lambda x: F.when(mx == 0, F.lit(0)).otherwise(
         F.floor(x / scale + F.lit(0.5))).cast("long"))
-    return df.select(F.col(id_col), scale.alias("scale"), q.alias("q"))
+    return (df.where(F.col(vec_col).isNotNull())
+            .select(F.col(id_col), scale.alias("scale"), q.alias("q")))
 
 
 def pairwise_cosine_blocked(df: DataFrame, id_col: str,
@@ -483,7 +508,8 @@ def pairwise_cosine_blocked(df: DataFrame, id_col: str,
         # SAME attribute ids gets its right-side projection mangled (the
         # grouped frame arrives with only the key columns), so each side
         # needs independent expression ids
-        return df.select(F.col(id_col).alias("id"),
+        return valid_vectors(df, vec_col) \
+                 .select(F.col(id_col).alias("id"),
                          F.col(vec_col).cast("array<double>").alias("v")) \
                  .withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(blocks)).cast("int"))
 
@@ -504,8 +530,9 @@ def pairwise_cosine(df: DataFrame, id_col: str, vec_col: str = "embedding",
     """Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
     Brute-force O(N²) — the exact oracle/verifier; use LSH buckets first at
     scale."""
-    n = with_norm(df.select(F.col(id_col),
-                            F.col(vec_col).cast("array<double>").alias(vec_col)),
+    n = with_norm(valid_vectors(df, vec_col)
+                  .select(F.col(id_col),
+                          F.col(vec_col).cast("array<double>").alias(vec_col)),
                   vec_col, "norm")
     a = n.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                  F.col("norm").alias("na"))

@@ -77,3 +77,68 @@ def test_edge_docs_parity(spark, edge_dir, edge_duck, name):
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert_query_matches_oracle(spark, edge_duck, qs[name], oracles[name],
                                 edge_dir, name=f"edge:{name}")
+
+
+EDGE_EMB_QUERIES = [
+    # embedding queries that must survive corrupt vectors: NULL, all-zero
+    # (no cosine direction), exact duplicates, extreme magnitude, NULL
+    # label. embedding_covariance is exercised but excluded from the hash
+    # compare: with a 1e30 component its 1e26-magnitude cells agree only
+    # to ~15 significant digits across engines (accumulation order), which
+    # absolute-decimal rounding cannot canonicalize — covar_samp keeps the
+    # sane-magnitude testdata exact.
+    "embedding_standardize", "embedding_outliers", "centroid_classify",
+    "classify_eval", "kmeans_step", "embedding_near_dup", "embedding_topk",
+    "dedup_survivors", "pagerank_step", "label_propagation",
+    "embedding_quantize", "embedding_lsh_portable",
+    "embedding_ivf_portable", "embedding_ann_stack",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir():
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tempfile.mkdtemp(prefix="bda_edge_emb_")
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(64).astype("float32").tolist(), i % 3)
+            for i in range(40)]
+    rows.append((100, None, 1))                 # NULL vector
+    rows.append((101, [0.0] * 64, 2))           # zero vector (no direction)
+    rows.append((102, rows[0][1], 0))           # exact duplicate
+    rows.append((103, [1e30] + [0.0] * 63, None))  # extreme + NULL label
+    tbl = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in rows], pa.int32()),
+    })
+    pq.write_table(tbl, os.path.join(d, "embeddings.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"]:
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def edge_emb_duck(edge_emb_dir):
+    con = duck_connection(edge_emb_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EDGE_EMB_QUERIES)
+def test_edge_embeddings_parity(spark, edge_emb_dir, edge_emb_duck, name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert_query_matches_oracle(spark, edge_emb_duck, qs[name],
+                                oracles[name], edge_emb_dir,
+                                name=f"edge-emb:{name}")
+
+
+def test_edge_embeddings_covariance_runs(spark, edge_emb_dir):
+    # value parity is checked on sane-magnitude data (test_oracle_parity);
+    # here: the degenerate rows must not crash the one-pass plan
+    df = entry_mod.queries()["embedding_covariance"](spark, edge_emb_dir)
+    assert df.count() == 64 * 65 / 2
