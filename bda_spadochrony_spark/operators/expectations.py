@@ -61,12 +61,17 @@ def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
         for i, r in enumerate(row_rules):
             aggs.append(F.count(F.when(r["violation"], 1)).alias(f"__v{i}"))
         wide = df.agg(*aggs)
-        stack = ", ".join(
-            f"'{r['rule']}', '{r['column']}', __v{i}"
-            for i, r in enumerate(row_rules))
-        reports.append(wide.select(
-            F.expr(f"stack({len(row_rules)}, {stack}) "
-                   "AS (rule, column, n_violations)"), F.col("__n")))
+        # typed lit() structs, not a stack() SQL string: rule names carry
+        # user text (regex patterns, set literals) and a quote in them
+        # must not be able to break the plan (ADVICE r5)
+        rows = F.array(*[
+            F.struct(F.lit(r["rule"]).alias("rule"),
+                     F.lit(r["column"]).alias("column"),
+                     F.col(f"__v{i}").alias("n_violations"))
+            for i, r in enumerate(row_rules)])
+        reports.append(wide.select(F.explode(rows).alias("__r"), F.col("__n"))
+                       .select("__r.rule", "__r.column",
+                               "__r.n_violations", "__n"))
     for r in uniq_rules:
         c = r["column"]
         agg = df.agg(

@@ -46,18 +46,28 @@ def join_chain(base: DataFrame, others: list[tuple[DataFrame, list[str]]],
 def fuzzy_best_match(left: DataFrame, right: DataFrame,
                      block_on: list[str], left_id: str, right_id: str,
                      left_text: str, right_text: str,
-                     max_distance: int | None = None) -> DataFrame:
+                     max_distance: int | None = None,
+                     keep_unmatched: bool = False) -> DataFrame:
     """Entity-resolution join: for each left row, its single BEST right
     match by edit distance — restricted to rows sharing the blocking
     key(s), the discipline that keeps record linkage off the cross
     product (candidate space = Σ per-block |L|·|R|, not |L|·|R|; pick
     blocks like region/zip/phonetic-key so blocks stay small). Ties
-    break to the smallest right id; ``max_distance`` drops left rows
-    with no acceptable candidate.
+    break to the smallest right id.
+
+    Matching semantics (ADVICE r5): the default output is INNER on the
+    block key — a left row whose block has no right-side rows, or whose
+    block key is NULL, produces no output row even when ``max_distance``
+    is None; ``max_distance`` additionally drops left rows whose best
+    candidate is too far. Pass ``keep_unmatched=True`` for the
+    left-outer variant: every left id survives, unmatched ones with a
+    NULL ``right_id``/``distance``.
 
     One blocked equi join (broadcast when the right side is a dim) + a
     struct-min per left id — no windows, no cross join. The verify
-    expression is JVM levenshtein, fully codegen'd.
+    expression is JVM levenshtein, fully codegen'd; the unmatched
+    re-attach is one extra join keyed on the (already aggregated,
+    match-sized) best frame.
     """
     l = left.select(*block_on, F.col(left_id),
                     F.col(left_text).alias("__lt"))
@@ -70,9 +80,13 @@ def fuzzy_best_match(left: DataFrame, right: DataFrame,
     best = (j.groupBy(left_id)
             .agg(F.min(F.struct(dist.alias("distance"),
                                 F.col(right_id))).alias("__b")))
-    return best.select(left_id,
-                       F.col(f"__b.{right_id}").alias(right_id),
-                       F.col("__b.distance").alias("distance"))
+    out = best.select(left_id,
+                      F.col(f"__b.{right_id}").alias(right_id),
+                      F.col("__b.distance").alias("distance"))
+    if keep_unmatched:
+        out = (left.select(left_id)
+               .join(out, left_id, "left"))
+    return out
 
 
 def interval_join(left: DataFrame, right: DataFrame,

@@ -40,9 +40,22 @@ def stream_windowed_distinct(df: DataFrame, ts_col: str, key_col: str,
     one entry per distinct (window, key) inside the watermark horizon),
     and a plain windowed count over the deduped stream is then the exact
     distinct count. Two stateful stages, both watermark-bounded.
+
+    NULL keys are excluded — ``count(DISTINCT key)`` semantics (SQL
+    skips NULLs), pinned explicitly rather than left to dropDuplicates'
+    keep-one-NULL-row behavior which would count NULL as a key.
+
+    Late-data caveat: rows arriving later than ``delay`` behind the
+    stream's max event time are DROPPED by the watermark once input
+    spans multiple micro-batches out of order — exact parity with a
+    batch ``count(DISTINCT)`` holds only when ``delay`` covers the
+    input's event-time disorder (callers comparing against an exact
+    batch oracle should size it to the data's spread; the multi-batch
+    drain test pins this).
     """
     win = F.window(F.col(ts_col), window)
-    deduped = (df.withWatermark(ts_col, delay)
+    deduped = (df.where(F.col(key_col).isNotNull())
+               .withWatermark(ts_col, delay)
                .select(F.col(ts_col), F.col(key_col),
                        win.alias("__w"))
                .dropDuplicates(["__w", key_col]))

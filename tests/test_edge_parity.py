@@ -39,6 +39,10 @@ EDGE_QUERIES = [
     "tokens_to_ids", "pack_documents", "doc_chunks", "text_stats",
     "text_quality", "hash_split", "weighted_sample", "mixture_sample",
     "doc_fingerprint_md5", "exact_dedup_digest",
+    # r6: oracle now restates md5-minhash band candidacy exactly, so the
+    # pathological corpus (no-shingle docs, unicode, repetition) must
+    # agree by construction, not by fixture luck
+    "incremental_dedup",
 ]
 
 

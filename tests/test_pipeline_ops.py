@@ -1192,6 +1192,21 @@ def test_check_expectations_single_scan_for_row_rules(spark):
     assert all(r["passed"] == 1 for r in out.collect())
 
 
+def test_check_expectations_survives_quotes_in_rule_names(spark):
+    """ADVICE r5: rule labels carry user text (regex patterns, set
+    literals); a single quote in them must not break the report plan."""
+    from bda_spadochrony_spark.operators.expectations import (
+        check_expectations, expect_in_set, expect_matches)
+    df = spark.createDataFrame([("it's a test",), ("plain",)], ["s"])
+    rep = {r["rule"]: r["n_violations"]
+           for r in check_expectations(df, [
+               expect_matches("s", "^[a-z' ]+$"),
+               expect_in_set("s", ["it's a test", "o'brien"]),
+           ]).collect()}
+    assert rep["matches(s)"] == 0
+    assert rep["in_set(s)"] == 1          # "plain" not in the quoted set
+
+
 def test_token_pmi_scores_collocation_highest(spark):
     import math
     from bda_spadochrony_spark.operators.corpus import token_pmi
@@ -1307,6 +1322,25 @@ def test_fuzzy_best_match_blocks_and_picks_nearest(spark):
     strict = fuzzy_best_match(left, right, ["country"], "lid", "rid",
                               "lname", "rname", max_distance=2)
     assert {r["lid"] for r in strict.collect()} == {1, 3}
+
+
+def test_fuzzy_best_match_inner_vs_keep_unmatched(spark):
+    """ADVICE r5: default output is INNER on the block key — a left row
+    whose block has no right rows vanishes even with max_distance=None;
+    keep_unmatched=True is the left-outer variant (NULL match)."""
+    from bda_spadochrony_spark.operators.joins import fuzzy_best_match
+    left = spark.createDataFrame(
+        [(1, "acme", "us"), (2, "nohome", "xx")], ["lid", "lname", "country"])
+    right = spark.createDataFrame(
+        [(10, "acme co", "us")], ["rid", "rname", "country"])
+    inner = fuzzy_best_match(left, right, ["country"], "lid", "rid",
+                             "lname", "rname")
+    assert {r["lid"] for r in inner.collect()} == {1}   # xx block empty
+    outer = {r["lid"]: r["rid"]
+             for r in fuzzy_best_match(left, right, ["country"], "lid",
+                                       "rid", "lname", "rname",
+                                       keep_unmatched=True).collect()}
+    assert outer == {1: 10, 2: None}
 
 
 def test_weighted_sample_inclusion_tracks_weight(spark):

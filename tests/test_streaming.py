@@ -216,6 +216,32 @@ def test_stream_windowed_distinct_is_exact(spark, events_stream_dir):
     assert got == exp and len(got) > 0
 
 
+def test_stream_windowed_distinct_skips_null_keys(spark):
+    """ADVICE r5: count(DISTINCT key) semantics — a NULL key is not a
+    key. Before the fix dropDuplicates kept one NULL row per window and
+    count(*) counted it."""
+    from bda_spadochrony_spark.streaming.ops import stream_windowed_distinct
+    base = tempfile.mkdtemp(prefix="bda_nulldistinct_")
+    schema = StructType([StructField("ts", TimestampType()),
+                         StructField("user_id", LongType())])
+    rows = [(datetime(2024, 1, 1, 0, 1), 1),
+            (datetime(2024, 1, 1, 0, 2), 1),
+            (datetime(2024, 1, 1, 0, 3), None),
+            (datetime(2024, 1, 1, 0, 4), 2),
+            (datetime(2024, 1, 1, 1, 1), None)]   # hour 1: only NULLs
+    try:
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(os.path.join(base, "src"))
+        stream = file_stream(spark, os.path.join(base, "src"), schema)
+        agg = stream_windowed_distinct(stream, "ts", "user_id", "1 hour")
+        got = {r["window_start"]: r["distinct_keys"]
+               for r in run_available_now(spark, agg,
+                                          output_mode="complete").collect()}
+        assert got == {datetime(2024, 1, 1, 0, 0): 2}  # hour-1 window absent
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_restart_resumes_from_checkpoint_exactly_once(spark):
     """S12's real contract: a restarted query with the SAME checkpoint
     directory resumes from committed offsets — earlier input is never

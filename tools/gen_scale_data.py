@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Generate a 10× scale-evidence dataset (VERDICT r5 ask #6).
+
+Mirrors the driver testdata's schemas and distributions (measured from
+/root/testdata/sf0.1 with DuckDB) for the three tables the dedup / ANN /
+streaming / corpus family reads — documents, embeddings, events — at
+``--mult`` times the sf0.1 row counts; the small TPC-H dims are copied
+unscaled for incidental reads. Deterministic (seed=42): reruns produce
+byte-identical tables.
+
+Measured sf0.1 properties mirrored here:
+- documents: 5,000 rows; 31-token vocab; n_tokens ~ Uniform(10,100);
+  lang {en:41%, zh/es/fr/de ~15%}; 20 sources; ~5% of docs are
+  near-copies of an earlier doc (1-5 token edits → Jaccard ≥ 0.5 pairs:
+  256 at sf0.1) and ~0.2% exact copies (8 at sf0.1).
+- embeddings: 2,000 rows; FLOAT[64]; 10 labels; per-value mean 0,
+  sd 0.125 (label-cluster centers + noise — within-cluster cosine ≈ 0.5
+  so the 0.42-threshold near-dup family has work to do at every scale).
+- events: 100,000 rows; 30 days of event time, ts increasing with
+  event_id (exponential gaps); user_id Uniform(0, 1500·mult);
+  5 event types uniform; value ~ Exp(50); props = '{"k": 0..99}'.
+
+Usage: python tools/gen_scale_data.py [--mult 10] [--out testdata_sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+VOCAB = ["a", "agg", "batch", "big", "column", "customer", "data", "dup",
+         "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+         "order", "part", "query", "row", "scan", "slow", "small", "sort",
+         "spark", "stream", "table", "the", "value", "vector", "window"]
+LANGS = (["en"] * 41 + ["zh"] * 15 + ["es"] * 15 + ["fr"] * 15 + ["de"] * 14)
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
+    texts: list[str] = []
+    for i in range(n):
+        r = rng.random()
+        if i > 10 and r < 0.002:                      # exact copy
+            texts.append(texts[int(rng.integers(0, i))])
+            continue
+        if i > 10 and r < 0.05:                       # near copy, 1-5 edits
+            base = texts[int(rng.integers(0, i))].split(" ")
+            for _ in range(int(rng.integers(1, 6))):
+                base[int(rng.integers(0, len(base)))] = \
+                    VOCAB[int(rng.integers(0, len(VOCAB)))]
+            texts.append(" ".join(base))
+            continue
+        ntok = int(rng.integers(10, 101))
+        texts.append(" ".join(VOCAB[int(t)] for t in
+                              rng.integers(0, len(VOCAB), ntok)))
+    return pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array([LANGS[int(x)] for x in rng.integers(0, 100, n)],
+                         pa.string()),
+        "source": pa.array([f"src{int(x)}" for x in rng.integers(0, 20, n)],
+                           pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+
+
+def gen_embeddings(n: int, rng: np.random.Generator) -> pa.Table:
+    centers = rng.normal(0.0, 0.09, (10, 64))
+    labels = rng.integers(0, 10, n)
+    vecs = (centers[labels] +
+            rng.normal(0.0, 0.09, (n, 64))).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(labels.astype(np.int32), pa.int32()),
+    })
+
+
+def gen_events(n: int, mult: int, rng: np.random.Generator) -> pa.Table:
+    span_us = 30 * 24 * 3600 * 1_000_000
+    gaps = rng.exponential(span_us / n, n)
+    ts = np.cumsum(gaps).astype(np.int64)
+    ts = (ts * (span_us / max(1, ts[-1]))).astype(np.int64)  # pin 30-day span
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    return pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array((base + ts).astype("datetime64[us]"),
+                       pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 1500 * mult, n), pa.int64()),
+        "event_type": pa.array([EVENT_TYPES[int(x)] for x in
+                                rng.integers(0, 5, n)], pa.string()),
+        "value": pa.array(np.round(rng.exponential(50.0, n), 2), pa.float64()),
+        "props": pa.array([json.dumps({"k": int(x)}) for x in
+                           rng.integers(0, 100, n)], pa.string()),
+    })
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "testdata_sf1"))
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.default_rng(42)
+    pq.write_table(gen_documents(5000 * args.mult, rng),
+                   f"{args.out}/documents.parquet")
+    pq.write_table(gen_embeddings(2000 * args.mult, rng),
+                   f"{args.out}/embeddings.parquet")
+    pq.write_table(gen_events(100000 * args.mult, args.mult, rng),
+                   f"{args.out}/events.parquet")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{args.out}/{t}.parquet")
+    for t in ["documents", "embeddings", "events"]:
+        print(t, pq.read_metadata(f"{args.out}/{t}.parquet").num_rows, "rows")
+
+
+if __name__ == "__main__":
+    main()
