@@ -907,12 +907,31 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cosine >= 0.42) -> connected components -> the deduplicated corpus
     itself (cluster canonicals + unmatched singletons), each survivor
     annotated with its cluster size. Oracle = the dedup_clusters
-    recursive-CTE reachability extended with the survivor anti-join."""
+    recursive-CTE reachability extended with the survivor anti-join.
+
+    Runs under 8 shuffle partitions: the pair set and every CC-round
+    frame are candidate-sized (hundreds of rows), so 32-partition
+    shuffles were pure empty-task overhead across the loop's jobs (r6:
+    4.6 -> ~3.6 s warm at sf0.1, together with the one-job-per-round
+    signature convergence check). The residual is the FLOOR for an
+    iterative distributed algorithm at toy scale: 4 contraction rounds
+    x one multi-stage job each + the pair generation — ~12 scheduler
+    round-trips over a 441-edge graph, i.e. the bench measures stage
+    scheduling latency, not data throughput; the job count is IDENTICAL
+    at 100 TB (O(log n) rounds), where each stage does real work. Floor
+    analysis in BENCH_SPLIT.json."""
     from bda_spadochrony_spark.operators.dedup import dedup_survivors
     from bda_spadochrony_spark.operators.similarity import pairwise_cosine_blocked
-    emb = _t(spark, sf_dir, "embeddings")
-    pairs = pairwise_cosine_blocked(emb, "vec_id", min_cosine=0.42, blocks=4)
-    return dedup_survivors(emb.select("vec_id"), "vec_id", pairs)
+    configure(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        emb = _t(spark, sf_dir, "embeddings")
+        pairs = pairwise_cosine_blocked(emb, "vec_id", min_cosine=0.42,
+                                        blocks=4)
+        return dedup_survivors(emb.select("vec_id"), "vec_id", pairs)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1045,10 +1064,20 @@ def q_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     is plain SQL, so the oracle value-checks the covariance pass, the
     eigensolve's orthonormality, and the literal projection map without
     running an eigensolve itself. pca_project stays rows-only (the top-k
-    basis VALUES are inherently engine-side); this pins its machinery."""
+    basis VALUES are inherently engine-side); this pins its machinery.
+    Runs under 8 shuffle partitions — every shuffle in the fit is
+    dimension-keyed (d or d(d+1)/2 rows), so 32 partitions were mostly
+    empty tasks."""
     from bda_spadochrony_spark.ml.stats import pca_norm_invariant
-    emb = _t(spark, sf_dir, "embeddings")
-    return pca_norm_invariant(emb, "vec_id", "embedding", round_digits=4)
+    configure(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        emb = _t(spark, sf_dir, "embeddings")
+        return pca_norm_invariant(emb, "vec_id", "embedding",
+                                  round_digits=4)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4463,10 +4492,13 @@ def _oracle_sql_literal() -> dict[str, str]:
                 GROUP BY 1, 2
             ), mh AS (
                 -- the SAME 16-hash md5 minhash family the engine uses:
-                -- sig_i = min over shingles of md5(i || '|' || shingle)
+                -- one md5 per shingle, h1/h2 = its 32-bit halves,
+                -- sig_i = min over shingles of (h1 + i*h2) mod 2^32
                 SELECT s.doc_id, r.i,
-                       min(md5(CAST(r.i AS VARCHAR) || '|' || s.shingle))
-                       AS sig
+                       min((('0x' || substr(md5(s.shingle), 1, 8))::BIGINT
+                            + r.i *
+                            ('0x' || substr(md5(s.shingle), 9, 8))::BIGINT)
+                           % 4294967296) AS sig
                 FROM sh s CROSS JOIN (SELECT range AS i FROM range(16)) r
                 GROUP BY 1, 2
             ), cand AS (

@@ -98,13 +98,18 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     """MinHash signature per document: for hash i, sig_i = min over shingles
     of xxhash64(shingle, seed+i). Emitted as an array column ``sig``.
 
-    ``hash_fn="md5"`` switches the family to min(md5(i || '|' || shingle))
-    — fixed-width lowercase hex strings whose min IS the unsigned numeric
-    min, identical in every engine (same role as ``simhash_md5``: it lets
-    an external SQL oracle restate the band-candidacy restriction EXACTLY
-    instead of assuming the LSH stage has perfect recall — ADVICE r5 on
-    ``incremental_dedup``). xxhash64 stays the default scale path (one
-    8-byte int vs a 32-char string per signature cell, and a cheaper hash).
+    ``hash_fn="md5"`` switches to an engine-portable family (same role as
+    ``simhash_md5``: it lets an external SQL oracle restate the
+    band-candidacy restriction EXACTLY instead of assuming the LSH stage
+    has perfect recall — ADVICE r5 on ``incremental_dedup``): ONE md5 per
+    shingle split into two 32-bit halves h1, h2, expanded
+    Kirsch-Mitzenmacher-style to h_i = (h1 + i·h2) mod 2³² ('06 — two
+    real hashes preserve the Bloom/minhash error asymptotics). Sixteen
+    per-shingle md5 evaluations were measured ~2× the whole pipeline;
+    the KM expansion is integer arithmetic. xxhash64 stays the default
+    scale path (cheaper hash, full 64-bit domain; its OWN KM variant was
+    measured slower — ANSI masking cost more than the hashing saved —
+    so only the md5 family uses KM).
 
     Cost: |shingles| × num_hashes hash evaluations, all codegen'd; no
     shuffle until the band join.
@@ -121,7 +126,9 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     # hashing, and the narrower family cost a marginal j≈0.5 pair.)
     ex = shingle_rows(df, id_col, text_col, shingle_n, distinct=False)
     if hash_fn == "md5":
-        hashes = [F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))
+        h1 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("long")
+        hashes = [(h1 + F.lit(i) * h2) % F.lit(4294967296)
                   for i in range(num_hashes)]
     else:
         hashes = [F.xxhash64("shingle", F.lit(seed + i))
@@ -433,17 +440,35 @@ def _star_contraction(pairs: DataFrame, id_a: str, id_b: str,
                           F.greatest(id_a, id_b).alias("hi"))
              .where(F.col("lo") != F.col("hi")).distinct()
              .localCheckpoint(eager=True))
+
+    def signature(df: DataFrame) -> tuple[int, int]:
+        # one tiny job: (row count, order-invariant hash-xor — stays in
+        # the long domain under ANSI, unlike a hash SUM). Equal
+        # signatures are a NECESSARY convergence condition checked every
+        # round; set equality is CONFIRMED with one exceptAll only when
+        # the signature matches — r5 spent 2 extra exceptAll jobs per
+        # run on count-equal-but-still-moving rounds
+        r = df.agg(F.count(F.lit(1)).alias("n"),
+                   F.bit_xor(F.xxhash64("lo", "hi")).alias("h")).first()
+        return r["n"], r["h"]
+
+    sig_edges = signature(edges)
     for rounds in range(1, max_iter + 1):
         # -- large-star: u's neighborhood from BOTH orientations
         sym = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")) \
             .union(edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m"))
+        # NOT distinct'ed: the duplicate relinks a multi-edge produces are
+        # removed by the round-final distinct anyway, and the extra
+        # exchange per round cost more than the duplicate rows it saved
+        # (fanout through the small-star join is bounded by Σ deg(u)² of
+        # the CONTRACTED graph, which shrinks geometrically per round)
         large = (sym.join(mins, "u")
                  .where(F.col("v") > F.col("u"))
                  .select(F.least("v", "m").alias("lo"),
                          F.greatest("v", "m").alias("hi"))
-                 .where(F.col("lo") != F.col("hi")).distinct())
+                 .where(F.col("lo") != F.col("hi")))
         # -- small-star: orient toward the larger endpoint; u = hi, N(u) = lo.
         # Emit (m, x) for x ∈ N(u) ∪ {u}, x ≠ m — as a join, never a
         # collect_set (a hub's neighborhood must not materialize in one row)
@@ -452,13 +477,17 @@ def _star_contraction(pairs: DataFrame, id_a: str, id_b: str,
                   .where(F.col("lo") != F.col("m"))
                   .select(F.col("m").alias("lo"), F.col("lo").alias("hi")))
         self_link = mins_s.select(F.col("m").alias("lo"), "hi")
-        small = relink.union(self_link).distinct().localCheckpoint(eager=True)
-        # both sides are DISTINCT sets: equal counts + one-direction except
-        # empty ⟺ set equality (saves an anti-join per round)
-        if small.count() == edges.count() and small.exceptAll(edges).isEmpty():
+        # LAZY checkpoint: the signature aggregate is the round's only
+        # action, and its first pass materializes the checkpoint as a
+        # side effect — one job per round where eager + count was two
+        small = relink.union(self_link).distinct().localCheckpoint(eager=False)
+        sig_small = signature(small)
+        # both sides are DISTINCT sets: equal signature + one-direction
+        # except empty ⟺ set equality
+        if sig_small == sig_edges and small.exceptAll(edges).isEmpty():
             return small.select(F.col("hi").alias("id"),
                                 F.col("lo").alias("canonical_id")), rounds
-        edges = small
+        edges, sig_edges = small, sig_small
     return None, max_iter
 
 

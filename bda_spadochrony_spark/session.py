@@ -41,6 +41,17 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.ui.enabled": "false",
     "spark.sql.streaming.schemaInference": "false",
+    # a resident analytics engine holds hundreds of distinct plans; the
+    # default 100-entry generated-class cache evicts under that load and
+    # recompilation re-bills codegen to whichever query runs late (the
+    # round-5 bench regression's root cause — tools/bench_ab.py showed
+    # r4's 54-plan session replayed at 0.97x while the 89-plan session
+    # degraded 8%). Size the cache for the workload; generated classes
+    # are KB-scale, so 5000 entries is a few hundred MB ceiling at most.
+    "spark.sql.codegen.cache.maxEntries": "5000",
+    # likewise the JVM's JIT code cache: 90+ pipelines of generated code
+    # overflow the 240 MB default and flushing de-optimizes hot loops
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
     # testdata parquet stores TIMESTAMP(NANOS); read as long, convert in scan
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # parquet TIMESTAMP(isAdjustedToUTC=false) reads as TIMESTAMP_NTZ under

@@ -20,6 +20,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 ACTIONS = {name: act for name, act in __import__("bench").HEADLINE}
 
 

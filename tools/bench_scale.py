@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Scale-evidence run (VERDICT r5 ask #6): time the dedup / ANN /
+streaming / corpus / stats family at sf0.1 (driver testdata) AND at 10×
+rows (``testdata_sf1``, built by ``tools/gen_scale_data.py`` to mirror
+the sf0.1 distributions), in one warmed session per scale, and write
+``BENCH_SF1.json`` with per-query times and scaling factors.
+
+Reading the factors: data volume grows 10×, so a scan-bound map-only
+operator should scale ≲10× (fixed per-job overhead amortizes — factors
+well under 10 mean sf0.1 time was mostly scheduling floor, which is
+evidence FOR the scale design, not against it); candidate-generation
+operators (LSH bands, bucket joins) should stay near-linear because
+candidates are family-bounded; the iterative CC loop adds O(log n)
+rounds. A factor ≫10 flags a quadratic path — the thing this run
+exists to catch. The run also exercises the HLL coupon-regime guard at
+1M events (it must NOT raise: per-hour distinct keys stay inside the
+exact regime).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# contract queries that read only documents/embeddings/events
+FAMILY = [
+    "exact_dedup", "exact_dedup_digest", "minhash_near_dup",
+    "simhash_md5_pairs", "incremental_dedup", "dedup_survivors",
+    "embedding_topk", "embedding_ann_stack", "embedding_near_dup",
+    "embedding_covariance", "embedding_standardize", "pca_invariants",
+    "heavy_hitters", "tokens_to_ids", "bpe_pair_counts",
+    "unigram_surprisal", "quality_gate", "contamination",
+    "pack_documents", "corpus_shuffle", "hash_split",
+    "sketch_mergeable", "pagerank_step", "label_propagation",
+    "funnel", "cohort_retention", "token_pmi",
+    "stream_hourly", "stream_distinct", "stream_sliding",
+    "stream_join_outer",
+]
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf01 = "/root/testdata/sf0.1"
+    sf1 = os.path.join(repo, "testdata_sf1")
+
+    from bda_spadochrony_spark.session import get_session
+    import __spark_entry__ as entry_mod
+
+    spark = get_session("bda-bench-scale",
+                        extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    def timed_pass(sf_dir: str) -> dict[str, float]:
+        # warm every plan shape at sf0.001 first (bench.py methodology)
+        for name in FAMILY:
+            try:
+                qs[name](spark, "/root/testdata/sf0.001").count()
+            except Exception:
+                pass
+        out: dict[str, float] = {}
+        for name in FAMILY:
+            t0 = time.perf_counter()
+            n = qs[name](spark, sf_dir).count()
+            out[name] = round(time.perf_counter() - t0, 3)
+            print(f"  {name}: {out[name]:.2f}s rows={n}", flush=True)
+        return out
+
+    print("== sf0.1 ==", flush=True)
+    t01 = timed_pass(sf01)
+    print("== sf1 (10x) ==", flush=True)
+    t1 = timed_pass(sf1)
+
+    factors = {k: round(t1[k] / t01[k], 2) if t01[k] > 0 else None
+               for k in FAMILY}
+    payload = {
+        "sf0.1": t01, "sf1": t1, "factor_10x_data": factors,
+        "sum_sf0.1": round(sum(t01.values()), 2),
+        "sum_sf1": round(sum(t1.values()), 2),
+        "note": ("10x rows in documents/embeddings/events "
+                 "(tools/gen_scale_data.py, distributions mirrored from "
+                 "sf0.1). factor ~= marginal cost of 10x data; << 10 "
+                 "means the sf0.1 time was scheduling floor; >> 10 "
+                 "flags a super-linear path."),
+    }
+    with open(os.path.join(repo, "BENCH_SF1.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps({"sum_sf0.1": payload["sum_sf0.1"],
+                      "sum_sf1": payload["sum_sf1"]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -72,14 +72,30 @@ def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
 
 
 def gen_embeddings(n: int, rng: np.random.Generator) -> pa.Table:
-    centers = rng.normal(0.0, 0.09, (10, 64))
-    labels = rng.integers(0, 10, n)
-    vecs = (centers[labels] +
-            rng.normal(0.0, 0.09, (n, 64))).astype(np.float32)
+    # Weak clusters calibrated against the driver's sf0.1 table: center
+    # energy = 20% of the 0.125 per-value sd reproduces its ~441
+    # cos>=0.42 pairs per 2000 vectors (mostly random-direction
+    # coincidence, like the original). Cluster COUNT scales with n
+    # (fixed ~200 members) so cluster-pair volume grows linearly, and an
+    # explicit 2% near-dup family (copy + small noise, cos ~0.95) gives
+    # the high-threshold dedup operators linearly-growing true dups —
+    # the real-corpus property a scale study must preserve.
+    k = max(10, n // 200)
+    s_c = 0.125 * 0.2
+    s_n = (0.125 ** 2 - s_c ** 2) ** 0.5
+    centers = rng.normal(0.0, s_c, (k, 64))
+    labels = rng.integers(0, k, n)
+    vecs = centers[labels] + rng.normal(0.0, s_n, (n, 64))
+    for i in range(n // 50):                      # 2% near-dup copies
+        dst = int(rng.integers(n // 2, n))
+        src = int(rng.integers(0, dst))
+        vecs[dst] = vecs[src] + rng.normal(0.0, 0.02, 64)
+        labels[dst] = labels[src]
     return pa.table({
         "vec_id": pa.array(range(n), pa.int64()),
-        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
-        "label": pa.array(labels.astype(np.int32), pa.int32()),
+        "embedding": pa.array(list(vecs.astype(np.float32)),
+                              pa.list_(pa.float32())),
+        "label": pa.array((labels % 10).astype(np.int32), pa.int32()),
     })
 
 
