@@ -310,6 +310,19 @@ def q_exact_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("keep_doc_id", "n_copies")
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine-grained SPAN-level duplicate detection (r6): 10-token
+    windows at stride 5, md5-fingerprinted; a span duplicated across >=2
+    distinct documents marks boilerplate document-level dedup misses.
+    Per-doc (n_spans, n_dup_spans, dup_ratio) — the contamination
+    measure a corpus filter thresholds on. Fully oracled: md5, window
+    slicing, and the distinct-doc digest count are engine-portable."""
+    from bda_spadochrony_spark.operators.dedup import duplicate_spans
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text",
+                           span_tokens=10, stride=5, min_docs=2)
+
+
 def q_tz_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 timezone path — the reference's exact wall-clock derivation
     (``pyspark/batch_stock.py:70-74``): ``from_utc_timestamp(ts,
@@ -2579,6 +2592,7 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (ADVICE r5 medium) and the pca_project invariant twin (r5 ask #7)
     "incremental_dedup": q_incremental_dedup,
     "pca_invariants": q_pca_invariants,
+    "span_dedup": q_span_dedup,
     # ---- oldest single-confirmation backlog (last driver row r3/r4);
     # re-confirming these drops the singles count 69 -> 45
     "tf_idf": q_tf_idf,
@@ -2616,12 +2630,14 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_funcs": q_hash_funcs,
     "corpus_prep": q_corpus_prep,
     "doc_fingerprint_md5": q_doc_fingerprint_md5,
-    "nation_profit": q_nation_profit,
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # displaced from the round-6 window to make room for the new
+    # span_dedup (single r4 confirmation — head of the round-7 rotation)
+    "nation_profit": q_nation_profit,
     # displaced from the round-6 window (single r5 confirmation) — the
-    # head of the round-7 rotation, oldest first
+    # rest of the round-7 rotation head, oldest first
     "hash_split": q_hash_split,
     "bpe_pair_counts": q_bpe_pair_counts,
     "embedding_standardize": q_embedding_standardize,
@@ -3038,6 +3054,30 @@ def _oracle_sql_literal() -> dict[str, str]:
         "exact_dedup_digest": """
             SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "span_dedup": """
+            WITH ls AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS l
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, l,
+                       unnest(generate_series(1, len(l) - 9, 5)) AS p
+                FROM ls WHERE len(l) >= 10
+            ), sp AS (
+                SELECT doc_id, p,
+                       md5(array_to_string(l[p : p + 9], ' ')) AS dg
+                FROM pos
+            ), dup AS (
+                SELECT dg, 1 AS d FROM sp
+                GROUP BY dg HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT s.doc_id, count(*) AS n_spans,
+                   count(dup.d) AS n_dup_spans,
+                   round((count(dup.d) * 1.0 / count(*)) + 1e-08, 4)
+                   + 0.0 AS dup_ratio
+            FROM sp s LEFT JOIN dup ON s.dg = dup.dg
+            GROUP BY 1
         """,
         "tz_hourly": """
             SELECT CAST(nyts AS DATE) AS date,

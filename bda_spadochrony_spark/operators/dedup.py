@@ -238,6 +238,55 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     return verified.where(F.col("jaccard") >= min_jaccard)
 
 
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                    span_tokens: int = 10, stride: int = 5,
+                    min_docs: int = 2, round_digits: int = 4) -> DataFrame:
+    """FINE-GRAINED (span-level) duplicate detection — the
+    RefinedWeb/CCNet-style pass that document-level dedup misses:
+    boilerplate paragraphs, license headers, and templated intros
+    duplicated ACROSS otherwise-distinct documents. Token windows of
+    ``span_tokens`` at ``stride`` are fingerprinted (md5 — engine-
+    portable, so the whole operator is SQL-oracleable); a span is
+    "duplicated" when its fingerprint occurs in ≥ ``min_docs`` distinct
+    documents. Returns one row per document that has at least one full
+    span: ``(id, n_spans, n_dup_spans, dup_ratio)`` — the per-document
+    contamination measure a filtering pipeline thresholds on.
+
+    Plan shape at 100 TB: span explode is a pure map (~n_tokens/stride
+    rows per doc); the only data-sized shuffles are keyed on the 16-byte
+    digest (never the span text) and on the doc id for the rollup; the
+    span frame is checkpointed once because both the dup-digest
+    aggregate and the per-doc rollup consume it (AQE never reuses an
+    exchange across stages). Documents shorter than ``span_tokens``
+    emit no spans and no output row — same semantics in the oracle.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    base = (df.select(F.col(id_col), toks.alias("__t"))
+            .where(F.size("__t") >= span_tokens))
+    pos = base.select(
+        F.col(id_col), "__t",
+        F.explode(F.sequence(F.lit(1),
+                             F.size("__t") - span_tokens + 1,
+                             F.lit(stride))).alias("p"))
+    sp = pos.select(
+        F.col(id_col), "p",
+        F.md5(F.concat_ws(" ", F.slice("__t", F.col("p"), span_tokens)))
+        .alias("dg"))
+    sp = sp.localCheckpoint(eager=False)
+    dup = (sp.groupBy("dg")
+           .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+           .where(F.col("__nd") >= min_docs)
+           .select("dg", F.lit(1).alias("__d")))
+    marked = sp.join(dup, "dg", "left")
+    return (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.count("__d").alias("n_dup_spans"))
+            .select(F.col(id_col), "n_spans", "n_dup_spans",
+                    (stable_round(F.col("n_dup_spans") /
+                                  F.col("n_spans"), round_digits) + F.lit(0.0))
+                    .alias("dup_ratio")))
+
+
 def pagerank_step(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                   damping: float = 0.85, ranks: DataFrame | None = None,
                   round_digits: int | None = None) -> DataFrame:

@@ -52,6 +52,13 @@ _BASE_CONF: dict[str, str] = {
     # likewise the JVM's JIT code cache: 90+ pipelines of generated code
     # overflow the 240 MB default and flushing de-optimizes hot loops
     "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
+    # local[N] runs every executor thread inside the driver JVM, whose
+    # default 1g heap is sized for a thin cluster driver, not for N=32
+    # concurrent tasks' shuffle/agg state (the 10x scale run OOMed the
+    # default at a 18M-row band join). Allocated lazily, so idle
+    # sessions don't pin it. On a real cluster this becomes
+    # spark.executor.memory via submit conf.
+    "spark.driver.memory": "24g",
     # testdata parquet stores TIMESTAMP(NANOS); read as long, convert in scan
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # parquet TIMESTAMP(isAdjustedToUTC=false) reads as TIMESTAMP_NTZ under

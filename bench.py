@@ -129,6 +129,7 @@ HEADLINE = [
     ("label_propagation", "count"),
     # round 6 additions
     ("pca_invariants", "count"),
+    ("span_dedup", "count"),
 ]
 
 N_SHARDS = 2

@@ -43,6 +43,8 @@ EDGE_QUERIES = [
     # pathological corpus (no-shingle docs, unicode, repetition) must
     # agree by construction, not by fixture luck
     "incremental_dedup",
+    # r6: span windows bend hardest around short docs (0 or 1 spans)
+    "span_dedup",
 ]
 
 

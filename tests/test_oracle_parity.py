@@ -35,6 +35,21 @@ def test_driver_window_is_exactly_50():
     assert not set(entry_mod._WINDOW) & set(entry_mod._TAIL)
 
 
+def test_bench_headline_contract():
+    """bench.py's HEADLINE list must reference real registry queries with
+    valid actions, cover each at most once, and shard-split without loss
+    (a typo here would silently drop a query from the driver's bench)."""
+    import bench
+    names = [n for n, _ in bench.HEADLINE]
+    assert len(names) == len(set(names))
+    assert set(names) <= set(QUERIES)
+    assert all(a in ("count", "collect") for _, a in bench.HEADLINE)
+    per = (len(bench.HEADLINE) + bench.N_SHARDS - 1) // bench.N_SHARDS
+    sharded = [n for s in range(bench.N_SHARDS)
+               for n, _ in bench.HEADLINE[s * per:(s + 1) * per]]
+    assert sharded == names
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     assert_query_matches_oracle(spark, duck, QUERIES[name], ORACLES[name],

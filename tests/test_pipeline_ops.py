@@ -1192,6 +1192,26 @@ def test_check_expectations_single_scan_for_row_rules(spark):
     assert all(r["passed"] == 1 for r in out.collect())
 
 
+def test_duplicate_spans_flags_cross_doc_boilerplate(spark):
+    from bda_spadochrony_spark.operators.dedup import duplicate_spans
+    boiler = "w1 w2 w3 w4"                  # 4-token span shared verbatim
+    docs = [(0, boiler + " a b"),           # spans at p=1,3: [w1..w4],[w3,w4,a,b]
+            (1, boiler + " c d"),           # shares span p=1 with doc 0
+            (2, "x y z q r s"),             # no shared span
+            (3, "x y")]                     # shorter than span → no row
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_ratio"])
+           for r in duplicate_spans(df, "doc_id", "text",
+                                    span_tokens=4, stride=2).collect()}
+    assert got == {0: (2, 1, 0.5), 1: (2, 1, 0.5), 2: (2, 0, 0.0)}
+    # repeated span INSIDE one doc does not count (min_docs is DISTINCT)
+    solo = spark.createDataFrame([(9, "a b c d a b c d")],
+                                 ["doc_id", "text"])
+    r = duplicate_spans(solo, "doc_id", "text",
+                        span_tokens=4, stride=4).collect()[0]
+    assert (r["n_spans"], r["n_dup_spans"]) == (2, 0)
+
+
 def test_check_expectations_survives_quotes_in_rule_names(spark):
     """ADVICE r5: rule labels carry user text (regex patterns, set
     literals); a single quote in them must not break the report plan."""

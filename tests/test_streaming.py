@@ -132,6 +132,96 @@ def test_stream_stream_full_outer_emits_unmatched_after_watermark(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_stream_dedup_multi_batch_drain_matches_batch(spark):
+    """r5 stretch #8: the one untested streaming property was watermark
+    advancement across REAL micro-batch boundaries (availableNow over a
+    single file collapses to one batch). Three source files +
+    maxFilesPerTrigger=1 force >=3 micro-batches; duplicates SPAN
+    batches, so dedup state must survive watermark advancement between
+    them; final output must equal the batch dropDuplicates."""
+    base = tempfile.mkdtemp(prefix="bda_mbatch_")
+    schema = StructType([StructField("k", LongType()),
+                         StructField("ts", TimestampType())])
+    # one file per hour; intra-file disorder of minutes; duplicates of
+    # hour-h keys re-appear in hour h+1 (inside the 2h watermark horizon)
+    files = {
+        "a": [(1, datetime(2024, 1, 1, 0, 5)), (2, datetime(2024, 1, 1, 0, 2)),
+              (3, datetime(2024, 1, 1, 0, 9))],
+        "b": [(1, datetime(2024, 1, 1, 0, 5)),   # cross-batch duplicate
+              (4, datetime(2024, 1, 1, 1, 7)), (5, datetime(2024, 1, 1, 1, 1))],
+        "c": [(4, datetime(2024, 1, 1, 1, 7)),   # cross-batch duplicate
+              (6, datetime(2024, 1, 1, 2, 3))],
+    }
+    try:
+        for name, rows in files.items():
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.parquet(os.path.join(base, "src", name))
+        stream = file_stream(spark, os.path.join(base, "src", "*"), schema,
+                             max_files_per_trigger=1)
+        deduped = stream_dedup(stream, ["k", "ts"], "ts", delay="2 hours")
+        query, name = run_to_memory(deduped, available_now=True)
+        assert query.awaitTermination(120)
+        n_batches = len([p for p in query.recentProgress
+                         if p["numInputRows"] > 0])
+        assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+        got = sorted((r["k"], r["ts"]) for r in spark.table(name).collect())
+        exp = sorted(set(t for rows in files.values() for t in rows))
+        assert got == exp
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_join_outer_multi_batch_drain_matches_single_batch(spark):
+    """r5 stretch #8, part 2: the full-outer interval join must produce
+    the SAME sealed output whether the input arrives as one availableNow
+    batch or as three file-per-batch micro-batches with the watermark
+    advancing between them (outer rows flush exactly when the watermark
+    passes their bound, regardless of batch boundaries)."""
+    base = tempfile.mkdtemp(prefix="bda_mbjoin_")
+    lschema = StructType([StructField("lid", LongType()),
+                          StructField("lts", TimestampType())])
+    rschema = StructType([StructField("rid", LongType()),
+                          StructField("rts", TimestampType())])
+    lparts = {"a": [(1, datetime(2024, 1, 1, 0, 1, 0)),
+                    (2, datetime(2024, 1, 1, 0, 2, 0))],
+              "b": [(3, datetime(2024, 1, 1, 1, 0, 0))],
+              "c": [(4, datetime(2024, 1, 1, 2, 0, 0))]}
+    rparts = {"a": [(10, datetime(2024, 1, 1, 0, 1, 10))],
+              "b": [(11, datetime(2024, 1, 1, 1, 30, 0))],
+              "c": [(99, datetime(2024, 1, 1, 4, 0, 0))]}
+
+    def drain(mfpt):
+        l = file_stream(spark, os.path.join(base, "l", "*"), lschema,
+                        max_files_per_trigger=mfpt)
+        r = file_stream(spark, os.path.join(base, "r", "*"), rschema,
+                        max_files_per_trigger=mfpt)
+        joined = stream_interval_join(l, r, "lts", "rts", 30.0,
+                                      how="fullOuter", watermark="1 minutes")
+        query, name = run_to_memory(joined, available_now=True)
+        assert query.awaitTermination(180)
+        batches = len([p for p in query.recentProgress
+                       if p["numInputRows"] > 0])
+        rows = sorted(((x["lid"], x["rid"])
+                       for x in spark.table(name).collect()),
+                      key=lambda t: (t[0] is None, t[0] or 0,
+                                     t[1] is None, t[1] or 0))
+        return batches, rows
+
+    try:
+        for side, parts, schema in [("l", lparts, lschema),
+                                    ("r", rparts, rschema)]:
+            for name, rows in parts.items():
+                spark.createDataFrame(rows, schema).coalesce(1) \
+                    .write.parquet(os.path.join(base, side, name))
+        single_batches, single = drain(None)
+        multi_batches, multi = drain(1)
+        assert multi_batches >= 3 > single_batches
+        assert multi == single and (1, 10) in multi
+        assert (2, None) in multi          # sealed unmatched left row
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_stream_dedup_under_rocksdb_state_store(spark):
     """Stateful op under the RocksDB state store provider (the
     heap-independent provider for large state): same results as default."""
