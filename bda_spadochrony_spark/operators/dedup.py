@@ -756,24 +756,45 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def dedup_survivors(df: DataFrame, id_col: str, pairs: DataFrame,
-                    id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+                    id_a: str = "id_a", id_b: str = "id_b",
+                    keep_by: str | None = None) -> DataFrame:
     """The keep/drop MATERIALIZATION of a near-dup pipeline: resolve
     pairwise matches into connected components (``dedup_clusters``), keep
-    each component's canonical (minimum-id) member plus every row that
-    matched nothing, and annotate each survivor with its cluster size
-    (``n_members`` = 1 for singletons) — the frame you actually write
-    back out as the deduplicated corpus.
+    one member per component plus every row that matched nothing, and
+    annotate each survivor with its cluster size (``n_members`` = 1 for
+    singletons) — the frame you actually write back out as the
+    deduplicated corpus.
+
+    ``keep_by=None`` keeps each component's minimum-id member (stable,
+    zero extra joins). ``keep_by="quality"`` keeps the member with the
+    LARGEST value of that ``df`` column instead (ties → smallest id) —
+    the production policy that keeps the best-quality / longest copy of
+    a near-dup family rather than an arbitrary one; costs one extra
+    component-keyed argmax over the label table.
 
     Plan shape on top of the component resolution: one count aggregate
     over the (bounded, component-keyed) label table and one left join
-    from the corpus to it — survivors are ``canonical_id == id`` or
-    unlabeled. No extra scan of the pair set.
+    from the corpus to it — survivors are the kept member or unlabeled.
+    No extra scan of the pair set.
     """
     # labels fans out three ways (sizes, canonicals, dropped) and its
     # lineage reaches back through the pair generator (often an expensive
     # similarity self-join) — checkpoint or every consumer replays it
     # (AQE never reuses an exchange across stages)
     labels = dedup_clusters(pairs, id_a, id_b).localCheckpoint(eager=False)
+    if keep_by is not None:
+        # re-anchor each component on its best-quality member: one
+        # id-keyed join to fetch quality + one component-keyed max
+        q = df.select(F.col(id_col).alias("id"), F.col(keep_by).alias("__q"))
+        best = (labels.join(q, "id")
+                .groupBy("canonical_id")
+                .agg(F.max(F.struct(F.col("__q"),
+                                    (-F.col("id")).alias("__negid")))
+                     .alias("__b"))
+                .select("canonical_id",
+                        (-F.col("__b.__negid")).alias("__keep")))
+        labels = (labels.join(best, "canonical_id")
+                  .select("id", F.col("__keep").alias("canonical_id")))
     sizes = labels.groupBy("canonical_id").agg(
         F.count(F.lit(1)).alias("n_members"))
     canon = (labels.where(F.col("id") == F.col("canonical_id"))

@@ -42,6 +42,21 @@ def valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     return df.where(v.isNotNull() & F.exists(v, lambda x: x != 0))
 
 
+def finite_vectors(df: DataFrame, vec_col: str,
+                   max_abs: float = 1e6) -> DataFrame:
+    """The MOMENT-STATISTICS companion of ``valid_vectors``: cosine paths
+    survive a 1e30 junk vector because normalization cancels scale, but
+    mean/covariance/z-score paths do NOT — one such row poisons every
+    statistic it touches (a corpus-wide mean of 1e26 makes standardize,
+    PCA, and outlier scores garbage while the job still 'succeeds').
+    Drops rows whose vector contains NaN or any |x| > ``max_abs``.
+    Map-only codegen filter; apply at entry of any fit that aggregates
+    raw coordinates when the column isn't already validated upstream."""
+    v = F.col(vec_col)
+    bad = F.exists(v, lambda x: F.isnan(x) | (F.abs(x) > F.lit(max_abs)))
+    return df.where(v.isNotNull() & ~bad)
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame,
                 corpus_id: str, query_id: str, vec_col: str = "embedding",
                 k: int = 5, broadcast_queries: bool = True) -> DataFrame:
@@ -230,6 +245,25 @@ def deterministic_planes(planes: int, dim: int, seed: int = 42) -> list[list[flo
             row.append((int(h[:8], 16) % 1000) / 500.0 - 1.0)
         out.append(row)
     return out
+
+
+def planes_for(n_vectors: int, target_bucket: int = 8,
+               min_planes: int = 4, max_planes: int = 24) -> int:
+    """Size the hyperplane count FROM the corpus: ceil(log2(n / target))
+    planes give ~``target_bucket`` expected vectors per bucket, keeping
+    LSH candidate volume ≈ n·target (linear in the corpus) instead of
+    n²/2^planes. This is the knob the round-6 10× scale run measured:
+    a FIXED 8-plane index at 10× the vectors made buckets 10× larger
+    and the bucket self-join quadratic (BENCH_SF1.json); re-sizing via
+    this rule restored the design point (SCALE.md 'Measured scale
+    evidence'). Bounded to [min_planes, max_planes] — beyond ~24 planes
+    recall needs multi-table LSH, not more planes."""
+    import math
+    if n_vectors <= target_bucket:
+        return min_planes
+    return max(min_planes,
+               min(max_planes,
+                   math.ceil(math.log2(n_vectors / target_bucket))))
 
 
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame,

@@ -143,6 +143,46 @@ def test_edge_embeddings_parity(spark, edge_emb_dir, edge_emb_duck, name):
                                 name=f"edge-emb:{name}")
 
 
+def test_edge_embeddings_robust_covariance_matches_oracle(
+        spark, edge_emb_dir, edge_emb_duck):
+    """r6: the raw covariance on this fixture is EXCLUDED from the hash
+    compare (the 1e30 row makes 1e26-magnitude cells that no decimal
+    rounding canonicalizes). With the finite_vectors guard the corrupt
+    row is dropped BEFORE the moments, magnitudes stay sane, and the
+    value-level oracle match holds even on the corrupt corpus — the
+    production recipe for moment statistics over real embedding data."""
+    from pyspark.sql import functions as F
+    from bda_spadochrony_spark.operators.similarity import finite_vectors
+    from bda_spadochrony_spark.ml.stats import covariance_matrix
+    from bda_spadochrony_spark.sources.readers import scan
+
+    def robust_cov(spark_, sf_dir):
+        emb = scan(spark_, f"{sf_dir}/embeddings.parquet")
+        out = covariance_matrix(finite_vectors(emb, "embedding"),
+                                "embedding", round_digits=4)
+        return out.select(F.col("i").cast("int").alias("i"),
+                          F.col("j").cast("int").alias("j"), "cov")
+
+    sql = """
+        WITH clean AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL
+              AND len(list_filter(embedding,
+                                  x -> isnan(x) OR abs(x) > 1e6)) = 0
+        ), e AS (
+            SELECT vec_id, CAST(i AS INTEGER) AS i,
+                   embedding[i]::DOUBLE AS x
+            FROM clean CROSS JOIN range(1, 65) r(i)
+        )
+        SELECT a.i AS i, b.i AS j,
+               round((covar_samp(a.x, b.x)) + 1e-08, 4) + 0.0 AS cov
+        FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+        GROUP BY 1, 2
+    """
+    assert_query_matches_oracle(spark, edge_emb_duck, robust_cov, sql,
+                                edge_emb_dir, name="edge-emb:robust_cov")
+
+
 def test_edge_embeddings_covariance_runs(spark, edge_emb_dir):
     # value parity is checked on sane-magnitude data (test_oracle_parity);
     # here: the degenerate rows must not crash the one-pass plan

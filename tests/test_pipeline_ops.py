@@ -1192,6 +1192,48 @@ def test_check_expectations_single_scan_for_row_rules(spark):
     assert all(r["passed"] == 1 for r in out.collect())
 
 
+def test_dedup_survivors_keep_by_quality(spark):
+    """keep_by keeps the best-quality member of each near-dup family
+    (ties -> smallest id) instead of the arbitrary min-id canonical."""
+    from bda_spadochrony_spark.operators.dedup import dedup_survivors
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (9, 0.1)],
+        ["doc_id", "quality"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                  ["id_a", "id_b"])   # one 4-doc family
+    default = dedup_survivors(docs, "doc_id", pairs)
+    assert {(r["doc_id"], r["n_members"]) for r in default.collect()} == \
+        {(1, 4), (9, 1)}                               # min-id kept
+    best = dedup_survivors(docs, "doc_id", pairs, keep_by="quality")
+    assert {(r["doc_id"], r["n_members"]) for r in best.collect()} == \
+        {(2, 4), (9, 1)}                               # 0.9 tie -> id 2
+
+
+def test_finite_vectors_protects_moment_statistics(spark):
+    """A 1e30 junk vector passes valid_vectors (non-null, non-zero) and
+    silently poisons mean/covariance; finite_vectors drops it."""
+    import math
+    from bda_spadochrony_spark.operators.similarity import (finite_vectors,
+                                                            valid_vectors)
+    from bda_spadochrony_spark.ml.stats import dimension_stats
+    rows = [(0, [1.0, 2.0]), (1, [3.0, 4.0]),
+            (2, [1e30, 0.0]), (3, [float("nan"), 1.0]), (4, None)]
+    df = spark.createDataFrame(rows, "vec_id: long, v: array<double>")
+    assert valid_vectors(df, "v").count() == 4          # junk row survives
+    clean = finite_vectors(df, "v")
+    assert {r["vec_id"] for r in clean.collect()} == {0, 1}
+    mu = {r["pos"]: r["mu"] for r in dimension_stats(clean, "v").collect()}
+    assert mu == {1: 2.0, 2: 3.0} and all(map(math.isfinite, mu.values()))
+
+
+def test_planes_for_sizes_index_with_corpus():
+    from bda_spadochrony_spark.operators.similarity import planes_for
+    assert planes_for(2_000) == 8          # the sf0.1 design point
+    assert planes_for(20_000) == 12        # the 10x fix BENCH_SF1 measured
+    assert planes_for(5) == 4              # floor
+    assert planes_for(10 ** 12) == 24      # capped — multi-table beyond
+
+
 def test_duplicate_spans_flags_cross_doc_boilerplate(spark):
     from bda_spadochrony_spark.operators.dedup import duplicate_spans
     boiler = "w1 w2 w3 w4"                  # 4-token span shared verbatim
