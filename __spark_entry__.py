@@ -310,6 +310,19 @@ def q_exact_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("keep_doc_id", "n_copies")
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (r6): top-20 documents for the query
+    {spark, stream, window} — the lexical-search / hard-negative-mining
+    baseline next to the embedding ANN stack. Token explode filtered to
+    the query terms BEFORE any shuffle; corpus stats and per-term doc
+    frequencies broadcast; TakeOrdered head. ln + arithmetic only, so
+    the full ranking is value-oracled."""
+    from bda_spadochrony_spark.operators.corpus import bm25_topk
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text",
+                     ["spark", "stream", "window"], k=20)
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fine-grained SPAN-level duplicate detection (r6): 10-token
     windows at stride 5, md5-fingerprinted; a span duplicated across >=2
@@ -2593,6 +2606,7 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "pca_invariants": q_pca_invariants,
     "span_dedup": q_span_dedup,
+    "bm25_search": q_bm25_search,
     # ---- oldest single-confirmation backlog (last driver row r3/r4);
     # re-confirming these drops the singles count 69 -> 45
     "tf_idf": q_tf_idf,
@@ -2629,13 +2643,14 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bitwise_funcs": q_bitwise_funcs,
     "hash_funcs": q_hash_funcs,
     "corpus_prep": q_corpus_prep,
-    "doc_fingerprint_md5": q_doc_fingerprint_md5,
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced from the round-6 window to make room for the new
-    # span_dedup (single r4 confirmation — head of the round-7 rotation)
+    # span_dedup / bm25_search (single r4 confirmations — head of the
+    # round-7 rotation)
     "nation_profit": q_nation_profit,
+    "doc_fingerprint_md5": q_doc_fingerprint_md5,
     # displaced from the round-6 window (single r5 confirmation) — the
     # rest of the round-7 rotation head, oldest first
     "hash_split": q_hash_split,
@@ -3054,6 +3069,40 @@ def _oracle_sql_literal() -> dict[str, str]:
         "exact_dedup_digest": """
             SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "bm25_search": """
+            WITH dl AS (
+                SELECT doc_id,
+                       len(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS dl
+                FROM documents
+            ), stats AS (
+                SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+            ), tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS t
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, t, count(*) AS tf FROM tok
+                WHERE t IN ('spark', 'stream', 'window') GROUP BY 1, 2
+            ), dfreq AS (
+                SELECT t, count(*) AS df FROM tf GROUP BY 1
+            )
+            SELECT tf.doc_id,
+                   round((sum(
+                       ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                         / stats.avgdl)))) + 1e-10, 6)
+                   + 0.0 AS score
+            FROM tf
+            JOIN dfreq USING (t)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats
+            GROUP BY 1
+            ORDER BY score DESC, tf.doc_id ASC
+            LIMIT 20
         """,
         "span_dedup": """
             WITH ls AS (

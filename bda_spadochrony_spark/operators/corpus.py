@@ -386,3 +386,46 @@ def unigram_surprisal(df: DataFrame, id_col: str, text_col: str,
                  stable_round(
                      F.avg(-F.log2(F.col("tf") / F.col("n_total"))),
                      round_digits).alias("surprisal")))
+
+
+def bm25_topk(df: DataFrame, id_col: str, text_col: str,
+              query_terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75,
+              round_digits: int = 6) -> DataFrame:
+    """Ranked keyword retrieval over the corpus — Okapi BM25
+    (Robertson & Zaragoza '09), the lexical-search baseline every
+    retrieval/hard-negative-mining pipeline needs next to the embedding
+    ANN stack. ``score(d) = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl))`` with the +0.5-smoothed
+    ``idf = ln(1 + (N − df + 0.5)/(df + 0.5))``. Returns the top-``k``
+    documents by score (ties → smaller id): ``(id, score)``.
+
+    Scale design: the token explode is FILTERED TO THE QUERY TERMS
+    before any shuffle — per-document work is O(matching tokens), and
+    the (doc, term) tf aggregate only carries documents containing ≥1
+    query term. Corpus stats (N, avgdl) and the per-term document
+    frequencies are scalar/|q|-sized and broadcast; the head is
+    TakeOrdered, no global sort. Every expression is engine-portable
+    (ln, plain arithmetic) so the whole ranking is SQL-oracleable.
+    """
+    from bda_spadochrony_spark.operators.text import tokens
+
+    dl = df.select(F.col(id_col), F.size(tokens(text_col)).alias("__dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("__n"),
+                   F.avg("__dl").alias("__avgdl"))
+    tok = (df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+           .where(F.col("t").isin(query_terms)))
+    tf = tok.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(F.lit(1.0) + (F.col("__n") - F.col("__df") + 0.5) /
+                (F.col("__df") + 0.5))
+    norm = F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+    scored = (tf.join(F.broadcast(dfreq), "t")
+              .join(dl, id_col)
+              .crossJoin(F.broadcast(stats))
+              .groupBy(id_col)
+              .agg(stable_round(
+                  F.sum(idf * F.col("__tf") * (k1 + 1.0) / norm),
+                  round_digits).alias("score")))
+    return (scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k))

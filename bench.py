@@ -130,6 +130,7 @@ HEADLINE = [
     # round 6 additions
     ("pca_invariants", "count"),
     ("span_dedup", "count"),
+    ("bm25_search", "collect"),
 ]
 
 N_SHARDS = 2

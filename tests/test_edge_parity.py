@@ -45,6 +45,8 @@ EDGE_QUERIES = [
     "incremental_dedup",
     # r6: span windows bend hardest around short docs (0 or 1 spans)
     "span_dedup",
+    # r6: BM25 over docs containing NO query term (empty result both sides)
+    "bm25_search",
 ]
 
 
