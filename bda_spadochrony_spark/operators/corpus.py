@@ -405,12 +405,17 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
     the (doc, term) tf aggregate only carries documents containing ≥1
     query term. Corpus stats (N, avgdl) and the per-term document
     frequencies are scalar/|q|-sized and broadcast; the head is
-    TakeOrdered, no global sort. Every expression is engine-portable
-    (ln, plain arithmetic) so the whole ranking is SQL-oracleable.
+    TakeOrdered, no global sort. The doc-length frame (2 narrow columns,
+    one row per document) is checkpointed because both the stats
+    aggregate and the score join consume it — without it each consumer
+    re-scans the corpus (AQE never cross-stage-reuses). Every expression
+    is engine-portable (ln, plain arithmetic) so the whole ranking is
+    SQL-oracleable.
     """
     from bda_spadochrony_spark.operators.text import tokens
 
-    dl = df.select(F.col(id_col), F.size(tokens(text_col)).alias("__dl"))
+    dl = (df.select(F.col(id_col), F.size(tokens(text_col)).alias("__dl"))
+          .localCheckpoint(eager=False))
     stats = dl.agg(F.count(F.lit(1)).alias("__n"),
                    F.avg("__dl").alias("__avgdl"))
     tok = (df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))

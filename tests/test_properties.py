@@ -178,3 +178,44 @@ def test_scd2_history_intervals_partition_each_keys_timeline(spark, obs):
         for prev, nxt in zip(versions, versions[1:]):
             assert prev["valid_to"] == nxt["valid_from"]
             assert prev["v"] != nxt["v"]   # consecutive dedup held
+
+
+@settings(**SETTINGS)
+@given(n_tok=st.integers(min_value=1, max_value=120),
+       span=st.integers(min_value=2, max_value=30),
+       stride=st.integers(min_value=1, max_value=30))
+def test_duplicate_spans_count_and_ratio_bounds(spark, n_tok, span, stride):
+    from bda_spadochrony_spark.operators.dedup import duplicate_spans
+    uniq = " ".join(f"u{i}" for i in range(n_tok))     # all-unique tokens
+    df = spark.createDataFrame(
+        [(1, uniq), (2, uniq), (3, "z0 z1 z2 z3")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in
+            duplicate_spans(df, "doc_id", "text", span_tokens=span,
+                            stride=stride).collect()}
+    if n_tok < span:
+        assert 1 not in rows and 2 not in rows       # too short: no row
+    else:
+        expect_spans = len(range(1, n_tok - span + 2, stride))
+        for d in (1, 2):                             # identical pair:
+            assert rows[d]["n_spans"] == expect_spans
+            assert rows[d]["n_dup_spans"] == expect_spans
+            assert rows[d]["dup_ratio"] == 1.0       # every span shared
+    if 3 in rows:                                    # unique doc: no dups
+        assert rows[3]["n_dup_spans"] == 0 and rows[3]["dup_ratio"] == 0.0
+
+
+@settings(**SETTINGS)
+@given(tf_hi=st.integers(min_value=2, max_value=10))
+def test_bm25_score_monotone_in_term_frequency(spark, tf_hi):
+    from bda_spadochrony_spark.operators.corpus import bm25_topk
+    # equal-length docs; doc 1 has MORE occurrences of the query term
+    pad = lambda k: " ".join(f"p{i}" for i in range(12 - k))
+    docs = spark.createDataFrame(
+        [(1, ("q " * tf_hi) + pad(tf_hi)),
+         (2, "q " + pad(1)),
+         (3, pad(0))],                                # no query term
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_topk(docs, "doc_id", "text", ["q"], k=10).collect()}
+    assert 3 not in got                               # termless doc absent
+    assert got[1] > got[2] > 0                        # tf-monotone
