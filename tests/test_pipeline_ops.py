@@ -49,6 +49,44 @@ def test_minhash_finds_near_and_exact_dups(docs):
     assert all(3 not in p and 5 not in p for p in pairs)  # distinct docs don't
 
 
+def test_minhash_recall_and_pruning_on_realistic_vocabulary(spark):
+    """The driver testdata's 31-token vocabulary makes random-pair
+    Jaccard ~1e-3, so band collisions there say little about real
+    corpora. This fixture uses a 5000-token vocabulary (random-pair
+    Jaccard ~0): the 16-hash/16-band pipeline must find EVERY planted
+    j>=0.5 near-dup (seeded → deterministic; analytic miss probability
+    ~(1-j)^16 <= 1.5e-5/pair) while generating candidates for only a
+    tiny fraction of all pairs — the recall AND pruning halves of the
+    LSH contract at once."""
+    import random
+    rng = random.Random(13)
+    vocab = [f"t{i}" for i in range(5000)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(40))
+             for _ in range(280)]
+    planted = []
+    for i in range(20):                      # near-copy docs 280..299
+        src = rng.randrange(280)
+        toks = texts[src].split(" ")
+        for _ in range(4):                   # 4/40 token edits: j ~ 0.7
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        planted.append((src, 280 + i))
+        texts.append(" ".join(toks))
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    truth = {(r["id_a"], r["id_b"])
+             for r in D.ngram_jaccard_pairs(df, "doc_id", "text", 3)
+             .where(F.col("jaccard") >= 0.5).collect()}
+    assert len(truth) >= 15                  # most plants survive as j>=0.5
+    found = {(r["id_a"], r["id_b"])
+             for r in D.minhash_dedup(df, "doc_id", "text", num_hashes=16,
+                                      bands=16, min_jaccard=0.5).collect()}
+    assert found == truth                    # perfect recall AND precision
+    cands = D.minhash_lsh_candidates(
+        D.minhash_signatures(df, "doc_id", "text", 16), "doc_id", 16, 16)
+    n_cand = cands.count()
+    all_pairs = 300 * 299 // 2
+    assert n_cand < 0.02 * all_pairs         # <2% of pairs ever verified
+
+
 def test_minhash_jaccard_verification(docs):
     verified = D.minhash_dedup(docs, "doc_id", "text", num_hashes=32,
                                bands=16, min_jaccard=0.99)
