@@ -3273,7 +3273,8 @@ def _oracle_sql_literal() -> dict[str, str]:
                 FROM base
             )
             SELECT doc_id,
-                   CASE WHEN greatest(s_en, s_de, s_fr, s_pl) = 0 THEN 'und'
+                   CASE WHEN coalesce(greatest(s_en, s_de, s_fr, s_pl), 0)
+                             = 0 THEN 'und'
                         WHEN s_en = greatest(s_en, s_de, s_fr, s_pl) THEN 'en'
                         WHEN s_de = greatest(s_de, s_fr, s_pl) THEN 'de'
                         WHEN s_fr = greatest(s_fr, s_pl) THEN 'fr'
@@ -3683,16 +3684,23 @@ def _oracle_sql_literal() -> dict[str, str]:
                                           for i in range(1, len(rt) - 3 + 2)])) AS nd3
                 FROM base
             )
-            SELECT b.doc_id, t.n_tokens AS r_n_tokens,
-                   round((t.n_distinct / greatest(t.n_tokens, 1)) + 1e-08, 4)
+            -- LEFT joins + coalesce: a NULL-text doc has no token rows
+            -- but must still emit (0 tokens, NULL fractions, 0.0 dup3),
+            -- matching the engine's left-join + coalesce semantics
+            SELECT b.doc_id, coalesce(t.n_tokens, 0) AS r_n_tokens,
+                   round((t.n_distinct
+                          / greatest(coalesce(t.n_tokens, 0), 1))
+                         + 1e-08, 4)
                        AS r_distinct_token_fraction,
-                   round((t.top_c / greatest(t.n_tokens, 1)) + 1e-08, 4)
+                   round((t.top_c / greatest(coalesce(t.n_tokens, 0), 1))
+                         + 1e-08, 4)
                        AS r_top_token_fraction,
-                   round((CASE WHEN g.n3 = 0 THEN 0.0
+                   round((CASE WHEN coalesce(g.n3, 0) = 0 THEN 0.0
                                ELSE 1.0 - g.nd3 / g.n3 END) + 1e-08, 4)
                        AS r_dup_3gram_fraction
             FROM base b
-            JOIN tok_stats t USING (doc_id) JOIN gram_stats g USING (doc_id)
+            LEFT JOIN tok_stats t USING (doc_id)
+            LEFT JOIN gram_stats g USING (doc_id)
         """,
         "pii_scrub": """
             SELECT doc_id,
@@ -4141,13 +4149,18 @@ def _oracle_sql_literal() -> dict[str, str]:
                 FROM tok_rows JOIN cnts USING (tok) CROSS JOIN tot
                 GROUP BY doc_id
             ), feats AS (
-                SELECT t.doc_id, t.n,
+                -- drive from ALL documents: a NULL-text doc has no token
+                -- rows but must still emit (0 tokens -> 'too_short'),
+                -- matching the engine's coalesce-to-0 semantics
+                SELECT d.doc_id, coalesce(t.n, 0) AS n,
                        round((coalesce(1.0 - g.nd3 * 1.0 / g.n3, 0.0))
                              + 1e-08, 4) AS dup3,
-                       round((t.tc * 1.0 / greatest(t.n, 1))
+                       round((coalesce(t.tc, 0) * 1.0
+                              / greatest(coalesce(t.n, 0), 1))
                              + 1e-08, 4) AS topf,
                        coalesce(s.s, 0.0) AS sv
-                FROM tok_stats t
+                FROM documents d
+                LEFT JOIN tok_stats t USING (doc_id)
                 LEFT JOIN gram_stats g USING (doc_id)
                 LEFT JOIN sur s USING (doc_id)
             )

@@ -53,7 +53,8 @@ def stopword_ratio(text_col: str, lang: str = "en") -> Column:
 
 def detect_language(text_col: str) -> Column:
     """Heuristic language ID: the language whose stopword hit-ratio is
-    highest (ties → earlier language in the fixed order, 'und' if no hits).
+    highest (ties → earlier language in the fixed order, 'und' if no
+    hits; NULL text → 'und' — pinned by the NULL-text edge fixture, r6).
     Plug a real model in via mapInPandas for production quality."""
     toks = tokens(text_col)
     best = None

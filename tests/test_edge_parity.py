@@ -30,6 +30,7 @@ EDGE_DOCS = [
     (7, "solo", "fr", "src3", 4),
     (8, "x y", "zh", "src4", 3),
     (9, "numbers 123 456 789 numbers 123", "zh", "src4", 31),
+    (10, None, "en", "src0", None),                              # NULL text
 ]
 
 # the queries whose semantics bend around short/degenerate documents
