@@ -1833,7 +1833,11 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from bda_spadochrony_spark.operators.windows import analytic_window
     ev = _t(spark, sf_dir, "events")
-    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    # NULLS FIRST pinned explicitly on BOTH sides: Spark's asc() is
+    # NULLS FIRST but DuckDB's ORDER BY defaults NULLS LAST, so an event
+    # with an unparseable (NULL) timestamp silently reorders the whole
+    # partition's lag/lead/rank chain (r6 pathological-events finding)
+    order = [F.col("ts").asc_nulls_first(), F.col("event_id").asc()]
     out = analytic_window(ev, ["user_id"], order, [
         (F.lag("value", 1), "prev_value"),
         (F.lead("event_type", 1), "next_type"),
@@ -2337,13 +2341,30 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (absent from the reference): sample
     stddev/variance, Pearson correlation, and sample covariance per group —
-    one hash aggregate, all JVM-side."""
+    one hash aggregate, all JVM-side.
+
+    Correlation is computed as covar_samp/(sd·sd) under an explicit
+    zero-variance guard rather than F.corr: under ANSI mode a single
+    DEGENERATE group (constant value — one row, or a filled default)
+    makes built-in corr throw DIVIDE_BY_ZERO and kill the whole job
+    (found by the r6 pathological-events fixture); the guarded form
+    returns NULL for that group, which is also what the SQL oracle's
+    corr() yields — one bad group must never abort a 100 TB aggregate."""
     ev = _t(spark, sf_dir, "events")
     ev = ev.withColumn("uid_d", F.col("user_id").cast("double"))
+    # pairwise-complete marginals: corr skips a ROW when either side is
+    # NULL, so its stddevs must too (a plain stddev_samp("value") counts
+    # rows whose uid is NULL and skews the ratio)
+    both = F.col("value").isNotNull() & F.col("uid_d").isNotNull()
+    vp = F.when(both, F.col("value"))
+    up = F.when(both, F.col("uid_d"))
+    sd_v, sd_u = F.stddev_samp(vp), F.stddev_samp(up)
+    corr_guarded = F.when((sd_v > 0) & (sd_u > 0),
+                          F.covar_samp(vp, up) / (sd_v * sd_u))
     return ev.groupBy("event_type").agg(
         stable_round(F.stddev_samp("value"), 4).alias("sd_value"),
         stable_round(F.var_samp("value"), 4).alias("var_value"),
-        stable_round(F.corr("value", "uid_d"), 6).alias("corr_vu"),
+        stable_round(corr_guarded, 6).alias("corr_vu"),
         stable_round(F.covar_samp("value", "uid_d"), 4).alias("covar_vu"))
 
 
@@ -2927,8 +2948,16 @@ def _oracle_sql_literal() -> dict[str, str]:
                 )
             ) WHERE rn = 1
             )
-            SELECT agg.date, agg.hour, agg.cnt, agg.avg_value, mode.mode_event_type
-            FROM agg JOIN mode USING (date, hour)
+            -- NULL-safe join keys: a NULL-ts group (unparseable event
+            -- time) must survive to the report like it does in the
+            -- engine's fused single-scan form, not silently vanish
+            -- because NULL never equi-matches (r6 pathological-events
+            -- fixture finding)
+            SELECT agg.date, agg.hour, agg.cnt, agg.avg_value,
+                   mode.mode_event_type
+            FROM agg JOIN mode
+              ON agg.date IS NOT DISTINCT FROM mode.date
+             AND agg.hour IS NOT DISTINCT FROM mode.hour
         """,
         "two_level_avg": """
             WITH fine AS (
@@ -4665,10 +4694,11 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round((percent_rank() OVER w) + 1e-10, 6) AS pr,
                    CAST(ntile(4) OVER w AS INTEGER) AS nt,
                    round((sum(value) OVER (PARTITION BY user_id
-                                           ORDER BY ts, event_id
+                                           ORDER BY ts NULLS FIRST, event_id
                                            ROWS UNBOUNDED PRECEDING)) + 1e-06, 2) AS run_sum
             FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts NULLS FIRST, event_id)
         """,
         "set_ops": """
             SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90

@@ -31,6 +31,8 @@ EDGE_DOCS = [
     (8, "x y", "zh", "src4", 3),
     (9, "numbers 123 456 789 numbers 123", "zh", "src4", 31),
     (10, None, "en", "src0", None),                              # NULL text
+    (11, "", "de", "src1", 0),                                   # empty text
+    (12, "tab\tsep\nand newline  mix", "en", "src2", 24),        # \t \n ws
 ]
 
 # the queries whose semantics bend around short/degenerate documents
@@ -191,3 +193,65 @@ def test_edge_embeddings_covariance_runs(spark, edge_emb_dir):
     # here: the degenerate rows must not crash the one-pass plan
     df = entry_mod.queries()["embedding_covariance"](spark, edge_emb_dir)
     assert df.count() == 64 * 65 / 2
+
+
+EDGE_EVENT_QUERIES = [
+    # temporal/aggregation queries whose semantics bend around NULL
+    # timestamps/keys/values, exact hour boundaries, and duplicate rows
+    "hourly_agg", "hourly_with_mode", "mode_event_type", "two_level_avg",
+    "tz_hourly", "null_skipping_agg", "filtered_hourly",
+    "window_analytics", "equi_depth_histogram", "histogram", "funnel",
+    "cohort_retention", "stats_agg",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_ev_dir():
+    from datetime import datetime
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tempfile.mkdtemp(prefix="bda_edge_ev_")
+    ts = lambda *a: datetime(*a)
+    rows = [
+        (0, ts(2024, 1, 1, 0, 0, 0), 1, "click", 10.0, '{"k": 1}'),
+        (1, ts(2024, 1, 1, 0, 59, 59, 999999), 1, "view", 20.0, '{"k": 2}'),
+        (2, ts(2024, 1, 1, 1, 0, 0), 1, "purchase", 30.0, '{"k": 3}'),
+        (3, ts(2024, 1, 1, 1, 0, 0), 2, "click", None, None),   # NULL value
+        (4, ts(2024, 1, 1, 2, 30, 0), None, "view", 5.0, '{"k": 4}'),
+        (5, None, 3, "click", 7.0, '{"k": 5}'),                 # NULL ts
+        (6, ts(2024, 1, 1, 2, 30, 0), 2, None, 9.0, '{"k": 6}'),
+        (7, ts(2024, 1, 1, 2, 30, 0), 2, None, 9.0, '{"k": 6}'),  # dup row
+        (8, ts(2024, 1, 8, 12, 0, 0), 2, "purchase", 0.0, '{"k": 7}'),
+        (9, ts(2024, 1, 1, 0, 30, 0), 3, "view", -4.5, '{"k": 8}'),
+        (10, ts(2024, 1, 1, 0, 45, 0), 3, "purchase", 4.5, '{"k": 9}'),
+    ]
+    cols = list(zip(*rows))
+    tbl = pa.table({
+        "event_id": pa.array(cols[0], pa.int64()),
+        "ts": pa.array(cols[1], pa.timestamp("us")),
+        "user_id": pa.array(cols[2], pa.int64()),
+        "event_type": pa.array(cols[3], pa.string()),
+        "value": pa.array(cols[4], pa.float64()),
+        "props": pa.array(cols[5], pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def edge_ev_duck(edge_ev_dir):
+    con = duck_connection(edge_ev_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EDGE_EVENT_QUERIES)
+def test_edge_events_parity(spark, edge_ev_dir, edge_ev_duck, name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert_query_matches_oracle(spark, edge_ev_duck, qs[name],
+                                oracles[name], edge_ev_dir,
+                                name=f"edge-ev:{name}")
