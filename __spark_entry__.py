@@ -3167,9 +3167,10 @@ def _oracle_sql_literal() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "stream_distinct": """
+            -- ts IS NOT NULL: same no-window rule as stream_hourly
             SELECT date_trunc('hour', ts) AS window_start,
                    count(DISTINCT user_id) AS distinct_keys
-            FROM events GROUP BY 1
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
         """,
         "stream_enrich": """
             SELECT c.c_mktsegment AS segment, e.event_type,
@@ -3179,9 +3180,12 @@ def _oracle_sql_literal() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "stream_hourly": """
+            -- ts IS NOT NULL: an event with no event time has no
+            -- window — Spark's streaming window() drops it (pinned by
+            -- the r6 pathological-events fixture)
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS cnt, round((avg(value)) + 1e-06, 2) AS avg_value
-            FROM events GROUP BY 1, 2
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         """,
         "stream_dedup": """
             SELECT event_id, ts, user_id, event_type, value FROM events

@@ -1,9 +1,14 @@
-"""Edge-case oracle parity: the text/corpus queries re-checked against a
-PATHOLOGICAL documents table — single/two-token docs, whitespace runs,
-unicode, dominant-token repetition, NULL lang — the input class where
-round-4's advisor found latent Spark↔DuckDB divergences (short-doc
-3-gram fractions, NULL bucketing). The regular testdata never exercises
-these rows; this fixture keeps the edge semantics pinned on both engines.
+"""Edge-case oracle parity: contract queries re-checked against
+PATHOLOGICAL tables the regular testdata never exercises — the input
+class where advisors keep finding latent Spark↔DuckDB divergences.
+
+Four fixtures: documents (short/unicode/repeated/NULL/empty/tab-newline
+texts), embeddings (NULL/zero/duplicate/1e30 vectors), events (NULL
+ts/user/type/value, hour boundaries, duplicate rows — r6; found the
+ANSI corr crash, the NULL-key join drop, the NULLS FIRST/LAST window
+divergence, and the streaming no-window rule), and lineitem/orders
+(NULL dates/quantities/flags, zero prices — r6, all green on arrival).
+Each finding's fix is pinned here so the semantics stay engine-exact.
 """
 
 from __future__ import annotations
@@ -255,3 +260,85 @@ def test_edge_events_parity(spark, edge_ev_dir, edge_ev_duck, name):
     assert_query_matches_oracle(spark, edge_ev_duck, qs[name],
                                 oracles[name], edge_ev_dir,
                                 name=f"edge-ev:{name}")
+
+
+EDGE_TPCH_QUERIES = [
+    # relational-family queries whose filters/joins/aggregates bend
+    # around NULL dates/quantities/flags and degenerate prices
+    "pricing_summary", "small_qty_revenue", "shipping_priority",
+    "promo_revenue", "returned_items", "disjunctive_revenue",
+    "volume_shipping", "market_share", "nation_profit",
+    "min_cost_per_part", "revenue_change", "priority_lines",
+    "large_volume_customer", "order_priority", "local_supplier_volume",
+    "idle_customers",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_li_dir():
+    import duckdb as _d
+    d = tempfile.mkdtemp(prefix="bda_edge_li_")
+    con = _d.connect()
+    # sf0.001 lineitem/orders with a handful of rows made pathological:
+    # NULL shipdate/quantity/returnflag/discount, zero price, NULL
+    # orderdate/priority — written back as single parquet FILES
+    con.execute(f"""
+        COPY (
+            SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                   CASE WHEN l_orderkey % 997 = 0 THEN NULL
+                        ELSE l_quantity END AS l_quantity,
+                   CASE WHEN l_orderkey % 991 = 0 THEN 0.0
+                        ELSE l_extendedprice END AS l_extendedprice,
+                   CASE WHEN l_orderkey % 983 = 0 THEN NULL
+                        ELSE l_discount END AS l_discount,
+                   l_tax,
+                   CASE WHEN l_orderkey % 977 = 0 THEN NULL
+                        ELSE l_returnflag END AS l_returnflag,
+                   l_linestatus,
+                   CASE WHEN l_orderkey % 971 = 0 THEN NULL
+                        ELSE l_shipdate END AS l_shipdate
+            FROM '{SF_SMALL}/lineitem.parquet'
+        ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+        COPY (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   CASE WHEN o_orderkey % 967 = 0 THEN NULL
+                        ELSE o_orderdate END AS o_orderdate,
+                   CASE WHEN o_orderkey % 953 = 0 THEN NULL
+                        ELSE o_orderpriority END AS o_orderpriority
+            FROM '{SF_SMALL}/orders.parquet'
+        ) TO '{d}/orders.parquet' (FORMAT PARQUET)""")
+    con.close()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "events", "documents", "embeddings"]:
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def edge_li_duck(edge_li_dir):
+    con = duck_connection(edge_li_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EDGE_TPCH_QUERIES)
+def test_edge_tpch_parity(spark, edge_li_dir, edge_li_duck, name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert_query_matches_oracle(spark, edge_li_duck, qs[name],
+                                oracles[name], edge_li_dir,
+                                name=f"edge-li:{name}")
+
+
+@pytest.mark.parametrize("name", ["stream_hourly", "stream_update",
+                                  "stream_distinct", "stream_sliding"])
+def test_edge_events_streaming_parity(spark, edge_ev_dir, edge_ev_duck,
+                                      name):
+    """Streaming contract queries on the pathological events: pins what
+    a NULL event time does to watermarked aggregation vs the batch
+    oracle (Spark excludes NULL-window rows; the oracles must agree)."""
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert_query_matches_oracle(spark, edge_ev_duck, qs[name],
+                                oracles[name], edge_ev_dir,
+                                name=f"edge-ev-stream:{name}")
