@@ -2,13 +2,16 @@
 PATHOLOGICAL tables the regular testdata never exercises — the input
 class where advisors keep finding latent Spark↔DuckDB divergences.
 
-Four fixtures: documents (short/unicode/repeated/NULL/empty/tab-newline
+Five fixtures: documents (short/unicode/repeated/NULL/empty/tab-newline
 texts), embeddings (NULL/zero/duplicate/1e30 vectors), events (NULL
 ts/user/type/value, hour boundaries, duplicate rows — r6; found the
 ANSI corr crash, the NULL-key join drop, the NULLS FIRST/LAST window
-divergence, and the streaming no-window rule), and lineitem/orders
-(NULL dates/quantities/flags, zero prices — r6, all green on arrival).
-Each finding's fix is pinned here so the semantics stay engine-exact.
+divergence, and the streaming no-window rule), lineitem/orders (NULL
+dates/quantities/flags, zero prices — r6, all green on arrival), and
+customer/supplier/part dims (NULL names/segments/nation keys/types —
+r6, all green on arrival: NULL join keys and NULL levenshtein inputs
+already agreed). Each finding's fix is pinned here so the semantics
+stay engine-exact.
 """
 
 from __future__ import annotations
@@ -342,3 +345,74 @@ def test_edge_events_streaming_parity(spark, edge_ev_dir, edge_ev_duck,
     assert_query_matches_oracle(spark, edge_ev_duck, qs[name],
                                 oracles[name], edge_ev_dir,
                                 name=f"edge-ev-stream:{name}")
+
+
+EDGE_DIM_QUERIES = [
+    # join-heavy queries whose dimension sides now carry NULL names /
+    # segments / nation keys / types — NULL join keys and NULL inputs to
+    # levenshtein/grouping must agree across engines
+    "star_join", "market_share", "customer_distribution",
+    "idle_customers", "top_supplier", "entity_match",
+    "large_volume_customer", "min_cost_per_part", "local_supplier_volume",
+    "supplier_part_counts", "nation_profit",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dim_dir():
+    import duckdb as _d
+    d = tempfile.mkdtemp(prefix="bda_edge_dim_")
+    con = _d.connect()
+    con.execute(f"""
+        COPY (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_name END
+                       AS c_name,
+                   CASE WHEN c_custkey % 89 = 0 THEN NULL
+                        ELSE c_nationkey END AS c_nationkey,
+                   c_acctbal,
+                   CASE WHEN c_custkey % 83 = 0 THEN NULL
+                        ELSE c_mktsegment END AS c_mktsegment
+            FROM '{SF_SMALL}/customer.parquet'
+        ) TO '{d}/customer.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+        COPY (
+            SELECT s_suppkey,
+                   CASE WHEN s_suppkey % 13 = 0 THEN NULL ELSE s_name END
+                       AS s_name,
+                   CASE WHEN s_suppkey % 11 = 0 THEN NULL
+                        ELSE s_nationkey END AS s_nationkey,
+                   s_acctbal
+            FROM '{SF_SMALL}/supplier.parquet'
+        ) TO '{d}/supplier.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+        COPY (
+            SELECT p_partkey, p_name,
+                   CASE WHEN p_partkey % 19 = 0 THEN NULL ELSE p_brand END
+                       AS p_brand,
+                   CASE WHEN p_partkey % 17 = 0 THEN NULL ELSE p_type END
+                       AS p_type,
+                   p_size, p_retailprice
+            FROM '{SF_SMALL}/part.parquet'
+        ) TO '{d}/part.parquet' (FORMAT PARQUET)""")
+    con.close()
+    for t in ["region", "nation", "orders", "lineitem",
+              "events", "documents", "embeddings"]:
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def edge_dim_duck(edge_dim_dir):
+    con = duck_connection(edge_dim_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EDGE_DIM_QUERIES)
+def test_edge_dims_parity(spark, edge_dim_dir, edge_dim_duck, name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert_query_matches_oracle(spark, edge_dim_duck, qs[name],
+                                oracles[name], edge_dim_dir,
+                                name=f"edge-dim:{name}")
