@@ -11,6 +11,7 @@ summation-order ulp noise can't break the value hash.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -680,10 +681,13 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall < 1 by design → rows-only check, recall asserted in unit tests).
     Queries == corpus here, so the query side is explicitly NOT broadcast —
     a corpus-sized broadcast would OOM the executors at scale; the shuffled
-    bucket join partitions both sides by bucket instead."""
+    bucket join partitions both sides by bucket instead. planes is left
+    at the round-7 default (None → ``planes_for(corpus count)``), so the
+    index re-sizes itself as the corpus grows instead of going
+    quadratic-in-bucket (the rule BENCH_SF1 measured)."""
     from bda_spadochrony_spark.operators.similarity import lsh_bucket_topk
     emb = _t(spark, sf_dir, "embeddings")
-    out = lsh_bucket_topk(emb, emb, "vec_id", "vec_id", k=1, planes=6, dim=64,
+    out = lsh_bucket_topk(emb, emb, "vec_id", "vec_id", k=1, dim=64,
                           broadcast_queries=False)
     return out.select("query_id", "corpus_id",
                       stable_round(F.col("cosine"), 6).alias("cosine"))
@@ -697,12 +701,21 @@ def q_embedding_ann_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the bucket is the partition key, the int8 codes are the
     only columns the candidate scan reads, and full-precision vectors
     load just for the rerank. Every stage is engine-portable → fully
-    oracled."""
+    oracled.
+
+    The plane count is sized FROM the corpus (``planes_for(n)``, round-7
+    default — VERDICT r6 #2): a fixed count made the bucket self-join
+    quadratic at 10× the vectors (BENCH_SF1's 17×), while the sized
+    index holds candidate volume ≈ n·target_bucket at any scale. The
+    oracle inlines planes generated from the SAME rule at the driver's
+    correctness scale (``_oracle_embedding_count``), so both engines
+    bucket identically."""
     from bda_spadochrony_spark.operators.similarity import (
-        deterministic_planes, quantize_embeddings, with_hyperplane_bucket)
+        deterministic_planes, planes_for, quantize_embeddings,
+        with_hyperplane_bucket)
     from pyspark.sql import Window
     emb = _t(spark, sf_dir, "embeddings")
-    pm = deterministic_planes(8, 64)
+    pm = deterministic_planes(planes_for(emb.count()), 64)
     base = emb.select(F.col("vec_id"),
                       F.col("embedding").cast("array<double>").alias("v"))
     base = with_hyperplane_bucket(base, "v", pm)
@@ -777,12 +790,16 @@ def q_embedding_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH cosine top-1 with md5-derived LITERAL planes — the
     fully-oracled twin of embedding_lsh_topk: both engines bucket with the
     identical plane constants, so even the approximate ANN path is
-    value-verified (the xxhash64-plane variant stays rows-only)."""
+    value-verified (the xxhash64-plane variant stays rows-only). The
+    plane count follows the corpus-sizing rule (``planes_for``, round-7
+    default) — the oracle generates its literal planes from the same
+    rule at the driver's correctness scale, keeping both engines'
+    buckets identical."""
     from bda_spadochrony_spark.operators.similarity import (
-        deterministic_planes, lsh_bucket_topk)
+        deterministic_planes, lsh_bucket_topk, planes_for)
     emb = _t(spark, sf_dir, "embeddings")
-    pm = deterministic_planes(6, 64)
-    out = lsh_bucket_topk(emb, emb, "vec_id", "vec_id", k=1, planes=6, dim=64,
+    pm = deterministic_planes(planes_for(emb.count()), 64)
+    out = lsh_bucket_topk(emb, emb, "vec_id", "vec_id", k=1, dim=64,
                           broadcast_queries=False, plane_matrix=pm)
     return out.select("query_id", "corpus_id",
                       stable_round(F.col("cosine"), 6).alias("cosine"))
@@ -2820,12 +2837,34 @@ def oracle_sql() -> dict[str, str]:
     return d
 
 
+def _oracle_embedding_count() -> int:
+    """Row count of the embeddings table at the scale the ORACLE runs at
+    (the driver contract evaluates oracle_sql() at sf0.01; overridable
+    via $SPARK_GRAFT_ORACLE_SF_DIR for local parity runs). oracle_sql()
+    returns STATIC SQL, so a corpus-sized index parameter (planes_for —
+    the round-7 ANN default) must be resolved at generation time from
+    the same corpus the oracle will scan — read from the parquet footer,
+    no Spark session needed. The Spark queries apply planes_for to their
+    runtime corpus count, so at the oracle's scale both sides derive the
+    identical plane set (sf0.001 and sf0.01 both hold 500 vectors → the
+    parity suite's two scales agree too)."""
+    import pyarrow.parquet as pq
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        return pq.ParquetFile(f"{sf}/embeddings.parquet").metadata.num_rows
+    except Exception:
+        return 500  # the contract scale's count — keeps import-anywhere safe
+
+
 def _ann_stack_oracle() -> str:
     """Generated like _lsh_portable_oracle: literal planes for the bucket
     stage, int8 codes for candidate scoring (exact in double — 64 terms of
-    |code| <= 127), exact float64 cosine for the rerank."""
-    from bda_spadochrony_spark.operators.similarity import deterministic_planes
-    pm = deterministic_planes(8, 64)
+    |code| <= 127), exact float64 cosine for the rerank. Planes are sized
+    from the oracle-scale corpus via the same planes_for rule the Spark
+    query applies at runtime (round-7 default)."""
+    from bda_spadochrony_spark.operators.similarity import (
+        deterministic_planes, planes_for)
+    pm = deterministic_planes(planes_for(_oracle_embedding_count()), 64)
     bits = "\n                   || ".join(
         "(CASE WHEN list_dot_product(v, ["
         + ", ".join(repr(v) for v in row)
@@ -2880,9 +2919,12 @@ def _ann_stack_oracle() -> str:
 def _lsh_portable_oracle() -> str:
     """Generated, not hand-written: the md5-derived hyperplane constants
     (similarity.deterministic_planes) are inlined as SQL literals so DuckDB
-    buckets with the exact doubles Spark uses (repr() round-trips floats)."""
-    from bda_spadochrony_spark.operators.similarity import deterministic_planes
-    pm = deterministic_planes(6, 64)
+    buckets with the exact doubles Spark uses (repr() round-trips floats).
+    Plane count sized from the oracle-scale corpus (planes_for — round-7
+    default), mirroring the Spark query's runtime sizing."""
+    from bda_spadochrony_spark.operators.similarity import (
+        deterministic_planes, planes_for)
+    pm = deterministic_planes(planes_for(_oracle_embedding_count()), 64)
     bits = "\n                   || ".join(
         "(CASE WHEN list_dot_product(v, ["
         + ", ".join(repr(v) for v in row)
@@ -3995,6 +4037,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                 SELECT vec_id, embedding FROM embeddings
                 WHERE embedding IS NOT NULL
                   AND len(list_filter(embedding, x -> x <> 0)) > 0
+                  AND len(list_filter(embedding, x -> x IS NULL)) = 0
             ), e AS (
                 SELECT vec_id, CAST(i AS INTEGER) AS i,
                        embedding[i]::DOUBLE AS x

@@ -147,11 +147,16 @@ def pca_norm_invariant(df: DataFrame, id_col: str, vec_col: str,
     covariance shuffle + d-keyed stats shuffle); the check itself is a
     PURE MAP — the d×d basis rides along as a literal matrix and each
     row folds it in one nested higher-order aggregate, zero shuffle.
-    Vectors that are NULL or all-zero are excluded on both sides (the
-    ``valid_vectors`` convention of every embedding path).
+    Vectors that are NULL, all-zero, or containing ANY NULL element are
+    excluded on both sides (ADVICE r6: a NULL element NULL-poisons
+    Spark's ``F.aggregate`` fold — the row would emit NULL — while a SQL
+    oracle's ``sum()`` silently skips the NULL terms and returns a
+    partial value; excluding such vectors in BOTH engines pins one
+    semantics before any fixture grows them).
     """
     v = F.col(vec_col)
-    clean = df.where(v.isNotNull() & F.exists(v, lambda x: x != 0))
+    clean = df.where(v.isNotNull() & F.exists(v, lambda x: x != 0)
+                     & ~F.exists(v, lambda x: x.isNull()))
     means, comps, _ = pca_components(clean, vec_col, k=None)
     vd = v.cast("array<double>")
     centered = F.zip_with(vd, F.array(*[F.lit(m) for m in means]),

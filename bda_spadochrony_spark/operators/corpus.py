@@ -24,7 +24,7 @@ becomes one training-data stream).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bda_spadochrony_spark.functions.numeric import stable_round
@@ -115,7 +115,8 @@ def tokens_to_ids(df: DataFrame, id_col: str, text_col: str,
 
 
 def pack_documents(df: DataFrame, id_col: str, text_col: str,
-                   budget: int = 512, num_shards: int = 8) -> DataFrame:
+                   budget: int = 512, num_shards: int = 8,
+                   order_col: Column | None = None) -> DataFrame:
     """Concatenate-and-cut sequence packing: within each shard
     (``id % num_shards``), documents are laid out in id order and the
     token stream is cut every ``budget`` tokens. A document's ``pack_id``
@@ -123,15 +124,25 @@ def pack_documents(df: DataFrame, id_col: str, text_col: str,
     offset within that window (documents longer than the remaining window
     straddle the cut, exactly like pretraining-corpus concatenation).
 
+    ``order_col`` overrides the in-shard layout order (ties → id): pass a
+    deterministic key — e.g. ``sampling.hash_bucket(id)`` — to pack in a
+    shuffled epoch order instead of id order, folding the training-order
+    shuffle and the packing layout into ONE window pass (the
+    ``corpus_pipeline`` composite's final stage).
+
     One shuffle (the shard window); within a shard the running sum is a
     single sort-based window — shards bound the sort size, so parallelism
     is ``num_shards`` regardless of corpus size.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    base = df.select(F.col(id_col),
-                     (F.col(id_col) % num_shards).alias("shard"),
-                     F.size(toks).alias("n_tokens"))
-    w = Window.partitionBy("shard").orderBy(id_col) \
+    cols = [F.col(id_col), (F.col(id_col) % num_shards).alias("shard"),
+            F.size(toks).alias("n_tokens")]
+    order = [F.col(id_col)]
+    if order_col is not None:
+        cols.append(order_col.alias("__ord"))
+        order = [F.col("__ord"), F.col(id_col)]
+    base = df.select(*cols)
+    w = Window.partitionBy("shard").orderBy(*order) \
         .rowsBetween(Window.unboundedPreceding, -1)
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return base.select(

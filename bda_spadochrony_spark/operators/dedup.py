@@ -769,8 +769,15 @@ def dedup_survivors(df: DataFrame, id_col: str, pairs: DataFrame,
     zero extra joins). ``keep_by="quality"`` keeps the member with the
     LARGEST value of that ``df`` column instead (ties → smallest id) —
     the production policy that keeps the best-quality / longest copy of
-    a near-dup family rather than an arbitrary one; costs one extra
-    component-keyed argmax over the label table.
+    a near-dup family rather than an arbitrary one; costs two extra
+    component-keyed aggregates + one join over the (bounded,
+    matched-rows-only) label table. The tie-break takes ``min(id)``
+    among the members attaining the max quality — no id negation — so
+    the policy works for ANY orderable id type (string/date/decimal),
+    same domain as the default min-id path (ADVICE r6: the previous
+    ``max(struct(q, -id))`` form threw under ANSI for non-numeric ids).
+    A component whose members all have NULL quality still keeps its
+    min-id member (null-safe equality), never vanishing from the corpus.
 
     Plan shape on top of the component resolution: one count aggregate
     over the (bounded, component-keyed) label table and one left join
@@ -784,15 +791,22 @@ def dedup_survivors(df: DataFrame, id_col: str, pairs: DataFrame,
     labels = dedup_clusters(pairs, id_a, id_b).localCheckpoint(eager=False)
     if keep_by is not None:
         # re-anchor each component on its best-quality member: one
-        # id-keyed join to fetch quality + one component-keyed max
-        q = df.select(F.col(id_col).alias("id"), F.col(keep_by).alias("__q"))
-        best = (labels.join(q, "id")
+        # id-keyed join to fetch quality, a component-keyed max of the
+        # quality ALONE, then min(id) among the members attaining it.
+        # labeled fans out to both aggregates — checkpoint or the
+        # df-side scan replays per consumer (bounded: matched rows only)
+        labeled = (labels.join(
+            df.select(F.col(id_col).alias("id"), F.col(keep_by).alias("__q")),
+            "id").localCheckpoint(eager=False))
+        best_q = (labeled.groupBy("canonical_id")
+                  .agg(F.max("__q").alias("__bq")))
+        # eqNullSafe: max() skips NULL qualities, so __bq is NULL only
+        # when EVERY member's quality is NULL — then all members tie and
+        # min(id) decides, instead of the component losing its survivor
+        best = (labeled.join(best_q, "canonical_id")
+                .where(F.col("__q").eqNullSafe(F.col("__bq")))
                 .groupBy("canonical_id")
-                .agg(F.max(F.struct(F.col("__q"),
-                                    (-F.col("id")).alias("__negid")))
-                     .alias("__b"))
-                .select("canonical_id",
-                        (-F.col("__b.__negid")).alias("__keep")))
+                .agg(F.min("id").alias("__keep")))
         labels = (labels.join(best, "canonical_id")
                   .select("id", F.col("__keep").alias("canonical_id")))
     sizes = labels.groupBy("canonical_id").agg(

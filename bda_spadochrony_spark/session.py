@@ -57,8 +57,10 @@ _BASE_CONF: dict[str, str] = {
     # concurrent tasks' shuffle/agg state (the 10x scale run OOMed the
     # default at a 18M-row band join). Allocated lazily, so idle
     # sessions don't pin it. On a real cluster this becomes
-    # spark.executor.memory via submit conf.
-    "spark.driver.memory": "24g",
+    # spark.executor.memory via submit conf. Overridable via
+    # $SPARK_GRAFT_DRIVER_MEM (ADVICE r6: in a cgroup-limited container
+    # a hard-pinned 24g can be OOM-killed mid-job — size it to the box).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     # testdata parquet stores TIMESTAMP(NANOS); read as long, convert in scan
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # parquet TIMESTAMP(isAdjustedToUTC=false) reads as TIMESTAMP_NTZ under

@@ -4,9 +4,18 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 ``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}``.
 
-Timing contract (unchanged since round 2): per query, BUILD + one full
-action after a single session-wide warmup action — build time included
-because streaming queries drain their input inside the builder.
+Timing contract — REVISED in round 6 (ADVICE r6: the docstring must say
+so): per query, BUILD + one full action, measured in a session whose
+plan-shape surface was pre-warmed by running every headline query once
+at sf0.001 first (codegen/JIT compiled; data-dependent literals still
+miss). Rounds 1-5 measured after only a single session-wide warmup
+action, so their per-query numbers include first-use codegen and are
+NOT directly comparable to round 6+ — the discontinuity is flagged in
+BENCH_SPLIT.json's "note". Build time is included because streaming
+queries drain their input inside the builder. Rationale for the warmed
+contract: a resident 100 TB engine compiles a recurring query once,
+and the r5→r6 A/B showed the unwarmed numbers billed first-use codegen
+to whichever query hit a shape first (order-dependent noise).
 
 Sharded execution (round 6): the round-5 bench regressed ~8% on the
 51 queries common with round 4 with NO plan changes; the round-6 A/B
@@ -223,9 +232,14 @@ def main() -> None:
                    "shards": N_SHARDS,
                    "note": ("r6: bench split into fresh-JVM shards after "
                             "the A/B (tools/bench_ab.py) showed the r5 "
-                            "common-51 +8%% was single-session codegen/GC "
+                            "common-51 +8% was single-session codegen/GC "
                             "load from ~90 plans, not plan regressions — "
-                            "r4's exact set replayed at 0.97x on r6 code"),
+                            "r4's exact set replayed at 0.97x on r6 code. "
+                            "TIMING CONTRACT CHANGE (r6+): shards pre-run "
+                            "every headline query at sf0.001 before "
+                            "timing, so per-query numbers are plan-warmed "
+                            "and not comparable to rounds 1-5's "
+                            "single-warmup-action numbers"),
                    "floors": {
                        "dedup_survivors": (
                            "~3.6s warm floor: 4 star-contraction rounds x "

@@ -198,3 +198,19 @@ def test_binned_interval_join_boundary_pairs_included(spark):
                  binned_interval_join(left, right, "l_ts", "r_ts", 30.0)
                  .collect())
     assert got == [10, 11, 13]
+
+
+def test_driver_memory_env_override(monkeypatch):
+    """ADVICE r6: spark.driver.memory must be overridable via
+    $SPARK_GRAFT_DRIVER_MEM so cgroup-limited containers can size the
+    heap below the 24g engine default instead of being OOM-killed."""
+    import importlib
+    from bda_spadochrony_spark import session as sess
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "4g")
+    try:
+        importlib.reload(sess)
+        assert sess._BASE_CONF["spark.driver.memory"] == "4g"
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM")
+        importlib.reload(sess)
+    assert sess._BASE_CONF["spark.driver.memory"] == "24g"

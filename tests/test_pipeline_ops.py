@@ -1015,6 +1015,29 @@ def test_pca_project_with_literal_basis_is_map_only(spark):
     assert got == {1: 1.0, 2: 3.0}                 # null vec dropped
 
 
+def test_pca_norm_invariant_excludes_null_element_vectors(spark):
+    """ADVICE r6 regression: a vector with a NULL ELEMENT NULL-poisons
+    F.aggregate (the row would emit pnorm2=NULL) while a SQL oracle's
+    sum() skips the NULL terms and returns a partial value — so such
+    vectors are excluded on the Spark side (and the oracle's valid CTE
+    mirrors it). The clean rows' invariant still holds exactly."""
+    from bda_spadochrony_spark.ml.stats import pca_norm_invariant
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [5.0, 1.0]),
+         (3, [None, 7.0]),            # NULL element -> excluded
+         (4, None), (5, [0.0, 0.0])], # NULL / all-zero -> excluded
+        "vec_id: long, embedding: array<double>")
+    rows = {r["vec_id"]: r["pnorm2"]
+            for r in pca_norm_invariant(df, "vec_id", "embedding").collect()}
+    assert set(rows) == {0, 1, 2}
+    # invariant: pnorm2 == centered norm^2 over the CLEAN population
+    import numpy as np
+    data = np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 1.0]])
+    cn2 = ((data - data.mean(axis=0)) ** 2).sum(axis=1)
+    for i in range(3):
+        assert abs(rows[i] - round(cn2[i], 4)) < 1e-6, i
+
+
 def test_source_kl_divergence_known_values(spark):
     import math
     from bda_spadochrony_spark.operators.corpus import source_kl_divergence
@@ -1245,6 +1268,26 @@ def test_dedup_survivors_keep_by_quality(spark):
     best = dedup_survivors(docs, "doc_id", pairs, keep_by="quality")
     assert {(r["doc_id"], r["n_members"]) for r in best.collect()} == \
         {(2, 4), (9, 1)}                               # 0.9 tie -> id 2
+
+
+def test_dedup_survivors_keep_by_string_ids_and_null_quality(spark):
+    """ADVICE r6 regression: keep_by must work for NON-NUMERIC ids (the
+    old max(struct(q, -id)) negated the id and threw for strings under
+    ANSI), tie-break to the SMALLEST id, and a family whose members all
+    have NULL quality must still keep its min-id member."""
+    from bda_spadochrony_spark.operators.dedup import dedup_survivors
+    docs = spark.createDataFrame(
+        [("d1", 0.2), ("d2", 0.9), ("d3", 0.9),        # tie at 0.9
+         ("n1", None), ("n2", None),                   # all-NULL family
+         ("s9", 0.1)],
+        "doc_id: string, quality: double")
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3"), ("n1", "n2")], ["id_a", "id_b"])
+    best = dedup_survivors(docs, "doc_id", pairs, keep_by="quality")
+    assert {(r["doc_id"], r["n_members"]) for r in best.collect()} == \
+        {("d2", 3),    # max quality 0.9, tie d2/d3 -> smallest id
+         ("n1", 2),    # all-NULL quality -> min id survives, not dropped
+         ("s9", 1)}
 
 
 def test_finite_vectors_protects_moment_statistics(spark):
