@@ -2224,6 +2224,71 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens")])
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-corpus pipeline as ONE lazy Spark plan
+    (VERDICT r6 stretch #8) — normalize → quality gate → exact dedup →
+    benchmark decontamination → mixture rebalance → shuffled-epoch
+    sequence packing, composed from the engine's stage operators with NO
+    driver round-trips between stages (no collect/count anywhere; one
+    action executes the whole pipeline):
+
+      1. ``normalize_text``: canonical lower/strip/collapse.
+      2. ``quality_gate`` ON THE NORMALIZED TEXT (default thresholds):
+         keep only verdict-ok documents.
+      3. Exact dedup: keep the lowest doc_id per normalized content —
+         windowed on the xxhash64 digest so the shuffle key is 8 bytes,
+         like ``corpus_prep`` (digest ≡ content grouping absent
+         collisions; the oracle groups on the text itself).
+      4. Decontamination: drop documents whose 3-gram overlap with the
+         benchmark carve-out (doc_id % 97 == 0, excluded from the corpus
+         side) exceeds 0.05.
+      5. ``mixture_sample``: rebalance language shares to the standard
+         en-heavy pretraining mix with deterministic (hash, id) ranks.
+      6. ``pack_documents(order_col=hash_bucket(id))``: concatenate-and-
+         cut 512-token windows in SHUFFLED epoch order — the training-
+         order shuffle and the packing layout fold into one window pass.
+
+    The two frames consumed by multiple stages (the normalized corpus;
+    the mixture survivors) are lazily checkpointed — exactly the frames
+    a production pipeline would materialize between stages — so lineage
+    does not re-run upstream stages per consumer. Every stage is
+    deterministic and engine-portable → the whole composite is value-
+    oracled end-to-end (the integration proof that the stage oracles
+    compose)."""
+    from bda_spadochrony_spark.operators.corpus import (contamination,
+                                                        pack_documents,
+                                                        quality_gate)
+    from bda_spadochrony_spark.operators.sampling import (hash_bucket,
+                                                          mixture_sample)
+    from bda_spadochrony_spark.operators.text import normalize_text
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    norm = (docs.select("doc_id", "lang",
+                        normalize_text("text").alias("ntext"))
+            .localCheckpoint(eager=False))
+    gate = quality_gate(norm, "doc_id", "ntext")
+    kept = norm.join(gate.where(F.col("keep") == 1).select("doc_id"),
+                     "doc_id", "left_semi")
+    wd = Window.partitionBy(F.xxhash64("ntext")).orderBy("doc_id")
+    uniq = (kept.withColumn("__rn", F.row_number().over(wd))
+            .where(F.col("__rn") == 1).drop("__rn"))
+    bench = norm.where(F.col("doc_id") % 97 == 0)
+    corp = uniq.where(F.col("doc_id") % 97 != 0)
+    cont = contamination(corp, bench, "doc_id", "ntext", shingle_n=3)
+    clean = corp.join(cont.where(F.col("contamination") <= 0.05)
+                      .select("doc_id"), "doc_id", "left_semi")
+    mixed = (mixture_sample(clean, "doc_id", "lang",
+                            {"en": 0.5, "de": 0.125, "fr": 0.125,
+                             "es": 0.125, "zh": 0.125})
+             .localCheckpoint(eager=False))
+    packed = pack_documents(mixed, "doc_id", "ntext", budget=512,
+                            num_shards=8, order_col=hash_bucket("doc_id"))
+    return (packed.join(mixed.select("doc_id", "lang"), "doc_id")
+            .select("doc_id", "lang", "shard", "n_tokens",
+                    hash_bucket("doc_id").alias("shuffle_key"),
+                    "pack_id", "pack_offset"))
+
+
 def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw-SQL API surface: temp views + ``spark.sql`` running a
     multi-feature statement (CTE, join, window, aggregate) — proves a
@@ -2625,8 +2690,54 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # confirmation backlog; _TAIL holds long-confirmed queries whose parity is
 # continuously re-proven by tests/test_oracle_parity.py.
 _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- round-6 head: the 12 queries with ZERO driver rows across
-    # rounds 1-5 (VERDICT r5 ask #1 — tail-first placement last round)
+    # ---- round-7 head: the NEW composite (zero driver rows — must enter
+    # the window immediately) and the four queries whose SOURCE changed
+    # this round (planes_for ANN default, NULL-element PCA filter, the
+    # keep_by tie-break rewrite)
+    "corpus_pipeline": q_corpus_pipeline,
+    "pca_invariants": q_pca_invariants,
+    "dedup_survivors": q_dedup_survivors,
+    "embedding_ann_stack": q_embedding_ann_stack,
+    "embedding_lsh_portable": q_embedding_lsh_portable,
+    # ---- the single-confirmation backlog, oldest cohort first (VERDICT
+    # r6 ask #1: 49 -> <=25; this window covers 48 of the 49, leaving
+    # only label_propagation for round 8): last driver row r4 ...
+    "nation_profit": q_nation_profit,
+    "doc_fingerprint_md5": q_doc_fingerprint_md5,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "pii_scrub": q_pii_scrub,
+    "contamination": q_contamination,
+    "pack_documents": q_pack_documents,
+    "balanced_sample": q_balanced_sample,
+    "column_profile": q_column_profile,
+    "embedding_ivf_portable": q_embedding_ivf_portable,
+    "sessionize": q_sessionize,
+    # ---- ... last driver row r5 ...
+    "hash_split": q_hash_split,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "embedding_standardize": q_embedding_standardize,
+    "corpus_shuffle": q_corpus_shuffle,
+    "stream_enrich": q_stream_enrich,
+    "centroid_classify": q_centroid_classify,
+    "classify_eval": q_classify_eval,
+    "source_kl": q_source_kl,
+    "quality_gate": q_quality_gate,
+    "kmeans_step": q_kmeans_step,
+    "embedding_outliers": q_embedding_outliers,
+    "skew_diagnostics": q_skew_diagnostics,
+    "zorder_layout": q_zorder_layout,
+    "scd2_history": q_scd2_history,
+    "join_cardinality": q_join_cardinality,
+    "heavy_hitters": q_heavy_hitters,
+    "unigram_surprisal": q_unigram_surprisal,
+    "mixture_sample": q_mixture_sample,
+    "embedding_covariance": q_embedding_covariance,
+    "tokens_to_ids": q_tokens_to_ids,
+    "embedding_quantize": q_embedding_quantize,
+    "ml_linear_fit": q_ml_linear_fit,
+    # ---- ... last driver row r6 (newest cohort; label_propagation is
+    # the one single deliberately deferred to round 8 — its oracle
+    # recomputes the graph exhaustively and two pytests chain it)
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
     "expectations": q_expectations,
@@ -2638,15 +2749,16 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pit_join": q_pit_join,
     "entity_match": q_entity_match,
     "weighted_sample": q_weighted_sample,
-    "label_propagation": q_label_propagation,
-    # ---- changed/new this round: the md5-band incremental_dedup oracle
-    # (ADVICE r5 medium) and the pca_project invariant twin (r5 ask #7)
-    "incremental_dedup": q_incremental_dedup,
-    "pca_invariants": q_pca_invariants,
     "span_dedup": q_span_dedup,
     "bm25_search": q_bm25_search,
-    # ---- oldest single-confirmation backlog (last driver row r3/r4);
-    # re-confirming these drops the singles count 69 -> 45
+}
+
+_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # the one single-confirmation query deferred from the round-7 window
+    # (see _WINDOW comment) — head of the round-8 rotation
+    "label_propagation": q_label_propagation,
+    # double-confirmed in the round-6 window; parity re-proven every
+    # round by tests/test_oracle_parity.py
     "tf_idf": q_tf_idf,
     "stream_update": q_stream_update,
     "late_supplier_blame": q_late_supplier_blame,
@@ -2681,44 +2793,11 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bitwise_funcs": q_bitwise_funcs,
     "hash_funcs": q_hash_funcs,
     "corpus_prep": q_corpus_prep,
-}
-
-_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # displaced from the round-6 window to make room for the new
-    # span_dedup / bm25_search (single r4 confirmations — head of the
-    # round-7 rotation)
-    "nation_profit": q_nation_profit,
-    "doc_fingerprint_md5": q_doc_fingerprint_md5,
-    # displaced from the round-6 window (single r5 confirmation) — the
-    # rest of the round-7 rotation head, oldest first
-    "hash_split": q_hash_split,
-    "bpe_pair_counts": q_bpe_pair_counts,
-    "embedding_standardize": q_embedding_standardize,
-    "corpus_shuffle": q_corpus_shuffle,
-    "pca_project": q_pca_project,
-    "stream_enrich": q_stream_enrich,
-    "centroid_classify": q_centroid_classify,
-    "classify_eval": q_classify_eval,
-    "source_kl": q_source_kl,
-    "quality_gate": q_quality_gate,
-    "kmeans_step": q_kmeans_step,
-    "embedding_outliers": q_embedding_outliers,
-    "skew_diagnostics": q_skew_diagnostics,
-    "zorder_layout": q_zorder_layout,
-    "scd2_history": q_scd2_history,
-    "join_cardinality": q_join_cardinality,
-    "heavy_hitters": q_heavy_hitters,
-    "unigram_surprisal": q_unigram_surprisal,
-    "mixture_sample": q_mixture_sample,
-    "dedup_survivors": q_dedup_survivors,
-    "embedding_covariance": q_embedding_covariance,
-    "tokens_to_ids": q_tokens_to_ids,
-    "embedding_quantize": q_embedding_quantize,
-    "ml_linear_fit": q_ml_linear_fit,
+    "incremental_dedup": q_incremental_dedup,
     "sketch_mergeable": q_sketch_mergeable,
     "priority_lines": q_priority_lines,
     "repetition_stats": q_repetition_stats,
-    "embedding_ann_stack": q_embedding_ann_stack,
+    "pca_project": q_pca_project,
     "simhash_md5_pairs": q_simhash_md5_pairs,
     "simhash_pairs": q_simhash_pairs,
     "minhash_near_dup": q_minhash_near_dup,
@@ -2742,15 +2821,6 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     # multi-confirmation queries, parity re-proven every round by
     # tests/test_oracle_parity.py
-    "disjunctive_revenue": q_disjunctive_revenue,
-    "pii_scrub": q_pii_scrub,
-    "contamination": q_contamination,
-    "pack_documents": q_pack_documents,
-    "balanced_sample": q_balanced_sample,
-    "column_profile": q_column_profile,
-    "embedding_lsh_portable": q_embedding_lsh_portable,
-    "embedding_ivf_portable": q_embedding_ivf_portable,
-    "sessionize": q_sessionize,
     "interval_join_binned": q_interval_join_binned,
     "stream_hourly": q_stream_hourly,
     "stream_join_outer": q_stream_join_outer,
@@ -5088,6 +5158,135 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round((avg(n_tokens)) + 1e-06, 2) AS avg_tokens,
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
             FROM first GROUP BY 1
+        """,
+        # end-to-end corpus pipeline: each CTE block restates one stage
+        # operator's existing oracle (quality_gate / corpus_prep dedup /
+        # contamination / mixture_sample / pack_documents), chained on the
+        # NORMALIZED text; on ntext the engine's two tokenizations (\s+
+        # lower/trim vs ' +' raw) coincide with string_split(ntext, ' ')
+        "corpus_pipeline": """
+            WITH norm AS (
+                SELECT doc_id, lang,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^\\pL\\pN\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+                           AS ntext
+                FROM documents
+            ), ltoks AS (
+                SELECT doc_id, unnest(string_split(ntext, ' ')) AS tok
+                FROM norm
+            ), per_tok AS (
+                SELECT doc_id, tok, count(*) AS c FROM ltoks GROUP BY 1, 2
+            ), tok_stats AS (
+                SELECT doc_id, max(c) AS tc, CAST(sum(c) AS BIGINT) AS n
+                FROM per_tok GROUP BY 1
+            ), rts AS (
+                SELECT doc_id, string_split(ntext, ' ') AS rt FROM norm
+            ), sh AS (
+                SELECT doc_id, rt[i] || ' ' || rt[i+1] || ' ' || rt[i+2]
+                       AS s
+                FROM (SELECT doc_id, rt,
+                             unnest(generate_series(1, len(rt) - 2)) AS i
+                      FROM rts)
+            ), gram_stats AS (
+                SELECT doc_id, count(*) AS n3, count(DISTINCT s) AS nd3
+                FROM sh GROUP BY 1
+            ), cnts AS (
+                SELECT tok, count(*) AS tf FROM ltoks GROUP BY 1
+            ), tot AS (
+                SELECT sum(tf)::DOUBLE AS n_total FROM cnts
+            ), sur AS (
+                SELECT doc_id,
+                       round((avg(-log2(tf / n_total))) + 1e-08, 4) AS s
+                FROM ltoks JOIN cnts USING (tok) CROSS JOIN tot
+                GROUP BY doc_id
+            ), gated AS (
+                -- quality_gate verdict = 'ok' (same rounded inputs and
+                -- thresholds as the standalone quality_gate oracle)
+                SELECT d.doc_id FROM norm d
+                LEFT JOIN tok_stats t USING (doc_id)
+                LEFT JOIN gram_stats g USING (doc_id)
+                LEFT JOIN sur s USING (doc_id)
+                WHERE coalesce(t.n, 0) >= 30
+                  AND round((coalesce(1.0 - g.nd3 * 1.0 / g.n3, 0.0))
+                            + 1e-08, 4) <= 0.03
+                  AND round((coalesce(t.tc, 0) * 1.0
+                             / greatest(coalesce(t.n, 0), 1))
+                            + 1e-08, 4) <= 0.15
+                  AND coalesce(s.s, 0.0) BETWEEN 4.9 AND 5.2
+            ), uniq AS (
+                SELECT doc_id, lang, ntext FROM (
+                    SELECT n.*, row_number() OVER (PARTITION BY ntext
+                                                   ORDER BY doc_id) AS rn
+                    FROM norm n JOIN gated USING (doc_id)
+                ) WHERE rn = 1
+            ), corp AS (
+                SELECT * FROM uniq WHERE doc_id % 97 <> 0
+            ), b_sh AS (
+                SELECT DISTINCT g AS shingle FROM (
+                    SELECT unnest([array_to_string(rt[i:i+2], ' ')
+                                   for i in range(1, len(rt) - 3 + 2)]) AS g
+                    FROM rts WHERE doc_id % 97 = 0)
+            ), c_sh AS (
+                SELECT DISTINCT doc_id, g AS shingle FROM (
+                    SELECT doc_id,
+                           unnest([array_to_string(rt[i:i+2], ' ')
+                                   for i in range(1, len(rt) - 3 + 2)]) AS g
+                    FROM (SELECT doc_id, string_split(ntext, ' ') AS rt
+                          FROM corp))
+            ), totals AS (
+                SELECT doc_id, count(*) AS n_shingles FROM c_sh GROUP BY 1
+            ), hits AS (
+                SELECT doc_id, count(*) AS n_cont FROM c_sh
+                WHERE shingle IN (SELECT shingle FROM b_sh) GROUP BY 1
+            ), clean AS (
+                SELECT corp.* FROM corp JOIN (
+                    SELECT t.doc_id FROM totals t LEFT JOIN hits h USING (doc_id)
+                    WHERE round((COALESCE(h.n_cont, 0)
+                                 / greatest(t.n_shingles, 1)) + 1e-08, 4)
+                          <= 0.05
+                ) USING (doc_id)
+            ), counts AS (
+                SELECT lang, count(*) AS c,
+                       (CASE lang WHEN 'en' THEN 0.5
+                                  WHEN 'de' THEN 0.125 WHEN 'fr' THEN 0.125
+                                  WHEN 'es' THEN 0.125 WHEN 'zh' THEN 0.125
+                        END)::DOUBLE AS w
+                FROM clean GROUP BY 1
+            ), t AS (
+                SELECT min(c / w) AS T FROM counts WHERE w IS NOT NULL
+            ), quotas AS (
+                SELECT lang, CAST(floor(T * w) AS BIGINT) AS quota
+                FROM counts CROSS JOIN t WHERE w IS NOT NULL
+            ), ranked AS (
+                SELECT doc_id, lang, ntext,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 4294967296 ASC,
+                                    doc_id ASC) AS rk
+                FROM clean
+            ), mixed AS (
+                SELECT doc_id, lang, ntext
+                FROM ranked JOIN quotas USING (lang)
+                WHERE rk <= quota
+            ), base AS (
+                SELECT doc_id, lang, doc_id % 8 AS shard,
+                       len(string_split(ntext, ' ')) AS n_tokens,
+                       (doc_id * 2654435761) % 4294967296 AS shuffle_key
+                FROM mixed
+            ), laid AS (
+                SELECT doc_id, lang, shard, n_tokens, shuffle_key,
+                       COALESCE(sum(n_tokens) OVER (
+                           PARTITION BY shard
+                           ORDER BY shuffle_key, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS start
+                FROM base
+            )
+            SELECT doc_id, lang, shard,
+                   CAST(n_tokens AS INTEGER) AS n_tokens, shuffle_key,
+                   CAST(start // 512 AS BIGINT) AS pack_id,
+                   CAST(start % 512 AS BIGINT) AS pack_offset
+            FROM laid
         """,
         "stream_sliding": """
             WITH starts AS (

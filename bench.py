@@ -140,6 +140,8 @@ HEADLINE = [
     ("pca_invariants", "count"),
     ("span_dedup", "count"),
     ("bm25_search", "collect"),
+    # round 7 additions
+    ("corpus_pipeline", "count"),
 ]
 
 N_SHARDS = 2

@@ -1038,6 +1038,31 @@ def test_pca_norm_invariant_excludes_null_element_vectors(spark):
         assert abs(rows[i] - round(cn2[i], 4)) < 1e-6, i
 
 
+def test_pack_documents_order_col_packs_in_shuffled_order(spark):
+    """order_col lays documents out in the given deterministic order
+    (ties -> id) instead of id order — the shuffled-epoch packing the
+    corpus_pipeline composite uses. Same windows, same budget arithmetic,
+    different layout order; omitting order_col keeps the id-order layout."""
+    from bda_spadochrony_spark.operators.corpus import pack_documents
+    from bda_spadochrony_spark.operators.sampling import hash_bucket
+    ids = [0, 8, 16, 24, 32]                   # one shard (id % 8 == 0)
+    docs = spark.createDataFrame([(i, "a b c d e") for i in ids],
+                                 ["doc_id", "text"])
+    by_id = {r["doc_id"]: (r["pack_id"], r["pack_offset"])
+             for r in pack_documents(docs, "doc_id", "text",
+                                     budget=12).collect()}
+    # id order: starts 0,5,10,15,20 -> packs (0,0),(0,5),(0,10),(1,3),(1,8)
+    assert [by_id[i] for i in ids] == [(0, 0), (0, 5), (0, 10), (1, 3), (1, 8)]
+    shuffled = {r["doc_id"]: (r["pack_id"], r["pack_offset"])
+                for r in pack_documents(
+                    docs, "doc_id", "text", budget=12,
+                    order_col=hash_bucket("doc_id")).collect()}
+    exp_order = sorted(ids, key=lambda i: ((i * 2654435761) % 2 ** 32, i))
+    assert exp_order != ids                    # the hash genuinely reorders
+    assert [shuffled[i] for i in exp_order] == \
+        [(0, 0), (0, 5), (0, 10), (1, 3), (1, 8)]
+
+
 def test_source_kl_divergence_known_values(spark):
     import math
     from bda_spadochrony_spark.operators.corpus import source_kl_divergence

@@ -37,9 +37,15 @@ FAMILY = [
     "pack_documents", "corpus_shuffle", "hash_split",
     "sketch_mergeable", "pagerank_step", "label_propagation",
     "funnel", "cohort_retention", "token_pmi",
+    # folded in from the r6 addendum + the r7 composite
+    "span_dedup", "bm25_search", "corpus_pipeline",
     "stream_hourly", "stream_distinct", "stream_sliding",
     "stream_join_outer",
 ]
+
+# the stateful-streaming family re-measured per state-store provider
+# (VERDICT r6 ask #4: the sizing story was asserted, not measured)
+STREAMING = ["stream_join_outer", "stream_distinct", "stream_sliding"]
 
 
 def main() -> None:
@@ -70,10 +76,72 @@ def main() -> None:
             print(f"  {name}: {out[name]:.2f}s rows={n}", flush=True)
         return out
 
+    def probe_join_state(sf_dir: str) -> dict:
+        """Run the signature stream-stream full-outer interval join with a
+        captured query handle and report the LAST micro-batch's state-store
+        metrics (rows held, provider memory) — the numbers use_rocksdb_state
+        exists to bound. Mirrors q_stream_join_outer's pipeline."""
+        from bda_spadochrony_spark.streaming.sources import file_stream
+        from bda_spadochrony_spark.plans.stream_fused import fused_stream_join
+        from bda_spadochrony_spark.streaming.runner import run_to_memory
+        from pyspark.sql import functions as F
+        errors = (file_stream(spark, f"{sf_dir}/events*.parquet",
+                              entry_mod.EVENTS_SCHEMA)
+                  .where(F.col("event_type") == "error")
+                  .select(F.col("event_id").alias("err_id"),
+                          F.col("user_id").alias("err_user"),
+                          F.col("ts").alias("err_ts")))
+        clicks = (file_stream(spark, f"{sf_dir}/events*.parquet",
+                              entry_mod.EVENTS_SCHEMA)
+                  .where(F.col("event_type") == "click")
+                  .select(F.col("event_id").alias("click_id"),
+                          F.col("user_id").alias("click_user"),
+                          F.col("ts").alias("click_ts")))
+        joined = fused_stream_join(errors, clicks, "err_ts", "click_ts")
+        q, _ = run_to_memory(joined, available_now=True)
+        q.awaitTermination(600)
+        progs = [p for p in q.recentProgress if p.get("stateOperators")]
+        last_ops = progs[-1]["stateOperators"] if progs else []
+        return {
+            "micro_batches": len(q.recentProgress),
+            "state_rows_total": sum(o.get("numRowsTotal", 0)
+                                    for o in last_ops),
+            "state_memory_bytes": sum(o.get("memoryUsedBytes", 0)
+                                      for o in last_ops),
+        }
+
+    def streaming_pass(sf_dir: str, rocksdb: bool) -> dict:
+        from bda_spadochrony_spark.streaming.runner import use_rocksdb_state
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = use_rocksdb_state(spark, rocksdb)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            times = {}
+            for name in STREAMING:
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).count()
+                times[name] = round(time.perf_counter() - t0, 3)
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            state = probe_join_state(sf_dir)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            if prev:
+                spark.conf.set(key, prev)
+            else:
+                use_rocksdb_state(spark, False)
+        return {"times": times, "join_state": state}
+
     print("== sf0.1 ==", flush=True)
     t01 = timed_pass(sf01)
     print("== sf1 (10x) ==", flush=True)
     t1 = timed_pass(sf1)
+
+    streaming_state = {}
+    for sf_name, sf_dir in [("sf0.1", sf01), ("sf1", sf1)]:
+        for provider in ["hdfs_heap", "rocksdb"]:
+            print(f"== streaming state: {sf_name} {provider} ==", flush=True)
+            streaming_state[f"{sf_name}_{provider}"] = streaming_pass(
+                sf_dir, provider == "rocksdb")
 
     factors = {k: round(t1[k] / t01[k], 2) if t01[k] > 0 else None
                for k in FAMILY}
@@ -82,10 +150,27 @@ def main() -> None:
         "sum_sf0.1": round(sum(t01.values()), 2),
         "sum_sf1": round(sum(t1.values()), 2),
         "note": ("10x rows in documents/embeddings/events "
-                 "(tools/gen_scale_data.py, distributions mirrored from "
-                 "sf0.1). factor ~= marginal cost of 10x data; << 10 "
-                 "means the sf0.1 time was scheduling floor; >> 10 "
-                 "flags a super-linear path."),
+                 "(tools/gen_scale_data.py). factor ~= marginal cost of "
+                 "10x data; << 10 means the sf0.1 time was scheduling "
+                 "floor; >> 10 flags a super-linear path. FIXTURE v2 "
+                 "(r7): documents draw from a Zipfian 10k-type "
+                 "vocabulary — the r6 31-token vocab made random-pair "
+                 "Jaccard ~1e-3 and the minhash factor measured the "
+                 "fixture; ANN contract queries now also size planes "
+                 "from the corpus (planes_for default), so the ann/lsh "
+                 "rows are at the design point the r6 VERDICT asked "
+                 "to re-record."),
+        "streaming_state_addendum": {
+            **streaming_state,
+            "note": ("the stateful family per state-store provider "
+                     "(VERDICT r6 #4). join_state = last micro-batch of "
+                     "the signature full-outer interval join probed via "
+                     "recentProgress: rows held in state and provider "
+                     "memory. RocksDB bounds executor-heap state (its "
+                     "memory figure is block-cache + memtable, off-heap) "
+                     "— the provider to run when state ~ key cardinality "
+                     "x watermark horizon at 100 TB."),
+        },
     }
     with open(os.path.join(repo, "BENCH_SF1.json"), "w") as fh:
         json.dump(payload, fh, indent=1)

@@ -9,10 +9,20 @@ unscaled for incidental reads. Deterministic (seed=42): reruns produce
 byte-identical tables.
 
 Measured sf0.1 properties mirrored here:
-- documents: 5,000 rows; 31-token vocab; n_tokens ~ Uniform(10,100);
+- documents: 5,000 rows; n_tokens ~ Uniform(10,100);
   lang {en:41%, zh/es/fr/de ~15%}; 20 sources; ~5% of docs are
-  near-copies of an earlier doc (1-5 token edits → Jaccard ≥ 0.5 pairs:
-  256 at sf0.1) and ~0.2% exact copies (8 at sf0.1).
+  near-copies of an earlier doc (1-5 token edits → Jaccard ≥ 0.5 pairs)
+  and ~0.2% exact copies.
+  FIXTURE v2 (round 7, VERDICT r6 #3): random tokens draw from a
+  ZIPFIAN 10,000-type vocabulary (exponent 1.05) instead of the
+  driver testdata's 31-token vocab. The tiny vocab made random-pair
+  Jaccard ≈ 1e-3, so a constant fraction of ALL pairs band-collided
+  and the r6 minhash 10× factor (16×) measured the fixture, not the
+  operator (SCALE.md's own diagnosis, corroborated by the r6
+  realistic-vocabulary recall test). With 10k Zipfian types,
+  random-pair Jaccard ≈ 0 — only the PLANTED near/exact copies
+  collide, which is the property a real corpus has. The explicit
+  near-dup family is untouched, so dedup recall work is unchanged.
 - embeddings: 2,000 rows; FLOAT[64]; 10 labels; per-value mean 0,
   sd 0.125 (label-cluster centers + noise — within-cluster cosine ≈ 0.5
   so the 0.42-threshold near-dup family has work to do at every scale).
@@ -35,12 +45,21 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-VOCAB = ["a", "agg", "batch", "big", "column", "customer", "data", "dup",
-         "fast", "filter", "group", "hash", "join", "key", "line", "merge",
-         "order", "part", "query", "row", "scan", "slow", "small", "sort",
-         "spark", "stream", "table", "the", "value", "vector", "window"]
+# FIXTURE v2: Zipfian 10k-type vocabulary (see module docstring). Rank-r
+# probability ∝ 1/r^1.05 — the classic natural-language token curve.
+VOCAB_TYPES = 10_000
+_ranks = np.arange(1, VOCAB_TYPES + 1, dtype=np.float64)
+_zipf_p = (1.0 / _ranks ** 1.05)
+_zipf_p /= _zipf_p.sum()
+_ZIPF_CDF = np.cumsum(_zipf_p)
+VOCAB = [f"w{i:05d}" for i in range(VOCAB_TYPES)]
 LANGS = (["en"] * 41 + ["zh"] * 15 + ["es"] * 15 + ["fr"] * 15 + ["de"] * 14)
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _draw_tokens(rng: np.random.Generator, n: int) -> list[str]:
+    idx = np.searchsorted(_ZIPF_CDF, rng.random(n))
+    return [VOCAB[int(i)] for i in idx]
 
 
 def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
@@ -52,14 +71,13 @@ def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
             continue
         if i > 10 and r < 0.05:                       # near copy, 1-5 edits
             base = texts[int(rng.integers(0, i))].split(" ")
-            for _ in range(int(rng.integers(1, 6))):
-                base[int(rng.integers(0, len(base)))] = \
-                    VOCAB[int(rng.integers(0, len(VOCAB)))]
+            edits = _draw_tokens(rng, int(rng.integers(1, 6)))
+            for tok in edits:
+                base[int(rng.integers(0, len(base)))] = tok
             texts.append(" ".join(base))
             continue
         ntok = int(rng.integers(10, 101))
-        texts.append(" ".join(VOCAB[int(t)] for t in
-                              rng.integers(0, len(VOCAB), ntok)))
+        texts.append(" ".join(_draw_tokens(rng, ntok)))
     return pa.table({
         "doc_id": pa.array(range(n), pa.int64()),
         "text": pa.array(texts, pa.string()),
