@@ -4393,14 +4393,21 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "scd2_history": """
             WITH t AS (
+                -- NULL-ts observations dropped; first row kept via rn
+                -- (NOT lag IS NULL — a NULL attr in the previous row
+                -- would mis-read as 'first'); change = IS DISTINCT FROM
+                -- (NULL-safe, matching Spark's struct eqNullSafe) —
+                -- semantics pinned r7, see scd.scd2_history docstring
                 SELECT user_id, ts, event_type,
                        lag(event_type) OVER (PARTITION BY user_id
                                              ORDER BY ts, event_type)
-                       AS prev
-                FROM events
+                       AS prev,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_type) AS rn
+                FROM events WHERE ts IS NOT NULL
             ), c AS (
                 SELECT user_id, ts, event_type
-                FROM t WHERE prev IS NULL OR event_type != prev
+                FROM t WHERE rn = 1 OR event_type IS DISTINCT FROM prev
             )
             SELECT user_id, event_type, ts AS valid_from,
                    lead(ts) OVER w AS valid_to,
@@ -4408,7 +4415,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS is_current
             FROM c
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
-        """,
+""",
         "join_cardinality": """
             WITH l AS (
                 SELECT l_orderkey AS k, count(*) AS n
@@ -4626,14 +4633,17 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "pit_join": """
             WITH t AS (
+                -- same pinned NULL semantics as the scd2_history oracle
                 SELECT user_id, ts, event_type,
                        lag(event_type) OVER (PARTITION BY user_id
                                              ORDER BY ts, event_type)
-                       AS prev
-                FROM events
+                       AS prev,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_type) AS rn
+                FROM events WHERE ts IS NOT NULL
             ), c AS (
                 SELECT user_id, ts, event_type
-                FROM t WHERE prev IS NULL OR event_type != prev
+                FROM t WHERE rn = 1 OR event_type IS DISTINCT FROM prev
             ), dim AS (
                 SELECT user_id, ts AS valid_from,
                        lead(ts) OVER (PARTITION BY user_id

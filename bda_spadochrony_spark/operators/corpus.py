@@ -246,6 +246,31 @@ def quality_gate(df: DataFrame, id_col: str, text_col: str,
                     (reason == "ok").cast("int").alias("keep"))
 
 
+def surprisal_band(df: DataFrame, id_col: str, text_col: str,
+                   lo_q: float = 0.1, hi_q: float = 0.9,
+                   round_digits: int = 4) -> tuple[float, float]:
+    """Corpus-CALIBRATED surprisal thresholds — the quality-filter twin
+    of ``similarity.planes_for`` (round 7, BENCH_SF1 lesson): a fixed
+    surprisal band is specific to the corpus it was tuned on. Absolute
+    unigram surprisal scales with vocabulary size and shape — a band
+    tuned on a small-vocabulary corpus sits entirely below a 10k-type
+    Zipfian corpus's distribution, so the same fixed gate that keeps 70%
+    of one corpus drops 100% of the other (measured: ``corpus_pipeline``
+    at the sf1 fixture-v2 run). CCNet/Gopher-style filters calibrate
+    per corpus for exactly this reason.
+
+    Returns the ``(lo_q, hi_q)`` exact percentiles of the corpus's own
+    per-document surprisal distribution — pass them to ``quality_gate``.
+    Calibration is a FIT step (like centroid fitting or plane sizing):
+    one extra aggregate over the surprisal frame, driver sees 2 floats.
+    """
+    sur = unigram_surprisal(df, id_col, text_col)
+    row = sur.agg(
+        F.expr(f"percentile(surprisal, {lo_q})").alias("lo"),
+        F.expr(f"percentile(surprisal, {hi_q})").alias("hi")).collect()[0]
+    return (round(row["lo"], round_digits), round(row["hi"], round_digits))
+
+
 def token_pmi(df: DataFrame, id_col: str, text_col: str,
               top_tokens: int = 50, top_k: int = 30, min_docs: int = 2,
               round_digits: int = 4) -> DataFrame:

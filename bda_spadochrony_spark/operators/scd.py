@@ -53,17 +53,33 @@ def scd2_history(df: DataFrame, key_col: str, attr_cols: list[str],
     ``valid_to`` (NULL = still current) and an ``is_current`` flag.
 
     Ties on the timestamp break deterministically on the attribute tuple
-    so the history is reproducible under any partitioning.
+    so the history is reproducible under any partitioning. Two boundary
+    ties at the SAME instant produce an empty first interval
+    ``[ts, ts)`` — a fact at that instant lands in the later version
+    (half-open semantics), so facts still match at most one version.
+
+    NULL semantics (pinned round 7, edge-fixture program): observations
+    with a NULL timestamp are DROPPED — a validity interval cannot
+    anchor on an unknown time, and engines disagree on NULL ordering
+    inside windows (Spark NULLS FIRST vs SQL NULLS LAST), so keeping
+    them makes the history partitioning-/engine-dependent. Change
+    detection is NULL-SAFE: an attribute flipping to or from NULL IS a
+    version change (two consecutive NULL observations still merge); the
+    first observation per key is kept by an explicit row-number marker
+    rather than ``lag IS NULL``, which would mis-read a NULL attribute
+    in the previous row as 'first row'.
     """
     attrs = [F.col(c) for c in attr_cols]
     w = (Window.partitionBy(key_col)
          .orderBy(F.col(ts_col).asc(), *[a.asc() for a in attrs]))
-    tagged = df.select(
+    tagged = df.where(F.col(ts_col).isNotNull()).select(
         F.col(key_col), F.col(ts_col), *attrs,
         F.struct(*attrs).alias("__a"),
-        F.lag(F.struct(*attrs)).over(w).alias("__prev"))
-    changed = tagged.where(F.col("__prev").isNull() |
-                           (F.col("__a") != F.col("__prev")))
+        F.lag(F.struct(*attrs)).over(w).alias("__prev"),
+        F.row_number().over(w).alias("__rn"))
+    changed = tagged.where(
+        (F.col("__rn") == 1) |
+        ~F.col("__a").eqNullSafe(F.col("__prev")))
     w2 = (Window.partitionBy(key_col)
           .orderBy(F.col(ts_col).asc(), *[a.asc() for a in attrs]))
     return (changed.select(

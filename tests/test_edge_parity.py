@@ -210,6 +210,13 @@ EDGE_EVENT_QUERIES = [
     "tz_hourly", "null_skipping_agg", "filtered_hourly",
     "window_analytics", "equi_depth_histogram", "histogram", "funnel",
     "cohort_retention", "stats_agg",
+    # r7 (VERDICT r6 #6): the temporal-table family on NULL user ids,
+    # NULL timestamps, NULL attributes at version boundaries, duplicate
+    # timestamps AT a boundary, and duplicate observations — pinned
+    # semantics: NULL-ts observations dropped (engines disagree on NULL
+    # window ordering), change detection NULL-safe with a first-row
+    # marker (scd.scd2_history docstring)
+    "scd2_history", "pit_join",
 ]
 
 
@@ -232,6 +239,21 @@ def edge_ev_dir():
         (8, ts(2024, 1, 8, 12, 0, 0), 2, "purchase", 0.0, '{"k": 7}'),
         (9, ts(2024, 1, 1, 0, 30, 0), 3, "view", -4.5, '{"k": 8}'),
         (10, ts(2024, 1, 1, 0, 45, 0), 3, "purchase", 4.5, '{"k": 9}'),
+        # r7: SCD2/PIT pathologies — user 4's observation log carries a
+        # version-boundary timestamp TIE (click+view at the same instant
+        # -> empty first interval, facts land in the later version), an
+        # exact duplicate observation at the tie, a NULL-attribute
+        # version (change to/from NULL is a change, NULL-safe), a
+        # consecutive NULL re-observation (merges), and a NULL-ts
+        # observation (dropped from the history)
+        (11, ts(2024, 1, 1, 3, 0, 0), 4, "click", 1.0, '{"k": 10}'),
+        (12, ts(2024, 1, 1, 3, 0, 0), 4, "view", 2.0, '{"k": 11}'),
+        (13, ts(2024, 1, 1, 3, 0, 0), 4, "click", 3.0, '{"k": 10}'),
+        (14, ts(2024, 1, 1, 4, 0, 0), 4, None, 1.5, '{"k": 12}'),
+        (15, ts(2024, 1, 1, 4, 30, 0), 4, None, 2.5, '{"k": 13}'),
+        (16, ts(2024, 1, 1, 5, 0, 0), 4, "click", 3.5, '{"k": 14}'),
+        (17, None, 4, "purchase", 4.0, '{"k": 15}'),
+        (18, None, None, "view", 5.0, '{"k": 16}'),   # NULL ts + NULL user
     ]
     cols = list(zip(*rows))
     tbl = pa.table({

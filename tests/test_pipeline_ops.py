@@ -242,16 +242,46 @@ def test_cosine_topk_blocked_matches_exact(spark):
     assert c == {(f"v{q}", f"v{t}") for q, t in a}
 
 
-def test_multimodal_real_decode_with_pil(spark):
-    """Real decode path: only runs where PIL exists (optional import)."""
-    pytest.importorskip("PIL")
-    import io
-    from PIL import Image
+def test_multimodal_real_decode_builtin_formats(spark):
+    """r7 (VERDICT r6 stretch #7): the REAL decode branch runs in CI with
+    no image library — vendored pure-Python netpbm (P6/P5) and
+    uncompressed-BMP decoders; when PIL happens to be present the same
+    branch also decodes PNG. This retires the environment-dependent skip."""
+    import struct
+    # P6 PPM, 4x2, solid RGB(100, 200, 50): luma = (299*100+587*200+114*50)//1000
+    ppm = b"P6\n4 2\n255\n" + bytes([100, 200, 50]) * 8
+    # P5 PGM, 3x1, gray 77
+    pgm = b"P5\n3 1\n255\n" + bytes([77, 77, 77])
+    # 24-bit BMP, 2x2, solid BGR(50, 200, 100) — 2 bytes row padding
+    stride = (2 * 3 + 3) & ~3
+    bmp = (b"BM" + struct.pack("<IHHI", 54 + stride * 2, 0, 0, 54) +
+           struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, stride * 2,
+                       2835, 2835, 0, 0) +
+           (bytes([50, 200, 100]) * 2 + b"\0\0") * 2)
+    rows = [(1, "image", "image/x-portable-pixmap", ppm, None, None, None),
+            (2, "image", "image/x-portable-graymap", pgm, None, None, None),
+            (3, "image", "image/bmp", bmp, None, None, None)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           M.extract_image_features(df, fake=False).collect()}
+    luma = (299 * 100 + 587 * 200 + 114 * 50) // 1000
+    assert (got[1]["width"], got[1]["height"], got[1]["mean_intensity"]) == \
+        (4, 2, luma)
+    assert (got[2]["width"], got[2]["height"], got[2]["mean_intensity"]) == \
+        (3, 1, 77)
+    assert (got[3]["width"], got[3]["height"], got[3]["mean_intensity"]) == \
+        (2, 2, luma)
+    try:
+        import io
+        from PIL import Image
+    except ImportError:
+        return  # netpbm/BMP coverage above is the always-on contract
     buf = io.BytesIO()
     Image.new("L", (12, 8), color=77).save(buf, format="PNG")
-    rows = [(1, "image", "image/png", buf.getvalue(), None, None, None)]
-    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
-    r = M.extract_image_features(df, fake=False).first()
+    png_df = spark.createDataFrame(
+        [(9, "image", "image/png", buf.getvalue(), None, None, None)],
+        M.MEDIA_SCHEMA)
+    r = M.extract_image_features(png_df, fake=False).first()
     assert (r["width"], r["height"], r["mean_intensity"]) == (12, 8, 77)
 
 
@@ -1038,6 +1068,36 @@ def test_pca_norm_invariant_excludes_null_element_vectors(spark):
         assert abs(rows[i] - round(cn2[i], 4)) < 1e-6, i
 
 
+def test_surprisal_band_calibrates_to_the_corpus(spark):
+    """r7 (BENCH_SF1 fixture-v2 lesson): a fixed surprisal band is
+    corpus-specific — on a large-vocabulary corpus the small-vocab band
+    drops EVERYTHING, while the calibrated band keeps the central mass
+    of any corpus's own distribution."""
+    import random
+    from bda_spadochrony_spark.operators.corpus import (quality_gate,
+                                                        surprisal_band)
+    rnd = random.Random(3)
+    small_vocab = [f"s{i}" for i in range(20)]
+    big_vocab = [f"w{i:04d}" for i in range(2000)]
+    mk = lambda vocab: " ".join(rnd.choice(vocab) for _ in range(60))
+    small = spark.createDataFrame(
+        [(i, mk(small_vocab)) for i in range(40)], ["doc_id", "text"])
+    big = spark.createDataFrame(
+        [(i, mk(big_vocab)) for i in range(40)], ["doc_id", "text"])
+    lo_s, hi_s = surprisal_band(small, "doc_id", "text")
+    lo_b, hi_b = surprisal_band(big, "doc_id", "text")
+    assert hi_s < lo_b          # the distributions don't even overlap
+    # the small-corpus band zeroes the big corpus...
+    fixed = quality_gate(big, "doc_id", "text", min_tokens=5,
+                         surprisal_lo=lo_s, surprisal_hi=hi_s)
+    assert fixed.where(F.col("keep") == 1).count() == 0
+    # ...while its own calibrated band keeps the central mass
+    calib = quality_gate(big, "doc_id", "text", min_tokens=5,
+                         surprisal_lo=lo_b, surprisal_hi=hi_b)
+    kept = calib.where(F.col("keep") == 1).count()
+    assert 0.5 * 40 <= kept <= 0.95 * 40
+
+
 def test_pack_documents_order_col_packs_in_shuffled_order(spark):
     """order_col lays documents out in the given deterministic order
     (ties -> id) instead of id order — the shuffled-epoch packing the
@@ -1197,6 +1257,43 @@ def test_scd2_history_versions_and_consecutive_dedup(spark):
         (1, "B", 2, 3, 0),
         (2, "X", 0, None, 1),
     ]
+
+
+def test_scd2_history_null_semantics_pinned(spark):
+    """r7 edge-program pins (scd2_history docstring): NULL-ts
+    observations are dropped; attribute changes to/from NULL ARE version
+    changes while consecutive NULL re-observations merge; a boundary
+    timestamp tie yields an empty first interval so a fact at the tie
+    instant lands in the LATER version (half-open)."""
+    from datetime import datetime
+    from bda_spadochrony_spark.operators.scd import (point_in_time_join,
+                                                     scd2_history)
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    df = spark.createDataFrame(
+        [(1, "A", t(0)), (1, "B", t(0)),          # boundary tie at t0
+         (1, None, t(2)), (1, None, t(3)),        # ->NULL change, then merge
+         (1, "A", t(4)),                          # NULL->A change
+         (1, "X", None),                          # NULL ts: dropped
+         (2, None, t(0))],                        # first obs w/ NULL attr
+        "user_id: long, event_type: string, ts: timestamp")
+    hist = scd2_history(df, "user_id", ["event_type"], "ts")
+    got = {
+        (r["user_id"], r["event_type"], r["valid_from"].minute,
+         r["valid_to"].minute if r["valid_to"] else None, r["is_current"])
+        for r in hist.collect()}
+    assert got == {
+        (1, None, 2, 4, 0),    # t3 NULL re-observation merged away
+        (1, "A", 0, 0, 0),     # empty interval [t0, t0) — tie order A<B
+        (1, "A", 4, None, 1),
+        (1, "B", 0, 2, 0),
+        (2, None, 0, None, 1), # first observation kept despite NULL attr
+    }
+    # a fact AT the tie instant matches exactly one version: the later one
+    facts = spark.createDataFrame([(100, 1, t(0))],
+                                  "event_id: long, user_id: long, ts: timestamp")
+    pit = point_in_time_join(facts, hist.select(
+        "user_id", "valid_from", "valid_to"), "user_id", "ts").collect()
+    assert len(pit) == 1 and pit[0]["valid_from"].minute == 0
 
 
 def test_funnel_analysis_order_semantics(spark):

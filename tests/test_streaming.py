@@ -368,3 +368,82 @@ def test_restart_resumes_from_checkpoint_exactly_once(spark):
         assert final == [0, 1, 2, 3, 4, 10, 11, 12]
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_out_of_order_batches_late_data_rules_pinned(spark):
+    """r7 edge program (VERDICT r6 #6), out-of-order multi-batch streams.
+    Pins the two late-data rules the streaming contract queries rely on:
+
+    1. COMPLETE mode + availableNow drain equals the exact batch
+       aggregate regardless of arrival order or watermark delay — the
+       watermark never evicts state in complete mode, so late batches
+       merge into their windows (why stream_hourly/stream_distinct use
+       complete + a delay sized to the data's spread).
+    2. APPEND mode drops a window's late rows once the watermark has
+       passed the window end, silently: with files arriving OUT of
+       event-time order and a 1-minute delay, only the first-arrived
+       (newest-time) window survives; with the same data the rule is
+       'size delay to the source's disorder horizon'. Order is made
+       deterministic via checkpoint-resumed sequential drains (one file
+       per drain — the restart-resume contract persists the watermark).
+    """
+    import os as _os
+    from datetime import datetime
+    from bda_spadochrony_spark.streaming.ops import windowed_agg
+    from bda_spadochrony_spark.streaming.runner import run_foreach_batch
+
+    schema = StructType([StructField("k", LongType()),
+                         StructField("ts", TimestampType())])
+    files = [
+        ("a", [(1, datetime(2024, 1, 1, 2, 10)),
+               (2, datetime(2024, 1, 1, 2, 50))]),      # hour 2 FIRST
+        ("b", [(3, datetime(2024, 1, 1, 0, 5)),
+               (4, datetime(2024, 1, 1, 0, 20))]),      # hour 0 — late
+        ("c", [(5, datetime(2024, 1, 1, 1, 30))]),      # hour 1 — late
+        ("d", [(6, datetime(2024, 1, 1, 3, 40))]),      # hour 3: seals h2
+    ]
+
+    def sequential_append_drain(base, delay):
+        got = []
+        ckpt = _os.path.join(base, f"ckpt_{delay.replace(' ', '_')}")
+        for i, (name, rows) in enumerate(files):
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.parquet(_os.path.join(base, "src", name))
+            stream = file_stream(spark, _os.path.join(base, "src", "*"),
+                                 schema)
+            agg = windowed_agg(stream, "ts", "1 hour", keys=[],
+                               measures=[F.count(F.lit(1)).alias("cnt")],
+                               delay=delay)
+            q = run_foreach_batch(
+                agg, lambda bdf, bid: got.extend(
+                    (str(r["window_start"]), r["cnt"]) for r in bdf.collect()),
+                output_mode="append", available_now=True, checkpoint=ckpt)
+            assert q.awaitTermination(120)
+        return sorted(got)
+
+    base = tempfile.mkdtemp(prefix="bda_ooo_")
+    try:
+        # rule 2: short delay -> ONLY the hour-2 window survives (hour 0/1
+        # arrived after the watermark passed them; hour 3 never seals)
+        assert sequential_append_drain(base, "1 minutes") == \
+            [("2024-01-01 02:00:00", 2)]
+
+        # rule 1: complete-mode drain over the SAME (now complete) source
+        # equals the batch aggregate exactly, short delay or long
+        batch = sorted(
+            (str(r["ws"]), r["cnt"])
+            for r in spark.read.parquet(_os.path.join(base, "src", "*"))
+            .groupBy(F.date_trunc("hour", "ts").alias("ws"))
+            .agg(F.count(F.lit(1)).alias("cnt")).collect())
+        for delay in ["1 minutes", "6 hours"]:
+            stream = file_stream(spark, _os.path.join(base, "src", "*"),
+                                 schema, max_files_per_trigger=1)
+            agg = windowed_agg(stream, "ts", "1 hour", keys=[],
+                               measures=[F.count(F.lit(1)).alias("cnt")],
+                               delay=delay)
+            out = run_available_now(spark, agg, output_mode="complete")
+            got = sorted((str(r["window_start"]), r["cnt"])
+                         for r in out.collect())
+            assert got == batch, delay
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
