@@ -510,7 +510,12 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined = fused_stream_join(errors, clicks, "err_ts", "click_ts",
                                    tolerance_seconds=30.0, watermark="1 minutes",
                                    how="fullOuter")
-        out = run_available_now(spark, joined, timeout_s=300)
+        # 300 s covers the drain at every driver scale; the 10x scale
+        # harness raises it via env (sf1 under RocksDB needs ~400 s)
+        out = run_available_now(
+            spark, joined,
+            timeout_s=int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT_S",
+                                         "300")))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out.where(F.coalesce("err_ts", "click_ts") <= F.lit(cutoff)) \

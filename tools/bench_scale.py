@@ -99,7 +99,7 @@ def main() -> None:
                           F.col("ts").alias("click_ts")))
         joined = fused_stream_join(errors, clicks, "err_ts", "click_ts")
         q, _ = run_to_memory(joined, available_now=True)
-        q.awaitTermination(600)
+        q.awaitTermination(1500)
         progs = [p for p in q.recentProgress if p.get("stateOperators")]
         last_ops = progs[-1]["stateOperators"] if progs else []
         return {
@@ -112,6 +112,10 @@ def main() -> None:
 
     def streaming_pass(sf_dir: str, rocksdb: bool) -> dict:
         from bda_spadochrony_spark.streaming.runner import use_rocksdb_state
+        # the sf1 full-outer join drain runs ~170 s on the heap provider
+        # and 3-4x that under RocksDB (per-micro-batch snapshot/compaction
+        # overhead) — 1500 s leaves headroom over the contract 300 s default
+        os.environ["SPARK_GRAFT_STREAM_TIMEOUT_S"] = "1500"
         key = "spark.sql.streaming.stateStore.providerClass"
         prev = use_rocksdb_state(spark, rocksdb)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -121,8 +125,10 @@ def main() -> None:
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).count()
                 times[name] = round(time.perf_counter() - t0, 3)
+                print(f"  {name}: {times[name]:.2f}s", flush=True)
             spark.conf.set("spark.sql.shuffle.partitions", "8")
             state = probe_join_state(sf_dir)
+            print(f"  join_state: {state}", flush=True)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
             if prev:
@@ -159,7 +165,11 @@ def main() -> None:
                  "fixture; ANN contract queries now also size planes "
                  "from the corpus (planes_for default), so the ann/lsh "
                  "rows are at the design point the r6 VERDICT asked "
-                 "to re-record."),
+                 "to re-record. corpus_pipeline's sf1 row is "
+                 "gate-dominated: the fixed surprisal band tuned on "
+                 "the driver testdata drops the entire Zipfian corpus "
+                 "(0 survivors) - corpus.surprisal_band is the "
+                 "production calibration, same lesson as planes_for."),
         "streaming_state_addendum": {
             **streaming_state,
             "note": ("the stateful family per state-store provider "
