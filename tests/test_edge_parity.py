@@ -149,7 +149,14 @@ def edge_emb_duck(edge_emb_dir):
 
 
 @pytest.mark.parametrize("name", EDGE_EMB_QUERIES)
-def test_edge_embeddings_parity(spark, edge_emb_dir, edge_emb_duck, name):
+def test_edge_embeddings_parity(spark, edge_emb_dir, edge_emb_duck, name,
+                                monkeypatch):
+    # r7: the ANN queries size their planes from the corpus count
+    # (planes_for default), and the oracle generator sizes from the
+    # corpus at $SPARK_GRAFT_ORACLE_SF_DIR — point it at THIS fixture
+    # (44 vectors -> 4 planes) so both engines derive the same index,
+    # exactly as the driver contract does at sf0.01
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", edge_emb_dir)
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert_query_matches_oracle(spark, edge_emb_duck, qs[name],
                                 oracles[name], edge_emb_dir,
