@@ -2259,39 +2259,14 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not re-run upstream stages per consumer. Every stage is
     deterministic and engine-portable → the whole composite is value-
     oracled end-to-end (the integration proof that the stage oracles
-    compose)."""
-    from bda_spadochrony_spark.operators.corpus import (contamination,
-                                                        pack_documents,
-                                                        quality_gate)
-    from bda_spadochrony_spark.operators.sampling import (hash_bucket,
-                                                          mixture_sample)
-    from bda_spadochrony_spark.operators.text import normalize_text
-    from pyspark.sql import Window
-    docs = _t(spark, sf_dir, "documents")
-    norm = (docs.select("doc_id", "lang",
-                        normalize_text("text").alias("ntext"))
-            .localCheckpoint(eager=False))
-    gate = quality_gate(norm, "doc_id", "ntext")
-    kept = norm.join(gate.where(F.col("keep") == 1).select("doc_id"),
-                     "doc_id", "left_semi")
-    wd = Window.partitionBy(F.xxhash64("ntext")).orderBy("doc_id")
-    uniq = (kept.withColumn("__rn", F.row_number().over(wd))
-            .where(F.col("__rn") == 1).drop("__rn"))
-    bench = norm.where(F.col("doc_id") % 97 == 0)
-    corp = uniq.where(F.col("doc_id") % 97 != 0)
-    cont = contamination(corp, bench, "doc_id", "ntext", shingle_n=3)
-    clean = corp.join(cont.where(F.col("contamination") <= 0.05)
-                      .select("doc_id"), "doc_id", "left_semi")
-    mixed = (mixture_sample(clean, "doc_id", "lang",
-                            {"en": 0.5, "de": 0.125, "fr": 0.125,
-                             "es": 0.125, "zh": 0.125})
-             .localCheckpoint(eager=False))
-    packed = pack_documents(mixed, "doc_id", "ntext", budget=512,
-                            num_shards=8, order_col=hash_bucket("doc_id"))
-    return (packed.join(mixed.select("doc_id", "lang"), "doc_id")
-            .select("doc_id", "lang", "shard", "n_tokens",
-                    hash_bucket("doc_id").alias("shuffle_key"),
-                    "pack_id", "pack_offset"))
+    compose).
+
+    Implementation: ``plans/pipelines.corpus_pipeline`` with the default
+    FIXED thresholds (the oracle restates them); production runs the
+    same function with ``calibrate_surprisal=True`` so the gate band
+    tracks the corpus (the 10× Zipfian measurement, BENCH_SF1)."""
+    from bda_spadochrony_spark.plans.pipelines import corpus_pipeline
+    return corpus_pipeline(_t(spark, sf_dir, "documents"))
 
 
 def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,3 +141,77 @@ def traffic_hourly_fused(tomtom: DataFrame,
               .join(mode_by_struct_max(fine, coarse_keys, "mode_magnitudeOfDelay",
                                        out_col="coarse_mode_mag"), coarse_keys))
     return sort_by(coarse, ["date", "hour", "iconCategory"])
+
+
+def corpus_pipeline(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", lang_col: str = "lang",
+                    targets: dict[str, float] | None = None,
+                    min_tokens: int = 30, max_dup3: float = 0.03,
+                    max_top_token: float = 0.15,
+                    surprisal_lo: float = 4.9, surprisal_hi: float = 5.2,
+                    calibrate_surprisal: bool = False,
+                    band_quantiles: tuple[float, float] = (0.1, 0.9),
+                    contamination_max: float = 0.05, bench_mod: int = 97,
+                    budget: int = 512, num_shards: int = 8) -> DataFrame:
+    """The end-to-end training-corpus pipeline as ONE lazy plan —
+    normalize → quality gate → digest-windowed exact dedup → 3-gram
+    benchmark decontamination → language-mixture rebalance →
+    shuffled-epoch sequence packing, composed from the engine's stage
+    operators with no driver round-trips between stages (the
+    ``corpus_pipeline`` contract query runs this with the default
+    fixed thresholds; its oracle chains the stage oracles as CTEs).
+
+    ``calibrate_surprisal=True`` replaces the fixed surprisal band with
+    ``corpus.surprisal_band``'s percentiles of THIS corpus's own
+    distribution — the production configuration (a fixed band tuned on
+    one corpus drops 100% of a different-vocabulary corpus; measured at
+    the 10× Zipfian fixture, BENCH_SF1). Calibration is a fit step: one
+    extra aggregate action before the lazy plan is assembled.
+
+    The two frames consumed by multiple stages (the normalized corpus;
+    the mixture survivors) are lazily checkpointed — the frames a
+    production pipeline materializes between stages — so lineage does
+    not re-run upstream stages per consumer. Exchange count is bounded
+    (PLANS.md): every shuffle is keyed on a digest, the language, or
+    the shard, never on raw text or pairs.
+    """
+    from bda_spadochrony_spark.operators.corpus import (contamination,
+                                                        pack_documents,
+                                                        quality_gate,
+                                                        surprisal_band)
+    from bda_spadochrony_spark.operators.sampling import (hash_bucket,
+                                                          mixture_sample)
+    from bda_spadochrony_spark.operators.text import normalize_text
+    from pyspark.sql import Window
+
+    targets = targets or {"en": 0.5, "de": 0.125, "fr": 0.125,
+                          "es": 0.125, "zh": 0.125}
+    norm = (docs.select(F.col(id_col), F.col(lang_col),
+                        normalize_text(text_col).alias("ntext"))
+            .localCheckpoint(eager=False))
+    if calibrate_surprisal:
+        surprisal_lo, surprisal_hi = surprisal_band(
+            norm, id_col, "ntext", *band_quantiles)
+    gate = quality_gate(norm, id_col, "ntext", min_tokens=min_tokens,
+                        max_dup3=max_dup3, max_top_token=max_top_token,
+                        surprisal_lo=surprisal_lo,
+                        surprisal_hi=surprisal_hi)
+    kept = norm.join(gate.where(F.col("keep") == 1).select(id_col),
+                     id_col, "left_semi")
+    wd = Window.partitionBy(F.xxhash64("ntext")).orderBy(id_col)
+    uniq = (kept.withColumn("__rn", F.row_number().over(wd))
+            .where(F.col("__rn") == 1).drop("__rn"))
+    bench = norm.where(F.col(id_col) % bench_mod == 0)
+    corp = uniq.where(F.col(id_col) % bench_mod != 0)
+    cont = contamination(corp, bench, id_col, "ntext", shingle_n=3)
+    clean = corp.join(cont.where(F.col("contamination") <= contamination_max)
+                      .select(id_col), id_col, "left_semi")
+    mixed = (mixture_sample(clean, id_col, lang_col, targets)
+             .localCheckpoint(eager=False))
+    packed = pack_documents(mixed, id_col, "ntext", budget=budget,
+                            num_shards=num_shards,
+                            order_col=hash_bucket(id_col))
+    return (packed.join(mixed.select(id_col, lang_col), id_col)
+            .select(id_col, lang_col, "shard", "n_tokens",
+                    hash_bucket(id_col).alias("shuffle_key"),
+                    "pack_id", "pack_offset"))

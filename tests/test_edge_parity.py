@@ -58,6 +58,9 @@ EDGE_QUERIES = [
     "span_dedup",
     # r6: BM25 over docs containing NO query term (empty result both sides)
     "bm25_search",
+    # r7: the six-stage composite end-to-end on NULL/empty/short/unicode
+    # docs — every stage's degenerate-input semantics must agree at once
+    "corpus_pipeline",
 ]
 
 

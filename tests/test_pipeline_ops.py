@@ -1098,6 +1098,29 @@ def test_surprisal_band_calibrates_to_the_corpus(spark):
     assert 0.5 * 40 <= kept <= 0.95 * 40
 
 
+def test_corpus_pipeline_calibrated_band_survives_vocab_shift(spark):
+    """r7: the parameterized pipeline (plans/pipelines.corpus_pipeline)
+    with calibrate_surprisal=True keeps documents on a corpus whose
+    vocabulary the FIXED default band was never tuned for — the
+    composite-level twin of test_surprisal_band_calibrates_to_the_corpus
+    (the sf1 Zipfian fixture measured the fixed band dropping 100%)."""
+    import random
+    from bda_spadochrony_spark.plans.pipelines import corpus_pipeline
+    rnd = random.Random(11)
+    vocab = [f"w{i:04d}" for i in range(3000)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rnd.choice(vocab) for _ in range(60)), "en")
+         for i in range(1, 60)],
+        "doc_id: long, text: string, lang: string")
+    fixed = corpus_pipeline(docs).count()
+    assert fixed == 0                         # gate band off-distribution
+    out = corpus_pipeline(docs, calibrate_surprisal=True)
+    rows = out.collect()
+    assert len(rows) >= 20                    # central mass survives
+    # the pipeline contract holds end to end: every survivor packed
+    assert all(r["pack_offset"] < 512 and r["lang"] == "en" for r in rows)
+
+
 def test_pack_documents_order_col_packs_in_shuffled_order(spark):
     """order_col lays documents out in the given deterministic order
     (ties -> id) instead of id order — the shuffled-epoch packing the

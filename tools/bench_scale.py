@@ -149,6 +149,22 @@ def main() -> None:
             streaming_state[f"{sf_name}_{provider}"] = streaming_pass(
                 sf_dir, provider == "rocksdb")
 
+    # the CALIBRATED corpus pipeline (production config) at both scales:
+    # the contract row keeps the oracle's fixed band, which is
+    # gate-dominated at the sf1 Zipfian corpus (0 survivors, downstream
+    # stages idle) — this row measures all six stages doing real work
+    from bda_spadochrony_spark.plans.pipelines import corpus_pipeline
+    from bda_spadochrony_spark.sources.readers import scan
+    calib = {}
+    for sf_name, sf_dir in [("sf0.1", sf01), ("sf1", sf1)]:
+        t0 = time.perf_counter()
+        n = corpus_pipeline(scan(spark, f"{sf_dir}/documents.parquet"),
+                            calibrate_surprisal=True).count()
+        calib[sf_name] = {"sec": round(time.perf_counter() - t0, 3),
+                          "rows": n}
+        print(f"  corpus_pipeline_calibrated {sf_name}: {calib[sf_name]}",
+              flush=True)
+
     factors = {k: round(t1[k] / t01[k], 2) if t01[k] > 0 else None
                for k in FAMILY}
     payload = {
@@ -170,6 +186,15 @@ def main() -> None:
                  "the driver testdata drops the entire Zipfian corpus "
                  "(0 survivors) - corpus.surprisal_band is the "
                  "production calibration, same lesson as planes_for."),
+        "corpus_pipeline_calibrated": {
+            **calib,
+            "note": ("plans/pipelines.corpus_pipeline with "
+                     "calibrate_surprisal=True (surprisal_band "
+                     "percentiles of the corpus's own distribution) - "
+                     "the production config; all six stages do real "
+                     "work at both scales, unlike the fixed-band "
+                     "contract row at sf1"),
+        },
         "streaming_state_addendum": {
             **streaming_state,
             "note": ("the stateful family per state-store provider "
