@@ -188,3 +188,39 @@ def mixture_sample(df: DataFrame, id_col: str, group_col: str,
             .withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= F.col("__quota"))
             .drop("__rk", "__quota"))
+
+
+def temperature_targets(df: DataFrame, group_col: str,
+                        temperature: float = 0.7) -> dict[str, float]:
+    """Derive the target mixture FROM the corpus by temperature scaling:
+    ``share_g ∝ count_g^T`` — the multilingual-rebalancing rule from
+    XLM-R/mT5-style pretraining (T < 1 upweights low-resource groups
+    toward uniform; T = 1 keeps natural proportions; T → 0 → uniform).
+    A fit step like ``corpus.surprisal_band``: one count aggregate, the
+    driver sees |groups| floats; feed the result to ``mixture_sample``
+    (or use ``temperature_mixture`` which composes the two).
+
+    NULL groups are excluded (they would be dropped by
+    ``mixture_sample`` anyway — groups absent from targets drop).
+    """
+    counts = (df.where(F.col(group_col).isNotNull())
+              .groupBy(group_col).agg(F.count(F.lit(1)).alias("c"))
+              .collect())
+    raw = {r[group_col]: float(r["c"]) ** temperature for r in counts}
+    total = sum(raw.values())
+    return {g: v / total for g, v in raw.items()}
+
+
+def temperature_mixture(df: DataFrame, id_col: str, group_col: str,
+                        temperature: float = 0.7,
+                        salt: int = 0) -> DataFrame:
+    """Temperature-scaled corpus rebalancing in one call:
+    ``mixture_sample`` against ``temperature_targets`` of the corpus's
+    own group counts. Same deterministic (hash, id) row selection, same
+    exact-quota arithmetic, same bounded plan — only the SHARES are now
+    derived from the data instead of hand-specified. The standard knob
+    for multilingual/domain mixes where the natural distribution is too
+    skewed to train on but a hand-tuned target is unprincipled."""
+    return mixture_sample(df, id_col, group_col,
+                          temperature_targets(df, group_col, temperature),
+                          salt=salt)

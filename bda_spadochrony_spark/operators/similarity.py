@@ -594,3 +594,68 @@ def pairwise_cosine(df: DataFrame, id_col: str, vec_col: str = "embedding",
             .select("id_a", "id_b",
                     (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine"))
             .where(F.col("cosine") >= min_cosine))
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str = "embedding",
+                   centers: DataFrame | None = None, n_clusters: int = 16,
+                   min_cosine: float = 0.9) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with a coarse quantizer,
+    then find near-duplicate pairs ONLY within each cluster (cosine ≥
+    ``min_cosine``), resolve them to connected components, and keep one
+    member per family (the component minimum id) — the embedding-space
+    sibling of MinHash dedup that catches paraphrases and re-encodings
+    exact/token methods miss.
+
+    The cluster is what makes it tractable: candidate generation is a
+    CLUSTER-KEYED self-join, so pair volume is Σ|cluster|²/2 instead of
+    n²/2 — at 100 TB the cell id becomes the shuffle (or physical
+    partition) key exactly as in ``ivf_topk``. The documented recall
+    trade is inherited from SemDeDup itself: a near-dup pair straddling
+    a cluster boundary is not examined (raise ``n_clusters`` more slowly
+    than the corpus, or probe neighboring cells, to tighten it).
+
+    ``centers``: a tiny (cell, centroid array<double>) frame like
+    ``ivf_topk``'s; default = the ``n_clusters`` valid vectors with the
+    smallest ids (random-subset quantization — deterministic and
+    engine-portable; a production run passes persisted KMeans centers).
+    Returns the SURVIVORS: ``(id_col, cell)`` — anti-join the input on
+    the complement to materialize the dropped set.
+    """
+    from bda_spadochrony_spark.operators.dedup import dedup_clusters
+    base = valid_vectors(df, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"))
+    if centers is None:
+        # dimension-sized fit step: n_clusters rows reach the driver
+        rows = base.orderBy("id").limit(n_clusters).collect()
+        centers = base.sparkSession.createDataFrame(
+            [(i, r["v"]) for i, r in enumerate(rows)], ["cell", "centroid"])
+    cent = F.broadcast(centers.select(
+        F.col("cell"), F.col("centroid").cast("array<double>").alias("centroid")))
+    cc = (base.crossJoin(cent)
+          .withColumn("dist2", F.aggregate(
+              F.zip_with("v", "centroid", lambda a, b: (a - b) * (a - b)),
+              F.lit(0.0), lambda acc, x: acc + x)))
+    wc = Window.partitionBy("id").orderBy(F.col("dist2").asc(),
+                                          F.col("cell").asc())
+    assigned = (cc.withColumn("rn", F.row_number().over(wc))
+                .where(F.col("rn") == 1).select("id", "v", "cell"))
+    # both sides of the cluster self-join consume the assignment —
+    # checkpoint or the quantizer cross join replays per side
+    assigned = with_norm(assigned, "v", "nrm").localCheckpoint(eager=False)
+    a = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                        F.col("nrm").alias("na"), "cell")
+    b = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                        F.col("nrm").alias("nb"), "cell")
+    pairs = (a.join(b, "cell")
+             .where(F.col("id_a") < F.col("id_b"))
+             .where((F.col("na") > 0) & (F.col("nb") > 0))
+             .where(_dot("va", "vb") / (F.col("na") * F.col("nb"))
+                    >= min_cosine)
+             .select("id_a", "id_b"))
+    labels = dedup_clusters(pairs)
+    dropped = (labels.where(F.col("id") != F.col("canonical_id"))
+               .select("id"))
+    return (assigned.join(dropped, "id", "left_anti")
+            .select(F.col("id").alias(id_col), "cell"))

@@ -1685,3 +1685,46 @@ def test_label_propagation_chains_until_covered(spark):
     assert {r["id"] for r in r2.collect()} == {1, 2, 3}
     got = {r["id"]: r["label"] for r in r3.collect()}
     assert got == {1: 7, 2: 7, 3: 7, 4: 7}     # label reached the far end
+
+
+def test_temperature_targets_and_mixture_upweight_tail_groups(spark):
+    """r7: temperature-scaled mixture (XLM-R/mT5-style multilingual
+    rebalancing) — T<1 derives shares from count^T, upweighting tail
+    groups; T=1 reproduces natural proportions (every row kept)."""
+    from bda_spadochrony_spark.operators.sampling import (
+        temperature_mixture, temperature_targets)
+    rows = [(i, "en") for i in range(90)] + \
+           [(1000 + i, "de") for i in range(10)] + [(2000, None)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string")
+    t = temperature_targets(df, "lang", temperature=0.5)
+    assert abs(t["en"] - 0.75) < 1e-9 and abs(t["de"] - 0.25) < 1e-9
+    got = temperature_mixture(df, "doc_id", "lang", temperature=0.5)
+    by_lang = {r["lang"]: 0 for r in got.collect()}
+    for r in got.collect():
+        by_lang[r["lang"]] += 1
+    # binding group de (10 rows / 0.25 share) kept whole; en cut to match
+    assert by_lang == {"en": 30, "de": 10}
+    # T=1 = natural proportions: nothing dropped (NULL lang always drops)
+    assert temperature_mixture(df, "doc_id", "lang",
+                               temperature=1.0).count() == 100
+
+
+def test_semantic_dedup_keeps_one_per_embedding_family(spark):
+    """r7: SemDeDup-style semantic dedup — within-cluster cosine families
+    resolve to one survivor (min id); distinct-direction members of the
+    same cluster survive; pair generation never leaves the cluster."""
+    from bda_spadochrony_spark.operators.similarity import semantic_dedup
+    base8 = [0.0] * 8
+    mk = lambda i, mag=10.0: [mag if j == i else 0.0 for j in range(8)]
+    c0, c1, c2 = mk(0), mk(1), mk(2)
+    near = lambda v, eps: [x + eps for x in v]
+    rows = [(0, c0), (1, c1), (2, c2),            # exemplars = centers
+            (10, near(c0, 0.01)), (11, near(c0, 0.02)),   # family of 0
+            (20, near(c1, 0.015)),                        # family of 1
+            (30, [0.0, 0.0, 8.0, 5.0] + base8[:4]),  # cluster 2, cos 0.85
+            (40, None)]                             # corrupt: dropped
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = semantic_dedup(df, "vec_id", n_clusters=3, min_cosine=0.95)
+    got = {r["vec_id"]: r["cell"] for r in out.collect()}
+    assert set(got) == {0, 1, 2, 30}       # one per family + the distinct
+    assert got[30] == got[2]               # same cluster, kept: cos < 0.95
