@@ -4028,7 +4028,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                 SELECT doc_id, lang,
                        row_number() OVER (
                            PARTITION BY lang
-                           ORDER BY (doc_id * 2654435761) % 4294967296 ASC,
+                           ORDER BY (((doc_id * 2654435761) % 4294967296) + 4294967296) % 4294967296 ASC,
                                     doc_id ASC) AS rk
                 FROM documents
             )
@@ -4117,9 +4117,9 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "hash_split": """
             SELECT doc_id,
-                   CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
+                   CASE WHEN (((doc_id * 2654435761) % 4294967296) + 4294967296) % 4294967296 < 3435973836
                              THEN 'train'
-                        WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
+                        WHEN (((doc_id * 2654435761) % 4294967296) + 4294967296) % 4294967296 < 3865470566
                              THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
@@ -4651,7 +4651,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "weighted_sample": """
             WITH base AS (
                 SELECT doc_id, n_chars,
-                       round((-log2(((doc_id * 2654435761) % 4294967296
+                       round((-log2(((((doc_id * 2654435761) % 4294967296) + 4294967296) % 4294967296
                                      + 1) / 4294967296.0)
                               / n_chars) + 1e-12, 8) AS key
                 FROM documents
@@ -4702,7 +4702,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "corpus_shuffle": """
             SELECT doc_id,
-                   (doc_id * 2654435761) % 4294967296 AS shuffle_key
+                   (((doc_id * 2654435761) % 4294967296) + 4294967296) % 4294967296 AS shuffle_key
             FROM documents
             ORDER BY 2 ASC, 1 ASC
             LIMIT 100
@@ -4710,7 +4710,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "incremental_dedup": """
             WITH split AS (
                 SELECT doc_id, text,
-                       (doc_id * 2654435761) % 4294967296 < 2147483648
+                       (((doc_id * 2654435761) % 4294967296) + 4294967296) % 4294967296 < 2147483648
                        AS is_existing
                 FROM documents
             ), ls AS (
@@ -5038,7 +5038,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "hash_sample": """
             SELECT doc_id, lang, source FROM documents
-            WHERE (doc_id * 2654435761) % 4294967296
+            WHERE (((doc_id * 2654435761) % 4294967296) + 4294967296) % 4294967296
                   < CAST(0.2 * 4294967296 AS BIGINT)
         """,
         "column_profile": """
@@ -5080,7 +5080,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                 SELECT doc_id, lang,
                        row_number() OVER (
                            PARTITION BY lang
-                           ORDER BY (doc_id * 2654435761) % 4294967296 ASC,
+                           ORDER BY (((doc_id * 2654435761) % 4294967296) + 4294967296) % 4294967296 ASC,
                                     doc_id ASC) AS rk
                 FROM documents
             ) WHERE rk <= 20
@@ -5088,7 +5088,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "stratified_sample": """
             SELECT lang, count(*) AS n_docs, min(doc_id) AS first_doc
             FROM documents
-            WHERE (doc_id * 2654435761) % 4294967296
+            WHERE (((doc_id * 2654435761) % 4294967296) + 4294967296) % 4294967296
                   < CASE WHEN lang = 'en'
                          THEN CAST(0.1 * 4294967296 AS BIGINT)
                          ELSE CAST(0.5 * 4294967296 AS BIGINT) END
@@ -5251,7 +5251,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                 SELECT doc_id, lang, ntext,
                        row_number() OVER (
                            PARTITION BY lang
-                           ORDER BY (doc_id * 2654435761) % 4294967296 ASC,
+                           ORDER BY (((doc_id * 2654435761) % 4294967296) + 4294967296) % 4294967296 ASC,
                                     doc_id ASC) AS rk
                 FROM clean
             ), mixed AS (
@@ -5261,7 +5261,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             ), base AS (
                 SELECT doc_id, lang, doc_id % 8 AS shard,
                        len(string_split(ntext, ' ')) AS n_tokens,
-                       (doc_id * 2654435761) % 4294967296 AS shuffle_key
+                       (((doc_id * 2654435761) % 4294967296) + 4294967296) % 4294967296 AS shuffle_key
                 FROM mixed
             ), laid AS (
                 SELECT doc_id, lang, shard, n_tokens, shuffle_key,

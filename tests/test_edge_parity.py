@@ -2,16 +2,20 @@
 PATHOLOGICAL tables the regular testdata never exercises — the input
 class where advisors keep finding latent Spark↔DuckDB divergences.
 
-Five fixtures: documents (short/unicode/repeated/NULL/empty/tab-newline
+Six fixtures: documents (short/unicode/repeated/NULL/empty/tab-newline
 texts), embeddings (NULL/zero/duplicate/1e30 vectors), events (NULL
 ts/user/type/value, hour boundaries, duplicate rows — r6; found the
 ANSI corr crash, the NULL-key join drop, the NULLS FIRST/LAST window
-divergence, and the streaming no-window rule), lineitem/orders (NULL
-dates/quantities/flags, zero prices — r6, all green on arrival), and
+divergence, and the streaming no-window rule; r7 added SCD2 boundary
+ties / NULL attributes / NULL timestamps), lineitem/orders (NULL
+dates/quantities/flags, zero prices — r6, all green on arrival),
 customer/supplier/part dims (NULL names/segments/nation keys/types —
 r6, all green on arrival: NULL join keys and NULL levenshtein inputs
-already agreed). Each finding's fix is pinned here so the semantics
-stay engine-exact.
+already agreed), and negative-id documents (r7 — found the pmod vs
+sign-preserving-% divergence across the whole deterministic-hash
+sampling family: 8 of 9 queries diverged, one oracle threw; every
+hash oracle now states ((x % m) + m) % m). Each finding's fix is
+pinned here so the semantics stay engine-exact.
 """
 
 from __future__ import annotations
@@ -448,3 +452,52 @@ def test_edge_dims_parity(spark, edge_dim_dir, edge_dim_duck, name):
     assert_query_matches_oracle(spark, edge_dim_duck, qs[name],
                                 oracles[name], edge_dim_dir,
                                 name=f"edge-dim:{name}")
+
+
+EDGE_NEGID_QUERIES = [
+    # the deterministic-hash sampling family on NEGATIVE ids: Spark's
+    # pmod is always non-negative while SQL's % is sign-preserving, so
+    # every oracle states ((x % m) + m) % m (r7 — before the fix, 8 of
+    # these 9 diverged and weighted_sample's oracle threw on log2 of a
+    # negative bucket)
+    "hash_sample", "stratified_sample", "hash_split", "weighted_sample",
+    "mixture_sample", "balanced_sample", "corpus_shuffle",
+    "pack_documents", "corpus_pipeline",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_negid_dir():
+    import duckdb as _d
+    d = tempfile.mkdtemp(prefix="bda_edge_negid_")
+    con = _d.connect()
+    # every 7th document gets a negative id (ids stay unique: -id-1)
+    con.execute(f"""
+        COPY (
+            SELECT CASE WHEN doc_id % 7 = 0 THEN -doc_id - 1
+                        ELSE doc_id END AS doc_id,
+                   text, lang, source, n_chars
+            FROM '{SF_SMALL}/documents.parquet'
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)""")
+    con.close()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def edge_negid_duck(edge_negid_dir):
+    con = duck_connection(edge_negid_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EDGE_NEGID_QUERIES)
+def test_edge_negative_ids_parity(spark, edge_negid_dir, edge_negid_duck,
+                                  name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert_query_matches_oracle(spark, edge_negid_duck, qs[name],
+                                oracles[name], edge_negid_dir,
+                                name=f"edge-negid:{name}")
