@@ -501,3 +501,33 @@ def test_edge_negative_ids_parity(spark, edge_negid_dir, edge_negid_duck,
     assert_query_matches_oracle(spark, edge_negid_duck, qs[name],
                                 oracles[name], edge_negid_dir,
                                 name=f"edge-negid:{name}")
+
+
+def test_unicode_case_folding_parity_boundary_documented(spark, edge_duck):
+    """r7 probe result, PINNED as a documented boundary rather than a
+    fix: Spark (Java) and DuckDB (utf8proc) agree on simple Unicode
+    lowercasing — umlauts, full-width forms, sharp-s, titlecase
+    digraphs — but DIVERGE on locale-/context-sensitive mappings:
+    Turkish dotted İ (Java emits i + combining dot, DuckDB plain i) and
+    Greek final sigma (Java applies the word-final ς rule, DuckDB maps
+    every Σ to σ). The oracle contract therefore guarantees value
+    parity for text whose case folding is context-free; corpora
+    containing the divergent classes must be normalized upstream (NFKC
+    + explicit locale folding) before oracle comparison. This test is a
+    SENTINEL: it asserts the safe classes agree and the divergent
+    classes still diverge — if either engine changes behavior, it
+    fails loudly and the boundary must be re-derived."""
+    from pyspark.sql import functions as F
+    safe = ["ÄÖÜ grÜẞe", "ＦＵＬＬ width", "ǅungla", "STRASSE ß",
+            "ÀÉÎÕÛ çğşå", "МОСКВА Київ"]
+    divergent = ["İstanbul", "ΣΙΓΜΑ ΤΕΛΟΣ"]
+    got = [r[0] for r in spark.createDataFrame(
+        [(t,) for t in safe + divergent], ["t"])
+        .select(F.lower("t")).collect()]
+    duck = [edge_duck.execute("SELECT lower(?)", [t]).fetchone()[0]
+            for t in safe + divergent]
+    for t, s, d in zip(safe, got[:len(safe)], duck[:len(safe)]):
+        assert s == d, f"safe class diverged: {t!r}: {s!r} vs {d!r}"
+    for t, s, d in zip(divergent, got[len(safe):], duck[len(safe):]):
+        assert s != d, (f"divergent class now AGREES ({t!r}) — an engine "
+                        f"changed its folding; re-derive the boundary")
