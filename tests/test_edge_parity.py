@@ -531,3 +531,26 @@ def test_unicode_case_folding_parity_boundary_documented(spark, edge_duck):
     for t, s, d in zip(divergent, got[len(safe):], duck[len(safe):]):
         assert s != d, (f"divergent class now AGREES ({t!r}) — an engine "
                         f"changed its folding; re-derive the boundary")
+
+
+def test_bigint_sum_overflow_boundary_documented(spark, edge_duck):
+    """r7 probe result, pinned as a documented boundary: sum(BIGINT)
+    beyond int64 range RAISES under Spark's ANSI mode
+    (ARITHMETIC_OVERFLOW — loud) while DuckDB silently widens the
+    accumulator to HUGEINT and returns the exact value. The oracle
+    contract therefore guarantees parity for aggregates whose sums stay
+    within int64 (every contract query's domain by construction); a
+    100 TB engine should fail loudly here rather than return a value an
+    int64 consumer cannot hold. Sentinel: if Spark stops raising (ANSI
+    default change) the boundary must be re-derived. String collation
+    was probed in the same pass and agrees (both engines compare UTF-8
+    bytes, supplementary-plane characters included) — no pin needed."""
+    from pyspark.sql import functions as F
+    big = 2 ** 62
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        spark.createDataFrame([(big,), (big,), (big,)], ["x"]) \
+            .agg(F.sum("x")).collect()
+    assert edge_duck.execute(
+        "SELECT sum(x) FROM (VALUES (4611686018427387904),"
+        "(4611686018427387904),(4611686018427387904)) t(x)"
+    ).fetchone()[0] == 3 * big
