@@ -264,6 +264,20 @@ def main() -> None:
                            "warmup amortizes first-use codegen the way a "
                            "resident session does; exec ~1.2s is the "
                            "shuffle-bound floor at sf0.1"),
+                       "corpus_pipeline": (
+                           "~3.5-4.5s build / ~0.15s exec at sf0.1: the "
+                           "cost is DRIVER-SIDE construction+analysis of "
+                           "the six-stage tree (each transformation "
+                           "re-analyzes the growing plan), not "
+                           "execution. A/B (r7): replacing the two "
+                           "localCheckpoints with persist() measured "
+                           "noise-level (3.3 vs 3.7s warm) - planning "
+                           "cost is inherent to the tree, checkpoint "
+                           "choice is not the lever; keep localCheckpoint "
+                           "(lineage truncation). Constant at 100TB: the "
+                           "same tree plans once, execution scales with "
+                           "data (sf1 calibrated run: 14.4s, "
+                           "exec-dominated)"),
                        "embedding_ann_stack": (
                            "~2.4-2.6s warm: exec is interpreted "
                            "higher-order int8 dot products over bucket "
