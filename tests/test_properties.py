@@ -219,3 +219,73 @@ def test_bm25_score_monotone_in_term_frequency(spark, tf_hi):
            for r in bm25_topk(docs, "doc_id", "text", ["q"], k=10).collect()}
     assert 3 not in got                               # termless doc absent
     assert got[1] > got[2] > 0                        # tf-monotone
+
+
+@settings(**SETTINGS)
+@given(sizes=st.lists(st.integers(min_value=1, max_value=40),
+                      min_size=2, max_size=4),
+       t1=st.floats(min_value=0.1, max_value=1.0),
+       t2=st.floats(min_value=0.1, max_value=1.0))
+def test_temperature_targets_shares_and_tail_monotonicity(spark, sizes,
+                                                          t1, t2):
+    from bda_spadochrony_spark.operators.sampling import temperature_targets
+    rows, off = [], 0
+    for g, n in enumerate(sizes):
+        rows += [(off + i, f"g{g}") for i in range(n)]
+        off += n
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string")
+    lo, hi = sorted([t1, t2])
+    s_lo = temperature_targets(df, "lang", temperature=lo)
+    s_hi = temperature_targets(df, "lang", temperature=hi)
+    for s in (s_lo, s_hi):
+        assert abs(sum(s.values()) - 1.0) < 1e-9
+        assert all(v > 0 for v in s.values())
+    # lower temperature weakly RAISES the smallest group's share
+    smallest = f"g{sizes.index(min(sizes))}"
+    assert s_lo[smallest] >= s_hi[smallest] - 1e-12
+    # T=1 reproduces natural proportions exactly
+    nat = temperature_targets(df, "lang", temperature=1.0)
+    total = sum(sizes)
+    for g, n in enumerate(sizes):
+        assert abs(nat[f"g{g}"] - n / total) < 1e-9
+
+
+@settings(**SETTINGS)
+@given(n=st.integers(min_value=3, max_value=15),
+       dup_of=st.integers(min_value=0, max_value=2))
+def test_semantic_dedup_collapses_exact_duplicates(spark, n, dup_of):
+    import random
+    from bda_spadochrony_spark.operators.similarity import semantic_dedup
+    rng = random.Random(n * 100 + dup_of)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(n)]
+    rows.append((100, rows[dup_of][1]))       # exact duplicate, later id
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    # one cluster -> the duplicate pair is always examined
+    out = {r["vec_id"] for r in
+           semantic_dedup(df, "vec_id", n_clusters=1,
+                          min_cosine=0.999999).collect()}
+    assert 100 not in out                     # duplicate dropped
+    assert dup_of in out                      # earlier id survives
+    assert out == set(range(n))               # nothing else dropped
+    # threshold above any possible cosine: nothing drops
+    keep_all = {r["vec_id"] for r in
+                semantic_dedup(df, "vec_id", n_clusters=1,
+                               min_cosine=1.5).collect()}
+    assert keep_all == set(range(n)) | {100}
+
+
+@settings(**SETTINGS)
+@given(qs=st.tuples(st.floats(min_value=0.01, max_value=0.49),
+                    st.floats(min_value=0.51, max_value=0.99)))
+def test_surprisal_band_is_ordered_and_within_range(spark, qs):
+    import random
+    from bda_spadochrony_spark.operators.corpus import surprisal_band
+    rnd = random.Random(7)
+    vocab = [f"v{i}" for i in range(50)]
+    df = spark.createDataFrame(
+        [(i, " ".join(rnd.choice(vocab) for _ in range(20)))
+         for i in range(25)], ["doc_id", "text"])
+    lo, hi = surprisal_band(df, "doc_id", "text", qs[0], qs[1])
+    assert lo <= hi
+    wide_lo, wide_hi = surprisal_band(df, "doc_id", "text", 0.0, 1.0)
+    assert wide_lo <= lo and hi <= wide_hi    # quantiles nest
