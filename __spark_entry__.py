@@ -482,20 +482,27 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything the filter keeps has provably been emitted."""
     import datetime
     from bda_spadochrony_spark.streaming.sources import file_stream
+    from bda_spadochrony_spark.streaming.ops import state_partitions_for
     from bda_spadochrony_spark.streaming.runner import run_available_now
     from bda_spadochrony_spark.plans.stream_fused import fused_stream_join
     configure(spark)
-    side_max = _t(spark, sf_dir, "events").agg(
+    side_max, n_events = _t(spark, sf_dir, "events").agg(
         F.least(F.max(F.when(F.col("event_type") == "error", F.col("ts"))),
-                F.max(F.when(F.col("event_type") == "click", F.col("ts"))))
-    ).collect()[0][0]
+                F.max(F.when(F.col("event_type") == "click", F.col("ts")))),
+        F.count(F.lit(1))
+    ).collect()[0]
     cutoff = side_max - datetime.timedelta(minutes=2)
-    # streaming jobs size shuffle partitions to state-key cardinality, not
-    # to the batch default: every micro-batch writes one state file per
-    # partition, so oversized counts dominate wall time with file churn
-    # (the count binds to the state store at first checkpoint)
+    # streaming jobs size shuffle partitions to STATE VOLUME, not to the
+    # batch default: every micro-batch writes one state file per
+    # partition, so oversized counts are file churn at small state (the
+    # r4 lesson) while undersized counts serialize the state machine at
+    # large state (r7, measured at 10x: 134 s at the sf0.1-tuned sp=8
+    # vs 67 s at sp=32). state_partitions_for derives the count from
+    # the input volume — the same fit agg that finds the watermark
+    # cutoff supplies it (no extra job); sf0.01-0.1 stay at 8.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(state_partitions_for(n_events)))
     try:
         errors = (file_stream(spark, f"{sf_dir}/events*.parquet", EVENTS_SCHEMA)
                   .where(F.col("event_type") == "error")

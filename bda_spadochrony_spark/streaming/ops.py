@@ -20,6 +20,25 @@ def with_watermark(df: DataFrame, ts_col: str, delay: str = "1 minutes") -> Data
     return df.withWatermark(ts_col, delay)
 
 
+def state_partitions_for(n_rows: int, rows_per_partition: int = 31_250,
+                         lo: int = 8, hi: int = 200) -> int:
+    """Size ``spark.sql.shuffle.partitions`` for a stateful streaming
+    query FROM the expected input volume — the streaming sibling of
+    ``similarity.planes_for`` (round 7, measured): the partition count
+    binds to the state store at first checkpoint, every micro-batch
+    writes one state file per partition, so too many partitions is pure
+    file churn at small state (the r4 lesson that pinned sp=8) while too
+    FEW serializes the state machine at large state. A/B at the 10×
+    fixture: the signature full-outer join drain took 134 s at the
+    sf0.1-tuned sp=8 and 67 s at sp=32 — state partitions must scale
+    with state volume, not stay at either scale's tuned constant.
+    Default sizing: one partition per ~31k input rows, clamped to
+    [``lo``, ``hi``] (sf0.01/sf0.1 stay at the proven 8; 1M rows → 32).
+    """
+    import math
+    return max(lo, min(hi, math.ceil(n_rows / rows_per_partition)))
+
+
 def stream_dedup(df: DataFrame, keys: list[str], ts_col: str,
                  delay: str = "1 minutes") -> DataFrame:
     """T2 — watermarked streaming dedup. The reference intended this

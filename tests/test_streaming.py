@@ -447,3 +447,14 @@ def test_out_of_order_batches_late_data_rules_pinned(spark):
             assert got == batch, delay
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_state_partitions_for_scales_with_volume():
+    """r7 (measured at 10x: sp=8 -> 134 s vs sp=32 -> 67 s on the sf1
+    join drain): state partitions derive from input volume, clamped so
+    the small driver scales keep the proven low-churn 8."""
+    from bda_spadochrony_spark.streaming.ops import state_partitions_for
+    assert state_partitions_for(1_000) == 8          # sf0.001-0.01 floor
+    assert state_partitions_for(100_000) == 8        # sf0.1 stays at 8
+    assert state_partitions_for(1_000_000) == 32     # the measured win
+    assert state_partitions_for(10 ** 9) == 200      # capped
