@@ -2276,6 +2276,46 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_pipeline(_t(spark, sf_dir, "documents"))
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus rebalancing (XLM-R/mT5's multilingual
+    rule): target shares DERIVED from the corpus's own language counts,
+    share_g ∝ count_g^0.5 — T=0.5 upweights tail languages toward
+    uniform — then ``mixture_sample``'s exact deterministic quotas.
+
+    Oracle exactness: raw temperature shares are irrational
+    (sqrt-derived), so the feasibility boundary floor(T·w) could sit a
+    float ulp apart across engines. The contract therefore SNAPS shares
+    to the 2^-20 binary grid (floor(x·2^20 + 0.5)/2^20 — floor, not
+    round, dodging the engines' half-rule divergence) before the quota
+    arithmetic; both engines compute the identical grid value, so the
+    floor() boundary is bit-exact, per mixture_sample's documented
+    binary-exact-shares contract."""
+    from bda_spadochrony_spark.operators.sampling import (mixture_sample,
+                                                          temperature_targets)
+    import math
+    docs = _t(spark, sf_dir, "documents")
+    raw = temperature_targets(docs, "lang", temperature=0.5)
+    snap = {g: math.floor(w * 2 ** 20 + 0.5) / 2 ** 20
+            for g, w in raw.items()}
+    out = mixture_sample(docs, "doc_id", "lang", snap)
+    return out.select("doc_id", "lang")
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication under the value oracle:
+    deterministic-subset centers (the 16 smallest valid vec_ids — the
+    ivf_portable convention), nearest-center assignment, WITHIN-cluSTER
+    cosine pairs at the 0.42 family threshold (embedding_near_dup's),
+    connected components, min-id survivor per family. Returns every
+    survivor with its cluster cell — the frame the cluster-bounded
+    dedup writes back out. Cross-cluster recall trade is the operator's
+    documented property (similarity.semantic_dedup docstring)."""
+    from bda_spadochrony_spark.operators.similarity import semantic_dedup
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, "vec_id", n_clusters=16, min_cosine=0.42)
+    return out.select("vec_id", F.col("cell").cast("long").alias("cell"))
+
+
 def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw-SQL API surface: temp views + ``spark.sql`` running a
     multi-feature statement (CTE, join, window, aggregate) — proves a
@@ -2677,11 +2717,13 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # confirmation backlog; _TAIL holds long-confirmed queries whose parity is
 # continuously re-proven by tests/test_oracle_parity.py.
 _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- round-7 head: the NEW composite (zero driver rows — must enter
-    # the window immediately) and the four queries whose SOURCE changed
-    # this round (planes_for ANN default, NULL-element PCA filter, the
-    # keep_by tie-break rewrite)
+    # ---- round-7 head: the NEW queries (zero driver rows — new queries
+    # enter the window immediately) and the four queries whose SOURCE
+    # changed this round (planes_for ANN default, NULL-element PCA
+    # filter, the keep_by tie-break rewrite)
     "corpus_pipeline": q_corpus_pipeline,
+    "temperature_mixture": q_temperature_mixture,
+    "semantic_dedup": q_semantic_dedup,
     "pca_invariants": q_pca_invariants,
     "dedup_survivors": q_dedup_survivors,
     "embedding_ann_stack": q_embedding_ann_stack,
@@ -2734,16 +2776,18 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_distinct": q_stream_distinct,
     "bigram_surprisal": q_bigram_surprisal,
     "pit_join": q_pit_join,
-    "entity_match": q_entity_match,
-    "weighted_sample": q_weighted_sample,
     "span_dedup": q_span_dedup,
     "bm25_search": q_bm25_search,
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # the one single-confirmation query deferred from the round-7 window
-    # (see _WINDOW comment) — head of the round-8 rotation
+    # single-confirmation queries deferred from the round-7 window to
+    # make room for the two NEW r7 queries (zero-row debt beats
+    # single-row debt; the projected post-r7 singles count is ~5 vs the
+    # <=25 target) — head of the round-8 rotation
     "label_propagation": q_label_propagation,
+    "entity_match": q_entity_match,
+    "weighted_sample": q_weighted_sample,
     # double-confirmed in the round-6 window; parity re-proven every
     # round by tests/test_oracle_parity.py
     "tf_idf": q_tf_idf,
@@ -4076,6 +4120,82 @@ def _oracle_sql_literal() -> dict[str, str]:
                 WHERE l.id = l.canonical_id
             ) z ON e.vec_id = z.id
             WHERE e.vec_id NOT IN
+                  (SELECT id FROM labels WHERE id != canonical_id)
+        """,
+        "temperature_mixture": """
+            WITH counts AS (
+                SELECT lang, count(*) AS c FROM documents
+                WHERE lang IS NOT NULL GROUP BY 1
+            ), raw AS (
+                SELECT lang, c, sqrt(c) AS r FROM counts
+            ), tot AS (
+                SELECT sum(r) AS s FROM raw
+            ), shares AS (
+                -- shares snapped to the 2^-20 binary grid with floor(),
+                -- mirroring the contract query exactly (see its docstring)
+                SELECT lang, c,
+                       floor(r / s * 1048576 + 0.5) / 1048576 AS w
+                FROM raw CROSS JOIN tot
+            ), t AS (
+                SELECT min(c / w) AS T FROM shares
+            ), quotas AS (
+                SELECT lang, CAST(floor(T * w) AS BIGINT) AS quota
+                FROM shares CROSS JOIN t
+            ), ranked AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (((doc_id * 2654435761) % 4294967296) + 4294967296) % 4294967296 ASC,
+                                    doc_id ASC) AS rk
+                FROM documents
+            )
+            SELECT doc_id, lang
+            FROM ranked JOIN quotas USING (lang)
+            WHERE rk <= quota
+        """,
+        "semantic_dedup": """
+            WITH RECURSIVE n AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding, x -> x <> 0)) > 0
+            ), cent AS (
+                -- deterministic-subset centers: the 16 smallest valid ids
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                       v AS c
+                FROM n ORDER BY vec_id LIMIT 16
+            ), dists AS (
+                SELECT n.vec_id, n.v, cent.cell,
+                       list_dot_product(
+                           [n.v[i+1] - cent.c[i+1] for i in range(64)],
+                           [n.v[i+1] - cent.c[i+1] for i in range(64)]) AS d2
+                FROM n, cent
+            ), assigned AS (
+                SELECT vec_id, v, cell, sqrt(list_dot_product(v, v)) AS nrm
+                FROM (SELECT vec_id, v, cell,
+                             row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY d2 ASC, cell ASC)
+                             AS rn
+                      FROM dists) WHERE rn = 1
+            ), pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM assigned a JOIN assigned b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE a.nrm > 0 AND b.nrm > 0
+                  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.42
+            ), sym AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+                SELECT s, s FROM (SELECT DISTINCT s FROM sym)
+                UNION
+                SELECT s.s, reach.r FROM sym s JOIN reach ON reach.id = s.d
+            ), labels AS (
+                SELECT id, min(r) AS canonical_id FROM reach GROUP BY id
+            )
+            SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell
+            FROM assigned a
+            WHERE a.vec_id NOT IN
                   (SELECT id FROM labels WHERE id != canonical_id)
         """,
         "embedding_covariance": """

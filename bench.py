@@ -142,6 +142,8 @@ HEADLINE = [
     ("bm25_search", "collect"),
     # round 7 additions
     ("corpus_pipeline", "count"),
+    ("temperature_mixture", "count"),
+    ("semantic_dedup", "count"),
 ]
 
 N_SHARDS = 2
