@@ -2309,11 +2309,21 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components, min-id survivor per family. Returns every
     survivor with its cluster cell — the frame the cluster-bounded
     dedup writes back out. Cross-cluster recall trade is the operator's
-    documented property (similarity.semantic_dedup docstring)."""
+    documented property (similarity.semantic_dedup docstring).
+    Runs under 8 shuffle partitions like q_dedup_survivors: the pair
+    set and every CC-round frame are candidate-sized, so 32-partition
+    shuffles are empty-task churn across the contraction loop's jobs."""
     from bda_spadochrony_spark.operators.similarity import semantic_dedup
-    emb = _t(spark, sf_dir, "embeddings")
-    out = semantic_dedup(emb, "vec_id", n_clusters=16, min_cosine=0.42)
-    return out.select("vec_id", F.col("cell").cast("long").alias("cell"))
+    configure(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        emb = _t(spark, sf_dir, "embeddings")
+        out = semantic_dedup(emb, "vec_id", n_clusters=16, min_cosine=0.42)
+        return out.select("vec_id",
+                          F.col("cell").cast("long").alias("cell"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -266,6 +266,15 @@ def main() -> None:
                            "warmup amortizes first-use codegen the way a "
                            "resident session does; exec ~1.2s is the "
                            "shuffle-bound floor at sf0.1"),
+                       "semantic_dedup": (
+                           "~5.8s cold / ~4.5s warm at sf0.1 (sp=8, like dedup_surv"
+                           "ivors - 32-partition shuffles were empty-task churn acr"
+                           "oss the CC rounds: warm 6.2 -> 4.5): same floor class a"
+                           "s dedup_survivors - the within-cluster pair join is che"
+                           "ap, the star-contraction CC rounds cost ~1 multi-stage "
+                           "job each at toy scale (O(log n) rounds, constant at 100"
+                           "TB) plus a 16-row center-fit collect at build"
+                       ),
                        "corpus_pipeline": (
                            "~3.5-4.5s build / ~0.15s exec at sf0.1: the "
                            "cost is DRIVER-SIDE construction+analysis of "
