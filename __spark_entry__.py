@@ -3218,9 +3218,19 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM events
         """,
         "json_payload": """
-            SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k
+            -- r7 edge pins (Spark from_json is PERMISSIVE + typed):
+            -- malformed/empty JSON -> NULL row (json_valid guard;
+            -- DuckDB json_extract otherwise ERRORS), and only JSON
+            -- integer tokens populate an IntegerType field — 2.7 and
+            -- "12" are NULL in Spark while DuckDB's TRY_CAST would
+            -- round/parse them (json_type guard)
+            SELECT event_id,
+                   CASE WHEN props IS NOT NULL AND json_valid(props)
+                         AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                        THEN TRY_CAST(json_extract(props, '$.k') AS INTEGER)
+                   END AS prop_k
             FROM events
-        """,
+""",
         "asof_minute_join": """
             WITH per_min AS (
                 SELECT date_trunc('minute', ts) AS minute, count(*) AS n_in_minute

@@ -231,6 +231,10 @@ EDGE_EVENT_QUERIES = [
     # window ordering), change detection NULL-safe with a first-row
     # marker (scd.scd2_history docstring)
     "scd2_history", "pit_join",
+    # r7: typed JSON parse on malformed/degenerate payloads — pinned:
+    # json_valid guard (DuckDB errors on bad JSON where from_json nulls)
+    # + json_type guard (only integer tokens populate IntegerType)
+    "json_payload",
 ]
 
 
@@ -268,6 +272,18 @@ def edge_ev_dir():
         (16, ts(2024, 1, 1, 5, 0, 0), 4, "click", 3.5, '{"k": 14}'),
         (17, None, 4, "purchase", 4.0, '{"k": 15}'),
         (18, None, None, "view", 5.0, '{"k": 16}'),   # NULL ts + NULL user
+        # r7: degenerate JSON payloads — malformed text (DuckDB
+        # json_extract ERRORS without a json_valid guard), empty string,
+        # non-integer token types (Spark's typed from_json rejects 2.7
+        # and "12" where TRY_CAST would round/parse), wrong-case key,
+        # array root
+        (19, ts(2024, 1, 1, 6, 0, 0), 5, "click", 1.0, "not json at all"),
+        (20, ts(2024, 1, 1, 6, 1, 0), 5, "view", 2.0, ""),
+        (21, ts(2024, 1, 1, 6, 2, 0), 5, "click", 3.0, '{"k": "12"}'),
+        (22, ts(2024, 1, 1, 6, 3, 0), 5, "view", 4.0, '{"k": 2.7}'),
+        (23, ts(2024, 1, 1, 6, 4, 0), 5, "click", 5.0, '{"K": 9}'),
+        (24, ts(2024, 1, 1, 6, 5, 0), 5, "view", 6.0, "[1,2,3]"),
+        (25, ts(2024, 1, 1, 6, 6, 0), 5, "click", 7.0, '{"k": null}'),
     ]
     cols = list(zip(*rows))
     tbl = pa.table({
