@@ -1195,8 +1195,11 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     the |centers|·d mean recompute. The loop is driver logic; the STEP is
     what the engine owns, and it is SQL-checkable end-to-end."""
     from bda_spadochrony_spark.ml.centroids import kmeans_lloyd_step
+    from bda_spadochrony_spark.operators.similarity import finite_vectors
     emb = _t(spark, sf_dir, "embeddings")
-    seeds = (emb.where(F.col("vec_id") % 100 == 0)
+    # seeds share the step's moment guard: a junk seed IS a junk center
+    seeds = (finite_vectors(emb, "embedding")
+             .where(F.col("vec_id") % 100 == 0)
              .select(F.col("vec_id").alias("label"),
                      F.posexplode(F.col("embedding").cast("array<double>"))
                      .alias("pos0", "mu"))
@@ -2468,9 +2471,18 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes built-in corr throw DIVIDE_BY_ZERO and kill the whole job
     (found by the r6 pathological-events fixture); the guarded form
     returns NULL for that group, which is also what the SQL oracle's
-    corr() yields — one bad group must never abort a 100 TB aggregate."""
+    corr() yields — one bad group must never abort a 100 TB aggregate.
+
+    Non-finite pin (r7 edge program): NaN/±Inf measures are nulled
+    before every moment aggregate — a single Inf row ABORTS DuckDB's
+    stddev_samp ("out of range") and NaN-poisons Spark's, i.e. the
+    engines diverge AND both lose the group. Same moment-guard rule as
+    ml/stats.covariance_matrix's finite_vectors."""
     ev = _t(spark, sf_dir, "events")
     ev = ev.withColumn("uid_d", F.col("user_id").cast("double"))
+    ev = ev.withColumn("value", F.when(
+        ~F.isnan("value") & (F.abs("value") != F.lit(float("inf"))),
+        F.col("value")))
     # pairwise-complete marginals: corr skips a ROW when either side is
     # NULL, so its stddevs must too (a plain stddev_samp("value") counts
     # rows whose uid is NULL and skews the ratio)
@@ -2504,8 +2516,16 @@ def q_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram binning — floor(value/10) buckets with count
     and rounded mass share; the group-by formulation distributes (one hash
-    aggregate), unlike driver-side histogramming."""
-    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    aggregate), unlike driver-side histogramming.
+
+    Non-finite pin (r7 edge program): NaN/±Inf rows are EXCLUDED — the
+    bin cast errors in BOTH engines (Spark ANSI and DuckDB both refuse
+    CAST(NaN/Inf AS INT)), i.e. one corrupt row kills the job, and a
+    fixed-width bin index for Inf is meaningless anyway. The share
+    denominator counts the same finite domain."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & ~F.isnan("value")
+                 & (F.abs("value") != F.lit(float("inf")))))
     total = ev.count()
     binned = ev.groupBy(F.floor(F.col("value") / 10).cast("int").alias("bin")) \
                .agg(F.count(F.lit(1)).alias("cnt"))
@@ -2738,6 +2758,11 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_survivors": q_dedup_survivors,
     "embedding_ann_stack": q_embedding_ann_stack,
     "embedding_lsh_portable": q_embedding_lsh_portable,
+    # ... + the two whose source changed for the r7 non-finite pins
+    # (NaN/Inf measures: histogram's bin cast errors in both engines,
+    # stats_agg's moment aggregates diverge — both now guard)
+    "histogram": q_histogram,
+    "stats_agg": q_stats_agg,
     # ---- the single-confirmation backlog, oldest cohort first (VERDICT
     # r6 ask #1: 49 -> <=25; this window covers 48 of the 49, leaving
     # only label_propagation for round 8): last driver row r4 ...
@@ -2786,8 +2811,6 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_distinct": q_stream_distinct,
     "bigram_surprisal": q_bigram_surprisal,
     "pit_join": q_pit_join,
-    "span_dedup": q_span_dedup,
-    "bm25_search": q_bm25_search,
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2798,6 +2821,11 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_propagation": q_label_propagation,
     "entity_match": q_entity_match,
     "weighted_sample": q_weighted_sample,
+    # r6-confirmed singles displaced from the r7 window by the two
+    # non-finite-pin source changes (histogram, stats_agg) — newest
+    # confirmations, so the cheapest deferral
+    "span_dedup": q_span_dedup,
+    "bm25_search": q_bm25_search,
     # double-confirmed in the round-6 window; parity re-proven every
     # round by tests/test_oracle_parity.py
     "tf_idf": q_tf_idf,
@@ -2812,7 +2840,6 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sliding": q_stream_sliding,
     "partition_pruned": q_partition_pruned,
     "embedding_near_dup": q_embedding_near_dup,
-    "stats_agg": q_stats_agg,
     "argmax_agg": q_argmax_agg,
     "regr_agg": q_regr_agg,
     "salted_hourly": q_salted_hourly,
@@ -2825,7 +2852,6 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "sql_surface": q_sql_surface,
     "unpivot": q_unpivot,
-    "histogram": q_histogram,
     "array_agg": q_array_agg,
     "date_functions": q_date_functions,
     "string_funcs2": q_string_funcs2,
@@ -2982,9 +3008,11 @@ def _ann_stack_oracle() -> str:
         + "]) >= 0 THEN '1' ELSE '0' END)"
         for row in pm)
     return f"""
-            WITH n AS (
+            WITH n AS MATERIALIZED (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                 WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
             ), qz AS (
                 SELECT vec_id,
                        [CASE WHEN mx = 0 THEN 0.0
@@ -3042,9 +3070,11 @@ def _lsh_portable_oracle() -> str:
         + "]) >= 0 THEN '1' ELSE '0' END)"
         for row in pm)
     return f"""
-            WITH n AS (
+            WITH n AS MATERIALIZED (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                 WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
             ), b AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
                    {bits} AS bucket
@@ -3430,9 +3460,11 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE i * 1.0 / (na.n + nb.n - i) >= 0.5
         """,
         "embedding_topk": """
-            WITH n AS (
+            WITH n AS MATERIALIZED (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                 WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
             ), nn AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
                 WHERE list_dot_product(v, v) > 0
@@ -3738,17 +3770,24 @@ def _oracle_sql_literal() -> dict[str, str]:
                          list_max(list_transform(embedding::DOUBLE[],
                                                  x -> abs(x))) AS mx
                   FROM embeddings
-                  WHERE embedding IS NOT NULL)
+                  WHERE embedding IS NOT NULL
+                    AND len(list_filter(embedding,
+                            x -> x IS NULL OR isnan(x) OR isinf(x))) = 0)
         """,
         "embedding_ivf_portable": """
-            WITH n AS (
-                SELECT vec_id, embedding::DOUBLE[] AS v,
-                       sqrt(list_dot_product(embedding::DOUBLE[],
-                                             embedding::DOUBLE[])) AS nrm
-                FROM embeddings
+            WITH clean AS MATERIALIZED (
+                -- junk filter BEFORE any list_dot_product: DuckDB
+                -- inlines CTEs and reorders conjuncts, and its dot
+                -- product ERRORS (not NULLs) on a NULL element, so the
+                -- barrier is what guarantees filter-before-arithmetic
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                 WHERE embedding IS NOT NULL
-                  AND list_dot_product(embedding::DOUBLE[],
-                                       embedding::DOUBLE[]) > 0
+                  AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+            ), n AS (
+                SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+                FROM clean
+                WHERE list_dot_product(v, v) > 0
             ), cent AS (
                 SELECT vec_id AS cell, v AS c FROM n WHERE vec_id < 16
             ), dists AS (
@@ -4108,9 +4147,11 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE rk <= quota
         """,
         "dedup_survivors": """
-            WITH RECURSIVE n AS (
+            WITH RECURSIVE n AS MATERIALIZED (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                 WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
             ), nn AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
                 WHERE list_dot_product(v, v) > 0
@@ -4174,10 +4215,12 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE rk <= quota
         """,
         "semantic_dedup": """
-            WITH RECURSIVE n AS (
+            WITH RECURSIVE n AS MATERIALIZED (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                 WHERE embedding IS NOT NULL
                   AND len(list_filter(embedding, x -> x <> 0)) > 0
+                  AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
             ), cent AS (
                 -- deterministic-subset centers: the 16 smallest valid ids
                 SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
@@ -4234,7 +4277,8 @@ def _oracle_sql_literal() -> dict[str, str]:
                 SELECT vec_id, embedding FROM embeddings
                 WHERE embedding IS NOT NULL
                   AND len(list_filter(embedding, x -> x <> 0)) > 0
-                  AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                  AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
             ), e AS (
                 SELECT vec_id, CAST(i AS INTEGER) AS i,
                        embedding[i]::DOUBLE AS x
@@ -4296,6 +4340,8 @@ def _oracle_sql_literal() -> dict[str, str]:
                        embedding[i]::DOUBLE AS x
                 FROM embeddings CROSS JOIN range(1, 65) r(i)
                 WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
             ), s AS (
                 SELECT i, avg(x) AS mu, stddev_samp(x) AS sd
                 FROM e GROUP BY 1
@@ -4316,6 +4362,8 @@ def _oracle_sql_literal() -> dict[str, str]:
                        embedding[i]::DOUBLE AS x
                 FROM embeddings CROSS JOIN range(1, 65) r(i)
                 WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
             ), c AS (
                 SELECT label, pos, avg(x) AS mu
                 FROM e WHERE label IS NOT NULL GROUP BY 1, 2
@@ -4339,6 +4387,8 @@ def _oracle_sql_literal() -> dict[str, str]:
                        embedding[i]::DOUBLE AS x
                 FROM embeddings CROSS JOIN range(1, 65) r(i)
                 WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
             ), c AS (
                 SELECT label, pos, avg(x) AS mu
                 FROM e WHERE label IS NOT NULL GROUP BY 1, 2
@@ -4456,6 +4506,8 @@ def _oracle_sql_literal() -> dict[str, str]:
                        embedding[i]::DOUBLE AS x
                 FROM embeddings CROSS JOIN range(1, 65) r(i)
                 WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
             ), seeds AS (
                 SELECT vec_id AS label, pos, x AS mu
                 FROM e WHERE vec_id % 100 = 0
@@ -4485,6 +4537,8 @@ def _oracle_sql_literal() -> dict[str, str]:
                        embedding[i]::DOUBLE AS x
                 FROM embeddings CROSS JOIN range(1, 65) r(i)
                 WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x) OR abs(x) > 1e6)) = 0
             ), s AS (
                 SELECT pos, avg(x) AS mu, stddev_samp(x) AS sd
                 FROM e GROUP BY 1
@@ -4686,9 +4740,11 @@ def _oracle_sql_literal() -> dict[str, str]:
             ) WHERE rank <= 30
         """,
         "pagerank_step": """
-            WITH n AS (
+            WITH n AS MATERIALIZED (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                 WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
             ), nn AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
                 FROM n WHERE list_dot_product(v, v) > 0
@@ -4720,12 +4776,16 @@ def _oracle_sql_literal() -> dict[str, str]:
             CROSS JOIN nc
         """,
         "equi_depth_histogram": """
+            -- r7 non-finite pin: boundaries over FINITE values only (a
+            -- NaN poisons quantile_cont in both engines); non-finite
+            -- rows still bucket — both engines compare NaN > +Inf >
+            -- finite > -Inf
             WITH b AS (
                 SELECT list_transform(
                            quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
                                                  0.6, 0.7, 0.8, 0.9]),
                            x -> round(x + 1e-10, 6)) AS bnds
-                FROM events WHERE value IS NOT NULL
+                FROM events WHERE value IS NOT NULL AND isfinite(value)
             )
             SELECT CAST(len(list_filter(bnds, t -> value > t)) AS INTEGER)
                        AS bucket,
@@ -4812,9 +4872,11 @@ def _oracle_sql_literal() -> dict[str, str]:
             ) WHERE rk <= 100
         """,
         "label_propagation": """
-            WITH n AS (
+            WITH n AS MATERIALIZED (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                 WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
             ), nn AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
                 FROM n WHERE list_dot_product(v, v) > 0
@@ -5450,9 +5512,11 @@ def _oracle_sql_literal() -> dict[str, str]:
             GROUP BY 1
         """,
         "dedup_clusters": """
-            WITH RECURSIVE n AS (
+            WITH RECURSIVE n AS MATERIALIZED (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                 WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
             ), nn AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
                 WHERE list_dot_product(v, v) > 0
@@ -5585,12 +5649,17 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM events
         """,
         "stats_agg": """
+            -- r7 non-finite pin: NaN/Inf nulled before the moment
+            -- aggregates (Inf ABORTS DuckDB stddev_samp, NaN-poisons
+            -- Spark's — moment guard, like covariance's finite filter)
             SELECT event_type,
                    round((stddev_samp(value)) + 1e-08, 4) AS sd_value,
                    round((var_samp(value)) + 1e-08, 4) AS var_value,
                    round((corr(value, CAST(user_id AS DOUBLE))) + 1e-10, 6) AS corr_vu,
                    round((covar_samp(value, CAST(user_id AS DOUBLE))) + 1e-08, 4) AS covar_vu
-            FROM events GROUP BY 1
+            FROM (SELECT event_type, user_id,
+                         CASE WHEN isfinite(value) THEN value END AS value
+                  FROM events) GROUP BY 1
         """,
         "argmax_agg": """
             WITH r AS (
@@ -5611,16 +5680,22 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM r GROUP BY 1
         """,
         "histogram": """
+            -- r7 non-finite pin: NaN/Inf excluded — CAST(floor(...) AS
+            -- INTEGER) errors on non-finite in BOTH engines
             SELECT CAST(floor(value / 10) AS INTEGER) AS bin, count(*) AS cnt,
                    round((count(*) * 1.0 /
-                          (SELECT count(*) FROM events WHERE value IS NOT NULL))
+                          (SELECT count(*) FROM events
+                           WHERE value IS NOT NULL AND isfinite(value)))
                          + 1e-10, 6) AS share
-            FROM events WHERE value IS NOT NULL GROUP BY 1
+            FROM events WHERE value IS NOT NULL AND isfinite(value)
+            GROUP BY 1
         """,
         "embedding_near_dup": """
-            WITH n AS (
+            WITH n AS MATERIALIZED (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                 WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
             ), nn AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
                 WHERE list_dot_product(v, v) > 0

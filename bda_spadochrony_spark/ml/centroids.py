@@ -17,14 +17,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bda_spadochrony_spark.functions.numeric import stable_round
+from bda_spadochrony_spark.operators.similarity import finite_vectors
 
 
 def label_centroids(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
     """Per-label mean vector in row form ``(label, pos, mu)`` (1-based
     ``pos``): one posexplode + one map-side-combined shuffle over
     ``|labels| × d`` keys. The result is dimension-table-sized and
-    broadcasts."""
-    ex = (df.where(F.col(vec_col).isNotNull() & F.col(label_col).isNotNull())
+    broadcasts.
+
+    Moment guard (r7 edge program): centroids are coordinate MEANS, so
+    one NaN/Inf-element vector destroys its whole label's centroid (the
+    mean goes NaN) while the job still 'succeeds' — the same silent
+    poisoning ``finite_vectors`` exists to stop on covariance paths.
+    Junk vectors are dropped at entry."""
+    ex = (finite_vectors(df, vec_col)
+          .where(F.col(vec_col).isNotNull() & F.col(label_col).isNotNull())
           .select(F.col(label_col),
                   F.posexplode(F.col(vec_col).cast("array<double>"))
                   .alias("pos0", "x")))
@@ -44,8 +52,15 @@ def centroid_classify(df: DataFrame, id_col: str, vec_col: str,
     Plan: exploded vectors ⋈ broadcast centroid rows on ``pos`` +
     ``(id, label)`` partial-sum shuffle + per-id struct-min. Row width
     through the shuffle is three scalars; nothing driver-side.
+
+    Moment guard (r7): a NaN-element vector gets NaN distance to EVERY
+    centroid — the struct-min then assigns it by the tie-break label
+    alone (and downstream ``kmeans_lloyd_step`` would average the NaN
+    into that cluster's center). Junk vectors are unclassifiable;
+    ``finite_vectors`` drops them at entry.
     """
-    ex = (df.where(F.col(vec_col).isNotNull())
+    ex = (finite_vectors(df, vec_col)
+          .where(F.col(vec_col).isNotNull())
           .select(F.col(id_col),
                   F.posexplode(F.col(vec_col).cast("array<double>"))
                   .alias("pos0", "x"))

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bda_spadochrony_spark.functions.numeric import stable_round
+from bda_spadochrony_spark.operators.similarity import finite_vectors
 
 
 def dimension_stats(df: DataFrame, vec_col: str) -> DataFrame:
@@ -48,7 +49,15 @@ def standardize_embeddings(df: DataFrame, id_col: str, vec_col: str,
     alone is not order-stable), so the only data-sized shuffle is the
     per-id rebuild, keyed on the id. The rounded z values get ``+ 0.0``
     so near-zero cells can't split into -0.0 vs 0.0 across engines.
+
+    Moment guard (r7 edge program): junk vectors are dropped at entry —
+    ONE NaN element makes its whole dimension's mean/sd NaN (every
+    vector's z at that position goes NaN while the job 'succeeds'), and
+    an Inf element ABORTS DuckDB's stddev outright, so the engines both
+    lose the dimension AND diverge in how. Same rule as
+    ``covariance_matrix``'s ``finite_vectors`` entry filter.
     """
+    df = finite_vectors(df, vec_col)
     stats = dimension_stats(df, vec_col)
     ex = (df.where(F.col(vec_col).isNotNull())
           .select(F.col(id_col),
@@ -152,11 +161,14 @@ def pca_norm_invariant(df: DataFrame, id_col: str, vec_col: str,
     Spark's ``F.aggregate`` fold — the row would emit NULL — while a SQL
     oracle's ``sum()`` silently skips the NULL terms and returns a
     partial value; excluding such vectors in BOTH engines pins one
-    semantics before any fixture grows them).
+    semantics before any fixture grows them). r7 extends the exclusion
+    to NaN/|x|>1e6 elements (``finite_vectors``): the PCA fit is a
+    covariance pass, so one NaN vector makes the whole matrix NaN and
+    ``eigh`` returns garbage for EVERY row, not just the junk one.
     """
     v = F.col(vec_col)
-    clean = df.where(v.isNotNull() & F.exists(v, lambda x: x != 0)
-                     & ~F.exists(v, lambda x: x.isNull()))
+    clean = finite_vectors(df, vec_col) \
+        .where(F.exists(v, lambda x: x != 0))
     means, comps, _ = pca_components(clean, vec_col, k=None)
     vd = v.cast("array<double>")
     centered = F.zip_with(vd, F.array(*[F.lit(m) for m in means]),
@@ -185,7 +197,12 @@ def embedding_outliers(df: DataFrame, id_col: str, vec_col: str,
     TakeOrdered (no global sort materialization). Zero-variance
     dimensions contribute 0 — same convention as ``standardize_
     embeddings``.
+
+    Moment guard (r7): same ``finite_vectors`` entry rule as
+    ``standardize_embeddings`` — an outlier DETECTOR that a single junk
+    vector can NaN-poison would flag nothing at all.
     """
+    df = finite_vectors(df, vec_col)
     stats = dimension_stats(df, vec_col)
     ex = (df.where(F.col(vec_col).isNotNull())
           .select(F.col(id_col),

@@ -157,10 +157,22 @@ def equi_depth_histogram(df: DataFrame, col: str, buckets: int = 10,
     build, not a hot path); counts are one map-side-combined shuffle.
     Boundaries are stable-rounded before comparison so interpolation
     arithmetic can't split a boundary-valued row across engines.
+
+    Non-finite pin (r7 edge program): boundaries are computed over
+    FINITE values only — a single NaN poisons percentile interpolation
+    in both engines (Spark sorts NaN above +Inf; DuckDB quantile_cont
+    returns NaN), and an Inf boundary makes every interpolated bound
+    above it non-finite. Non-finite ROWS are still bucketed: both
+    engines order NaN > +Inf > finite > -Inf in comparisons, so NaN/+Inf
+    land deterministically in the top bucket and -Inf in bucket 0.
     Returns (bucket, n_rows) with bucket in 0..buckets−1.
     """
+    cd = F.col(col).cast("double")
+    finite = (F.col(col).isNotNull() & ~F.isnan(cd)
+              & (F.abs(cd) != F.lit(float("inf"))))
     qs = ", ".join(str((i + 1) / buckets) for i in range(buckets - 1))
-    bounds = (df.agg(F.expr(f"percentile({col}, array({qs}))")
+    bounds = (df.where(finite)
+              .agg(F.expr(f"percentile({col}, array({qs}))")
                      .alias("__b"))
               .select(F.transform(
                   "__b", lambda x: stable_round(x, round_digits))

@@ -31,15 +31,24 @@ def with_norm(df: DataFrame, vec_col: str, out_col: str = "norm") -> DataFrame:
 
 
 def valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
-    """Drop rows whose vector is NULL or all-zero before any cosine path:
-    a NULL row crashes the Arrow→numpy batch inside the cogrouped BLAS
-    UDFs, and a zero-norm vector has no cosine direction (its similarity
-    divides by zero — an ANSI runtime error). Real 100 TB embedding
-    columns contain corrupt rows; ONE of them must not kill the job.
-    Map-only codegen filter; every cosine operator below applies it at
-    entry (edge-probed: see tests/test_edge_parity notes)."""
+    """Drop rows whose vector is NULL, all-zero, or contains a
+    non-finite/NULL element before any cosine path: a NULL row crashes
+    the Arrow→numpy batch inside the cogrouped BLAS UDFs; a zero-norm
+    vector has no cosine direction (its similarity divides by zero — an
+    ANSI runtime error); and (r7 edge program) a NaN element yields a
+    NaN cosine score which BOTH engines rank ABOVE every real score —
+    one junk vector hijacks every query's top-k — while an Inf element
+    makes norm=Inf (scores collapse to 0 or NaN via Inf/Inf) and a NULL
+    element NULL-poisons the F.aggregate norm. Huge-but-FINITE vectors
+    (1e30) stay: normalization cancels scale on cosine paths. Real
+    100 TB embedding columns contain corrupt rows; ONE of them must not
+    kill or hijack the job. Map-only codegen filter; every cosine
+    operator below applies it at entry (edge-probed:
+    tests/test_edge_parity)."""
     v = F.col(vec_col)
-    return df.where(v.isNotNull() & F.exists(v, lambda x: x != 0))
+    junk = F.exists(v, lambda x: x.isNull() | F.isnan(x)
+                    | (F.abs(x) == F.lit(float("inf"))))
+    return df.where(v.isNotNull() & F.exists(v, lambda x: x != 0) & ~junk)
 
 
 def finite_vectors(df: DataFrame, vec_col: str,
@@ -49,11 +58,16 @@ def finite_vectors(df: DataFrame, vec_col: str,
     mean/covariance/z-score paths do NOT — one such row poisons every
     statistic it touches (a corpus-wide mean of 1e26 makes standardize,
     PCA, and outlier scores garbage while the job still 'succeeds').
-    Drops rows whose vector contains NaN or any |x| > ``max_abs``.
+    Drops rows whose vector contains NULL, NaN, or any |x| > ``max_abs``
+    (the explicit ``isNull`` term pins what three-valued logic already
+    did implicitly — ``exists`` over a NULL element yields NULL and the
+    filter drops the row — so the oracle mirror can state it plainly:
+    ``x IS NULL OR isnan(x) OR abs(x) > 1e6``).
     Map-only codegen filter; apply at entry of any fit that aggregates
     raw coordinates when the column isn't already validated upstream."""
     v = F.col(vec_col)
-    bad = F.exists(v, lambda x: F.isnan(x) | (F.abs(x) > F.lit(max_abs)))
+    bad = F.exists(v, lambda x: x.isNull() | F.isnan(x)
+                   | (F.abs(x) > F.lit(max_abs)))
     return df.where(v.isNotNull() & ~bad)
 
 
@@ -493,13 +507,23 @@ def quantize_embeddings(df: DataFrame, id_col: str,
     zero shuffle; all-zero vectors quantize to zeros (scale 0 guard) and
     NULL vectors are dropped (nothing to quantize — and a NULL q would
     crash the serialized-output hash downstream).
+
+    Junk guard (r7 edge program): vectors with a NaN/Inf/NULL element
+    are dropped too — a NaN element makes ``scale`` NaN (array_max ranks
+    NaN above every finite), an Inf element makes Inf/Inf = NaN in its
+    own code, and under ANSI the CAST(NaN AS LONG) ABORTS the job in
+    both engines. One corrupt row must not kill a 100 TB quantize pass.
+    Huge-but-finite values stay: they just own the scale.
     """
     v = F.col(vec_col).cast("array<double>")
+    raw = F.col(vec_col)
+    junk = F.exists(raw, lambda x: x.isNull() | F.isnan(x)
+                    | (F.abs(x) == F.lit(float("inf"))))
     mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = mx / F.lit(127.0)
     q = F.transform(v, lambda x: F.when(mx == 0, F.lit(0)).otherwise(
         F.floor(x / scale + F.lit(0.5))).cast("long"))
-    return (df.where(F.col(vec_col).isNotNull())
+    return (df.where(raw.isNotNull() & ~junk)
             .select(F.col(id_col), scale.alias("scale"), q.alias("q")))
 
 

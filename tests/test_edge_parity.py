@@ -118,6 +118,9 @@ EDGE_EMB_QUERIES = [
     "dedup_survivors", "pagerank_step", "label_propagation",
     "embedding_quantize", "embedding_lsh_portable",
     "embedding_ivf_portable", "embedding_ann_stack",
+    # r7 additions with the junk-element rows: the remaining oracled
+    # consumers of the embedding column
+    "semantic_dedup", "dedup_clusters", "pca_invariants",
 ]
 
 
@@ -134,6 +137,14 @@ def edge_emb_dir():
     rows.append((101, [0.0] * 64, 2))           # zero vector (no direction)
     rows.append((102, rows[0][1], 0))           # exact duplicate
     rows.append((103, [1e30] + [0.0] * 63, None))  # extreme + NULL label
+    # r7: non-finite ELEMENTS — a NaN-element vector gets a NaN cosine
+    # score, and BOTH engines rank NaN above every real score, so one
+    # junk vector hijacks every top-k; an Inf element makes norm=Inf
+    # (scores 0 or NaN via Inf/Inf); a NULL element NULL-poisons
+    # F.aggregate norms. All three must be dropped at entry.
+    rows.append((104, [1.0] * 32 + [float("nan")] + [1.0] * 31, 0))
+    rows.append((105, [float("inf")] + [1.0] * 63, 1))
+    rows.append((106, [1.0] * 63 + [None], 2))
     tbl = pa.table({
         "vec_id": pa.array([r[0] for r in rows], pa.int64()),
         "embedding": pa.array([r[1] for r in rows],
@@ -195,7 +206,8 @@ def test_edge_embeddings_robust_covariance_matches_oracle(
             SELECT vec_id, embedding FROM embeddings
             WHERE embedding IS NOT NULL
               AND len(list_filter(embedding,
-                                  x -> isnan(x) OR abs(x) > 1e6)) = 0
+                                  x -> x IS NULL OR isnan(x)
+                                       OR abs(x) > 1e6)) = 0
         ), e AS (
             SELECT vec_id, CAST(i AS INTEGER) AS i,
                    embedding[i]::DOUBLE AS x
@@ -284,6 +296,14 @@ def edge_ev_dir():
         (23, ts(2024, 1, 1, 6, 4, 0), 5, "click", 5.0, '{"K": 9}'),
         (24, ts(2024, 1, 1, 6, 5, 0), 5, "view", 6.0, "[1,2,3]"),
         (25, ts(2024, 1, 1, 6, 6, 0), 5, "click", 7.0, '{"k": null}'),
+        # r7: non-finite measures — NaN / +Inf / -Inf in the value
+        # column. Probe targets: ANSI casts in histogram bucketing
+        # (Inf-wide buckets), quantile/rank ordering (Spark and DuckDB
+        # both sort NaN above +Inf — verify), moment aggregates
+        # (stddev/skew/kurt poisoning), and sum/avg IEEE propagation.
+        (26, ts(2024, 1, 1, 7, 0, 0), 6, "click", float("nan"), '{"k": 17}'),
+        (27, ts(2024, 1, 1, 7, 1, 0), 6, "view", float("inf"), '{"k": 18}'),
+        (28, ts(2024, 1, 1, 7, 2, 0), 6, "purchase", float("-inf"), '{"k": 19}'),
     ]
     cols = list(zip(*rows))
     tbl = pa.table({

@@ -1436,8 +1436,10 @@ def test_dedup_survivors_keep_by_string_ids_and_null_quality(spark):
 
 
 def test_finite_vectors_protects_moment_statistics(spark):
-    """A 1e30 junk vector passes valid_vectors (non-null, non-zero) and
-    silently poisons mean/covariance; finite_vectors drops it."""
+    """A 1e30 junk vector passes valid_vectors (finite, non-zero: cosine
+    normalization cancels scale) but silently poisons mean/covariance;
+    finite_vectors drops it. NaN-element vectors fail BOTH filters since
+    r7 (a NaN cosine score would rank above every real score)."""
     import math
     from bda_spadochrony_spark.operators.similarity import (finite_vectors,
                                                             valid_vectors)
@@ -1445,7 +1447,8 @@ def test_finite_vectors_protects_moment_statistics(spark):
     rows = [(0, [1.0, 2.0]), (1, [3.0, 4.0]),
             (2, [1e30, 0.0]), (3, [float("nan"), 1.0]), (4, None)]
     df = spark.createDataFrame(rows, "vec_id: long, v: array<double>")
-    assert valid_vectors(df, "v").count() == 4          # junk row survives
+    # 1e30 is cosine-safe and survives; NaN-element and NULL do not (r7)
+    assert {r["vec_id"] for r in valid_vectors(df, "v").collect()} == {0, 1, 2}
     clean = finite_vectors(df, "v")
     assert {r["vec_id"] for r in clean.collect()} == {0, 1}
     mu = {r["pos"]: r["mu"] for r in dimension_stats(clean, "v").collect()}
@@ -1550,6 +1553,24 @@ def test_equi_depth_histogram_balances_buckets_under_skew(spark):
     assert sum(got.values()) == 1000                # null excluded
     assert set(got) == set(range(10))
     assert max(got.values()) - min(got.values()) <= 2   # equi-depth holds
+
+
+def test_equi_depth_histogram_non_finite_pin(spark):
+    """r7 edge program: boundaries come from FINITE values only (one NaN
+    poisons percentile interpolation), while non-finite ROWS still
+    bucket deterministically — NaN/+Inf above every finite boundary
+    (top bucket), -Inf below (bucket 0)."""
+    from bda_spadochrony_spark.operators.aggregates import equi_depth_histogram
+    rows = ([(float(i),) for i in range(1, 101)]
+            + [(float("nan"),), (float("inf"),), (float("-inf"),), (None,)])
+    df = spark.createDataFrame(rows, "v: double")
+    got = {r["bucket"]: r["n_rows"]
+           for r in equi_depth_histogram(df, "v", buckets=10).collect()}
+    assert sum(got.values()) == 103                 # null excluded only
+    # finite deciles put 10 per bucket; NaN/+Inf join the top, -Inf the
+    # bottom — boundaries themselves are unaffected by the junk rows
+    assert got[9] == 12 and got[0] == 11
+    assert all(got[b] == 10 for b in range(1, 9))
 
 
 def test_bigram_surprisal_known_values(spark):
