@@ -2306,13 +2306,22 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication under the value oracle:
-    deterministic-subset centers (the 16 smallest valid vec_ids — the
-    ivf_portable convention), nearest-center assignment, WITHIN-cluSTER
-    cosine pairs at the 0.42 family threshold (embedding_near_dup's),
-    connected components, min-id survivor per family. Returns every
-    survivor with its cluster cell — the frame the cluster-bounded
-    dedup writes back out. Cross-cluster recall trade is the operator's
-    documented property (similarity.semantic_dedup docstring).
+    deterministic-subset centers (the cells_for(n) smallest valid
+    vec_ids — the ivf_portable convention), nearest-center assignment,
+    WITHIN-cluster cosine pairs at the 0.42 family threshold
+    (embedding_near_dup's), connected components, min-id survivor per
+    family. Returns every survivor with its cluster cell — the frame
+    the cluster-bounded dedup writes back out. Cross-cluster recall
+    trade is the operator's documented property.
+
+    Cell count is CORPUS-SIZED since round 8 (``n_clusters=None`` →
+    ``cells_for(count)``, the sqrt-rule sibling of ``planes_for`` —
+    VERDICT r7 #1): at the oracle contract scale (500 vectors) the rule
+    yields the previously-pinned 16 cells, so parity values are
+    unchanged; at 100× the cell count grows with sqrt(n) and within-
+    cell pair volume stays Θ(n^1.5) instead of n²/16. The oracle
+    generator derives the identical count from the parquet footer
+    (``_oracle_embedding_count``, the planes_for pattern).
     Runs under 8 shuffle partitions like q_dedup_survivors: the pair
     set and every CC-round frame are candidate-sized, so 32-partition
     shuffles are empty-task churn across the contraction loop's jobs."""
@@ -2322,7 +2331,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         emb = _t(spark, sf_dir, "embeddings")
-        out = semantic_dedup(emb, "vec_id", n_clusters=16, min_cosine=0.42)
+        out = semantic_dedup(emb, "vec_id", min_cosine=0.42)
         return out.select("vec_id",
                           F.col("cell").cast("long").alias("cell"))
     finally:
@@ -2971,6 +2980,11 @@ def oracle_sql() -> dict[str, str]:
     d["traffic_hourly_fused"] = d["traffic_hourly"]
     d["embedding_lsh_portable"] = _lsh_portable_oracle()
     d["embedding_ann_stack"] = _ann_stack_oracle()
+    # corpus-sized quantizer (r8): same footer-count derivation as the
+    # ANN planes — both engines fit cells_for(n) centers
+    from bda_spadochrony_spark.operators.similarity import cells_for
+    d["semantic_dedup"] = d["semantic_dedup"].replace(
+        "__CELLS__", str(cells_for(_oracle_embedding_count())))
     return d
 
 
@@ -2989,8 +3003,19 @@ def _oracle_embedding_count() -> int:
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     try:
         return pq.ParquetFile(f"{sf}/embeddings.parquet").metadata.num_rows
-    except Exception:
-        return 500  # the contract scale's count — keeps import-anywhere safe
+    except (FileNotFoundError, ImportError, OSError) as exc:
+        # r8 (ADVICE): only a genuinely-absent file/module falls back to
+        # the contract scale's count, and loudly — a mistyped
+        # SPARK_GRAFT_ORACLE_SF_DIR silently sizing the oracle's index
+        # from the wrong corpus surfaced as an inscrutable bucket
+        # mismatch instead of a config error. Any other failure raises.
+        import warnings
+        warnings.warn(
+            f"_oracle_embedding_count: cannot read {sf}/embeddings.parquet"
+            f" ({exc!r}); falling back to the sf0.01 contract count 500 —"
+            " corpus-sized oracle parameters (planes_for/cells_for) may"
+            " mismatch the Spark side if the oracle runs elsewhere")
+        return 500
 
 
 def _ann_stack_oracle() -> str:
@@ -4222,10 +4247,14 @@ def _oracle_sql_literal() -> dict[str, str]:
                   AND len(list_filter(embedding,
                           x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
             ), cent AS (
-                -- deterministic-subset centers: the 16 smallest valid ids
+                -- deterministic-subset centers: the cells_for(count)
+                -- smallest valid ids; __CELLS__ is substituted by
+                -- _semantic_dedup_oracle() from the parquet footer row
+                -- count (the planes_for pattern — at the contract scale
+                -- of 500 vectors the rule yields the r7-pinned 16)
                 SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                        v AS c
-                FROM n ORDER BY vec_id LIMIT 16
+                FROM n ORDER BY vec_id LIMIT __CELLS__
             ), dists AS (
                 SELECT n.vec_id, n.v, cent.cell,
                        list_dot_product(
@@ -4581,10 +4610,10 @@ def _oracle_sql_literal() -> dict[str, str]:
                 -- semantics pinned r7, see scd.scd2_history docstring
                 SELECT user_id, ts, event_type,
                        lag(event_type) OVER (PARTITION BY user_id
-                                             ORDER BY ts, event_type)
+                                             ORDER BY ts, event_type NULLS FIRST)
                        AS prev,
                        row_number() OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_type) AS rn
+                                          ORDER BY ts, event_type NULLS FIRST) AS rn
                 FROM events WHERE ts IS NOT NULL
             ), c AS (
                 SELECT user_id, ts, event_type
@@ -4595,7 +4624,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CASE WHEN lead(ts) OVER w IS NULL
                         THEN 1 ELSE 0 END AS is_current
             FROM c
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type NULLS FIRST)
 """,
         "join_cardinality": """
             WITH l AS (
@@ -4823,10 +4852,10 @@ def _oracle_sql_literal() -> dict[str, str]:
                 -- same pinned NULL semantics as the scd2_history oracle
                 SELECT user_id, ts, event_type,
                        lag(event_type) OVER (PARTITION BY user_id
-                                             ORDER BY ts, event_type)
+                                             ORDER BY ts, event_type NULLS FIRST)
                        AS prev,
                        row_number() OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_type) AS rn
+                                          ORDER BY ts, event_type NULLS FIRST) AS rn
                 FROM events WHERE ts IS NOT NULL
             ), c AS (
                 SELECT user_id, ts, event_type
@@ -4834,7 +4863,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             ), dim AS (
                 SELECT user_id, ts AS valid_from,
                        lead(ts) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_type) AS valid_to
+                                      ORDER BY ts, event_type NULLS FIRST) AS valid_to
                 FROM c
             )
             SELECT e.event_id, d.valid_from

@@ -70,6 +70,11 @@ def _decode_ppm_bytes(payload: bytes):
     if not m:
         return None
     magic, w, h = m.group(1), int(m.group(2)), int(m.group(3))
+    maxval = int(m.group(4))
+    if not 1 <= maxval <= 255:
+        # maxval > 255 means 2-byte samples — decoding them as 1-byte
+        # would yield silently-wrong intensities (better loud than wrong)
+        raise ValueError(f"unsupported netpbm maxval {maxval}")
     ch = 3 if magic == b"P6" else 1
     px = payload[m.end():m.end() + w * h * ch]
     if len(px) < w * h * ch or w * h == 0:
@@ -99,6 +104,11 @@ def _decode_bmp_bytes(payload: bytes):
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
     height = abs(h)
+    if w <= 0 or height == 0:
+        # degenerate header dims: w=0/h=0 would ZeroDivisionError in the
+        # mean, negative w a nonsense floor-divided mean — raise like the
+        # truncated-payload path so one corrupt row stays one typed error
+        raise ValueError(f"invalid BMP dimensions ({w}x{h})")
     stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
     tot = 0
     for row in range(height):

@@ -304,6 +304,13 @@ def edge_ev_dir():
         (26, ts(2024, 1, 1, 7, 0, 0), 6, "click", float("nan"), '{"k": 17}'),
         (27, ts(2024, 1, 1, 7, 1, 0), 6, "view", float("inf"), '{"k": 18}'),
         (28, ts(2024, 1, 1, 7, 2, 0), 6, "purchase", float("-inf"), '{"k": 19}'),
+        # r8 (ADVICE): a NULL attribute AT a version-boundary tie — the
+        # one combination user 4's log missed. Spark's asc() window
+        # ordering is NULLS FIRST while DuckDB's plain ORDER BY is NULLS
+        # LAST, so before the oracle said NULLS FIRST explicitly, which
+        # row got the empty [ts,ts) interval flipped between engines.
+        (29, ts(2024, 1, 1, 5, 30, 0), 4, None, 6.0, '{"k": 20}'),
+        (30, ts(2024, 1, 1, 5, 30, 0), 4, "view", 7.0, '{"k": 21}'),
     ]
     cols = list(zip(*rows))
     tbl = pa.table({

@@ -285,6 +285,32 @@ def test_multimodal_real_decode_builtin_formats(spark):
     assert (r["width"], r["height"], r["mean_intensity"]) == (12, 8, 77)
 
 
+def test_multimodal_decoders_reject_degenerate_headers():
+    """r8 (ADVICE): corrupt headers must raise a TYPED ValueError, never
+    a ZeroDivisionError/garbage value — (a) 16-bit netpbm (maxval > 255,
+    2-byte samples) was silently mis-decoded as 1-byte samples; (b) a
+    BMP claiming width/height 0 divided by zero in the mean; (c) a
+    negative width yielded a nonsense floor-divided mean."""
+    import struct
+    with pytest.raises(ValueError, match="maxval"):
+        M._decode_ppm_bytes(b"P5\n2 1\n65535\n" + bytes(4))
+    with pytest.raises(ValueError, match="maxval"):
+        M._decode_ppm_bytes(b"P6\n1 1\n0\n" + bytes(3))
+
+    def bmp_with_dims(w, h):
+        stride = max((w * 3 + 3) & ~3, 0)
+        body = bytes(stride * abs(h)) if w > 0 else b"\0" * 64
+        return (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54) +
+                struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                            2835, 2835, 0, 0) + body)
+    for w, h in [(0, 2), (2, 0), (-3, 2)]:
+        with pytest.raises(ValueError, match="dimensions"):
+            M._decode_bmp_bytes(bmp_with_dims(w, h))
+    # the guard must not reject valid payloads (top-down BMP: negative h)
+    ok = M._decode_bmp_bytes(bmp_with_dims(2, -2))
+    assert (ok["width"], ok["height"]) == (2, 2)
+
+
 def test_ivf_topk_recall(spark):
     """IVF with n_probe == n_lists is exact; with fewer probes, recall of
     the true top-1 should stay high on clustered data."""
@@ -1749,3 +1775,35 @@ def test_semantic_dedup_keeps_one_per_embedding_family(spark):
     got = {r["vec_id"]: r["cell"] for r in out.collect()}
     assert set(got) == {0, 1, 2, 30}       # one per family + the distinct
     assert got[30] == got[2]               # same cluster, kept: cos < 0.95
+
+
+def test_cells_for_sqrt_rule():
+    """r8 (VERDICT r7 #1): the coarse-quantizer cell count is sized FROM
+    the corpus — k = ceil(sqrt(n/2)) balances assignment (n·k) against
+    within-cell pair volume (n²/2k), both Θ(n^1.5). At the oracle
+    contract scale the rule reproduces the previously-pinned 16 cells,
+    so parity values were unchanged by the calibration."""
+    from bda_spadochrony_spark.operators.similarity import cells_for
+    assert cells_for(500) == 16            # contract scale: the r7 pin
+    assert cells_for(0) == 4 and cells_for(1) == 4      # floor
+    assert cells_for(2000) == 32           # sf0.1: grows with sqrt(n)
+    assert cells_for(200_000) == 317
+    assert cells_for(10**12) == 1 << 16    # broadcast-comfort ceiling
+    # monotone non-decreasing across the clamp boundaries
+    prev = 0
+    for n in [0, 10, 50, 512, 513, 5000, 10**7, 10**13]:
+        cur = cells_for(n)
+        assert cur >= prev
+        prev = cur
+
+
+def test_semantic_dedup_empty_corpus_returns_empty_frame(spark):
+    """r8 (ADVICE): a fully-corrupt corpus (every vector NULL/zero/
+    non-finite) must yield an EMPTY survivors frame with the contract
+    schema, not a createDataFrame crash on the empty centers list."""
+    from bda_spadochrony_spark.operators.similarity import semantic_dedup
+    rows = [(0, None), (1, [0.0] * 8), (2, [float("nan")] * 8)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = semantic_dedup(df, "vec_id", min_cosine=0.9)
+    assert out.columns == ["vec_id", "cell"]
+    assert out.count() == 0
