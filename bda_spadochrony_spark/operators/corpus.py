@@ -173,7 +173,8 @@ def shuffle_corpus(df: DataFrame, id_col: str, salt: int = 0,
 
 
 def bpe_pair_counts(df: DataFrame, text_col: str, top_n: int = 50,
-                    prune_groups: int = 64) -> DataFrame:
+                    prune_groups: int = 64,
+                    frequency_floor: bool = True) -> DataFrame:
     """The distributed core of one BPE-training iteration: corpus-wide
     counts of ADJACENT token pairs, top-``top_n`` by frequency (ties broken
     by the pair, ascending). Tokenizer training at corpus scale is exactly
@@ -186,6 +187,21 @@ def bpe_pair_counts(df: DataFrame, text_col: str, top_n: int = 50,
     rank reuses the ``build_vocab`` pruning discipline: a partitioned
     per-hash-group top-``top_n`` window bounds the single-partition global
     rank input to ``prune_groups * top_n`` rows at any corpus size.
+
+    ``frequency_floor`` (the scale DEFAULT since round 8 — VERDICT r7 #4)
+    bounds the pair-count SHUFFLE itself, whose key space grows ~vocab²
+    under a realistic heavy-tailed vocabulary (the measured 9.9× at 10×).
+    The prune is PROVABLY exact, not approximate: a pair's count is at
+    most min(count(a), count(b)), and the ``top_n``-th pair count among
+    pairs of the most-frequent tokens is a LOWER bound ``L`` on the true
+    ``top_n``-th pair count (a subset's n-th largest never exceeds the
+    full set's), so a pair with either token's unigram count < L can
+    never rank — it is dropped BEFORE the pair shuffle via a broadcast
+    semi-join on the (tiny, Zipf-head) frequent-token set. Costs one
+    vocab-keyed unigram count plus two bounded collects (the candidate
+    token list and ``top_n`` subset counts); buys a pair shuffle keyed on
+    frequent-frequent pairs only. Degenerate corpora (fewer than
+    ``top_n`` candidate pairs) set L=0 and skip the prune entirely.
     """
     from bda_spadochrony_spark.operators.text import tokens
     t = df.select(tokens(text_col).alias("__t"))
@@ -195,8 +211,29 @@ def bpe_pair_counts(df: DataFrame, text_col: str, top_n: int = 50,
     pairs = t.select(F.explode(F.expr(
         "transform(slice(__t, 1, greatest(size(__t) - 1, 0)),"
         " (x, i) -> struct(x AS a, __t[i + 1] AS b))")).alias("p"))
-    counts = (pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n")))
+    pairs = pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    if frequency_floor:
+        uni = (t.select(F.explode("__t").alias("tok"))
+               .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+        # candidate set: the Zipf head almost certainly containing the
+        # top pairs; its size only affects how TIGHT the bound is
+        m = max(64, 2 * top_n)
+        cand = [r["tok"] for r in
+                uni.orderBy(F.col("c").desc(), F.col("tok").asc())
+                   .limit(m).collect()]
+        sub = (pairs.where(F.col("a").isin(cand) & F.col("b").isin(cand))
+               .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+               .orderBy(F.col("n").desc()).limit(top_n).collect())
+        floor = sub[-1]["n"] if len(sub) == top_n else 0
+        if floor > 1:
+            keep = F.broadcast(
+                uni.where(F.col("c") >= floor).select("tok"))
+            pairs = (pairs
+                     .join(keep.withColumnRenamed("tok", "a"), "a",
+                           "left_semi")
+                     .join(keep.withColumnRenamed("tok", "b"), "b",
+                           "left_semi"))
+    counts = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
     gw = (Window.partitionBy(F.pmod(F.xxhash64("a", "b"),
                                     F.lit(prune_groups)))
           .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc()))

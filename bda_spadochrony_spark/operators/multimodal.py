@@ -3,9 +3,12 @@ columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
 The Spark-side architecture is real and tested — schema contract,
 partitioning, batch shapes, the mapInPandas iterator protocol. The REAL
-decode branch (round 7) carries vendored pure-Python decoders for binary
-netpbm (P5/P6) and uncompressed 24-bit BMP, so it runs and is CI-tested
-with no image library in the container; other formats decode via PIL when
+decode branches carry vendored pure-Python decoders — binary netpbm
+(P5/P6) and uncompressed 24-bit BMP for images (round 7), nearest-
+neighbor resize over those rasters, and uncompressed BI_RGB AVI +
+concatenated-netpbm streams for video frame extraction (round 8) — so
+every operator's real branch runs and is CI-tested with no media
+library in the container; other formats decode via PIL/soundfile when
 present and raise the documented ``NotImplementedError`` otherwise
 (``fake=True`` substitutes a deterministic synthetic decode for
 end-to-end pipeline tests on arbitrary bytes).
@@ -120,6 +123,148 @@ def _decode_bmp_bytes(payload: bytes):
             "mean_intensity": tot // (w * height)}
 
 
+def _read_rgb_rows(payload: bytes):
+    """Decode a netpbm (P6/P5) or uncompressed 24-bit BMP payload to
+    top-down rows of RGB triples — the raster access the real resize
+    path needs (the mean-intensity decoders above never materialize
+    rows). Returns (width, height, rows) or None if the container is
+    not one of the built-in formats."""
+    import re
+    import struct
+    m = re.match(rb"^(P[56])\s+(?:#[^\n]*\s+)?(\d+)\s+(\d+)\s+(\d+)\s",
+                 payload or b"")
+    if m:
+        w, h, maxval = int(m.group(2)), int(m.group(3)), int(m.group(4))
+        if not 1 <= maxval <= 255:
+            raise ValueError(f"unsupported netpbm maxval {maxval}")
+        ch = 3 if m.group(1) == b"P6" else 1
+        px = payload[m.end():m.end() + w * h * ch]
+        if len(px) < w * h * ch or w * h == 0:
+            raise ValueError("truncated netpbm payload")
+        if ch == 1:
+            px = bytes(b for v in px for b in (v, v, v))
+        return w, h, [px[y * w * 3:(y + 1) * w * 3] for y in range(h)]
+    if payload[:2] == b"BM":
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"unsupported BMP (bpp={bpp}, comp={comp})")
+        height = abs(h)
+        if w <= 0 or height == 0:
+            raise ValueError(f"invalid BMP dimensions ({w}x{h})")
+        stride = (w * 3 + 3) & ~3
+        rows = []
+        # negative biHeight = top-down row order; positive = bottom-up
+        order = range(height) if h < 0 else range(height - 1, -1, -1)
+        for r in order:
+            base = data_off + r * stride
+            row = bytearray()
+            for c in range(w):
+                b, g, rr = payload[base + c * 3:base + c * 3 + 3]
+                row += bytes((rr, g, b))
+            rows.append(bytes(row))
+        return w, height, rows
+    return None
+
+
+def _dib_mean_intensity(payload: bytes, off: int, size: int,
+                        w: int, h: int) -> int:
+    """Mean luma of one raw DIB frame (bottom-up BGR rows, 4-byte row
+    padding — a BMP pixel array without the file header, which is what
+    an uncompressed AVI's '00db' chunks carry)."""
+    stride = (w * 3 + 3) & ~3
+    if size < stride * h:
+        raise ValueError("truncated DIB frame")
+    tot = 0
+    for row in range(h):
+        base = off + row * stride
+        for col in range(w):
+            b, g, r = payload[base + col * 3:base + col * 3 + 3]
+            tot += (299 * r + 587 * g + 114 * b) // 1000
+    return tot // (w * h)
+
+
+def _decode_avi_frames(payload: bytes):
+    """Pure-Python frame extraction for uncompressed (BI_RGB 24-bit) AVI
+    — the vendored REAL video branch (round 8, the netpbm/BMP move
+    applied to video). Walks the RIFF tree: 'avih' yields the real
+    frame interval (dwMicroSecPerFrame), 'strf' the BITMAPINFOHEADER
+    dims, and the 'movi' list's '00db'/'00dc' chunks the frames.
+    Returns (us_per_frame, [(frame_ms, width, height, mean)]), or None
+    if the payload is not RIFF/AVI."""
+    import struct
+    if len(payload or b"") < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
+        return None
+    us_per_frame = None
+    dims = None
+    chunks: list[tuple[int, int]] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal us_per_frame, dims
+        off = start
+        while off + 8 <= end:
+            fourcc = payload[off:off + 4]
+            size = struct.unpack_from("<I", payload, off + 4)[0]
+            doff = off + 8
+            if doff + size > len(payload):
+                raise ValueError("truncated AVI chunk")
+            if fourcc == b"LIST":
+                walk(doff + 4, doff + size)
+            elif fourcc == b"avih" and size >= 4:
+                us_per_frame = struct.unpack_from("<I", payload, doff)[0]
+            elif fourcc == b"strf" and size >= 20 and dims is None:
+                _, w, h, _, bpp = struct.unpack_from("<IiiHH", payload, doff)
+                comp = struct.unpack_from("<I", payload, doff + 16)[0]
+                if bpp != 24 or comp != 0:
+                    raise ValueError(
+                        f"unsupported AVI stream (bpp={bpp}, comp={comp}); "
+                        "only uncompressed BI_RGB is built in")
+                if w <= 0 or h == 0:
+                    raise ValueError(f"invalid AVI dimensions ({w}x{h})")
+                dims = (w, abs(h))
+            elif fourcc[2:4] in (b"db", b"dc"):
+                chunks.append((doff, size))
+            off = doff + size + (size & 1)
+
+    walk(12, len(payload))
+    if dims is None or not chunks:
+        raise ValueError("AVI without a decodable video stream")
+    w, h = dims
+    ms = (us_per_frame or 0) / 1000.0
+    return us_per_frame, [
+        (int(i * ms), w, h, _dib_mean_intensity(payload, doff, size, w, h))
+        for i, (doff, size) in enumerate(chunks)]
+
+
+def _decode_ppm_stream_frames(payload: bytes):
+    """Concatenated-netpbm stream (e.g. ffmpeg's image2pipe PPM output):
+    parse P6/P5 frames back-to-back. The container carries NO timing, so
+    frame_ms is None — honest metadata, not fabricated timestamps.
+    Returns a list of (None, width, height, mean) or None if the payload
+    does not start with a netpbm frame."""
+    import re
+    hdr = re.compile(rb"(P[56])\s+(?:#[^\n]*\s+)?(\d+)\s+(\d+)\s+(\d+)\s")
+    if not re.match(rb"^P[56]\s", payload or b""):
+        return None
+    frames = []
+    off = 0
+    while off < len(payload):
+        m = hdr.match(payload, off)
+        if not m:
+            raise ValueError(f"bad netpbm stream frame at offset {off}")
+        feats = _decode_ppm_bytes(payload[off:])
+        frames.append((None, feats["width"], feats["height"],
+                       feats["mean_intensity"]))
+        ch = 3 if m.group(1) == b"P6" else 1
+        off = m.end() + int(m.group(2)) * int(m.group(3)) * ch
+    return frames
+
+
 def _decode_image_bytes(payload: bytes, fake: bool):
     if not fake:
         if not payload:
@@ -183,10 +328,33 @@ def extract_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
               .mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA))
 
 
+def _resize_rgb_nearest(payload: bytes, tw: int, th: int):
+    """Real resize for the built-in rasters: decode netpbm/BMP rows,
+    nearest-neighbor resample, re-encode as P6 (the normalized output
+    container — self-describing, feedable back into the decode path).
+    Returns None if the container is not built in (PIL fallback)."""
+    rgb = _read_rgb_rows(payload)
+    if rgb is None:
+        return None
+    w, h, rows = rgb
+    out = bytearray(b"P6\n%d %d\n255\n" % (tw, th))
+    for y in range(th):
+        src = rows[y * h // th]
+        for x in range(tw):
+            sx = x * w // tw
+            out += src[sx * 3:sx * 3 + 3]
+    return bytes(out)
+
+
 def resize_images(df: DataFrame, target_w: int, target_h: int,
                   fake: bool = True) -> DataFrame:
-    """Resize stub with the real Spark contract: binary in → binary out +
-    updated metadata; fake mode truncates/pads payloads deterministically."""
+    """Image resize with the real Spark contract: binary in → binary out
+    + updated metadata. The REAL branch (round 8) resizes the built-in
+    rasters (netpbm/BMP → nearest-neighbor → P6 out) with no image
+    library; other formats go through PIL when present and raise the
+    documented ``NotImplementedError`` otherwise. Fake mode truncates/
+    pads payloads deterministically (pipeline-shape tests on arbitrary
+    bytes)."""
     out_schema = StructType([
         StructField("media_id", LongType()),
         StructField("payload", BinaryType()),
@@ -194,13 +362,35 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
         StructField("height", IntegerType()),
     ])
 
+    def _real_resize_one(p: bytes) -> bytes:
+        resized = _resize_rgb_nearest(p, target_w, target_h)
+        if resized is not None:
+            return resized
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "only netpbm/uncompressed-BMP resize is built in; other "
+                "formats require PIL, not present in this environment — "
+                "pass fake=True for the deterministic stub") from exc
+        img = Image.open(io.BytesIO(p)).convert("RGB") \
+                   .resize((target_w, target_h), Image.NEAREST)
+        out = io.BytesIO()
+        out.write(b"P6\n%d %d\n255\n" % (target_w, target_h))
+        out.write(img.tobytes())
+        return out.getvalue()
+
     def resize(batches):
         import pandas as pd
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real resize needs an image library")
-            target = max(1, (target_w * target_h) // 64)
-            payloads = [(p or b"")[:target].ljust(target, b"\0") for p in pdf["payload"]]
+            if fake:
+                target = max(1, (target_w * target_h) // 64)
+                payloads = [(p or b"")[:target].ljust(target, b"\0")
+                            for p in pdf["payload"]]
+            else:
+                payloads = [_real_resize_one(p) for p in pdf["payload"]]
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "payload": payloads,
                                 "width": target_w, "height": target_h})
@@ -210,19 +400,76 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
               .mapInPandas(resize, schema=out_schema))
 
 
+VIDEO_FRAMES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_ms", LongType()),        # NULL for timing-less streams
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mean_intensity", LongType()),
+    StructField("frame_key", StringType()),
+])
+
+
 def sample_video_frames(df: DataFrame, every_ms: int = 1000,
                         fake: bool = True) -> DataFrame:
-    """Frame sampling stub: one output row per sampled frame (explode on the
-    Spark side — real decode would happen per frame in mapInPandas)."""
-    frames = df.where(F.col("kind") == "video").select(
-        "media_id", "duration_ms",
-        F.explode(F.sequence(
-            F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)),
-            F.lit(every_ms))).alias("frame_ms"))
-    if not fake:
-        raise NotImplementedError("real frame extraction needs a video library")
-    return frames.withColumn(
-        "frame_key", F.concat_ws(":", F.col("media_id"), F.col("frame_ms")))
+    """Video frame sampling. Fake mode: one output row per sampled
+    timestamp, exploded Spark-side from the typed ``duration_ms``
+    metadata (pipeline-shape tests on arbitrary bytes, original schema).
+
+    The REAL branch (round 8 — this retired the last library-only
+    ``NotImplementedError`` in the module) decodes two vendored
+    containers per-payload in ``mapInPandas``: uncompressed BI_RGB AVI
+    (RIFF walk; 'avih' gives the true frame interval, so sampling at
+    ``every_ms`` uses container timing) and concatenated-netpbm streams
+    (ffmpeg image2pipe shape; no container timing, so EVERY frame is
+    emitted with ``frame_ms`` NULL rather than a fabricated timestamp).
+    Other codecs raise the documented ``NotImplementedError`` unless a
+    video library is present. Returns ``VIDEO_FRAMES_SCHEMA`` rows —
+    per-frame dims + mean luma, the features downstream dedup/quality
+    gates consume."""
+    if fake:
+        frames = df.where(F.col("kind") == "video").select(
+            "media_id", "duration_ms",
+            F.explode(F.sequence(
+                F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms))).alias("frame_ms"))
+        return frames.withColumn(
+            "frame_key", F.concat_ws(":", F.col("media_id"), F.col("frame_ms")))
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if not p:
+                    continue            # empty payload: no frames, no crash
+                avi = _decode_avi_frames(p)
+                frames = avi[1] if avi else _decode_ppm_stream_frames(p)
+                if frames is None:
+                    raise NotImplementedError(
+                        "only uncompressed-AVI / netpbm-stream decode is "
+                        "built in; other codecs require a video library, "
+                        "not present in this environment — pass fake=True "
+                        "for the metadata-driven stub")
+                sampled = []
+                next_t = 0
+                for i, (t_ms, w, h, mean) in enumerate(frames):
+                    if t_ms is None:    # timing-less stream: every frame
+                        sampled.append((i, None, w, h, mean))
+                    elif t_ms >= next_t:
+                        sampled.append((i, t_ms, w, h, mean))
+                        next_t = (t_ms // every_ms + 1) * every_ms
+                rows += [{"media_id": mid, "frame_idx": i, "frame_ms": t,
+                          "width": w, "height": h, "mean_intensity": mean,
+                          "frame_key": f"{mid}:{i if t is None else t}"}
+                         for i, t, w, h, mean in sampled]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FRAMES_SCHEMA.fields])
+
+    return (df.where(F.col("kind") == "video")
+              .select("media_id", "payload")
+              .mapInPandas(extract, schema=VIDEO_FRAMES_SCHEMA))
 
 
 AUDIO_FEATURES_SCHEMA = StructType([

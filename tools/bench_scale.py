@@ -39,6 +39,9 @@ FAMILY = [
     "funnel", "cohort_retention", "token_pmi",
     # folded in from the r6 addendum + the r7 composite
     "span_dedup", "bm25_search", "corpus_pipeline",
+    # r8: the corpus-sized quantizer (cells_for default) — the factor
+    # VERDICT r7 #1 asked to re-measure under the calibrated cell count
+    "semantic_dedup",
     "stream_hourly", "stream_distinct", "stream_sliding",
     "stream_join_outer",
 ]
@@ -76,33 +79,41 @@ def main() -> None:
             print(f"  {name}: {out[name]:.2f}s rows={n}", flush=True)
         return out
 
-    def probe_join_state(sf_dir: str) -> dict:
+    def probe_join_state(sf_dir: str, events_glob: str = "events*.parquet",
+                         max_files: int | None = None) -> dict:
         """Run the signature stream-stream full-outer interval join with a
         captured query handle and report the LAST micro-batch's state-store
         metrics (rows held, provider memory) — the numbers use_rocksdb_state
-        exists to bound. Mirrors q_stream_join_outer's pipeline."""
+        exists to bound. Mirrors q_stream_join_outer's pipeline.
+        ``events_glob``/``max_files`` let the r8 drain A/B replay the same
+        join over a many-file copy of the events in bounded micro-batches."""
         from bda_spadochrony_spark.streaming.sources import file_stream
         from bda_spadochrony_spark.plans.stream_fused import fused_stream_join
         from bda_spadochrony_spark.streaming.runner import run_to_memory
         from pyspark.sql import functions as F
-        errors = (file_stream(spark, f"{sf_dir}/events*.parquet",
-                              entry_mod.EVENTS_SCHEMA)
+        errors = (file_stream(spark, f"{sf_dir}/{events_glob}",
+                              entry_mod.EVENTS_SCHEMA,
+                              max_files_per_trigger=max_files)
                   .where(F.col("event_type") == "error")
                   .select(F.col("event_id").alias("err_id"),
                           F.col("user_id").alias("err_user"),
                           F.col("ts").alias("err_ts")))
-        clicks = (file_stream(spark, f"{sf_dir}/events*.parquet",
-                              entry_mod.EVENTS_SCHEMA)
+        clicks = (file_stream(spark, f"{sf_dir}/{events_glob}",
+                              entry_mod.EVENTS_SCHEMA,
+                              max_files_per_trigger=max_files)
                   .where(F.col("event_type") == "click")
                   .select(F.col("event_id").alias("click_id"),
                           F.col("user_id").alias("click_user"),
                           F.col("ts").alias("click_ts")))
         joined = fused_stream_join(errors, clicks, "err_ts", "click_ts")
+        t0 = time.perf_counter()
         q, _ = run_to_memory(joined, available_now=True)
         q.awaitTermination(1500)
+        drain_s = round(time.perf_counter() - t0, 3)
         progs = [p for p in q.recentProgress if p.get("stateOperators")]
         last_ops = progs[-1]["stateOperators"] if progs else []
         return {
+            "drain_sec": drain_s,
             "micro_batches": len(q.recentProgress),
             "state_rows_total": sum(o.get("numRowsTotal", 0)
                                     for o in last_ops),
@@ -149,6 +160,55 @@ def main() -> None:
             streaming_state[f"{sf_name}_{provider}"] = streaming_pass(
                 sf_dir, provider == "rocksdb")
 
+    # r8 (VERDICT r7 #3): the RocksDB 3.3x drain overhead was measured
+    # under FULL-SNAPSHOT checkpoints on 2 giant availableNow batches —
+    # the worst case for RocksDB (every batch re-snapshots the whole
+    # store). A/B the two production mitigations on the sf1 join drain:
+    # changelog checkpointing (upload the delta, snapshot in background)
+    # and a many-small-batches drain (maxFilesPerTrigger over a 24-file
+    # copy — the steady-state shape where snapshot cost amortizes).
+    import shutil
+    import tempfile
+    from bda_spadochrony_spark.streaming.runner import use_rocksdb_state
+    from bda_spadochrony_spark.sources.readers import scan
+    split_dir = tempfile.mkdtemp(prefix="bda_sf1_events_split_")
+    (scan(spark, f"{sf1}/events.parquet").repartition(24)
+     .write.mode("overwrite").parquet(split_dir))
+    os.environ["SPARK_GRAFT_STREAM_TIMEOUT_S"] = "1500"
+    ch_key = ("spark.sql.streaming.stateStore.rocksdb."
+              "changelogCheckpointing.enabled")
+    drain_ab = {}
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for label, rocksdb, changelog, split in [
+                ("heap_2batch", False, False, False),
+                ("rocksdb_snapshot_2batch", True, False, False),
+                ("rocksdb_changelog_2batch", True, True, False),
+                ("rocksdb_snapshot_24batch", True, False, True),
+                ("rocksdb_changelog_24batch", True, True, True)]:
+            print(f"== drain A/B: {label} ==", flush=True)
+            prev_provider = use_rocksdb_state(spark, rocksdb)
+            spark.conf.set(ch_key, str(changelog).lower())
+            try:
+                if split:
+                    drain_ab[label] = probe_join_state(
+                        split_dir, events_glob="part-*.parquet", max_files=1)
+                else:
+                    drain_ab[label] = probe_join_state(sf1)
+            finally:
+                spark.conf.unset(ch_key)
+                if prev_provider:
+                    spark.conf.set(
+                        "spark.sql.streaming.stateStore.providerClass",
+                        prev_provider)
+                else:
+                    use_rocksdb_state(spark, False)
+            print(f"  {label}: {drain_ab[label]}", flush=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(split_dir, ignore_errors=True)
+
     # the CALIBRATED corpus pipeline (production config) at both scales:
     # the contract row keeps the oracle's fixed band, which is
     # gate-dominated at the sf1 Zipfian corpus (0 survivors, downstream
@@ -194,6 +254,17 @@ def main() -> None:
                      "the production config; all six stages do real "
                      "work at both scales, unlike the fixed-band "
                      "contract row at sf1"),
+        },
+        "rocksdb_drain_ab": {
+            **drain_ab,
+            "note": ("r8 A/B of the sf1 full-outer join drain per "
+                     "provider/checkpoint/batching config. The r7 3.3x "
+                     "RocksDB overhead was full-snapshot checkpoints on "
+                     "2 giant availableNow batches; changelog "
+                     "checkpointing uploads per-batch deltas and the "
+                     "24-file drain (maxFilesPerTrigger=1) is the "
+                     "steady-state micro-batch shape. drain_sec is the "
+                     "probe join only (not the 3-query family)."),
         },
         "streaming_state_addendum": {
             **streaming_state,
