@@ -546,6 +546,81 @@ def test_edge_negative_ids_parity(spark, edge_negid_dir, edge_negid_duck,
                                 name=f"edge-negid:{name}")
 
 
+EDGE_DST_QUERIES = [
+    # r8 (VERDICT r7 #6): the temporal family across DST transitions and
+    # pre-1970 epochs — input classes the driver testdata (one sane 2024
+    # window) never exercises. Probe targets: the -20min feed-skew
+    # landing on a NONEXISTENT wall time (spring-forward gap), two UTC
+    # instants collapsing onto one AMBIGUOUS wall-clock hour (fall-back),
+    # negative-epoch date/hour derivation, ISO week/quarter/trunc on
+    # pre-1970 dates (floor-vs-toward-zero truncation), and pre-1883 LMT
+    # offsets (America/New_York at -4:56:02).
+    "tz_hourly", "hourly_agg", "two_level_avg", "calendar_features",
+    "date_functions", "interval_shift", "serving_keys",
+    "scd2_history", "pit_join", "window_analytics", "stream_hourly",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dst_dir():
+    from datetime import datetime
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tempfile.mkdtemp(prefix="bda_edge_dst_")
+    ts = lambda *a: datetime(*a)
+    rows = [
+        # --- America/New_York spring-forward 2024-03-10 (07:00 UTC:
+        # 02:00 EST -> 03:00 EDT; local 02:xx does not exist)
+        (0, ts(2024, 3, 10, 6, 30), 1, "click", 1.0),     # 01:30 EST
+        (1, ts(2024, 3, 10, 6, 55), 1, "view", 2.0),      # 01:55 EST
+        (2, ts(2024, 3, 10, 7, 10), 1, "click", 3.0),     # 03:10 EDT; -20min = 02:50 (gap)
+        (3, ts(2024, 3, 10, 7, 25), 2, "view", 4.0),      # 03:25 EDT
+        (4, ts(2024, 3, 10, 8, 5), 2, "purchase", 5.0),   # 04:05 EDT
+        # --- fall-back 2024-11-03 (06:00 UTC: 02:00 EDT -> 01:00 EST;
+        # local 01:xx happens twice — both land in the same hourly group)
+        (5, ts(2024, 11, 3, 5, 30), 3, "click", 6.0),     # 01:30 EDT
+        (6, ts(2024, 11, 3, 6, 30), 3, "view", 7.0),      # 01:30 EST again
+        (7, ts(2024, 11, 3, 6, 10), 3, "click", 8.0),     # 01:10 EST; -20 = 00:50
+        # --- pre-1970 (negative epoch)
+        (8, ts(1969, 12, 31, 23, 30), 4, "click", 9.0),   # NY 18:30 EST
+        (9, ts(1969, 7, 15, 12, 0), 4, "view", 10.0),     # NY 08:00 EDT (1969 DST)
+        (10, ts(1969, 1, 1, 0, 10), 4, "purchase", 11.0),
+        # --- deep past: pre-1883 America/New_York runs on LMT -4:56:02
+        (11, ts(1883, 11, 18, 16, 0), 5, "click", 12.0),  # the LMT->EST switch day
+        (12, ts(1850, 6, 1, 0, 0), 5, "view", 13.0),      # pure LMT
+    ]
+    cols = list(zip(*rows))
+    tbl = pa.table({
+        "event_id": pa.array(cols[0], pa.int64()),
+        "ts": pa.array(cols[1], pa.timestamp("us")),
+        "user_id": pa.array(cols[2], pa.int64()),
+        "event_type": pa.array(cols[3], pa.string()),
+        "value": pa.array(cols[4], pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def edge_dst_duck(edge_dst_dir):
+    con = duck_connection(edge_dst_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EDGE_DST_QUERIES)
+def test_edge_dst_parity(spark, edge_dst_dir, edge_dst_duck, name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert_query_matches_oracle(spark, edge_dst_duck, qs[name],
+                                oracles[name], edge_dst_dir,
+                                name=f"edge-dst:{name}")
+
+
 def test_unicode_case_folding_parity_boundary_documented(spark, edge_duck):
     """r7 probe result, PINNED as a documented boundary rather than a
     fix: Spark (Java) and DuckDB (utf8proc) agree on simple Unicode
