@@ -2628,6 +2628,33 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "width", "height", "n_bytes")
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing under the hard oracle (r8): a video
+    media frame built from documents (``duration_ms`` = n_chars — the
+    typed-metadata path), sampled every 700 ms through
+    ``sample_video_frames``'s metadata-driven mode. The oracle restates
+    the explode: one row per sampled timestamp, NULL durations dropped
+    (NULL sequence → explode emits nothing), zero-length videos keep
+    exactly their t=0 frame. The REAL decode branch (vendored
+    uncompressed-AVI + netpbm-stream, r8) is pytest-covered —
+    ``test_multimodal_real_video_frames`` — because binary container
+    parsing is not SQL-restatable."""
+    from bda_spadochrony_spark.operators import multimodal as M
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("video/fake").alias("mime"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.col("n_chars").cast("int").alias("duration_ms"))
+    out = M.sample_video_frames(media, every_ms=700, fake=True)
+    return out.select("media_id",
+                      F.col("frame_ms").cast("long").alias("frame_ms"),
+                      "frame_key")
+
+
 def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (``<=>`` ≡ IS NOT DISTINCT FROM): two
     derived frames with injected NULL keys joined so NULL matches NULL
@@ -2756,25 +2783,77 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # confirmation backlog; _TAIL holds long-confirmed queries whose parity is
 # continuously re-proven by tests/test_oracle_parity.py.
 _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- round-7 head: the NEW queries (zero driver rows — new queries
-    # enter the window immediately) and the four queries whose SOURCE
-    # changed this round (planes_for ANN default, NULL-element PCA
-    # filter, the keep_by tie-break rewrite)
+    # ---- round-8 head: the NEW query (video_frames - zero driver
+    # rows, enters immediately) and the five whose SOURCE or ORACLE
+    # changed this round (cells_for quantizer default, bpe
+    # frequency-floor prune, scd2/pit NULLS FIRST tie pin, the
+    # multimodal decoder guards)
+    "video_frames": q_video_frames,
+    "semantic_dedup": q_semantic_dedup,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "scd2_history": q_scd2_history,
+    "pit_join": q_pit_join,
+    "multimodal_features": q_multimodal_features,
+    # ---- the single-driver-confirmation set (VERDICT r7 #2: all 8
+    # oracled singles + the rows-only pca_project)
+    "label_propagation": q_label_propagation,
+    "entity_match": q_entity_match,
+    "weighted_sample": q_weighted_sample,
+    "span_dedup": q_span_dedup,
+    "bm25_search": q_bm25_search,
     "corpus_pipeline": q_corpus_pipeline,
     "temperature_mixture": q_temperature_mixture,
-    "semantic_dedup": q_semantic_dedup,
+    "pca_project": q_pca_project,
+    # ---- rotation backlog, stalest confirmations first: the r2
+    # cohort, the r3 pair, then r4 (alphabetical within cohort)
+    "anti_join": q_anti_join,
+    "calendar_features": q_calendar_features,
+    "conform_schema": q_conform_schema,
+    "cube_agg": q_cube_agg,
+    "distinct_agg": q_distinct_agg,
+    "exact_dedup": q_exact_dedup,
+    "interval_shift": q_interval_shift,
+    "ml_features": q_ml_features,
+    "onehot_features": q_onehot_features,
+    "range_window_partitioned": q_range_window_partitioned,
+    "rollup_agg": q_rollup_agg,
+    "semi_join": q_semi_join,
+    "serving_keys": q_serving_keys,
+    "small_qty_revenue": q_small_qty_revenue,
+    "two_level_avg": q_two_level_avg,
+    "union_drift": q_union_drift,
+    "volume_shipping": q_volume_shipping,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+    "ngram_jaccard": q_ngram_jaccard,
+    "asof_join": q_asof_join,
+    "asof_minute_join": q_asof_minute_join,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_topk": q_embedding_topk,
+    "exact_dedup_digest": q_exact_dedup_digest,
+    "filtered_hourly": q_filtered_hourly,
+    "hourly_agg": q_hourly_agg,
+    "hourly_with_mode": q_hourly_with_mode,
+    "interval_join_batch": q_interval_join_batch,
+    "interval_join_binned": q_interval_join_binned,
+    "json_payload": q_json_payload,
+    "ml_train_eval": q_ml_train_eval,
+    "mode_event_type": q_mode_event_type,
+    "null_skipping_agg": q_null_skipping_agg,
+    "pricing_summary": q_pricing_summary,
+    "random_split_counts": q_random_split_counts,
+}
+
+_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # displaced by the r8 rotation; parity re-proven every round by
+    # tests/test_oracle_parity.py (latest driver confirmation noted
+    # in CORRECTNESS_r0*.json)
     "pca_invariants": q_pca_invariants,
     "dedup_survivors": q_dedup_survivors,
     "embedding_ann_stack": q_embedding_ann_stack,
     "embedding_lsh_portable": q_embedding_lsh_portable,
-    # ... + the two whose source changed for the r7 non-finite pins
-    # (NaN/Inf measures: histogram's bin cast errors in both engines,
-    # stats_agg's moment aggregates diverge — both now guard)
     "histogram": q_histogram,
     "stats_agg": q_stats_agg,
-    # ---- the single-confirmation backlog, oldest cohort first (VERDICT
-    # r6 ask #1: 49 -> <=25; this window covers 48 of the 49, leaving
-    # only label_propagation for round 8): last driver row r4 ...
     "nation_profit": q_nation_profit,
     "doc_fingerprint_md5": q_doc_fingerprint_md5,
     "disjunctive_revenue": q_disjunctive_revenue,
@@ -2785,9 +2864,7 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "column_profile": q_column_profile,
     "embedding_ivf_portable": q_embedding_ivf_portable,
     "sessionize": q_sessionize,
-    # ---- ... last driver row r5 ...
     "hash_split": q_hash_split,
-    "bpe_pair_counts": q_bpe_pair_counts,
     "embedding_standardize": q_embedding_standardize,
     "corpus_shuffle": q_corpus_shuffle,
     "stream_enrich": q_stream_enrich,
@@ -2799,7 +2876,6 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "skew_diagnostics": q_skew_diagnostics,
     "zorder_layout": q_zorder_layout,
-    "scd2_history": q_scd2_history,
     "join_cardinality": q_join_cardinality,
     "heavy_hitters": q_heavy_hitters,
     "unigram_surprisal": q_unigram_surprisal,
@@ -2808,9 +2884,6 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokens_to_ids": q_tokens_to_ids,
     "embedding_quantize": q_embedding_quantize,
     "ml_linear_fit": q_ml_linear_fit,
-    # ---- ... last driver row r6 (newest cohort; label_propagation is
-    # the one single deliberately deferred to round 8 — its oracle
-    # recomputes the graph exhaustively and two pytests chain it)
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
     "expectations": q_expectations,
@@ -2819,24 +2892,6 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "equi_depth_histogram": q_equi_depth_histogram,
     "stream_distinct": q_stream_distinct,
     "bigram_surprisal": q_bigram_surprisal,
-    "pit_join": q_pit_join,
-}
-
-_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # single-confirmation queries deferred from the round-7 window to
-    # make room for the two NEW r7 queries (zero-row debt beats
-    # single-row debt; the projected post-r7 singles count is ~5 vs the
-    # <=25 target) — head of the round-8 rotation
-    "label_propagation": q_label_propagation,
-    "entity_match": q_entity_match,
-    "weighted_sample": q_weighted_sample,
-    # r6-confirmed singles displaced from the r7 window by the two
-    # non-finite-pin source changes (histogram, stats_agg) — newest
-    # confirmations, so the cheapest deferral
-    "span_dedup": q_span_dedup,
-    "bm25_search": q_bm25_search,
-    # double-confirmed in the round-6 window; parity re-proven every
-    # round by tests/test_oracle_parity.py
     "tf_idf": q_tf_idf,
     "stream_update": q_stream_update,
     "late_supplier_blame": q_late_supplier_blame,
@@ -2854,7 +2909,6 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_hourly": q_salted_hourly,
     "nullsafe_join": q_nullsafe_join,
     "dedup_clusters": q_dedup_clusters,
-    "multimodal_features": q_multimodal_features,
     "stream_dedup": q_stream_dedup,
     "stream_serving_pipeline": q_stream_serving_pipeline,
     "text_normalize": q_text_normalize,
@@ -2873,7 +2927,6 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_mergeable": q_sketch_mergeable,
     "priority_lines": q_priority_lines,
     "repetition_stats": q_repetition_stats,
-    "pca_project": q_pca_project,
     "simhash_md5_pairs": q_simhash_md5_pairs,
     "simhash_pairs": q_simhash_pairs,
     "minhash_near_dup": q_minhash_near_dup,
@@ -2895,56 +2948,18 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idle_customers": q_idle_customers,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
-    # multi-confirmation queries, parity re-proven every round by
-    # tests/test_oracle_parity.py
-    "interval_join_binned": q_interval_join_binned,
     "stream_hourly": q_stream_hourly,
     "stream_join_outer": q_stream_join_outer,
     "session_window": q_session_window,
-    "random_split_counts": q_random_split_counts,
-    "ml_train_eval": q_ml_train_eval,
-    "embedding_ivf_topk": q_embedding_ivf_topk,
-    "embedding_topk": q_embedding_topk,
-    "exact_dedup_digest": q_exact_dedup_digest,
-    "doc_fingerprint": q_doc_fingerprint,
     "traffic_hourly": q_traffic_hourly,
     "traffic_hourly_fused": q_traffic_hourly_fused,
-    "hourly_agg": q_hourly_agg,
-    "pricing_summary": q_pricing_summary,
     "star_join": q_star_join,
     "sketch_distinct": q_sketch_distinct,
-    "mode_event_type": q_mode_event_type,
-    "hourly_with_mode": q_hourly_with_mode,
-    "null_skipping_agg": q_null_skipping_agg,
-    "filtered_hourly": q_filtered_hourly,
     "range_window_sum": q_range_window_sum,
-    "json_payload": q_json_payload,
-    "asof_minute_join": q_asof_minute_join,
-    "interval_join_batch": q_interval_join_batch,
     "top_k_per_group": q_top_k_per_group,
     "tz_hourly": q_tz_hourly,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
-    "asof_join": q_asof_join,
-    "two_level_avg": q_two_level_avg,
-    "union_drift": q_union_drift,
-    "ml_features": q_ml_features,
-    "range_window_partitioned": q_range_window_partitioned,
-    "volume_shipping": q_volume_shipping,
-    "rollup_agg": q_rollup_agg,
-    "cube_agg": q_cube_agg,
-    "distinct_agg": q_distinct_agg,
-    "small_qty_revenue": q_small_qty_revenue,
-    "exact_dedup": q_exact_dedup,
-    "embedding_lsh_topk": q_embedding_lsh_topk,
-    "ngram_jaccard": q_ngram_jaccard,
-    "conform_schema": q_conform_schema,
-    "onehot_features": q_onehot_features,
-    "calendar_features": q_calendar_features,
-    "interval_shift": q_interval_shift,
-    "serving_keys": q_serving_keys,
-    "semi_join": q_semi_join,
-    "anti_join": q_anti_join,
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {**_WINDOW, **_TAIL}
@@ -5571,6 +5586,15 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(((octet_length(encode(text)) * 7) % 480) + 1 AS INTEGER) AS height,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "video_frames": """
+            SELECT doc_id AS media_id,
+                   CAST(f AS BIGINT) AS frame_ms,
+                   doc_id || ':' || f AS frame_key
+            FROM documents
+            CROSS JOIN unnest(generate_series(
+                0, greatest(n_chars - 1, 0), 700)) t(f)
+            WHERE n_chars IS NOT NULL
         """,
         "nullsafe_join": """
             WITH keyed AS (

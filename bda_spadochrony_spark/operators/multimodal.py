@@ -429,11 +429,19 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
     per-frame dims + mean luma, the features downstream dedup/quality
     gates consume."""
     if fake:
-        frames = df.where(F.col("kind") == "video").select(
-            "media_id", "duration_ms",
-            F.explode(F.sequence(
-                F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)),
-                F.lit(every_ms))).alias("frame_ms"))
+        # NULL duration -> NO frames (pinned r8, edge-fixture program):
+        # Spark's greatest() SKIPS NULLs, so without the explicit filter
+        # greatest(NULL - 1, 0) = 0 fabricated a t=0 frame for media of
+        # unknown length — where SQL's NULL-propagating arithmetic drops
+        # the row. Unknown duration must not invent a frame.
+        frames = (df.where(F.col("kind") == "video")
+                  .where(F.col("duration_ms").isNotNull())
+                  .select(
+                      "media_id", "duration_ms",
+                      F.explode(F.sequence(
+                          F.lit(0),
+                          F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                          F.lit(every_ms))).alias("frame_ms")))
         return frames.withColumn(
             "frame_key", F.concat_ws(":", F.col("media_id"), F.col("frame_ms")))
 

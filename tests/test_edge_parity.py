@@ -65,6 +65,9 @@ EDGE_QUERIES = [
     # r7: the six-stage composite end-to-end on NULL/empty/short/unicode
     # docs — every stage's degenerate-input semantics must agree at once
     "corpus_pipeline",
+    # r8: the video frame explode on NULL/zero durations (NULL n_chars
+    # drops the row in both engines; n_chars=0 keeps exactly t=0)
+    "video_frames",
 ]
 
 
@@ -506,6 +509,8 @@ EDGE_NEGID_QUERIES = [
     "hash_sample", "stratified_sample", "hash_split", "weighted_sample",
     "mixture_sample", "balanced_sample", "corpus_shuffle",
     "pack_documents", "corpus_pipeline",
+    # r8: negative media ids through the frame-key string build
+    "video_frames",
 ]
 
 
