@@ -656,8 +656,9 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str = "embedding",
     sibling of MinHash dedup that catches paraphrases and re-encodings
     exact/token methods miss.
 
-    The cluster is what makes it tractable: candidate generation is a
-    CLUSTER-KEYED self-join, so pair volume is Σ|cluster|²/2 instead of
+    The cluster is what makes it tractable: candidate generation is
+    CLUSTER-KEYED (a per-cell BLAS Gram matrix with an exact re-check —
+    ``_cell_pairs_exact``), so pair volume is Σ|cluster|²/2 instead of
     n²/2 — at 100 TB the cell id becomes the shuffle (or physical
     partition) key exactly as in ``ivf_topk``. The documented recall
     trade is inherited from SemDeDup itself: a near-dup pair straddling
@@ -696,33 +697,148 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str = "embedding",
             # instead of letting createDataFrame choke on an empty list
             return (base.select(F.col("id").alias(id_col))
                     .withColumn("cell", F.lit(None).cast("long")))
-        centers = base.sparkSession.createDataFrame(
-            [(i, r["v"]) for i, r in enumerate(rows)], ["cell", "centroid"])
-    cent = F.broadcast(centers.select(
-        F.col("cell"), F.col("centroid").cast("array<double>").alias("centroid")))
-    cc = (base.crossJoin(cent)
-          .withColumn("dist2", F.aggregate(
-              F.zip_with("v", "centroid", lambda a, b: (a - b) * (a - b)),
-              F.lit(0.0), lambda acc, x: acc + x)))
-    wc = Window.partitionBy("id").orderBy(F.col("dist2").asc(),
-                                          F.col("cell").asc())
-    assigned = (cc.withColumn("rn", F.row_number().over(wc))
-                .where(F.col("rn") == 1).select("id", "v", "cell"))
-    # both sides of the cluster self-join consume the assignment —
-    # checkpoint or the quantizer cross join replays per side
+        center_rows = list(enumerate(r["v"] for r in rows))
+        cell_type = "long"        # what createDataFrame gave the old path
+    else:
+        # user-passed quantizer: a tiny (cell, centroid) frame by
+        # contract (persisted KMeans centers at production) — sorted so
+        # first-minimum == lowest cell, the documented tie-break
+        center_rows = sorted(
+            (r["cell"], [float(x) for x in r["centroid"]])
+            for r in centers.select("cell", "centroid").collect())
+        cell_type = centers.schema["cell"].dataType.simpleString()
+    assigned = _assign_cells(base, center_rows, cell_type)
+    # both sides of the within-cell pair pass consume the assignment —
+    # checkpoint or the quantizer scan replays per consumer
     assigned = with_norm(assigned, "v", "nrm").localCheckpoint(eager=False)
-    a = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                        F.col("nrm").alias("na"), "cell")
-    b = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                        F.col("nrm").alias("nb"), "cell")
-    pairs = (a.join(b, "cell")
-             .where(F.col("id_a") < F.col("id_b"))
-             .where((F.col("na") > 0) & (F.col("nb") > 0))
-             .where(_dot("va", "vb") / (F.col("na") * F.col("nb"))
-                    >= min_cosine)
-             .select("id_a", "id_b"))
+    pairs = _cell_pairs_exact(assigned, min_cosine)
     labels = dedup_clusters(pairs)
     dropped = (labels.where(F.col("id") != F.col("canonical_id"))
                .select("id"))
     return (assigned.join(dropped, "id", "left_anti")
             .select(F.col("id").alias(id_col), "cell"))
+
+
+# past this many centroid literals the argmin expression outgrows what
+# the analyzer/codegen handle comfortably — fall back to the broadcast
+# crossJoin + window assignment (same semantics, distributes at any k);
+# a corpus big enough to hit this passes persisted KMeans centers anyway
+_ASSIGN_LITERAL_BUDGET = 262_144
+
+
+def _assign_cells(base: DataFrame, center_rows: list,
+                  cell_type: str = "long") -> DataFrame:
+    """Nearest-center cell assignment (squared euclidean; ties → lowest
+    cell), the rule ``ivf_topk`` documents, as a MAP-ONLY projection:
+    distances to every centroid are computed per row with the same
+    ``aggregate(zip_with(...))`` fold the window variant used (identical
+    float arithmetic, so identical assignment bit-for-bit — measured
+    0.41s vs 19.9s at 20k×128 with diff 0), and ``array_position`` of
+    the array minimum picks the FIRST minimal entry — centers are in
+    cell order, so first == lowest cell, the same tie-break the window's
+    ``ORDER BY dist2, cell`` applied. No crossJoin row explosion
+    (n·k rows), no per-id window shuffle: the quantizer rides the scan."""
+    k_lits = len(center_rows) * (len(center_rows[0][1]) if center_rows else 0)
+    if k_lits > _ASSIGN_LITERAL_BUDGET:
+        cent = F.broadcast(base.sparkSession.createDataFrame(
+            center_rows, ["cell", "centroid"]).select(
+                "cell", F.col("centroid").cast("array<double>").alias("centroid")))
+        cc = (base.crossJoin(cent)
+              .withColumn("dist2", F.aggregate(
+                  F.zip_with("v", "centroid", lambda a, b: (a - b) * (a - b)),
+                  F.lit(0.0), lambda acc, x: acc + x)))
+        wc = Window.partitionBy("id").orderBy(F.col("dist2").asc(),
+                                              F.col("cell").asc())
+        return (cc.withColumn("rn", F.row_number().over(wc))
+                .where(F.col("rn") == 1)
+                .select("id", "v", F.col("cell").cast(cell_type).alias("cell")))
+    cmat = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                     for _, c in center_rows])
+    cells = F.array(*[F.lit(cell) for cell, _ in center_rows]) \
+        .cast(f"array<{cell_type}>")
+    dists = F.transform(cmat, lambda c: F.aggregate(
+        F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return (base.withColumn("__d", dists)
+            .withColumn("cell", F.element_at(
+                cells, F.array_position(F.col("__d"),
+                                        F.array_min(F.col("__d"))).cast("int")))
+            .drop("__d"))
+
+
+def _cell_pairs_exact(assigned: DataFrame, min_cosine: float) -> DataFrame:
+    """Within-cell cosine pairs (id_a < id_b, cosine ≥ threshold) with
+    results IDENTICAL to the SQL fold the oracle states — the
+    ``pairwise_cosine_blocked`` precedent applied to the cluster-keyed
+    self-join that dominated ``semantic_dedup`` at 10× (≈64s of
+    interpreted ``aggregate`` dot products over Σ|c|²/2 = 11.7M
+    candidates; an unrolled codegen dot measured SLOWER at 124s).
+
+    Two stages inside ONE ``applyInPandas`` over each cell:
+    (1) a BLAS Gram matrix prunes to candidates with cosine ≥
+    threshold − 1e-6 (margin ≫ the ~1e-13 summation-order discrepancy
+    between a pairwise-blocked BLAS sum and the sequential fold, so no
+    true pair is lost; NaN scores — overflowing junk magnitudes ≥
+    ~1e154 — are kept as candidates rather than trusted);
+    (2) every candidate is re-scored with a sequential Python fold —
+    bit-identical IEEE arithmetic to Spark's ``aggregate(zip_with)``
+    (multiply each pair, add left-to-right, divide by na·nb) — and kept
+    by the engine rule (``cosine >= t`` OR NaN, Spark/DuckDB both order
+    NaN above every real). Candidates ≈ true near-dup pairs, so the
+    Python loop touches ~|pairs|·d elements — noise next to the matmul.
+
+    The shuffle key is the CELL, as before; each cell must fit an Arrow
+    batch (cells_for keeps |cell| ≈ sqrt(2n))."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    t = float(min_cosine)
+    id_field = assigned.schema["id"]
+    out_schema = StructType([
+        StructField("id_a", id_field.dataType),
+        StructField("id_b", id_field.dataType)])
+    # typed empty frame: an object-dtype empty concatenated with int64
+    # batches trips pandas' all-NA-concat FutureWarning in the serializer
+    _dt = {"bigint": "int64", "int": "int32", "smallint": "int16",
+           "tinyint": "int8", "double": "float64", "float": "float32",
+           "string": "object"}.get(id_field.dataType.simpleString(), "object")
+    empty = pd.DataFrame({"id_a": pd.Series(dtype=_dt),
+                          "id_b": pd.Series(dtype=_dt)})
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["nrm"] > 0]
+        m = len(pdf)
+        if m < 2:
+            return empty
+        X = np.stack(pdf["v"].to_numpy())
+        nr = pdf["nrm"].to_numpy()
+        with np.errstate(over="ignore", invalid="ignore"):
+            G = (X @ X.T) / np.outer(nr, nr)
+        iu, ju = np.triu_indices(m, 1)
+        g = G[iu, ju]
+        cand = (g >= t - 1e-6) | np.isnan(g)
+        ii, jj = iu[cand], ju[cand]
+        ids = pdf["id"].to_numpy()
+        keep_a, keep_b = [], []
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            ia, ib = ids[i], ids[j]
+            if ia == ib:          # SQL id_a < id_b drops equal-id pairs
+                continue
+            acc = 0.0
+            for x, y in zip(X[i].tolist(), X[j].tolist()):
+                acc = acc + x * y
+            cos = acc / (float(nr[i]) * float(nr[j]))
+            if cos >= t or math.isnan(cos):
+                if ib < ia:
+                    ia, ib = ib, ia
+                keep_a.append(ia)
+                keep_b.append(ib)
+        if not keep_a:
+            return empty
+        return pd.DataFrame({"id_a": keep_a, "id_b": keep_b})
+
+    return assigned.groupBy("cell").applyInPandas(cell_pairs,
+                                                  schema=out_schema)
