@@ -3335,14 +3335,14 @@ def _oracle_sql_literal() -> dict[str, str]:
         "bm25_search": """
             WITH dl AS (
                 SELECT doc_id,
-                       len(string_split_regex(lower(trim(text)), '\\s+'))
+                       len(string_split_regex(lower(trim(text)), '[\\s\\x0b]+'))
                        AS dl
                 FROM documents
             ), stats AS (
                 SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
             ), tok AS (
                 SELECT doc_id,
-                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       unnest(string_split_regex(lower(trim(text)), '[\\s\\x0b]+'))
                        AS t
                 FROM documents
             ), tf AS (
@@ -3369,7 +3369,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "span_dedup": """
             WITH ls AS (
                 SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\\s+') AS l
+                       string_split_regex(lower(trim(text)), '[\\s\\x0b]+') AS l
                 FROM documents
             ), pos AS (
                 SELECT doc_id, l,
@@ -3524,7 +3524,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "text_quality": """
             WITH base AS (
                 SELECT doc_id, text,
-                       string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                       string_split_regex(lower(trim(text)), '[\\s\\x0b]+') AS toks,
                        greatest(length(text), 1) * 1.0 AS safe_chars
                 FROM documents
             ), feat AS (
@@ -3899,10 +3899,10 @@ def _oracle_sql_literal() -> dict[str, str]:
         "tokens_to_ids": """
             WITH toks AS (
                 SELECT doc_id,
-                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       unnest(string_split_regex(lower(trim(text)), '[\\s\\x0b]+'))
                            AS token,
                        generate_subscripts(
-                           string_split_regex(lower(trim(text)), '\\s+'), 1)
+                           string_split_regex(lower(trim(text)), '[\\s\\x0b]+'), 1)
                            AS pos
                 FROM documents
             ), vocab AS (
@@ -3922,7 +3922,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "pack_documents": """
             WITH base AS (
                 SELECT doc_id, doc_id % 8 AS shard,
-                       len(string_split_regex(lower(trim(text)), '\\s+'))
+                       len(string_split_regex(lower(trim(text)), '[\\s\\x0b]+'))
                            AS n_tokens
                 FROM documents
             ), laid AS (
@@ -3941,7 +3941,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "repetition_stats": """
             WITH base AS (
                 SELECT doc_id, text,
-                       string_split_regex(lower(trim(text)), '\\s+') AS lt,
+                       string_split_regex(lower(trim(text)), '[\\s\\x0b]+') AS lt,
                        string_split_regex(text, ' +') AS rt
                 FROM documents
             ), tok_rows AS (
@@ -3985,7 +3985,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                        '@mail.example.com see https://ex.org/d/' ||
                        CAST(doc_id AS VARCHAR) || ' ref 123456789 end',
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                       'https?://[^\\s]+', '<URL>', 'g'),
+                       'https?://[^\\s\\x0b]+', '<URL>', 'g'),
                        '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
             FROM documents
         """,
@@ -4058,7 +4058,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                                        for i in range(1, len(toks) - 5 + 2)])
                         ELSE md5(lower(trim(text))) END AS fingerprint
             FROM (SELECT doc_id, text,
-                         string_split_regex(lower(trim(text)), '\\s+') AS toks
+                         string_split_regex(lower(trim(text)), '[\\s\\x0b]+') AS toks
                   FROM documents)
         """,
         "volume_shipping": """
@@ -4148,7 +4148,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "unigram_surprisal": """
             WITH tok AS (
                 SELECT doc_id,
-                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       unnest(string_split_regex(lower(trim(text)), '[\\s\\x0b]+'))
                        AS token
                 FROM documents
             ), counts AS (
@@ -4338,7 +4338,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "heavy_hitters": """
             WITH tok AS (
-                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                SELECT unnest(string_split_regex(lower(trim(text)), '[\\s\\x0b]+'))
                        AS token
                 FROM documents
             ), tot AS (
@@ -4361,7 +4361,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "bpe_pair_counts": """
             WITH lst AS (
-                SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+                SELECT string_split_regex(lower(trim(text)), '[\\s\\x0b]+') AS t
                 FROM documents
             ), idx AS (
                 SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
@@ -4458,7 +4458,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "source_kl": """
             WITH tok AS (
                 SELECT source,
-                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       unnest(string_split_regex(lower(trim(text)), '[\\s\\x0b]+'))
                        AS token
                 FROM documents
             ), gt AS (
@@ -4485,7 +4485,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "quality_gate": """
             WITH base AS (
                 SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\\s+') AS lt,
+                       string_split_regex(lower(trim(text)), '[\\s\\x0b]+') AS lt,
                        string_split_regex(text, ' +') AS rt
                 FROM documents
             ), tok_rows AS (
@@ -4736,12 +4736,12 @@ def _oracle_sql_literal() -> dict[str, str]:
         "token_pmi": """
             WITH tok AS (
                 SELECT DISTINCT doc_id,
-                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       unnest(string_split_regex(lower(trim(text)), '[\\s\\x0b]+'))
                        AS token
                 FROM documents
             ), alltok AS (
                 SELECT doc_id,
-                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       unnest(string_split_regex(lower(trim(text)), '[\\s\\x0b]+'))
                        AS token
                 FROM documents
             ), counts AS (
@@ -4841,7 +4841,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "bigram_surprisal": """
             WITH lst AS (
                 SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\\s+') AS t
+                       string_split_regex(lower(trim(text)), '[\\s\\x0b]+') AS t
                 FROM documents
             ), idx AS (
                 SELECT doc_id, t,
@@ -5266,7 +5266,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "tf_idf": """
             WITH tok AS (
                 SELECT doc_id,
-                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       unnest(string_split_regex(trim(lower(text)), '[\\s\\x0b]+'))
                            AS token
                 FROM documents
             ), tf AS (
@@ -5364,7 +5364,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "doc_chunks": """
             WITH t AS (
                 SELECT doc_id,
-                       string_split_regex(trim(lower(text)), '\\s+') AS toks
+                       string_split_regex(trim(lower(text)), '[\\s\\x0b]+') AS toks
                 FROM documents
             ), s AS (
                 SELECT doc_id, toks,

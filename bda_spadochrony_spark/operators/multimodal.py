@@ -5,11 +5,12 @@ The Spark-side architecture is real and tested — schema contract,
 partitioning, batch shapes, the mapInPandas iterator protocol. The REAL
 decode branches carry vendored pure-Python decoders — binary netpbm
 (P5/P6) and uncompressed 24-bit BMP for images (round 7), nearest-
-neighbor resize over those rasters, and uncompressed BI_RGB AVI +
-concatenated-netpbm streams for video frame extraction (round 8) — so
-every operator's real branch runs and is CI-tested with no media
-library in the container; other formats decode via PIL/soundfile when
-present and raise the documented ``NotImplementedError`` otherwise
+neighbor resize over those rasters, uncompressed BI_RGB AVI +
+concatenated-netpbm streams for video frame extraction, and RIFF/WAVE
+PCM via the stdlib ``wave`` module for audio (round 8) — so every
+operator's real branch runs and is CI-tested with no media library in
+the container; other formats decode via PIL/soundfile when present
+and raise the documented ``NotImplementedError`` otherwise
 (``fake=True`` substitutes a deterministic synthetic decode for
 end-to-end pipeline tests on arbitrary bytes).
 
@@ -489,18 +490,60 @@ AUDIO_FEATURES_SCHEMA = StructType([
 ])
 
 
+def _decode_wav_bytes(payload: bytes):
+    """Vendored decoder for RIFF/WAVE PCM via the stdlib ``wave`` module
+    — the audio twin of the netpbm/BMP move: the REAL audio branch runs
+    (and is CI-tested) with no audio library in the container. Returns
+    None if the payload is not RIFF/WAVE; raises a typed ValueError on
+    compressed/float WAVs and truncated payloads (better loud than
+    wrong, same contract as the image decoders)."""
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    import io
+    import wave
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            rate, nframes = w.getframerate(), w.getnframes()
+            sampwidth = w.getsampwidth()
+            raw = w.readframes(nframes)
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"unsupported or corrupt WAV: {exc}") from exc
+    if sampwidth not in (1, 2):
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    if rate <= 0:
+        raise ValueError(f"invalid WAV sample rate {rate}")
+    import numpy as np
+    if sampwidth == 2:  # signed little-endian PCM, full scale 32768
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    else:               # 8-bit WAV is unsigned, midpoint 128
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
+    return {"n_bytes": len(payload),
+            "duration_ms": int(1000 * nframes / rate),
+            "sample_rate": int(rate),
+            "rms_level": int(255 * rms)}
+
+
 def _decode_audio_bytes(payload: bytes, duration_ms, fake: bool):
     if not fake:
-        # real decode behind an optional import, mirroring the image path:
-        # soundfile/librosa when present, the documented stub error otherwise
+        # real decode: vendored stdlib-wave PCM first (always available),
+        # then soundfile/librosa for other codecs when present, then the
+        # documented stub error — mirroring the image path's
+        # netpbm/BMP → PIL → NotImplementedError ladder
+        wav = _decode_wav_bytes(payload)
+        if wav is not None:
+            return wav
         try:
             import io
 
             import soundfile  # noqa: F401
         except ImportError as exc:
             raise NotImplementedError(
-                "audio decoding requires soundfile/librosa, not present in "
-                "this environment; pass fake=True for the deterministic stub"
+                "non-WAV audio decoding requires soundfile/librosa, not "
+                "present in this environment; RIFF/WAVE PCM decodes via "
+                "the vendored stdlib path; pass fake=True for the "
+                "deterministic stub"
             ) from exc
         data, rate = soundfile.read(io.BytesIO(payload))
         import numpy as np

@@ -72,6 +72,29 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
+# Intra-op BLAS threads per Python worker (the Arrow/pandas stages:
+# blocked matmuls, per-cell Gram matrices). Unpinned, OpenBLAS defaults
+# to one thread PER CORE in EVERY concurrently-running worker —
+# local[32] can fan out to ~32×32 threads, and the oversubscription
+# thrash measured 3× on the pair-generation family (dedup_survivors
+# 90 s → 30 s at sf1, r8). Parallelism belongs to Spark's partitioning
+# — on a busy 1000-executor cluster every core already has a task, so
+# intra-op threading only ever oversubscribes. Override via
+# $SPARK_GRAFT_BLAS_THREADS for sparse-stage local experiments.
+_BLAS_THREAD_VARS = ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                     "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS")
+
+
+def _blas_threads() -> str:
+    return os.environ.get("SPARK_GRAFT_BLAS_THREADS", "1")
+
+
+def _pin_blas_env() -> None:
+    """Pin the driver process env (inherited by the local-mode JVM and
+    its pyspark.daemon workers). Respects pre-set values."""
+    for var in _BLAS_THREAD_VARS:
+        os.environ.setdefault(var, _blas_threads())
+
 
 def get_session(app_name: str = "bda-spadochrony-spark",
                 master: str | None = None,
@@ -84,10 +107,30 @@ def get_session(app_name: str = "bda-spadochrony-spark",
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
+    _pin_blas_env()
     builder = SparkSession.builder.appName(app_name).master(master)
-    for k, v in {**_BASE_CONF, **(extra_conf or {})}.items():
+    conf = {**_BASE_CONF, **(extra_conf or {})}
+    for var in _BLAS_THREAD_VARS:  # real-cluster executors
+        conf.setdefault(f"spark.executorEnv.{var}", _blas_threads())
+    for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _pin_worker_env(spark)
+    return spark
+
+
+def _pin_worker_env(spark: SparkSession) -> None:
+    """Thread the BLAS pin into ``sc.environment`` — the env-var dict
+    every subsequently-created Python UDF ships to its worker. This is
+    the path that reaches workers even when the session was built by an
+    EXTERNAL harness (static executorEnv conf can't be set post-start,
+    but sc.environment is driver-side and per-UDF)."""
+    try:
+        env = spark.sparkContext.environment
+        for var in _BLAS_THREAD_VARS:
+            env.setdefault(var, _blas_threads())
+    except Exception:
+        pass  # connect-mode sessions have no local SparkContext
 
 
 # Sessions already configured — each conf.set is a py4j round-trip, and the
@@ -113,5 +156,7 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a running session — keep going
+    _pin_blas_env()
+    _pin_worker_env(spark)
     _CONFIGURED.add(spark)
     return spark

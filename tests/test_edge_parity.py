@@ -626,6 +626,85 @@ def test_edge_dst_parity(spark, edge_dst_dir, edge_dst_duck, name):
                                 name=f"edge-dst:{name}")
 
 
+EDGE_UNICODE_QUERIES = [
+    # r8 (the OTHER VERDICT r7 #6 candidate): the text family over
+    # astral-plane / zero-width / combining-mark / format-control inputs
+    # — code-point classes the driver testdata (plain Latin-1-ish text)
+    # never exercises. Probe targets: ZWSP/ZWNJ (category Cf) inside
+    # words, NBSP / ideographic space (Zs but NOT regex \s), emoji +
+    # ZWJ sequences + variation selectors through normalize/fingerprint,
+    # NFC-vs-NFD combining marks (Mn is not \p{L}), supplementary-plane
+    # letters (Deseret — \p{L} beyond the BMP), bidi controls, and a
+    # vertical tab (inside Java's \s — is it inside RE2's?).
+    "repetition_stats", "quality_gate", "unigram_surprisal",
+    "bigram_surprisal", "source_kl", "bpe_pair_counts", "token_pmi",
+    "tokens_to_ids", "pack_documents", "doc_chunks", "text_stats",
+    "text_quality", "hash_split", "weighted_sample", "mixture_sample",
+    "doc_fingerprint_md5", "exact_dedup_digest", "incremental_dedup",
+    "span_dedup", "bm25_search", "corpus_pipeline", "pii_scrub",
+    "contamination", "ngram_jaccard",
+]
+
+EDGE_UNICODE_DOCS_TEXT = [
+    "\U0001f600 grinning \U0001f600 face",        # astral emoji tokens
+    ("family \U0001f468\u200d\U0001f469\u200d"
+     "\U0001f467 sticks together"),                # emoji ZWJ sequence
+    "zero\u200bwidth space splits nothing",        # ZWSP (Cf) inside a word
+    "nbsp\u00a0separated\u00a0words here",        # NBSP: Zs but not \\s
+    "wide\u3000ideographic\u3000space",           # U+3000: Zs but not \\s
+    "cafe\u0301 combining vs caf\u00e9 precomposed",  # NFD vs NFC
+    "\u202ebidi reversed text\u202c normal",      # bidi controls (Cf)
+    ("\U00010437\U00010437 deseret "
+     "\U0001044c\U0001044c astral letters"),      # \\p{L} beyond the BMP
+    "emoji\u2764\ufe0f heart with\ufe0f selector",  # variation selector
+    "\u0632\u064e\u0628\u064e\u0631 connected\u200cletters",  # Mn + ZWNJ
+    "\u00c9COLE Fran\u00e7aise M\u00caME",       # safe case-fold class
+    "\uff41\uff42\uff43 \uff57\uff49\uff44\uff45 width",  # full-width
+    "vertical\x0btab java-s-vs-re2",               # \\x0B: Java \\s has it
+    "mixed \U0001f600\u200b\u00a0\U00010437 salad",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_uni_dir():
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tempfile.mkdtemp(prefix="bda_edge_uni_")
+    langs = ["en", "de", "fr", "zh", None]
+    sources = ["src0", "src1", "src2"]
+    rows = [(i, t, langs[i % len(langs)], sources[i % len(sources)], len(t))
+            for i, t in enumerate(EDGE_UNICODE_DOCS_TEXT)]
+    cols = list(zip(*rows))
+    tbl = pa.table({
+        "doc_id": pa.array(cols[0], pa.int64()),
+        "text": pa.array(cols[1], pa.string()),
+        "lang": pa.array(cols[2], pa.string()),
+        "source": pa.array(cols[3], pa.string()),
+        "n_chars": pa.array(cols[4], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def edge_uni_duck(edge_uni_dir):
+    con = duck_connection(edge_uni_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EDGE_UNICODE_QUERIES)
+def test_edge_unicode_parity(spark, edge_uni_dir, edge_uni_duck, name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert_query_matches_oracle(spark, edge_uni_duck, qs[name],
+                                oracles[name], edge_uni_dir,
+                                name=f"edge-uni:{name}")
+
+
 def test_unicode_case_folding_parity_boundary_documented(spark, edge_duck):
     """r7 probe result, PINNED as a documented boundary rather than a
     fix: Spark (Java) and DuckDB (utf8proc) agree on simple Unicode
