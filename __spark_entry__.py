@@ -2338,6 +2338,31 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def q_semantic_dedup_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-cell-probed semantic dedup (r9 — VERDICT r8 #4): the same
+    SemDeDup pipeline as ``semantic_dedup`` but each vector joins pair
+    GENERATION in its 2 nearest cells (``n_probe=2``), closing the
+    documented cross-boundary recall trade the way ``ivf_topk``'s
+    ``n_probe`` does. Dedup semantics are unchanged — one survivor per
+    connected family, and the reported cell is each survivor's PRIMARY
+    (nearest) cell. The oracle restates the probed assignment as a
+    ``row_number() <= 2`` over (dist2, cell) and deduplicates the pair
+    set found in ANY shared probe cell; the quantizer cell count is the
+    same footer-derived ``cells_for(n)`` as the base query. Same sp=8
+    discipline (candidate-sized shuffles through iterative CC)."""
+    from bda_spadochrony_spark.operators.similarity import semantic_dedup
+    configure(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        emb = _t(spark, sf_dir, "embeddings")
+        out = semantic_dedup(emb, "vec_id", min_cosine=0.42, n_probe=2)
+        return out.select("vec_id",
+                          F.col("cell").cast("long").alias("cell"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw-SQL API surface: temp views + ``spark.sql`` running a
     multi-feature statement (CTE, join, window, aggregate) — proves a
@@ -2783,19 +2808,69 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # confirmation backlog; _TAIL holds long-confirmed queries whose parity is
 # continuously re-proven by tests/test_oracle_parity.py.
 _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- round-8 head: the NEW query (video_frames - zero driver
-    # rows, enters immediately) and the five whose SOURCE or ORACLE
-    # changed this round (cells_for quantizer default, bpe
-    # frequency-floor prune, scd2/pit NULLS FIRST tie pin, the
-    # multimodal decoder guards)
-    "video_frames": q_video_frames,
+    # ---- round-9 head: the NEW query (semantic_dedup_probed — zero
+    # driver rows, enters immediately) and the four whose SOURCE changed
+    # this round (similarity.py: n_probe + ragged-cell tolerance;
+    # multimodal.py: numpy-vectorized rasters + AVI timing/stream-0
+    # fixes; corpus.py: the size-gated bpe prune)
+    "semantic_dedup_probed": q_semantic_dedup_probed,
     "semantic_dedup": q_semantic_dedup,
+    "video_frames": q_video_frames,
+    "multimodal_features": q_multimodal_features,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "range_window_sum": q_range_window_sum,
+    "session_window": q_session_window,
+    "sketch_distinct": q_sketch_distinct,
+    "star_join": q_star_join,
+    "stream_hourly": q_stream_hourly,
+    "stream_join_outer": q_stream_join_outer,
+    "text_quality": q_text_quality,
+    "text_stats": q_text_stats,
+    "top_k_per_group": q_top_k_per_group,
+    "traffic_hourly": q_traffic_hourly,
+    "traffic_hourly_fused": q_traffic_hourly_fused,
+    "tz_hourly": q_tz_hourly,
+    "customer_distribution": q_customer_distribution,
+    "hash_sample": q_hash_sample,
+    "idle_customers": q_idle_customers,
+    "large_volume_customer": q_large_volume_customer,
+    "local_supplier_volume": q_local_supplier_volume,
+    "minhash_near_dup": q_minhash_near_dup,
+    "order_priority": q_order_priority,
+    "pivot": q_pivot,
+    "priority_lines": q_priority_lines,
+    "promo_revenue": q_promo_revenue,
+    "quantiles": q_quantiles,
+    "repetition_stats": q_repetition_stats,
+    "returned_items": q_returned_items,
+    "revenue_change": q_revenue_change,
+    "shipping_priority": q_shipping_priority,
+    "simhash_md5_pairs": q_simhash_md5_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "sketch_mergeable": q_sketch_mergeable,
+    "stock_hourly": q_stock_hourly,
+    "stratified_sample": q_stratified_sample,
+    "string_funcs": q_string_funcs,
+    "supplier_part_counts": q_supplier_part_counts,
+    "token_frequencies": q_token_frequencies,
+    "weather_hourly": q_weather_hourly,
+    "argmax_agg": q_argmax_agg,
+    "array_agg": q_array_agg,
+    "bitwise_funcs": q_bitwise_funcs,
+    "conditional_funcs": q_conditional_funcs,
+    "corpus_prep": q_corpus_prep,
+    "csv_roundtrip": q_csv_roundtrip,
+    "date_functions": q_date_functions,
+    "dedup_clusters": q_dedup_clusters,
+    "doc_chunks": q_doc_chunks,
+}
+
+_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # displaced by the r9 rotation (the r8 window re-confirmed all 50;
+    # the backlog above promotes the stalest r4/r5/r6 confirmations);
+    # parity re-proven every round by tests/test_oracle_parity.py
     "scd2_history": q_scd2_history,
     "pit_join": q_pit_join,
-    "multimodal_features": q_multimodal_features,
-    # ---- the single-driver-confirmation set (VERDICT r7 #2: all 8
-    # oracled singles + the rows-only pca_project)
     "label_propagation": q_label_propagation,
     "entity_match": q_entity_match,
     "weighted_sample": q_weighted_sample,
@@ -2804,8 +2879,6 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pipeline": q_corpus_pipeline,
     "temperature_mixture": q_temperature_mixture,
     "pca_project": q_pca_project,
-    # ---- rotation backlog, stalest confirmations first: the r2
-    # cohort, the r3 pair, then r4 (alphabetical within cohort)
     "anti_join": q_anti_join,
     "calendar_features": q_calendar_features,
     "conform_schema": q_conform_schema,
@@ -2842,12 +2915,6 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "null_skipping_agg": q_null_skipping_agg,
     "pricing_summary": q_pricing_summary,
     "random_split_counts": q_random_split_counts,
-}
-
-_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # displaced by the r8 rotation; parity re-proven every round by
-    # tests/test_oracle_parity.py (latest driver confirmation noted
-    # in CORRECTNESS_r0*.json)
     "pca_invariants": q_pca_invariants,
     "dedup_survivors": q_dedup_survivors,
     "embedding_ann_stack": q_embedding_ann_stack,
@@ -2904,62 +2971,17 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sliding": q_stream_sliding,
     "partition_pruned": q_partition_pruned,
     "embedding_near_dup": q_embedding_near_dup,
-    "argmax_agg": q_argmax_agg,
     "regr_agg": q_regr_agg,
     "salted_hourly": q_salted_hourly,
     "nullsafe_join": q_nullsafe_join,
-    "dedup_clusters": q_dedup_clusters,
     "stream_dedup": q_stream_dedup,
     "stream_serving_pipeline": q_stream_serving_pipeline,
     "text_normalize": q_text_normalize,
-    "doc_chunks": q_doc_chunks,
     "sql_surface": q_sql_surface,
     "unpivot": q_unpivot,
-    "array_agg": q_array_agg,
-    "date_functions": q_date_functions,
     "string_funcs2": q_string_funcs2,
-    "csv_roundtrip": q_csv_roundtrip,
-    "conditional_funcs": q_conditional_funcs,
-    "bitwise_funcs": q_bitwise_funcs,
     "hash_funcs": q_hash_funcs,
-    "corpus_prep": q_corpus_prep,
     "incremental_dedup": q_incremental_dedup,
-    "sketch_mergeable": q_sketch_mergeable,
-    "priority_lines": q_priority_lines,
-    "repetition_stats": q_repetition_stats,
-    "simhash_md5_pairs": q_simhash_md5_pairs,
-    "simhash_pairs": q_simhash_pairs,
-    "minhash_near_dup": q_minhash_near_dup,
-    "quantiles": q_quantiles,
-    "string_funcs": q_string_funcs,
-    "token_frequencies": q_token_frequencies,
-    "pivot": q_pivot,
-    "stock_hourly": q_stock_hourly,
-    "weather_hourly": q_weather_hourly,
-    "shipping_priority": q_shipping_priority,
-    "order_priority": q_order_priority,
-    "local_supplier_volume": q_local_supplier_volume,
-    "revenue_change": q_revenue_change,
-    "returned_items": q_returned_items,
-    "customer_distribution": q_customer_distribution,
-    "promo_revenue": q_promo_revenue,
-    "supplier_part_counts": q_supplier_part_counts,
-    "large_volume_customer": q_large_volume_customer,
-    "idle_customers": q_idle_customers,
-    "hash_sample": q_hash_sample,
-    "stratified_sample": q_stratified_sample,
-    "stream_hourly": q_stream_hourly,
-    "stream_join_outer": q_stream_join_outer,
-    "session_window": q_session_window,
-    "traffic_hourly": q_traffic_hourly,
-    "traffic_hourly_fused": q_traffic_hourly_fused,
-    "star_join": q_star_join,
-    "sketch_distinct": q_sketch_distinct,
-    "range_window_sum": q_range_window_sum,
-    "top_k_per_group": q_top_k_per_group,
-    "tz_hourly": q_tz_hourly,
-    "text_stats": q_text_stats,
-    "text_quality": q_text_quality,
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {**_WINDOW, **_TAIL}
@@ -2998,8 +3020,10 @@ def oracle_sql() -> dict[str, str]:
     # corpus-sized quantizer (r8): same footer-count derivation as the
     # ANN planes — both engines fit cells_for(n) centers
     from bda_spadochrony_spark.operators.similarity import cells_for
-    d["semantic_dedup"] = d["semantic_dedup"].replace(
-        "__CELLS__", str(cells_for(_oracle_embedding_count())))
+    cells = str(cells_for(_oracle_embedding_count()))
+    d["semantic_dedup"] = d["semantic_dedup"].replace("__CELLS__", cells)
+    d["semantic_dedup_probed"] = \
+        d["semantic_dedup_probed"].replace("__CELLS__", cells)
     return d
 
 
@@ -4303,6 +4327,58 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell
             FROM assigned a
             WHERE a.vec_id NOT IN
+                  (SELECT id FROM labels WHERE id != canonical_id)
+        """,
+        "semantic_dedup_probed": """
+            WITH RECURSIVE n AS MATERIALIZED (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding, x -> x <> 0)) > 0
+                  AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+            ), cent AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                       v AS c
+                FROM n ORDER BY vec_id LIMIT __CELLS__
+            ), dists AS (
+                SELECT n.vec_id, n.v, cent.cell,
+                       list_dot_product(
+                           [n.v[i+1] - cent.c[i+1] for i in range(64)],
+                           [n.v[i+1] - cent.c[i+1] for i in range(64)]) AS d2
+                FROM n, cent
+            ), probes AS (
+                -- n_probe=2: each vector participates in pair generation
+                -- in its 2 nearest cells (ties -> lowest cell); rn=1 is
+                -- the primary assignment the survivors report
+                SELECT vec_id, v, cell, rn,
+                       sqrt(list_dot_product(v, v)) AS nrm
+                FROM (SELECT vec_id, v, cell,
+                             row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY d2 ASC, cell ASC)
+                             AS rn
+                      FROM dists) WHERE rn <= 2
+            ), pairs AS (
+                -- a pair sharing two probe cells materializes once
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM probes a JOIN probes b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE a.nrm > 0 AND b.nrm > 0
+                  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.42
+            ), sym AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+                SELECT s, s FROM (SELECT DISTINCT s FROM sym)
+                UNION
+                SELECT s.s, reach.r FROM sym s JOIN reach ON reach.id = s.d
+            ), labels AS (
+                SELECT id, min(r) AS canonical_id FROM reach GROUP BY id
+            )
+            SELECT p.vec_id, CAST(p.cell AS BIGINT) AS cell
+            FROM probes p
+            WHERE p.rn = 1
+              AND p.vec_id NOT IN
                   (SELECT id FROM labels WHERE id != canonical_id)
         """,
         "embedding_covariance": """

@@ -111,7 +111,12 @@ def get_session(app_name: str = "bda-spadochrony-spark",
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = {**_BASE_CONF, **(extra_conf or {})}
     for var in _BLAS_THREAD_VARS:  # real-cluster executors
-        conf.setdefault(f"spark.executorEnv.{var}", _blas_threads())
+        # honor an individually pre-set var (e.g. OMP_NUM_THREADS=8) the
+        # same way _pin_blas_env's setdefault does locally — otherwise a
+        # user override would apply in local-mode workers but not on
+        # real-cluster executors (ADVICE r8)
+        conf.setdefault(f"spark.executorEnv.{var}",
+                        os.environ.get(var, _blas_threads()))
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -128,7 +133,7 @@ def _pin_worker_env(spark: SparkSession) -> None:
     try:
         env = spark.sparkContext.environment
         for var in _BLAS_THREAD_VARS:
-            env.setdefault(var, _blas_threads())
+            env.setdefault(var, os.environ.get(var, _blas_threads()))
     except Exception:
         pass  # connect-mode sessions have no local SparkContext
 

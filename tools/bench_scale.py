@@ -126,6 +126,7 @@ def main() -> None:
         # the sf1 full-outer join drain runs ~170 s on the heap provider
         # and 3-4x that under RocksDB (per-micro-batch snapshot/compaction
         # overhead) — 1500 s leaves headroom over the contract 300 s default
+        prev_timeout = os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT_S")
         os.environ["SPARK_GRAFT_STREAM_TIMEOUT_S"] = "1500"
         key = "spark.sql.streaming.stateStore.providerClass"
         prev = use_rocksdb_state(spark, rocksdb)
@@ -146,6 +147,12 @@ def main() -> None:
                 spark.conf.set(key, prev)
             else:
                 use_rocksdb_state(spark, False)
+            # restore the stream-drain timeout so later benches in this
+            # process run under the contract default (ADVICE r8)
+            if prev_timeout is None:
+                os.environ.pop("SPARK_GRAFT_STREAM_TIMEOUT_S", None)
+            else:
+                os.environ["SPARK_GRAFT_STREAM_TIMEOUT_S"] = prev_timeout
         return {"times": times, "join_state": state}
 
     print("== sf0.1 ==", flush=True)
@@ -174,6 +181,7 @@ def main() -> None:
     split_dir = tempfile.mkdtemp(prefix="bda_sf1_events_split_")
     (scan(spark, f"{sf1}/events.parquet").repartition(24)
      .write.mode("overwrite").parquet(split_dir))
+    prev_timeout = os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT_S")
     os.environ["SPARK_GRAFT_STREAM_TIMEOUT_S"] = "1500"
     ch_key = ("spark.sql.streaming.stateStore.rocksdb."
               "changelogCheckpointing.enabled")
@@ -208,6 +216,13 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(split_dir, ignore_errors=True)
+        # restore the stream-drain timeout: leaving 1500 s exported would
+        # leak into the calibrated corpus-pipeline run below and any
+        # later bench in this process (ADVICE r8)
+        if prev_timeout is None:
+            os.environ.pop("SPARK_GRAFT_STREAM_TIMEOUT_S", None)
+        else:
+            os.environ["SPARK_GRAFT_STREAM_TIMEOUT_S"] = prev_timeout
 
     # the CALIBRATED corpus pipeline (production config) at both scales:
     # the contract row keeps the oracle's fixed band, which is
