@@ -724,12 +724,17 @@ def q_embedding_ann_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket identically."""
     from bda_spadochrony_spark.operators.similarity import (
         deterministic_planes, planes_for, quantize_embeddings,
-        with_hyperplane_bucket)
+        valid_vectors, with_hyperplane_bucket)
     from pyspark.sql import Window
     emb = _t(spark, sf_dir, "embeddings")
     pm = deterministic_planes(planes_for(emb.count()), 64)
-    base = emb.select(F.col("vec_id"),
-                      F.col("embedding").cast("array<double>").alias("v"))
+    # valid_vectors at entry (r9): the exact rerank divides by the RAW
+    # norm, which underflows to 0 for sub-1e-154 vectors even when their
+    # int8 codes are representable — the norm-window guard drops them
+    # before the ANSI division (mirrored in the oracle's n CTE)
+    base = valid_vectors(emb, "embedding") \
+        .select(F.col("vec_id"),
+                F.col("embedding").cast("array<double>").alias("v"))
     base = with_hyperplane_bucket(base, "v", pm)
     qz = quantize_embeddings(emb, "vec_id").select("vec_id", "q")
     idot = lambda a, b: F.aggregate(
@@ -2809,15 +2814,29 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # continuously re-proven by tests/test_oracle_parity.py.
 _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- round-9 head: the NEW query (semantic_dedup_probed — zero
-    # driver rows, enters immediately) and the four whose SOURCE changed
-    # this round (similarity.py: n_probe + ragged-cell tolerance;
-    # multimodal.py: numpy-vectorized rasters + AVI timing/stream-0
-    # fixes; corpus.py: the size-gated bpe prune)
+    # driver rows, enters immediately), the four whose SOURCE changed
+    # (similarity.py n_probe + ragged-cell tolerance; multimodal.py
+    # numpy-vectorized rasters + AVI timing/stream-0 fixes; corpus.py
+    # size-gated bpe prune), and the ten cosine-family queries whose
+    # SOURCE AND ORACLE both changed for the r9 norm-window guard
+    # (valid_vectors now requires 0 < sum(x^2) < Inf; the extreme-doubles
+    # edge fixture found subnormal-underflow and overflow-to-Inf norms
+    # diverging three ways across Spark-SQL/BLAS/DuckDB)
     "semantic_dedup_probed": q_semantic_dedup_probed,
     "semantic_dedup": q_semantic_dedup,
     "video_frames": q_video_frames,
     "multimodal_features": q_multimodal_features,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_topk": q_embedding_topk,
+    "dedup_survivors": q_dedup_survivors,
+    "pagerank_step": q_pagerank_step,
+    "label_propagation": q_label_propagation,
+    "dedup_clusters": q_dedup_clusters,
+    "embedding_quantize": q_embedding_quantize,
+    "embedding_lsh_portable": q_embedding_lsh_portable,
+    "embedding_ivf_portable": q_embedding_ivf_portable,
+    "embedding_ann_stack": q_embedding_ann_stack,
     "range_window_sum": q_range_window_sum,
     "session_window": q_session_window,
     "sketch_distinct": q_sketch_distinct,
@@ -2853,6 +2872,12 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_funcs": q_string_funcs,
     "supplier_part_counts": q_supplier_part_counts,
     "token_frequencies": q_token_frequencies,
+}
+
+_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # displaced by the r9 rotation (the r8 window re-confirmed all 50;
+    # the backlog above promotes the stalest r4/r5 confirmations);
+    # parity re-proven every round by tests/test_oracle_parity.py
     "weather_hourly": q_weather_hourly,
     "argmax_agg": q_argmax_agg,
     "array_agg": q_array_agg,
@@ -2861,17 +2886,9 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_prep": q_corpus_prep,
     "csv_roundtrip": q_csv_roundtrip,
     "date_functions": q_date_functions,
-    "dedup_clusters": q_dedup_clusters,
     "doc_chunks": q_doc_chunks,
-}
-
-_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # displaced by the r9 rotation (the r8 window re-confirmed all 50;
-    # the backlog above promotes the stalest r4/r5/r6 confirmations);
-    # parity re-proven every round by tests/test_oracle_parity.py
     "scd2_history": q_scd2_history,
     "pit_join": q_pit_join,
-    "label_propagation": q_label_propagation,
     "entity_match": q_entity_match,
     "weighted_sample": q_weighted_sample,
     "span_dedup": q_span_dedup,
@@ -2902,7 +2919,6 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_minute_join": q_asof_minute_join,
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_ivf_topk": q_embedding_ivf_topk,
-    "embedding_topk": q_embedding_topk,
     "exact_dedup_digest": q_exact_dedup_digest,
     "filtered_hourly": q_filtered_hourly,
     "hourly_agg": q_hourly_agg,
@@ -2916,9 +2932,6 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "random_split_counts": q_random_split_counts,
     "pca_invariants": q_pca_invariants,
-    "dedup_survivors": q_dedup_survivors,
-    "embedding_ann_stack": q_embedding_ann_stack,
-    "embedding_lsh_portable": q_embedding_lsh_portable,
     "histogram": q_histogram,
     "stats_agg": q_stats_agg,
     "nation_profit": q_nation_profit,
@@ -2929,7 +2942,6 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_documents": q_pack_documents,
     "balanced_sample": q_balanced_sample,
     "column_profile": q_column_profile,
-    "embedding_ivf_portable": q_embedding_ivf_portable,
     "sessionize": q_sessionize,
     "hash_split": q_hash_split,
     "embedding_standardize": q_embedding_standardize,
@@ -2949,13 +2961,11 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": q_mixture_sample,
     "embedding_covariance": q_embedding_covariance,
     "tokens_to_ids": q_tokens_to_ids,
-    "embedding_quantize": q_embedding_quantize,
     "ml_linear_fit": q_ml_linear_fit,
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
     "expectations": q_expectations,
     "token_pmi": q_token_pmi,
-    "pagerank_step": q_pagerank_step,
     "equi_depth_histogram": q_equi_depth_histogram,
     "stream_distinct": q_stream_distinct,
     "bigram_surprisal": q_bigram_surprisal,
@@ -2970,7 +2980,6 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_share": q_market_share,
     "stream_sliding": q_stream_sliding,
     "partition_pruned": q_partition_pruned,
-    "embedding_near_dup": q_embedding_near_dup,
     "regr_agg": q_regr_agg,
     "salted_hourly": q_salted_hourly,
     "nullsafe_join": q_nullsafe_join,
@@ -3077,6 +3086,14 @@ def _ann_stack_oracle() -> str:
                 WHERE embedding IS NOT NULL
                   AND len(list_filter(embedding,
                           x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                  -- r9 norm-window guard (valid_vectors): subnormal
+                  -- vectors underflow to norm 0, >=1e154 elements
+                  -- overflow to norm Inf; list_sum skips NULL elements
+                  -- so this clause is safe in any conjunct order
+                  AND list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x)) > 0
+                  AND isfinite(list_sum(list_transform(
+                          embedding::DOUBLE[], x -> x * x)))
             ), qz AS (
                 SELECT vec_id,
                        [CASE WHEN mx = 0 THEN 0.0
@@ -3139,6 +3156,14 @@ def _lsh_portable_oracle() -> str:
                 WHERE embedding IS NOT NULL
                   AND len(list_filter(embedding,
                           x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                  -- r9 norm-window guard (valid_vectors): subnormal
+                  -- vectors underflow to norm 0, >=1e154 elements
+                  -- overflow to norm Inf; list_sum skips NULL elements
+                  -- so this clause is safe in any conjunct order
+                  AND list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x)) > 0
+                  AND isfinite(list_sum(list_transform(
+                          embedding::DOUBLE[], x -> x * x)))
             ), b AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
                    {bits} AS bucket
@@ -3529,6 +3554,14 @@ def _oracle_sql_literal() -> dict[str, str]:
                 WHERE embedding IS NOT NULL
                   AND len(list_filter(embedding,
                           x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                  -- r9 norm-window guard (valid_vectors): subnormal
+                  -- vectors underflow to norm 0, >=1e154 elements
+                  -- overflow to norm Inf; list_sum skips NULL elements
+                  -- so this clause is safe in any conjunct order
+                  AND list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x)) > 0
+                  AND isfinite(list_sum(list_transform(
+                          embedding::DOUBLE[], x -> x * x)))
             ), nn AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
                 WHERE list_dot_product(v, v) > 0
@@ -3826,7 +3859,12 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT vec_id,
                    round((mx / 127.0) + 1e-10, 6) AS scale,
                    array_to_string(
-                       [CASE WHEN mx = 0 THEN 0
+                       -- r9: guard on the SCALE, not mx — mx/127 itself
+                       -- UNDERFLOWS to 0 for subnormal vectors (mx ~
+                       -- 5e-324), which under ANSI raised DIVIDE_BY_ZERO
+                       -- on the Spark side; values below quantization
+                       -- resolution code to 0 like the all-zero case
+                       [CASE WHEN mx / 127.0 = 0 THEN 0
                              ELSE CAST(floor(v[i+1] / (mx / 127.0) + 0.5)
                                        AS BIGINT)
                         END for i in range(64)], ',') AS q
@@ -3848,6 +3886,14 @@ def _oracle_sql_literal() -> dict[str, str]:
                 WHERE embedding IS NOT NULL
                   AND len(list_filter(embedding,
                           x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                  -- r9 norm-window guard (valid_vectors): subnormal
+                  -- vectors underflow to norm 0, >=1e154 elements
+                  -- overflow to norm Inf; list_sum skips NULL elements
+                  -- so this clause is safe in any conjunct order
+                  AND list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x)) > 0
+                  AND isfinite(list_sum(list_transform(
+                          embedding::DOUBLE[], x -> x * x)))
             ), n AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
                 FROM clean
@@ -4216,6 +4262,14 @@ def _oracle_sql_literal() -> dict[str, str]:
                 WHERE embedding IS NOT NULL
                   AND len(list_filter(embedding,
                           x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                  -- r9 norm-window guard (valid_vectors): subnormal
+                  -- vectors underflow to norm 0, >=1e154 elements
+                  -- overflow to norm Inf; list_sum skips NULL elements
+                  -- so this clause is safe in any conjunct order
+                  AND list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x)) > 0
+                  AND isfinite(list_sum(list_transform(
+                          embedding::DOUBLE[], x -> x * x)))
             ), nn AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
                 WHERE list_dot_product(v, v) > 0
@@ -4285,6 +4339,14 @@ def _oracle_sql_literal() -> dict[str, str]:
                   AND len(list_filter(embedding, x -> x <> 0)) > 0
                   AND len(list_filter(embedding,
                           x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                  -- r9 norm-window guard (valid_vectors): subnormal
+                  -- vectors underflow to norm 0, >=1e154 elements
+                  -- overflow to norm Inf; list_sum skips NULL elements
+                  -- so this clause is safe in any conjunct order
+                  AND list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x)) > 0
+                  AND isfinite(list_sum(list_transform(
+                          embedding::DOUBLE[], x -> x * x)))
             ), cent AS (
                 -- deterministic-subset centers: the cells_for(count)
                 -- smallest valid ids; __CELLS__ is substituted by
@@ -4336,6 +4398,14 @@ def _oracle_sql_literal() -> dict[str, str]:
                   AND len(list_filter(embedding, x -> x <> 0)) > 0
                   AND len(list_filter(embedding,
                           x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                  -- r9 norm-window guard (valid_vectors): subnormal
+                  -- vectors underflow to norm 0, >=1e154 elements
+                  -- overflow to norm Inf; list_sum skips NULL elements
+                  -- so this clause is safe in any conjunct order
+                  AND list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x)) > 0
+                  AND isfinite(list_sum(list_transform(
+                          embedding::DOUBLE[], x -> x * x)))
             ), cent AS (
                 SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                        v AS c
@@ -4865,6 +4935,14 @@ def _oracle_sql_literal() -> dict[str, str]:
                 WHERE embedding IS NOT NULL
                   AND len(list_filter(embedding,
                           x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                  -- r9 norm-window guard (valid_vectors): subnormal
+                  -- vectors underflow to norm 0, >=1e154 elements
+                  -- overflow to norm Inf; list_sum skips NULL elements
+                  -- so this clause is safe in any conjunct order
+                  AND list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x)) > 0
+                  AND isfinite(list_sum(list_transform(
+                          embedding::DOUBLE[], x -> x * x)))
             ), nn AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
                 FROM n WHERE list_dot_product(v, v) > 0
@@ -4997,6 +5075,14 @@ def _oracle_sql_literal() -> dict[str, str]:
                 WHERE embedding IS NOT NULL
                   AND len(list_filter(embedding,
                           x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                  -- r9 norm-window guard (valid_vectors): subnormal
+                  -- vectors underflow to norm 0, >=1e154 elements
+                  -- overflow to norm Inf; list_sum skips NULL elements
+                  -- so this clause is safe in any conjunct order
+                  AND list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x)) > 0
+                  AND isfinite(list_sum(list_transform(
+                          embedding::DOUBLE[], x -> x * x)))
             ), nn AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
                 FROM n WHERE list_dot_product(v, v) > 0
@@ -5637,6 +5723,14 @@ def _oracle_sql_literal() -> dict[str, str]:
                 WHERE embedding IS NOT NULL
                   AND len(list_filter(embedding,
                           x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                  -- r9 norm-window guard (valid_vectors): subnormal
+                  -- vectors underflow to norm 0, >=1e154 elements
+                  -- overflow to norm Inf; list_sum skips NULL elements
+                  -- so this clause is safe in any conjunct order
+                  AND list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x)) > 0
+                  AND isfinite(list_sum(list_transform(
+                          embedding::DOUBLE[], x -> x * x)))
             ), nn AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
                 WHERE list_dot_product(v, v) > 0
@@ -5825,6 +5919,14 @@ def _oracle_sql_literal() -> dict[str, str]:
                 WHERE embedding IS NOT NULL
                   AND len(list_filter(embedding,
                           x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                  -- r9 norm-window guard (valid_vectors): subnormal
+                  -- vectors underflow to norm 0, >=1e154 elements
+                  -- overflow to norm Inf; list_sum skips NULL elements
+                  -- so this clause is safe in any conjunct order
+                  AND list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x)) > 0
+                  AND isfinite(list_sum(list_transform(
+                          embedding::DOUBLE[], x -> x * x)))
             ), nn AS (
                 SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
                 WHERE list_dot_product(v, v) > 0

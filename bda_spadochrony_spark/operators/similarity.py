@@ -44,11 +44,30 @@ def valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     100 TB embedding columns contain corrupt rows; ONE of them must not
     kill or hijack the job. Map-only codegen filter; every cosine
     operator below applies it at entry (edge-probed:
-    tests/test_edge_parity)."""
+    tests/test_edge_parity).
+
+    The guard is on the NORM, not just the elements (r9 — the
+    extreme-doubles edge fixture): a vector of subnormals (5e-324) has
+    finite nonzero elements but every square UNDERFLOWS, so its norm is
+    exactly 0 — under ANSI the SQL cosine path raises DIVIDE_BY_ZERO,
+    the BLAS paths emit IEEE ±Inf scores, and DuckDB's x/0.0 is NULL:
+    three different failure modes from one corrupt row. Symmetrically,
+    elements ≥ ~1e154 have finite values whose squares (or their sum)
+    OVERFLOW, norm = Inf, and every cosine collapses to 0 or Inf/Inf =
+    NaN — which both engines rank above every real score. Requiring
+    0 < Σx² < Inf drops both classes at entry, map-only; "huge but
+    finite" survives up to the point where the norm itself is
+    representable, which is the actual boundary that matters."""
     v = F.col(vec_col)
     junk = F.exists(v, lambda x: x.isNull() | F.isnan(x)
                     | (F.abs(x) == F.lit(float("inf"))))
-    return df.where(v.isNotNull() & F.exists(v, lambda x: x != 0) & ~junk)
+    # squares in DOUBLE (cast BEFORE the multiply): a float32 column
+    # squared in float32 overflows at |x| > ~1.8e19, which would drop
+    # huge-but-double-finite vectors (1e30) the oracle keeps
+    norm2 = F.aggregate(v.cast("array<double>"), F.lit(0.0),
+                        lambda acc, x: acc + x * x)
+    return df.where(v.isNotNull() & F.exists(v, lambda x: x != 0) & ~junk
+                    & (norm2 > 0) & (norm2 < F.lit(float("inf"))))
 
 
 def finite_vectors(df: DataFrame, vec_col: str,
@@ -538,6 +557,13 @@ def quantize_embeddings(df: DataFrame, id_col: str,
     own code, and under ANSI the CAST(NaN AS LONG) ABORTS the job in
     both engines. One corrupt row must not kill a 100 TB quantize pass.
     Huge-but-finite values stay: they just own the scale.
+
+    The zero guard is on the SCALE, not on max|v| (r9, extreme-doubles
+    edge fixture): for a vector of subnormals max|v| ≈ 5e-324 is
+    nonzero but ``max|v|/127`` UNDERFLOWS to exactly 0, and the
+    ``mx == 0`` guard let ``x/scale`` raise ANSI DIVIDE_BY_ZERO — one
+    sub-resolution row killing the pass. Values below quantization
+    resolution code to 0, the same convention as all-zero vectors.
     """
     v = F.col(vec_col).cast("array<double>")
     raw = F.col(vec_col)
@@ -545,7 +571,7 @@ def quantize_embeddings(df: DataFrame, id_col: str,
                     | (F.abs(x) == F.lit(float("inf"))))
     mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = mx / F.lit(127.0)
-    q = F.transform(v, lambda x: F.when(mx == 0, F.lit(0)).otherwise(
+    q = F.transform(v, lambda x: F.when(scale == 0, F.lit(0)).otherwise(
         F.floor(x / scale + F.lit(0.5))).cast("long"))
     return (df.where(raw.isNotNull() & ~junk)
             .select(F.col(id_col), scale.alias("scale"), q.alias("q")))

@@ -11,11 +11,22 @@ ties / NULL attributes / NULL timestamps), lineitem/orders (NULL
 dates/quantities/flags, zero prices — r6, all green on arrival),
 customer/supplier/part dims (NULL names/segments/nation keys/types —
 r6, all green on arrival: NULL join keys and NULL levenshtein inputs
-already agreed), and negative-id documents (r7 — found the pmod vs
+already agreed), negative-id documents (r7 — found the pmod vs
 sign-preserving-% divergence across the whole deterministic-hash
 sampling family: 8 of 9 queries diverged, one oracle threw; every
-hash oracle now states ((x % m) + m) % m). Each finding's fix is
-pinned here so the semantics stay engine-exact.
+hash oracle now states ((x % m) + m) % m), and extreme-scale doubles
+(r9 — found that subnormal vectors pass the element-level
+valid_vectors but their norm UNDERFLOWS to exactly 0, diverging THREE
+ways: ANSI DIVIDE_BY_ZERO in Spark-SQL cosine paths, IEEE ±Inf in the
+BLAS paths, NULL in DuckDB; and that ≥1e154 elements overflow the
+norm to Inf, making finite vectors produce NaN scores both engines
+rank above every real one. Fixes: valid_vectors now requires
+0 < Σx² < Inf — squared in DOUBLE, since float32 squaring overflows
+at 1e19 and would drop the 1e30 row the oracle keeps — mirrored in
+every oracle's n CTE via NULL-safe list_sum(list_transform(x²));
+quantize_embeddings guards on the SCALE, whose mx/127 underflows for
+subnormal vectors even when mx > 0). Each finding's fix is pinned
+here so the semantics stay engine-exact.
 """
 
 from __future__ import annotations
@@ -756,3 +767,73 @@ def test_bigint_sum_overflow_boundary_documented(spark, edge_duck):
         "SELECT sum(x) FROM (VALUES (4611686018427387904),"
         "(4611686018427387904),(4611686018427387904)) t(x)"
     ).fetchone()[0] == 3 * big
+
+
+# ---------------------------------------------------------------------------
+# r9 fixture (VERDICT r8 #6): EXTREME-SCALE DOUBLES through the embedding
+# family — the input class where IEEE edge behavior (not NULL semantics)
+# is what must agree across engines:
+#   - pure subnormals (5e-324): every square UNDERFLOWS to 0, so a
+#     nonzero, all-finite vector has norm 0 — it passes valid_vectors
+#     (elements finite and != 0) yet has no cosine direction; the
+#     nrm > 0 guard inside the pair stages (and the oracle's a.nrm > 0)
+#     is what keeps both engines agreeing
+#   - tiny normals (1e-200): same underflow-to-zero-norm shape
+#   - 1e-160 elements: squares are themselves SUBNORMAL (1e-320) but
+#     nonzero — the norm is a positive subnormal-sum, probing gradual
+#     underflow through sqrt/divide on both engines
+#   - 1e200 / 1e308 / paired 1e154 elements: squares (or their sum)
+#     OVERFLOW to Inf, so finite "valid" vectors get norm Inf and their
+#     cosines collapse to 0 or NaN via x/Inf and Inf/Inf
+# All arithmetic is the same sequential fold on both sides, so these must
+# agree bit-for-bit; the fixture pins that they actually do (float64
+# parquet column — float32 would flush 5e-324 to zero at write time).
+# ---------------------------------------------------------------------------
+
+EDGE_EXTREME_QUERIES = list(EDGE_EMB_QUERIES) + ["semantic_dedup_probed"]
+
+
+@pytest.fixture(scope="module")
+def edge_ext_dir():
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tempfile.mkdtemp(prefix="bda_edge_ext_")
+    rng = np.random.RandomState(9)
+    rows = [(i, rng.randn(64).tolist(), i % 3) for i in range(20)]
+    rows.append((300, [5e-324] * 64, 0))        # subnormal; squares -> 0
+    rows.append((301, [1e-200] * 64, 1))        # tiny normal; squares -> 0
+    rows.append((302, [1e200] + [0.0] * 63, 2)) # one square overflows
+    rows.append((303, [1e308] * 64, 0))         # near-max elements
+    rows.append((304, [1e154, 1e154] + [0.0] * 62, 1))  # sum overflows
+    rows.append((305, [-5e-324] * 64, 2))       # negative subnormals
+    rows.append((306, [1e-160] * 64, 0))        # subnormal SQUARES, norm > 0
+    tbl = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows],
+                              pa.list_(pa.float64())),
+        "label": pa.array([r[2] for r in rows], pa.int32()),
+    })
+    pq.write_table(tbl, os.path.join(d, "embeddings.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"]:
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def edge_ext_duck(edge_ext_dir):
+    con = duck_connection(edge_ext_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EDGE_EXTREME_QUERIES)
+def test_edge_extreme_doubles_parity(spark, edge_ext_dir, edge_ext_duck,
+                                     name, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", edge_ext_dir)
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert_query_matches_oracle(spark, edge_ext_duck, qs[name],
+                                oracles[name], edge_ext_dir,
+                                name=f"edge-ext:{name}")
