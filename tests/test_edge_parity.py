@@ -25,8 +25,13 @@ rank above every real one. Fixes: valid_vectors now requires
 at 1e19 and would drop the 1e30 row the oracle keeps — mirrored in
 every oracle's n CTE via NULL-safe list_sum(list_transform(x²));
 quantize_embeddings guards on the SCALE, whose mx/127 underflows for
-subnormal vectors even when mx > 0). Each finding's fix is pinned
-here so the semantics stay engine-exact.
+subnormal vectors even when mx > 0), and duplicate-key rows (r9 #2 —
+whole-row ingestion-retry duplicates: 35 queries agree by
+construction; five whose ORACLES key on id — windows collapse copies,
+self-joins fan them out — are a pinned key-uniqueness-precondition
+boundary, with Spark-side determinism asserted and exact_dedup proven
+to agree under the same fixture as the prescribed pre-step). Each
+finding's fix is pinned here so the semantics stay engine-exact.
 """
 
 from __future__ import annotations
@@ -837,3 +842,104 @@ def test_edge_extreme_doubles_parity(spark, edge_ext_dir, edge_ext_duck,
     assert_query_matches_oracle(spark, edge_ext_duck, qs[name],
                                 oracles[name], edge_ext_dir,
                                 name=f"edge-ext:{name}")
+
+
+# ---------------------------------------------------------------------------
+# r9 fixture #2: DUPLICATE-KEY ROWS — whole-row ingestion-retry duplicates
+# (the common 100 TB reality: at-least-once delivery re-lands identical
+# rows under the same id). Every query that groups, joins, ranks, packs,
+# samples, or dedups by doc_id/vec_id must produce engine-identical
+# results when ids repeat; ties that used to be broken BY id now tie all
+# the way down, so any hidden nondeterminism (an ORDER BY whose key set
+# no longer uniquely orders, a LIMIT over tied fit rows) surfaces as a
+# hash mismatch. Duplicates are EXACT row copies — the deterministic
+# case; conflicting payloads under one id are a documented non-goal
+# (no total order exists for either engine to agree on).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def edge_dup_dir():
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tempfile.mkdtemp(prefix="bda_edge_dup_")
+    docs = list(EDGE_DOCS)
+    docs += [EDGE_DOCS[1], EDGE_DOCS[1], EDGE_DOCS[4]]   # retry copies
+    cols = list(zip(*docs))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(cols[0], pa.int64()),
+        "text": pa.array(cols[1], pa.string()),
+        "lang": pa.array(cols[2], pa.string()),
+        "source": pa.array(cols[3], pa.string()),
+        "n_chars": pa.array(cols[4], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    rng = np.random.RandomState(13)
+    rows = [(i, rng.randn(64).astype("float32").tolist(), i % 3)
+            for i in range(30)]
+    rows += [rows[3], rows[3], rows[7]]                  # retry copies
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in rows], pa.int32()),
+    }), os.path.join(d, "embeddings.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"]:
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", f"{d}/{t}.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def edge_dup_duck(edge_dup_dir):
+    con = duck_connection(edge_dup_dir)
+    yield con
+    con.close()
+
+
+# DOCUMENTED BOUNDARY (r9): five queries' ORACLES restate per-row
+# operators with id-keyed windows/joins, which collapse (PARTITION BY
+# vec_id ranks all copies in one partition) or fan out (a doc_id
+# self-join multiplies 3 copies into 9 rows) duplicates where the
+# Spark side is a pure per-row map. Key uniqueness is a PRECONDITION
+# of those five (run exact_dedup first — which this fixture proves
+# agrees under duplicates); the boundary is pinned below rather than
+# papered over with a dropDuplicates shuffle every query would pay.
+EDGE_DUP_DIVERGENT = {"repetition_stats", "quality_gate",
+                      "pca_invariants", "semantic_dedup",
+                      "semantic_dedup_probed"}
+EDGE_DUP_QUERIES = [q for q in
+                    EDGE_QUERIES + EDGE_EMB_QUERIES + ["semantic_dedup_probed"]
+                    if q not in EDGE_DUP_DIVERGENT]
+
+
+@pytest.mark.parametrize("name", EDGE_DUP_QUERIES)
+def test_edge_duplicate_keys_parity(spark, edge_dup_dir, edge_dup_duck,
+                                    name, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", edge_dup_dir)
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert_query_matches_oracle(spark, edge_dup_duck, qs[name],
+                                oracles[name], edge_dup_dir,
+                                name=f"edge-dup:{name}")
+
+
+def test_duplicate_key_boundary_documented(spark, edge_dup_dir):
+    """The five key-uniqueness-precondition queries stay DETERMINISTIC
+    and sane on the Spark side under exact-copy duplicates — the
+    boundary is only that their SQL oracles key on id. Pins: per-row
+    operators emit one row per input row (copies included), and
+    semantic dedup never pairs an id with itself (id_a < id_b), so
+    exact copies all survive — collapsing same-id copies is
+    exact_dedup's job, which the parametrized suite above proves
+    agrees under this fixture."""
+    from pyspark.sql import functions as F
+    qs = entry_mod.queries()
+    rep = qs["repetition_stats"](spark, edge_dup_dir)
+    assert rep.count() == 16                    # 13 docs + 3 retry copies
+    sd = qs["semantic_dedup"](spark, edge_dup_dir)
+    by_id = {r["vec_id"]: 0 for r in sd.collect()}
+    for r in sd.collect():
+        by_id[r["vec_id"]] += 1
+    assert by_id[3] == 3 and by_id[7] == 2      # copies all survive
+    # and twice over: the result is stable across a re-execution
+    assert sorted(map(tuple, sd.collect())) == sorted(map(tuple, sd.collect()))
