@@ -45,13 +45,17 @@ def use_rocksdb_state(spark: SparkSession, enabled: bool = True,
     ``changelog`` (the default since round 9 — VERDICT r8 #7): enable
     RocksDB CHANGELOG checkpointing, which uploads each micro-batch's
     delta and snapshots in the background, instead of re-snapshotting
-    the whole store per batch. The r8 sf1 A/B
-    (``BENCH_SF1.rocksdb_drain_ab``) measured it a wash on the worst
-    case (2 giant availableNow batches: 437.6 vs 453.8 s — snapshot
-    cost is batch-count-bound either way) but the WIN on the
-    production steady-state shape (24-batch maxFilesPerTrigger drain:
-    28.4 vs 31.2 s), so the amortizing configuration is the default;
-    pass ``changelog=False`` to A/B the legacy full-snapshot behavior.
+    the whole store per batch. Measured twice on the sf1 join drain
+    (``BENCH_SF1.rocksdb_drain_ab``): on the 2-giant-batch worst case
+    it is a wash (r8: 437.6 vs 453.8 s; r9: 444.8 vs 423.0 s), and on
+    the production 24-batch ``maxFilesPerTrigger`` shape the two
+    configs are within run-to-run noise of each other (r8: 28.4 vs
+    31.2 s favoring changelog; r9: 30.3 vs 29.1 s favoring snapshot) —
+    so the default is chosen on the MECHANISM, not a wall-clock edge:
+    changelog bounds per-batch checkpoint upload by the state DELTA
+    rather than the full store size, which is the property that holds
+    at 100 TB state where a full re-snapshot per batch cannot. Pass
+    ``changelog=False`` to A/B the legacy full-snapshot behavior.
     """
     key = "spark.sql.streaming.stateStore.providerClass"
     try:

@@ -42,6 +42,8 @@ FAMILY = [
     # r8: the corpus-sized quantizer (cells_for default) — the factor
     # VERDICT r7 #1 asked to re-measure under the calibrated cell count
     "semantic_dedup",
+    # r9: the neighbor-cell-probed variant (n_probe=2 pair generation)
+    "semantic_dedup_probed",
     "stream_hourly", "stream_distinct", "stream_sliding",
     "stream_join_outer",
 ]
