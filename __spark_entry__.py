@@ -1101,6 +1101,55 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                              hash_fn="md5")
 
 
+def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate ADMISSION CONTROL end to end (r9): the
+    documents table is hash-split into two ingest slices staged as
+    sequential file-source drains sharing one checkpoint; each
+    micro-batch is classified against the ACCUMULATED admitted corpus
+    (exact digest + md5 MinHash bands + exact Jaccard ≥ 0.5 verify) and
+    its admitted documents fold into the corpus before the next drain.
+    Batch 0 admits everything (empty corpus — batch-internal duplicates
+    are by contract the in-batch dedup's job); batch 1's flags equal
+    ``incremental_dedup(new_half, existing_half)``, so the oracle is the
+    proven md5-band restatement UNIONed with the trivial batch-0 rows.
+    The foreachBatch sinks write batch_id-partitioned overwrites and the
+    corpus read excludes the current batch_id, so replayed epochs are
+    idempotent (streaming/admission.py)."""
+    import tempfile
+    from bda_spadochrony_spark.operators.sampling import hash_bucket
+    from bda_spadochrony_spark.streaming.admission import (
+        read_admission_results, stream_admission_dedup)
+    from bda_spadochrony_spark.streaming.sources import file_stream
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    configure(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    is_existing = hash_bucket("doc_id") < F.lit(2147483648)
+    base = tempfile.mkdtemp(prefix="bda_admit_q_")
+    in_dir = f"{base}/in"
+    corpus, results, ckpt = f"{base}/corpus", f"{base}/res", f"{base}/ckpt"
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        docs.where(is_existing).write.parquet(f"{in_dir}/b0")
+        stream_admission_dedup(
+            file_stream(spark, f"{in_dir}/*/*.parquet", schema),
+            "doc_id", "text", corpus, results, checkpoint=ckpt,
+            min_jaccard=0.5, hash_fn="md5")
+        docs.where(~is_existing).write.parquet(f"{in_dir}/b1")
+        stream_admission_dedup(
+            file_stream(spark, f"{in_dir}/*/*.parquet", schema),
+            "doc_id", "text", corpus, results, checkpoint=ckpt,
+            min_jaccard=0.5, hash_fn="md5")
+        out = read_admission_results(spark, results)
+        return out.select("doc_id", "dup_exact", "dup_near", "admitted") \
+                  .localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA dimensionality reduction (rows-only by design: the eigensolve
     has no SQL twin): covariance is computed DISTRIBUTED in one pass,
@@ -2821,7 +2870,9 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # SOURCE AND ORACLE both changed for the r9 norm-window guard
     # (valid_vectors now requires 0 < sum(x^2) < Inf; the extreme-doubles
     # edge fixture found subnormal-underflow and overflow-to-Inf norms
-    # diverging three ways across Spark-SQL/BLAS/DuckDB)
+    # diverging three ways across Spark-SQL/BLAS/DuckDB), plus the NEW
+    # streaming admission-control query
+    "stream_near_dup": q_stream_near_dup,
     "semantic_dedup_probed": q_semantic_dedup_probed,
     "semantic_dedup": q_semantic_dedup,
     "video_frames": q_video_frames,
@@ -2871,13 +2922,13 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "string_funcs": q_string_funcs,
     "supplier_part_counts": q_supplier_part_counts,
-    "token_frequencies": q_token_frequencies,
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced by the r9 rotation (the r8 window re-confirmed all 50;
     # the backlog above promotes the stalest r4/r5 confirmations);
     # parity re-proven every round by tests/test_oracle_parity.py
+    "token_frequencies": q_token_frequencies,
     "weather_hourly": q_weather_hourly,
     "argmax_agg": q_argmax_agg,
     "array_agg": q_array_agg,
@@ -3033,6 +3084,15 @@ def oracle_sql() -> dict[str, str]:
     d["semantic_dedup"] = d["semantic_dedup"].replace("__CELLS__", cells)
     d["semantic_dedup_probed"] = \
         d["semantic_dedup_probed"].replace("__CELLS__", cells)
+    # streaming admission control (r9): batch 1's flags ARE the proven
+    # incremental_dedup restatement (same hash split, same md5 band
+    # family); batch 0 classified against the empty corpus admits
+    # everything — the WITH clause scopes across the UNION branch
+    d["stream_near_dup"] = d["incremental_dedup"] + """
+            UNION ALL
+            SELECT doc_id, 0 AS dup_exact, 0 AS dup_near, 1 AS admitted
+            FROM split WHERE is_existing
+        """
     return d
 
 

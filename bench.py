@@ -144,8 +144,9 @@ HEADLINE = [
     ("corpus_pipeline", "count"),
     ("temperature_mixture", "count"),
     ("semantic_dedup", "count"),
-    # round 9 addition
+    # round 9 additions
     ("semantic_dedup_probed", "count"),
+    ("stream_near_dup", "count"),
 ]
 
 N_SHARDS = 2

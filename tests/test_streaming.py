@@ -461,3 +461,67 @@ def test_state_partitions_for_scales_with_volume():
     assert state_partitions_for(100_000) == 8        # sf0.1 stays at 8
     assert state_partitions_for(1_000_000) == 32     # the measured win
     assert state_partitions_for(10 ** 9) == 200      # capped
+
+
+def test_stream_admission_dedup_accumulates_corpus(spark):
+    """r9: streaming near-dup admission control — sequential drains over a
+    growing file set classify each batch against the ACCUMULATED admitted
+    corpus (exact digest + MinHash bands + exact Jaccard verify), and a
+    re-drain with no new input is a no-op (checkpoint resume)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bda_spadochrony_spark.streaming.admission import (
+        read_admission_results, stream_admission_dedup)
+    base = tempfile.mkdtemp(prefix="bda_admit_")
+    in_dir = os.path.join(base, "in")
+    corpus, results = os.path.join(base, "corpus"), os.path.join(base, "res")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(in_dir)
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+
+    def stage(name, rows):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }), os.path.join(in_dir, name))
+
+    def drain():
+        stream = file_stream(spark, f"{in_dir}/*.parquet", schema)
+        stream_admission_dedup(stream, "doc_id", "text", corpus, results,
+                               checkpoint=ckpt, min_jaccard=0.5)
+
+    try:
+        stage("f1.parquet", [(1, "alpha beta gamma delta epsilon"),
+                             (2, "one two three four five six")])
+        drain()
+        flags = {r["doc_id"]: r for r in
+                 read_admission_results(spark, results).collect()}
+        assert {k: (v["dup_exact"], v["dup_near"], v["admitted"])
+                for k, v in flags.items()} == {1: (0, 0, 1), 2: (0, 0, 1)}
+
+        # batch 2: an exact dup of doc 1, a near dup (3 shingles vs 3,
+        # intersection 2 -> jaccard 0.5), and a fresh document
+        stage("f2.parquet", [(3, "alpha beta gamma delta epsilon"),
+                             (4, "alpha beta gamma delta zeta"),
+                             (5, "totally different text entirely here")])
+        drain()
+        flags = {r["doc_id"]: (r["dup_exact"], r["dup_near"], r["admitted"])
+                 for r in read_admission_results(spark, results).collect()}
+        assert flags == {1: (0, 0, 1), 2: (0, 0, 1),
+                         3: (1, 1, 0),       # exact implies near (J=1.0)
+                         4: (0, 1, 0), 5: (0, 0, 1)}
+        admitted = {r["doc_id"] for r in
+                    spark.read.parquet(corpus).collect()}
+        assert admitted == {1, 2, 5}
+
+        # no new files: the checkpoint-resumed drain is a no-op
+        drain()
+        again = {r["doc_id"]: (r["dup_exact"], r["dup_near"], r["admitted"])
+                 for r in read_admission_results(spark, results).collect()}
+        assert again == flags
+        assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} \
+            == {1, 2, 5}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
