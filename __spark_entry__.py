@@ -1101,6 +1101,23 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                              hash_fn="md5")
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer training (r9): 8 character-level merges learned
+    from the documents corpus via the word-frequency-compressed loop
+    (one corpus pass to the distinct-word table; every merge round is
+    vocab-sized — pair explode + weighted count + one collected argmax
+    row). Rows-only BY DECLARED DESIGN: the loop is iterative driver
+    logic and the k-deep merge application has no tractable SQL
+    restatement; the oracled family twin is ``bpe_pair_counts`` (the
+    single-iteration statistic with the same tie-break), and the full
+    loop is pinned against a pure-Python reference trainer
+    (test_bpe_train_matches_reference)."""
+    from bda_spadochrony_spark.operators.corpus import bpe_train
+    configure(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", n_merges=8)
+
+
 def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-duplicate ADMISSION CONTROL end to end (r9): the
     documents table is hash-split into two ingest slices staged as
@@ -2871,8 +2888,9 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (valid_vectors now requires 0 < sum(x^2) < Inf; the extreme-doubles
     # edge fixture found subnormal-underflow and overflow-to-Inf norms
     # diverging three ways across Spark-SQL/BLAS/DuckDB), plus the NEW
-    # streaming admission-control query
+    # streaming admission-control query and the BPE training loop
     "stream_near_dup": q_stream_near_dup,
+    "bpe_train": q_bpe_train,
     "semantic_dedup_probed": q_semantic_dedup_probed,
     "semantic_dedup": q_semantic_dedup,
     "video_frames": q_video_frames,
@@ -2921,13 +2939,13 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stock_hourly": q_stock_hourly,
     "stratified_sample": q_stratified_sample,
     "string_funcs": q_string_funcs,
-    "supplier_part_counts": q_supplier_part_counts,
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced by the r9 rotation (the r8 window re-confirmed all 50;
     # the backlog above promotes the stalest r4/r5 confirmations);
     # parity re-proven every round by tests/test_oracle_parity.py
+    "supplier_part_counts": q_supplier_part_counts,
     "token_frequencies": q_token_frequencies,
     "weather_hourly": q_weather_hourly,
     "argmax_agg": q_argmax_agg,

@@ -273,6 +273,91 @@ def bpe_pair_counts(df: DataFrame, text_col: str, top_n: int = 50,
             .select("rank", "a", "b", "n"))
 
 
+def bpe_train(df: DataFrame, text_col: str, n_merges: int = 10,
+              checkpoint_every: int = 4) -> DataFrame:
+    """Full BPE tokenizer TRAINING (round 9 — the iterative loop whose
+    single-iteration statistic ``bpe_pair_counts`` already computes):
+    learn ``n_merges`` character-level merges, returning the ordered
+    merge table ``(rank, a, b, n)`` — the artifact a tokenizer ships.
+
+    Scale design — iterations are VOCAB-sized, not corpus-sized: one
+    corpus pass aggregates to the distinct-WORD table with counts (BPE
+    merges never cross word boundaries, the standard
+    word-frequency-compression trick every production trainer uses), and
+    every merge round then runs on that tiny weighted table: a map-only
+    adjacent-pair explode, one count-weighted sum keyed on the pair, and
+    a single collected argmax row (the documented bounded-collect fit
+    exception — one row per round). The merge APPLICATION is a map-only
+    left-to-right fold over each word's symbol array (``F.aggregate``
+    with an (out, pending) struct accumulator — greedy non-overlapping,
+    the classic BPE application order), so plan depth grows with rounds;
+    ``checkpoint_every`` cuts the lineage.
+
+    Ties break (count desc, a asc, b asc) — the ``bpe_pair_counts``
+    rule, so the training loop is deterministic on any corpus. Words are
+    whitespace tokens via ``text.tokens`` (lowercased, engine-portable);
+    symbols are single characters. Stops early when no pair repeats
+    (every word fully merged): the merge table may be shorter than
+    ``n_merges``. Verified against a pure-Python reference trainer in
+    ``tests/test_pipeline_ops.py::test_bpe_train_matches_reference``.
+    """
+    from bda_spadochrony_spark.operators.text import tokens
+    spark = df.sparkSession
+    words = (df.select(F.explode(tokens(text_col)).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+             .select(F.split("w", "").alias("syms"), "cnt")
+             .localCheckpoint(eager=False))
+
+    def adjacent_pair_counts(syms_df: DataFrame) -> DataFrame:
+        pairs = syms_df.select("cnt", F.explode(F.expr(
+            "transform(slice(syms, 1, greatest(size(syms) - 1, 0)),"
+            " (x, i) -> struct(x AS a, syms[i + 1] AS b))")).alias("p"))
+        return (pairs.groupBy(F.col("p.a").alias("a"),
+                              F.col("p.b").alias("b"))
+                .agg(F.sum("cnt").alias("n")))
+
+    def apply_merge(syms_df: DataFrame, a: str, b: str) -> DataFrame:
+        # left-to-right non-overlapping merge: fold each symbol array
+        # with an (out, pending) accumulator; pending==a followed by b
+        # emits the merged symbol, anything else flushes pending
+        merged, al, bl = F.lit(a + b), F.lit(a), F.lit(b)
+        folded = F.aggregate(
+            "syms",
+            F.struct(F.array().cast("array<string>").alias("out"),
+                     F.lit(None).cast("string").alias("pend")),
+            lambda acc, x: F.when(
+                acc["pend"].isNull(),
+                F.struct(acc["out"].alias("out"), x.alias("pend"))
+            ).when(
+                (acc["pend"] == al) & (x == bl),
+                F.struct(F.concat(acc["out"], F.array(merged)).alias("out"),
+                         F.lit(None).cast("string").alias("pend"))
+            ).otherwise(
+                F.struct(F.concat(acc["out"], F.array(acc["pend"]))
+                         .alias("out"), x.alias("pend"))),
+            lambda acc: F.when(acc["pend"].isNull(), acc["out"])
+                         .otherwise(F.concat(acc["out"],
+                                             F.array(acc["pend"]))))
+        return syms_df.select(folded.alias("syms"), "cnt")
+
+    merges: list[tuple[int, str, str, int]] = []
+    syms = words
+    for rank in range(1, n_merges + 1):
+        top = (adjacent_pair_counts(syms)
+               .orderBy(F.col("n").desc(), F.col("a").asc(),
+                        F.col("b").asc())
+               .limit(1).collect())
+        if not top or top[0]["n"] < 2:
+            break                       # nothing repeats: training is done
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((rank, a, b, n))
+        syms = apply_merge(syms, a, b)
+        if rank % checkpoint_every == 0:
+            syms = syms.localCheckpoint(eager=True)
+    return spark.createDataFrame(merges or [],
+                                 "rank: int, a: string, b: string, n: bigint")
+
+
 def quality_gate(df: DataFrame, id_col: str, text_col: str,
                  min_tokens: int = 30, max_dup3: float = 0.03,
                  max_top_token: float = 0.15,

@@ -147,6 +147,7 @@ HEADLINE = [
     # round 9 additions
     ("semantic_dedup_probed", "count"),
     ("stream_near_dup", "count"),
+    ("bpe_train", "count"),
 ]
 
 N_SHARDS = 2

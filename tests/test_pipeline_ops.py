@@ -2197,3 +2197,57 @@ def test_bpe_frequency_floor_auto_gate(spark, monkeypatch):
     assert [tuple(r) for r in out_on.collect()] == \
         [tuple(r) for r in C.bpe_pair_counts(df, "text", top_n=5,
                                              frequency_floor=False).collect()]
+
+
+def _ref_bpe(word_counts, n_merges):
+    """Pure-Python reference BPE trainer: greedy argmax pair (count desc,
+    pair asc), left-to-right non-overlapping application within words."""
+    items = [(list(w), c) for w, c in sorted(word_counts.items())]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for s, c in items:
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + c
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((rank, a, b, n))
+        for idx, (s, c) in enumerate(items):
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            items[idx] = (out, c)
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """r9: the full BPE training loop (word-frequency-compressed,
+    vocab-sized iterations) learns the identical merge table as a pure
+    Python reference trainer — argmax tie-break (count desc, pair asc)
+    and the left-to-right non-overlapping application both pinned.
+    Includes an 'aaa' overlap case (greedy merges the LEFT pair) and an
+    early-stop corpus where nothing repeats after a few merges."""
+    import collections
+    from bda_spadochrony_spark.operators.corpus import bpe_train
+    texts = ["low low low lower lowest",
+             "new newer newest news",
+             "aaa banana bandana",
+             "low newer banana low"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    wc = collections.Counter(w for t in texts for w in t.lower().split())
+    want = _ref_bpe(dict(wc), 12)
+    got = [(r["rank"], r["a"], r["b"], r["n"]) for r in
+           bpe_train(df, "text", n_merges=12).orderBy("rank").collect()]
+    assert got == want
+    assert len(got) >= 8                 # the loop really iterated
+    # early stop: a corpus with no repeating pair trains zero merges
+    tiny = spark.createDataFrame([("ab cd",)], ["text"])
+    assert bpe_train(tiny, "text", n_merges=5).count() == 0
