@@ -65,8 +65,19 @@ def sessionize(events: DataFrame, ts_col: str = "ts", key_col: str = "user_id",
                 closed.append((key[0], start, last, n, s))
                 state.remove()
         else:
-            rows = pd.concat(list(pdfs))
-            rows = rows.sort_values(ts_col)
+            # concat ONLY the needed, concretely-typed columns and drop
+            # empty chunks first: pandas deprecates concatenation with
+            # empty or all-NA entries (object-dtype all-NULL columns like
+            # props would trip a FutureWarning per chunk), and
+            # pd.concat([]) on an all-empty invocation would raise.
+            # NOTE: pyspark's applyInPandasWithState serializer performs
+            # its own batch concat upstream of this function
+            # (serializers.py), which still emits the deprecation warning
+            # on empty groups — harmless, upstream, and outside our code.
+            chunks = [p[[ts_col, value_col]] for p in pdfs if len(p)]
+            if not chunks:
+                return iter([])
+            rows = pd.concat(chunks).sort_values(ts_col)
             ts_us = (rows[ts_col].astype("int64") // 1000).to_numpy()
             vals = rows[value_col].to_numpy()
             if state.exists:

@@ -525,3 +525,42 @@ def test_stream_admission_dedup_accumulates_corpus(spark):
             == {1, 2, 5}
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_admission_replay_same_batch_id_is_idempotent(spark):
+    """r9: foreachBatch is at-least-once — a crashed epoch replays with
+    the SAME batch_id. The admission writer must not see its own earlier
+    half-write as 'existing corpus' (every document would flag as a
+    self-dup and the replay would overwrite the partition with an EMPTY
+    admitted set — silent data loss on recovery). Pinned by invoking the
+    callback twice with one batch_id and asserting flags and corpus are
+    byte-identical."""
+    from bda_spadochrony_spark.streaming.admission import (
+        admission_batch_writer, read_admission_results)
+    base = tempfile.mkdtemp(prefix="bda_admit_replay_")
+    corpus, results = os.path.join(base, "corpus"), os.path.join(base, "res")
+    try:
+        writer = admission_batch_writer(corpus, results, "doc_id", "text")
+        batch = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "one two three four")],
+            "doc_id: long, text: string")
+        writer(batch, 0)
+        flags1 = sorted(map(tuple, read_admission_results(spark, results)
+                            .drop("batch_id").collect()))
+        corpus1 = sorted(map(tuple, spark.read.parquet(corpus)
+                             .drop("batch_id").collect()))
+        writer(batch, 0)                       # the replayed epoch
+        flags2 = sorted(map(tuple, read_admission_results(spark, results)
+                            .drop("batch_id").collect()))
+        corpus2 = sorted(map(tuple, spark.read.parquet(corpus)
+                             .drop("batch_id").collect()))
+        assert flags2 == flags1
+        assert corpus2 == corpus1 and len(corpus1) == 2   # nothing lost
+        # and a true NEXT batch still dedups against the corpus
+        writer(spark.createDataFrame([(3, "alpha beta gamma delta")],
+                                     "doc_id: long, text: string"), 1)
+        flags = {r["doc_id"]: (r["dup_exact"], r["admitted"]) for r in
+                 read_admission_results(spark, results).collect()}
+        assert flags[3] == (1, 0)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
