@@ -180,11 +180,17 @@ def shuffle_corpus(df: DataFrame, id_col: str, salt: int = 0,
 # an absolute win. The prune's win regime is where the pair shuffle's
 # key space (~vocab² tail) outgrows executor hash-agg memory and spills
 # — vocab grows with corpus, so that is far beyond the measurable
-# fixture scales; the threshold sits above them and the asymptotic
-# guarantee (the pair tail never shuffles) is the 100 TB insurance.
-# Pass frequency_floor=True to pin it for corpora with known-huge
-# vocabularies. Both settings return identical rows (the prune is
-# provably exact), so the gate can never change results.
+# fixture scales on ONE box (a forced-spill 2 GB heap still favored
+# prune-off at 19M distinct pair keys: Spark's external hash agg
+# absorbs the key space). The quantified 100 TB argument is SHUFFLE
+# VOLUME, measured on an adversarial wide-vocab corpus (240k docs,
+# vocab ≈ token count): the prune cuts pair-shuffle rows 9×
+# (19.0M → 2.1M) and shuffle keys 227,780× (16.9M → 74) — network
+# bytes and reduce-side state on a real multi-executor cluster, which
+# local wall-clock cannot see. Pass frequency_floor=True to pin it for
+# corpora with known-huge vocabularies. Both settings return identical
+# rows (the prune is provably exact), so the gate can never change
+# results.
 _FLOOR_MIN_DOCS = 200_000
 
 
