@@ -491,6 +491,19 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(F.when(F.col("event_type") == "click", F.col("ts")))),
         F.count(F.lit(1))
     ).collect()[0]
+    if side_max is None:
+        # one (or both) sides empty: nothing ever flushes from the
+        # stream-stream join state, so the deterministic output is empty
+        # — a NULL fit aggregate must not crash the builder on an
+        # empty-partition day (r9 zero-row edge fixture)
+        return (_t(spark, sf_dir, "events")
+                .where(F.lit(False))
+                .select(F.col("event_id").alias("err_id"),
+                        F.col("user_id").alias("err_user"),
+                        F.col("ts").alias("err_ts"),
+                        F.col("event_id").alias("click_id"),
+                        F.col("user_id").alias("click_user"),
+                        F.col("ts").alias("click_ts")))
     cutoff = side_max - datetime.timedelta(minutes=2)
     # streaming jobs size shuffle partitions to STATE VOLUME, not to the
     # batch default: every micro-batch writes one state file per
@@ -2497,8 +2510,15 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bda_spadochrony_spark.streaming.ops import windowed_agg
     from bda_spadochrony_spark.streaming.runner import run_available_now
     configure(spark)
-    cutoff = _t(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0] \
-        - datetime.timedelta(minutes=2)
+    mx = _t(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    if mx is None:
+        # empty input: no window ever seals — deterministic empty output
+        # instead of a NoneType crash (r9 zero-row edge fixture)
+        return (_t(spark, sf_dir, "events").where(F.lit(False))
+                .select(F.col("ts").alias("window_start"), "event_type",
+                        F.lit(None).cast("long").alias("cnt"),
+                        F.lit(None).cast("double").alias("sum_value")))
+    cutoff = mx - datetime.timedelta(minutes=2)
     # state-sized shuffle partitions (see q_stream_join_outer)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -2536,16 +2556,21 @@ def q_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         "bda_lake_%s_%d_%d" % (sf_dir.strip("/").replace("/", "_"),
                                int(st.st_mtime), st.st_size))
+    lake_df = ev.drop("date").withColumn("date", F.to_date("ts"))
     if not os.path.exists(lake):
         from bda_spadochrony_spark.sources.writers import write_parquet
         staging = tempfile.mkdtemp(prefix="bda_lake_stage_")
-        write_parquet(ev.drop("date").withColumn("date", F.to_date("ts")),
-                      staging, partition_by=["date"])
+        write_parquet(lake_df, staging, partition_by=["date"])
         try:
             os.rename(staging, lake)
         except OSError:
             shutil.rmtree(staging, ignore_errors=True)  # another writer won
-    part = spark.read.parquet(lake)
+    # explicit schema: a zero-row feed day writes a lake with no part
+    # files, and schema INFERENCE on it fails — the declared schema is
+    # what lets downstream scans survive an empty partition day (r9
+    # zero-row edge fixture); on non-empty lakes it also skips a footer
+    # read
+    part = spark.read.schema(lake_df.schema).parquet(lake)
     dates = [datetime.date(2024, 1, 3), datetime.date(2024, 1, 5),
              datetime.date(2024, 1, 7)]
     sel = part.where(F.col("date").isin(dates))

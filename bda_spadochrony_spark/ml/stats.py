@@ -90,6 +90,12 @@ def pca_components(df: DataFrame, vec_col: str, k: int | None = 8
     """
     import numpy as np
     cov_rows = covariance_matrix(df, vec_col, round_digits=None).collect()
+    if not cov_rows:
+        # empty (or fully-corrupt) corpus: no moments to fit — callers
+        # translate the empty basis into an empty typed result rather
+        # than crashing a pipeline on an empty-partition day (r9
+        # zero-row edge fixture)
+        return [], [], []
     d = max(r["j"] for r in cov_rows)
     C = np.zeros((d, d))
     for r in cov_rows:
@@ -126,6 +132,12 @@ def pca_project(df: DataFrame, id_col: str, vec_col: str, k: int = 8,
     """
     if components is None or means is None:
         means, components, _ = pca_components(df, vec_col, k)
+    if not components:
+        # empty corpus: empty projection with the contract columns
+        return (df.where(F.lit(False))
+                .select(F.col(id_col),
+                        *[F.lit(None).cast("double").alias(f"pc{j + 1}")
+                          for j in range(k)]))
     v = F.col(vec_col).cast("array<double>")
     centered = F.zip_with(
         v, F.array(*[F.lit(m) for m in means]), lambda x, m: x - m)
@@ -170,6 +182,11 @@ def pca_norm_invariant(df: DataFrame, id_col: str, vec_col: str,
     clean = finite_vectors(df, vec_col) \
         .where(F.exists(v, lambda x: x != 0))
     means, comps, _ = pca_components(clean, vec_col, k=None)
+    if not comps:
+        # empty corpus: the invariant holds vacuously over zero rows
+        return (clean.where(F.lit(False))
+                .select(F.col(id_col),
+                        F.lit(None).cast("double").alias("pnorm2")))
     vd = v.cast("array<double>")
     centered = F.zip_with(vd, F.array(*[F.lit(m) for m in means]),
                           lambda x, m: x - m)

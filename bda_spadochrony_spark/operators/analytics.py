@@ -52,8 +52,18 @@ def funnel_analysis(df: DataFrame, user_col: str, type_col: str,
     # per-step driver actions
     import functools
     all_stages = functools.reduce(lambda a, b: a.unionByName(b), stages)
+    # LEFT-join survivor counts onto the literal step list so every step
+    # emits a row even with ZERO survivors (r9 zero-row edge fixture: a
+    # step nobody reaches — or an empty feed day — must report 0, the
+    # SQL-oracle semantics, not silently vanish from the funnel)
+    steps_df = df.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step_order: int, step: string")
     counts = (all_stages.groupBy("step_order", "step")
               .agg(F.count(F.lit(1)).alias("n_users")))
+    counts = (steps_df.join(counts, ["step_order", "step"], "left")
+              .select("step_order", "step",
+                      F.coalesce("n_users", F.lit(0)).alias("n_users")))
     first = counts.where(F.col("step_order") == 1).select(
         F.col("n_users").alias("__first"))
     return (counts.crossJoin(F.broadcast(first))

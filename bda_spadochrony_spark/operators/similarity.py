@@ -433,6 +433,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
         .select(F.col(corpus_id).alias("corpus_id"),
                 F.col(vec_col).cast("array<double>").alias("cvec"))
     if centers is None:
+        if c.isEmpty():
+            # empty (or fully-corrupt) corpus: nothing to quantize or
+            # search — KMeans.fit on zero rows would abort the job on an
+            # empty-partition day (r9 zero-row edge fixture); searching
+            # nothing finds nothing
+            q0 = valid_vectors(queries, vec_col) \
+                .select(F.col(query_id).alias("query_id"))
+            return (c.join(q0, F.lit(False))
+                    .select("query_id", "corpus_id",
+                            F.lit(None).cast("double").alias("cosine")))
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 

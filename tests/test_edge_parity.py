@@ -32,6 +32,10 @@ self-joins fan them out — are a pinned key-uniqueness-precondition
 boundary, with Spark-side determinism asserted and exact_dedup proven
 to agree under the same fixture as the prescribed pre-step). Each
 finding's fix is pinned here so the semantics stay engine-exact.
+r9 #3 added zero-row tables (the empty-partition-day class — found and
+fixed five crash/semantics bugs, see the fixture's banner; pinned the
+trainers-raise-loudly contract and the Spark-vs-ANSI empty-input
+CUBE/ROLLUP/GROUPING SETS grand-total divergence).
 """
 
 from __future__ import annotations
@@ -943,3 +947,76 @@ def test_duplicate_key_boundary_documented(spark, edge_dup_dir):
     assert by_id[3] == 3 and by_id[7] == 2      # copies all survive
     # and twice over: the result is stable across a re-execution
     assert sorted(map(tuple, sd.collect())) == sorted(map(tuple, sd.collect()))
+
+
+# ---------------------------------------------------------------------------
+# r9 fixture #3: ZERO-ROW TABLES — the empty-partition-day reality (an
+# aggressive filter, a late feed, a fresh deployment). One empty input
+# must not kill a pipeline stage. Findings fixed: KMeans-path ivf_topk
+# crashed instead of returning an empty search result; PCA fit crashed
+# on max() of an empty covariance; the stream-query builders crashed on
+# NULL fit aggregates (NoneType - timedelta); a partitioned lake written
+# from zero rows failed downstream schema INFERENCE (the scan now
+# declares its schema); and funnel silently DROPPED steps with zero
+# survivors where the oracle reports 0 (a latent non-empty bug too).
+# Pinned boundaries: the two model TRAINERS raise loudly by design (a
+# model fit on no data is meaningless), and Spark's CUBE/ROLLUP/
+# GROUPING SETS over an empty table emit ZERO rows where ANSI/DuckDB
+# emit the grand-total () row — an engine divergence, not ours to hide.
+# ---------------------------------------------------------------------------
+
+EDGE_ZERO_TRAINERS = {"ml_train_eval", "stream_serving_pipeline"}
+EDGE_ZERO_ANSI_GROUPING = {"cube_agg", "rollup_agg", "grouping_sets"}
+
+
+@pytest.fixture(scope="module")
+def edge_zero_dir():
+    import pyarrow.parquet as pq
+    d = tempfile.mkdtemp(prefix="bda_edge_zero_")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        pq.write_table(pq.read_table(f"{SF_SMALL}/{t}.parquet").slice(0, 0),
+                       f"{d}/{t}.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_edge_zero_rows_all_queries_survive_and_match(spark, edge_zero_dir,
+                                                      monkeypatch):
+    """ONE aggregated sweep (165 queries × empty tables would be slow to
+    parametrize): every contract query must RUN on all-empty tables and
+    every oracled one must match its oracle — empty output is where
+    schema bugs hide. Exceptions asserted explicitly: the two model
+    trainers raise their loud typed error, and the three ANSI-grouping
+    queries return zero rows against the oracle's grand-total row."""
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", edge_zero_dir)
+    from tests.oracle_utils import duck_canonical, spark_canonical
+    con = duck_connection(edge_zero_dir)
+    try:
+        qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+        failures = []
+        for name in sorted(qs):
+            if name in EDGE_ZERO_TRAINERS:
+                with pytest.raises(Exception, match="size of input RDD"):
+                    qs[name](spark, edge_zero_dir).count()
+                continue
+            try:
+                df = qs[name](spark, edge_zero_dir)
+                got, got_cols = spark_canonical(df)
+            except Exception as ex:
+                failures.append((name, "crashed", str(ex)[:90]))
+                continue
+            if name not in oracles:
+                continue
+            want, want_cols = duck_canonical(con, oracles[name])
+            if name in EDGE_ZERO_ANSI_GROUPING:
+                # pinned engine boundary: Spark emits no () row on empty
+                if not (len(got) == 0 and len(want) == 1):
+                    failures.append((name, "boundary-shifted",
+                                     (len(got), len(want))))
+                continue
+            if got_cols != want_cols or got != want:
+                failures.append((name, "mismatch", (len(got), len(want))))
+        assert not failures, failures
+    finally:
+        con.close()
