@@ -1114,6 +1114,26 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                              hash_fn="md5")
 
 
+def q_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed document vectors under the value oracle (r9): the
+    hashing-trick featurizer (md5 bucket + independent md5 sign bit,
+    dim=32) over the documents table — the stateless text→vector step
+    that feeds the cosine/ANN/semantic-dedup family with no external
+    model. Counts are integral by construction (sums of ±1), so the
+    vector serializes as a comma-joined BIGINT string — no float-format
+    parity risk (the q_array_agg precedent). The oracle restates the
+    bucket/sign rules with the pinned sign-preserving ((x%m)+m)%m and
+    densifies over a doc×dim grid; NULL/empty documents are the all-zero
+    vector on both sides."""
+    from bda_spadochrony_spark.operators.text import hashed_doc_vectors
+    docs = _t(spark, sf_dir, "documents")
+    out = hashed_doc_vectors(docs, "doc_id", "text", dim=32, hash_fn="md5")
+    return out.select(
+        "doc_id",
+        F.concat_ws(",", F.transform(
+            "vector", lambda x: x.cast("long").cast("string"))).alias("vec"))
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE tokenizer training (r9): 8 character-level merges learned
     from the documents corpus via the word-frequency-compressed loop
@@ -2916,6 +2936,7 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming admission-control query and the BPE training loop
     "stream_near_dup": q_stream_near_dup,
     "bpe_train": q_bpe_train,
+    "hashed_vectors": q_hashed_vectors,
     "semantic_dedup_probed": q_semantic_dedup_probed,
     "semantic_dedup": q_semantic_dedup,
     "video_frames": q_video_frames,
@@ -2963,13 +2984,13 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_mergeable": q_sketch_mergeable,
     "stock_hourly": q_stock_hourly,
     "stratified_sample": q_stratified_sample,
-    "string_funcs": q_string_funcs,
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced by the r9 rotation (the r8 window re-confirmed all 50;
     # the backlog above promotes the stalest r4/r5 confirmations);
     # parity re-proven every round by tests/test_oracle_parity.py
+    "string_funcs": q_string_funcs,
     "supplier_part_counts": q_supplier_part_counts,
     "token_frequencies": q_token_frequencies,
     "weather_hourly": q_weather_hourly,
@@ -3136,6 +3157,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 0 AS dup_exact, 0 AS dup_near, 1 AS admitted
             FROM split WHERE is_existing
         """
+    # feature-hashed doc vectors (r9): md5 bucket + md5 sign-bit, the
+    # pinned sign-preserving modulo; densified over a doc×dim grid so
+    # empty/NULL docs carry the all-zero vector on both sides
+    d["hashed_vectors"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '[\\s\\x0b]+'))
+                   AS tok
+            FROM documents
+        ), tb AS (
+            SELECT doc_id,
+                   CAST((((('0x' || substr(md5(tok), 1, 8))::BIGINT % 32)
+                          + 32) % 32) AS INTEGER) AS bucket,
+                   CASE WHEN ((('0x' || substr(md5(tok), 9, 8))::BIGINT % 2)
+                              + 2) % 2 = 0
+                        THEN 1 ELSE -1 END AS sign
+            FROM toks WHERE tok IS NOT NULL AND tok <> ''
+        ), per AS (
+            SELECT doc_id, bucket, sum(sign) AS c FROM tb GROUP BY 1, 2
+        ), grid AS (
+            SELECT d.doc_id, CAST(r.range AS INTEGER) AS i
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            CROSS JOIN range(32) r
+        )
+        SELECT g.doc_id,
+               string_agg(CAST(CAST(coalesce(p.c, 0) AS BIGINT) AS VARCHAR),
+                          ',' ORDER BY g.i) AS vec
+        FROM grid g
+        LEFT JOIN per p ON p.doc_id = g.doc_id AND p.bucket = g.i
+        GROUP BY 1
+    """
     return d
 
 

@@ -257,3 +257,59 @@ def fingerprint_md5(df: DataFrame, id_col: str, text_col: str,
         out_col,
         F.when(F.size(toks) >= window, F.array_min(win_hashes))
         .otherwise(F.md5(F.lower(F.trim(F.col(text_col))))))
+
+
+def hashed_doc_vectors(df: DataFrame, id_col: str, text_col: str,
+                       dim: int = 64, signed: bool = True,
+                       hash_fn: str = "xxhash64") -> DataFrame:
+    """Feature-hashed document vectors (r9 — the hashing trick,
+    Weinberger et al. 2009): each token hashes to one of ``dim`` buckets
+    (and, with ``signed=True``, to a ±1 sign from an independent hash bit
+    — the unbiased variant), the document's vector is the signed token
+    counts per bucket as ``array<double>``. Model-free embeddings that
+    feed the engine's ENTIRE cosine family directly — ``semantic_dedup``,
+    ``cosine_topk``, the LSH/IVF indexes — closing the text→vector loop
+    with no external model and no vocabulary state (the hash IS the
+    vocabulary, so the featurizer is stateless and merge-free at any
+    corpus size).
+
+    Plan shape: tokens explode (map), ONE (id, bucket)-keyed count
+    shuffle, then the dense array assembles map-only per document
+    (``map_from_entries`` + a ``sequence`` transform — no per-dimension
+    join, no UDF). Empty/NULL documents yield the all-zero vector
+    (``valid_vectors`` drops them at the consumers, by design).
+
+    ``hash_fn="md5"``: engine-portable bucket/sign family (bucket = the
+    first md5 half mod dim with the sign-preserving ((x%m)+m)%m rule the
+    hash oracles pin; sign = parity of the second half) so a SQL oracle
+    restates the vectors exactly — same convention as ``simhash_md5``.
+    """
+    toks = (df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+            .where(F.col("tok") != ""))
+    if hash_fn == "md5":
+        h1 = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
+    else:
+        h1 = F.xxhash64("tok")
+        h2 = F.xxhash64("tok", F.lit(1))
+    bucket = F.pmod(h1, F.lit(dim)).cast("int")
+    sign = (F.when(F.pmod(h2, F.lit(2)) == 0, F.lit(1.0))
+            .otherwise(F.lit(-1.0)) if signed else F.lit(1.0))
+    per = (toks.select(F.col(id_col), bucket.alias("bucket"),
+                       sign.alias("sign"))
+           .groupBy(id_col, "bucket")
+           .agg(F.sum("sign").alias("c")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("__m"), i), F.lit(0.0)))
+    vec = (per.groupBy(id_col)
+           .agg(F.map_from_entries(
+               F.collect_list(F.struct("bucket", "c"))).alias("__m"))
+           .select(F.col(id_col), dense.alias("vector")))
+    # documents with no tokens (NULL/empty text) still get a row — the
+    # all-zero vector, which every cosine consumer's valid_vectors drops
+    return (df.select(id_col).distinct()
+            .join(vec, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("vector", F.array_repeat(F.lit(0.0), dim))
+                    .alias("vector")))

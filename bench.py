@@ -148,6 +148,7 @@ HEADLINE = [
     ("semantic_dedup_probed", "count"),
     ("stream_near_dup", "count"),
     ("bpe_train", "count"),
+    ("hashed_vectors", "count"),
 ]
 
 N_SHARDS = 2

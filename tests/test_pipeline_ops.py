@@ -2251,3 +2251,41 @@ def test_bpe_train_matches_reference(spark):
     # early stop: a corpus with no repeating pair trains zero merges
     tiny = spark.createDataFrame([("ab cd",)], ["text"])
     assert bpe_train(tiny, "text", n_merges=5).count() == 0
+
+
+def test_hashed_doc_vectors_known_values_and_feed_cosine_family(spark):
+    """r9: feature-hashed document vectors — known-value buckets/signs
+    against a pure-Python md5 reference, identical docs get identical
+    vectors, and the output feeds semantic_dedup end-to-end (the
+    text→vector→dedup loop with no external model)."""
+    import hashlib
+    from bda_spadochrony_spark.operators.text import hashed_doc_vectors
+    dim = 16
+    docs = [(1, "alpha beta alpha"), (2, "alpha beta alpha"),
+            (3, "gamma delta epsilon zeta"), (4, ""), (5, None)]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = {r["doc_id"]: r["vector"] for r in
+           hashed_doc_vectors(df, "doc_id", "text", dim=dim,
+                              hash_fn="md5").collect()}
+
+    def ref(text):
+        v = [0.0] * dim
+        for tok in (text or "").lower().strip().split():
+            h = hashlib.md5(tok.encode()).hexdigest()
+            b = int(h[:8], 16) % dim
+            s = 1.0 if int(h[8:16], 16) % 2 == 0 else -1.0
+            v[b] += s
+        return v
+
+    for did, text in docs:
+        assert got[did] == ref(text), did
+    assert got[1] == got[2]
+    assert got[4] == [0.0] * dim and got[5] == [0.0] * dim
+    # the loop: hashed vectors -> semantic dedup resolves the exact-dup
+    # pair (cosine 1.0) and drops the zero vectors at entry
+    from bda_spadochrony_spark.operators.similarity import semantic_dedup
+    vecs = hashed_doc_vectors(df, "doc_id", "text", dim=dim, hash_fn="md5")
+    out = {r["doc_id"] for r in
+           semantic_dedup(vecs, "doc_id", vec_col="vector",
+                          n_clusters=2, min_cosine=0.9).collect()}
+    assert out == {1, 3}          # 2 deduped into 1; 4/5 zero-norm dropped
