@@ -1194,8 +1194,14 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "text", corpus, results, checkpoint=ckpt,
             min_jaccard=0.5, hash_fn="md5")
         out = read_admission_results(spark, results)
-        return out.select("doc_id", "dup_exact", "dup_near", "admitted") \
-                  .localCheckpoint(eager=True)
+        # eager checkpoint pins the result in the block manager, so the
+        # staging/corpus/results/checkpoint dirs can be removed — a
+        # correctness sweep runs this query dozens of times per round
+        out = out.select("doc_id", "dup_exact", "dup_near", "admitted") \
+                 .localCheckpoint(eager=True)
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        return out
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
