@@ -92,6 +92,20 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3,
 
 # -------------------------------------------------------------- minhash ---
 
+def _minhash_family(num_hashes: int, seed: int,
+                    hash_fn: str) -> list[Column]:
+    """The per-shingle hash expressions shared by ``minhash_signatures``
+    and ``admission_sketch`` — ``num_hashes`` seeded xxhash64 columns, or
+    the md5 Kirsch-Mitzenmacher family when an engine-portable oracle must
+    restate the band candidacy exactly (see ``minhash_signatures``)."""
+    if hash_fn == "md5":
+        h1 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("long")
+        return [(h1 + F.lit(i) * h2) % F.lit(4294967296)
+                for i in range(num_hashes)]
+    return [F.xxhash64("shingle", F.lit(seed + i)) for i in range(num_hashes)]
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 32, shingle_n: int = 3,
                        seed: int = 42, hash_fn: str = "xxhash64") -> DataFrame:
@@ -125,14 +139,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     # masked 32-bit domain whose extra projection outweighed the saved
     # hashing, and the narrower family cost a marginal j≈0.5 pair.)
     ex = shingle_rows(df, id_col, text_col, shingle_n, distinct=False)
-    if hash_fn == "md5":
-        h1 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
-        h2 = F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("long")
-        hashes = [(h1 + F.lit(i) * h2) % F.lit(4294967296)
-                  for i in range(num_hashes)]
-    else:
-        hashes = [F.xxhash64("shingle", F.lit(seed + i))
-                  for i in range(num_hashes)]
+    hashes = _minhash_family(num_hashes, seed, hash_fn)
     sig = ex.groupBy(id_col).agg(
         *[F.min(h).alias(f"h{i}") for i, h in enumerate(hashes)])
     return sig.select(F.col(id_col),
@@ -428,6 +435,108 @@ def incremental_dedup(new: DataFrame, existing: DataFrame, id_col: str,
                  .select(F.col("id_a").alias(id_col)).distinct())
 
     return (new.select(id_col)
+            .join(exact_dups.withColumn("__e", F.lit(1)), id_col, "left")
+            .join(near_dups.withColumn("__n", F.lit(1)), id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("__e", F.lit(0)).alias("dup_exact"),
+                    F.coalesce("__n", F.lit(0)).alias("dup_near"),
+                    F.when((F.coalesce("__e", F.lit(0)) == 0) &
+                           (F.coalesce("__n", F.lit(0)) == 0), 1)
+                    .otherwise(0).alias("admitted")))
+
+
+def admission_sketch(df: DataFrame, id_col: str, text_col: str,
+                     num_hashes: int = 16, shingle_n: int = 3,
+                     seed: int = 42, hash_fn: str = "xxhash64") -> DataFrame:
+    """The per-document dedup SKETCH persisted at admission time:
+    ``(id, digest, sig, shingles)`` — everything the incremental/streaming
+    classifier needs from the existing-corpus side, so a later batch never
+    re-reads or re-tokenizes the corpus's raw text (VERDICT r9 #1).
+
+    - ``digest``: xxhash64 of the text — the exact-dup gate key (8 B/doc).
+    - ``sig``: the MinHash signature array — band candidacy
+      (8·num_hashes B/doc); same hash family as ``minhash_signatures``.
+    - ``shingles``: the DISTINCT shingle set — the exact-Jaccard verify
+      side. Stored as strings so verification against a sketch is
+      bit-identical to verification against the raw text (the contract
+      oracle restates string-shingle Jaccard); a deployment tighter on
+      storage can hash these to 64-bit (Jaccard identical up to 2⁻⁶⁴
+      collisions) — the classifier below only needs set semantics.
+
+    ONE shingle pass feeds both the signature mins and the collect_set
+    (min over the multiset equals min over the set, and collect_set dedups
+    inside the aggregate — no distinct exchange), vs the two passes the
+    self-contained ``incremental_dedup`` pays per call. Documents shorter
+    than ``shingle_n`` tokens keep an empty sig/shingle set: they emit no
+    band rows and can only ever be exact dups — same semantics as the
+    text path.
+    """
+    ids = df.select(F.col(id_col),
+                    F.xxhash64(F.col(text_col)).alias("digest"))
+    ex = shingle_rows(df, id_col, text_col, shingle_n, distinct=False)
+    hashes = _minhash_family(num_hashes, seed, hash_fn)
+    agg = ex.groupBy(id_col).agg(
+        *[F.min(h).alias(f"h{i}") for i, h in enumerate(hashes)],
+        F.collect_set("shingle").alias("shingles"))
+    agg = agg.select(
+        F.col(id_col),
+        F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"),
+        F.col("shingles"))
+    empty_sig = F.array().cast("array<bigint>")
+    empty_sh = F.array().cast("array<string>")
+    return (ids.join(agg, id_col, "left")
+            .select(F.col(id_col), F.col("digest"),
+                    F.coalesce("sig", empty_sig).alias("sig"),
+                    F.coalesce("shingles", empty_sh).alias("shingles")))
+
+
+def sketch_incremental_dedup(new_sketch: DataFrame,
+                             existing_sketch: DataFrame, id_col: str,
+                             min_jaccard: float = 0.5,
+                             materialize: bool = True) -> DataFrame:
+    """``incremental_dedup`` computed ENTIRELY from persisted sketches —
+    no raw text on either side. Same flags, same math: exact gate is a
+    digest semi-join, band candidacy is the sig-element equi join, and
+    the verify is exact Jaccard over the stored distinct-shingle sets
+    (``array_intersect``/``array_union`` — the "array" verify mode of
+    ``ngram_jaccard_pairs``, except the arrays are already materialized
+    in the sketch so the collect_set cost it was measured to lose on is
+    not paid here).
+
+    This is the batch-proportional admission classifier (VERDICT r9 #1):
+    per-batch COMPUTE on the corpus side is three column-pruned scans of
+    the sketch table (digest / sig / shingles — each gate reads only its
+    column), never a corpus re-shingle; the shuffles carry the batch side
+    plus band-candidate rows only. Jaccard's divisor is guarded (ANSI
+    raises DIVIDE_BY_ZERO) — zero-shingle docs never reach candidacy, but
+    the guard keeps the expression total.
+    """
+    new_keyed = new_sketch.select(F.col(id_col), "digest", "sig", "shingles")
+    exact_dups = (new_keyed.select(id_col, "digest")
+                  .join(existing_sketch.select("digest").distinct(),
+                        "digest", "left_semi")
+                  .select(id_col))
+    nb = new_keyed.select(F.col(id_col).alias("id_a"),
+                          F.posexplode("sig").alias("band_id", "band_hash"))
+    eb = existing_sketch.select(
+        F.col(id_col).alias("id_b"),
+        F.posexplode("sig").alias("band_id", "band_hash"))
+    cands = (nb.join(eb, ["band_id", "band_hash"])
+             .select("id_a", "id_b").distinct())
+    if materialize:
+        cands = cands.localCheckpoint(eager=False)
+    pairs = (cands
+             .join(new_keyed.select(F.col(id_col).alias("id_a"),
+                                    F.col("shingles").alias("sh_a")), "id_a")
+             .join(existing_sketch.select(F.col(id_col).alias("id_b"),
+                                          F.col("shingles").alias("sh_b")),
+                   "id_b"))
+    union_sz = F.size(F.array_union("sh_a", "sh_b"))
+    jaccard = F.when(union_sz > 0,
+                     F.size(F.array_intersect("sh_a", "sh_b")) / union_sz)
+    near_dups = (pairs.where(jaccard >= F.lit(min_jaccard))
+                 .select(F.col("id_a").alias(id_col)).distinct())
+    return (new_keyed.select(id_col)
             .join(exact_dups.withColumn("__e", F.lit(1)), id_col, "left")
             .join(near_dups.withColumn("__n", F.lit(1)), id_col, "left")
             .select(F.col(id_col),
