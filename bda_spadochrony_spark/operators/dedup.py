@@ -487,7 +487,11 @@ def admission_sketch(df: DataFrame, id_col: str, text_col: str,
     return (ids.join(agg, id_col, "left")
             .select(F.col(id_col), F.col("digest"),
                     F.coalesce("sig", empty_sig).alias("sig"),
-                    F.coalesce("shingles", empty_sh).alias("shingles")))
+                    F.coalesce("shingles", empty_sh).alias("shingles"))
+            # set size denormalized next to the array: the verify's
+            # Jaccard denominators then read an int column, never a
+            # second scan of the (heavy) shingles column
+            .withColumn("n_shingles", F.size("shingles")))
 
 
 def sketch_incremental_dedup(new_sketch: DataFrame,
@@ -507,9 +511,16 @@ def sketch_incremental_dedup(new_sketch: DataFrame,
     per-batch COMPUTE on the corpus side is three column-pruned scans of
     the sketch table (digest / sig / shingles — each gate reads only its
     column), never a corpus re-shingle; the shuffles carry the batch side
-    plus band-candidate rows only. Jaccard's divisor is guarded (ANSI
-    raises DIVIDE_BY_ZERO) — zero-shingle docs never reach candidacy, but
-    the guard keeps the expression total.
+    plus band-candidate rows only. The verify runs in "join" mode (the
+    measured winner of ``ngram_jaccard_pairs`` at high pairs-per-doc:
+    candidate pairs expand by the NEW side's shingle rows — narrow rows,
+    never a per-pair materialization of both heavy shingle arrays, which
+    an array_intersect formulation was measured to lose on 3× at 166k
+    candidates), with the existing side's shingle arrays semi-joined down
+    to candidate docs BEFORE the explode. Set sizes come free from
+    ``size(shingles)`` — no count aggregate. The Jaccard divisor
+    ``na+nb−i ≥ i ≥ 1`` on every surviving row (i ≤ min(na, nb)), so the
+    division is ANSI-safe by construction.
     """
     new_keyed = new_sketch.select(F.col(id_col), "digest", "sig", "shingles")
     exact_dups = (new_keyed.select(id_col, "digest")
@@ -525,16 +536,31 @@ def sketch_incremental_dedup(new_sketch: DataFrame,
              .select("id_a", "id_b").distinct())
     if materialize:
         cands = cands.localCheckpoint(eager=False)
-    pairs = (cands
-             .join(new_keyed.select(F.col(id_col).alias("id_a"),
-                                    F.col("shingles").alias("sh_a")), "id_a")
-             .join(existing_sketch.select(F.col(id_col).alias("id_b"),
-                                          F.col("shingles").alias("sh_b")),
-                   "id_b"))
-    union_sz = F.size(F.array_union("sh_a", "sh_b"))
-    jaccard = F.when(union_sz > 0,
-                     F.size(F.array_intersect("sh_a", "sh_b")) / union_sz)
-    near_dups = (pairs.where(jaccard >= F.lit(min_jaccard))
+    cand_b = cands.select(F.col("id_b").alias(id_col)).distinct()
+    if materialize:
+        # feeds two semi-joins (shingle rows + set sizes) — tiny id frame
+        cand_b = cand_b.localCheckpoint(eager=False)
+    # the heavy shingles column is scanned ONCE, candidate-restricted;
+    # set sizes ride the denormalized n_shingles int column instead
+    b_rows = (existing_sketch.select(id_col, "shingles")
+              .join(cand_b, id_col, "left_semi")
+              .select(F.col(id_col).alias("id_b"),
+                      F.explode("shingles").alias("shingle")))
+    a_rows = new_keyed.select(F.col(id_col).alias("id_a"),
+                              F.explode("shingles").alias("shingle"))
+    inter = (cands.join(a_rows, "id_a")
+             .join(b_rows, ["id_b", "shingle"])
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("i")))
+    na = new_keyed.select(F.col(id_col).alias("id_a"),
+                          F.size("shingles").alias("na"))
+    nbsz = (existing_sketch.select(id_col, "n_shingles")
+            .join(cand_b, id_col, "left_semi")
+            .select(F.col(id_col).alias("id_b"),
+                    F.col("n_shingles").alias("nb")))
+    near_dups = (inter.join(na, "id_a").join(nbsz, "id_b")
+                 .where((F.col("i") / (F.col("na") + F.col("nb")
+                                       - F.col("i")))
+                        >= F.lit(min_jaccard))
                  .select(F.col("id_a").alias(id_col)).distinct())
     return (new_keyed.select(id_col)
             .join(exact_dups.withColumn("__e", F.lit(1)), id_col, "left")

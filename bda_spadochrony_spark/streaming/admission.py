@@ -96,12 +96,13 @@ def admission_batch_writer(corpus_path: str, results_path: str,
             # accidentally-empty corpus
             existing = (spark.read.parquet(sketch_path)
                         .where(F.col("batch_id") != F.lit(batch_id))
-                        .select(id_col, "digest", "sig", "shingles"))
+                        .select(id_col, "digest", "sig", "shingles",
+                                "n_shingles"))
         else:
             # genuinely the first batch: no corpus admitted yet
             existing = spark.createDataFrame(
                 [], batch_sketch.schema).select(
-                    id_col, "digest", "sig", "shingles")
+                    id_col, "digest", "sig", "shingles", "n_shingles")
         flags = sketch_incremental_dedup(batch_sketch, existing, id_col,
                                          min_jaccard=min_jaccard)
         flags = flags.localCheckpoint()   # three consumers below
