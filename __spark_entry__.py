@@ -1151,6 +1151,83 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "text", n_merges=8)
 
 
+# the tokenizer ARTIFACT for q_bpe_encode: the first six merges
+# bpe_train learns on the documents corpus at sf0.01, frozen as a
+# literal (an encoder ships with a fixed merge table; training is
+# q_bpe_train's job). Includes a chained merge — ('m','er') consumes
+# ('e','r')'s output — so the query exercises merge-on-merged-symbol.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"), ("m", "er")]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING (r10, VERDICT r9 #7 — the application half of the
+    tokenizer): apply the frozen 6-merge table to every document.
+    Word-frequency-compressed like the trainer: the 6-deep greedy
+    left-to-right fold runs once per DISTINCT word, documents reassemble
+    via the order-stable (pos, syms) sort-flatten. The oracle restates
+    the fold EXACTLY as a chained recursive-CTE pointer walk per word
+    (i advances 2 on a merge, 1 otherwise — greedy LTR non-overlapping
+    by construction; DuckDB 1.0's list_reduce mis-accumulates list
+    fields inside struct accumulators, so the walk is the portable
+    restatement)."""
+    from bda_spadochrony_spark.operators.corpus import bpe_encode
+    docs = _t(spark, sf_dir, "documents")
+    out = bpe_encode(docs, "doc_id", "text", _BPE_MERGES)
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", "symbols").alias("encoded"),
+        F.size("symbols").alias("n_symbols"))
+
+
+def _bpe_encode_oracle() -> str:
+    """Generate the chained recursive-CTE restatement of the greedy BPE
+    fold for the literal ``_BPE_MERGES`` table."""
+    toks = "string_split_regex(lower(trim(text)), '[\\s\\x0b]+')"
+    stages, prev = [], "c0"
+    for k, (a, b) in enumerate(_BPE_MERGES, 1):
+        m = a + b
+        stages.append(f"""f{k} AS (
+            SELECT w, chars, 1 AS i, []::VARCHAR[] AS out FROM {prev}
+            UNION ALL
+            SELECT w, chars,
+                   CASE WHEN chars[i] = '{a}' AND chars[i+1] = '{b}'
+                        THEN i + 2 ELSE i + 1 END,
+                   CASE WHEN chars[i] = '{a}' AND chars[i+1] = '{b}'
+                        THEN list_append(out, '{m}')
+                        ELSE list_append(out, chars[i]) END
+            FROM f{k} WHERE i <= len(chars)
+        ), s{k} AS (
+            SELECT w, out AS chars FROM f{k} WHERE i = len(chars) + 1
+        )""")
+        prev = f"s{k}"
+    chain = ", ".join(stages)
+    return f"""
+        WITH RECURSIVE words AS (
+            SELECT DISTINCT unnest({toks}) AS w
+            FROM documents WHERE text IS NOT NULL
+        ), c0 AS (
+            SELECT w, string_split(w, '') AS chars
+            FROM words WHERE w <> ''
+        ), {chain}, tok AS (
+            SELECT doc_id, ord, w FROM (
+                SELECT doc_id, unnest({toks}) AS w,
+                       generate_subscripts({toks}, 1) AS ord
+                FROM documents WHERE text IS NOT NULL)
+            WHERE w <> ''
+        ), rebuilt AS (
+            SELECT t.doc_id,
+                   flatten(list(e.chars ORDER BY t.ord)) AS symbols
+            FROM tok t JOIN {prev} e ON e.w = t.w
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(array_to_string(r.symbols, ' '), '') AS encoded,
+               CAST(coalesce(len(r.symbols), 0) AS INTEGER) AS n_symbols
+        FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    """
+
+
 def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-duplicate ADMISSION CONTROL end to end (r9): the
     documents table is hash-split into two ingest slices staged as
@@ -2940,6 +3017,7 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # edge fixture found subnormal-underflow and overflow-to-Inf norms
     # diverging three ways across Spark-SQL/BLAS/DuckDB), plus the NEW
     # streaming admission-control query and the BPE training loop
+    "bpe_encode": q_bpe_encode,
     "stream_near_dup": q_stream_near_dup,
     "bpe_train": q_bpe_train,
     "hashed_vectors": q_hashed_vectors,
@@ -2989,10 +3067,10 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "sketch_mergeable": q_sketch_mergeable,
     "stock_hourly": q_stock_hourly,
-    "stratified_sample": q_stratified_sample,
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stratified_sample": q_stratified_sample,
     # displaced by the r9 rotation (the r8 window re-confirmed all 50;
     # the backlog above promotes the stalest r4/r5 confirmations);
     # parity re-proven every round by tests/test_oracle_parity.py
@@ -3146,6 +3224,7 @@ def oracle_sql() -> dict[str, str]:
     # pipeline — one oracle serves both
     d["traffic_hourly_fused"] = d["traffic_hourly"]
     d["embedding_lsh_portable"] = _lsh_portable_oracle()
+    d["bpe_encode"] = _bpe_encode_oracle()
     d["embedding_ann_stack"] = _ann_stack_oracle()
     # corpus-sized quantizer (r8): same footer-count derivation as the
     # ANN planes — both engines fit cells_for(n) centers
