@@ -1228,6 +1228,111 @@ def _bpe_encode_oracle() -> str:
     """
 
 
+def q_text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NO-EXTERNAL-MODEL semantic-dedup loop end to end (r10,
+    VERDICT r9 #4): ``hashed_doc_vectors`` (the stateless hashing-trick
+    featurizer, md5-portable, dim=64) feeds ``semantic_dedup`` over the
+    DOCUMENTS table — text → vector → cluster → within-cell cosine ≥ 0.9
+    → connected families → min-id survivors, all from raw text with no
+    embedding model. Both stages' proven oracles chain as CTEs (the
+    ``corpus_pipeline`` precedent): the hashed-vector grid densification
+    becomes the vector CTE the SemDeDup restatement consumes, with the
+    cell count derived from the documents footer (``cells_for``).
+    Zero-token documents carry the all-zero vector and are dropped by
+    ``valid_vectors`` — they are not survivors, by design."""
+    from bda_spadochrony_spark.operators.similarity import semantic_dedup
+    from bda_spadochrony_spark.operators.text import hashed_doc_vectors
+    configure(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        docs = _t(spark, sf_dir, "documents")
+        vecs = hashed_doc_vectors(docs, "doc_id", "text", dim=64,
+                                  hash_fn="md5")
+        out = semantic_dedup(vecs, "doc_id", vec_col="vector",
+                             min_cosine=0.9)
+        return out.select("doc_id", F.col("cell").cast("long").alias("cell"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _text_semantic_dedup_oracle(cells: int) -> str:
+    """hashed_vectors' densified-grid CTE chained into the SemDeDup
+    restatement (dim=64, min_cosine=0.9, __CELLS__ resolved from the
+    documents footer)."""
+    return f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)),
+                                             '[\\s\\x0b]+')) AS tok
+            FROM documents
+        ), tb AS (
+            SELECT doc_id,
+                   CAST((((('0x' || substr(md5(tok), 1, 8))::BIGINT % 64)
+                          + 64) % 64) AS INTEGER) AS bucket,
+                   CASE WHEN ((('0x' || substr(md5(tok), 9, 8))::BIGINT % 2)
+                              + 2) % 2 = 0
+                        THEN 1 ELSE -1 END AS sign
+            FROM toks WHERE tok IS NOT NULL AND tok <> ''
+        ), per AS (
+            SELECT doc_id, bucket, sum(sign) AS c FROM tb GROUP BY 1, 2
+        ), grid AS (
+            SELECT d.doc_id, CAST(r.range AS INTEGER) AS i
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            CROSS JOIN range(64) r
+        ), hv AS MATERIALIZED (
+            SELECT g.doc_id AS vid,
+                   list(coalesce(p.c, 0)::DOUBLE ORDER BY g.i) AS v
+            FROM grid g
+            LEFT JOIN per p ON p.doc_id = g.doc_id AND p.bucket = g.i
+            GROUP BY 1
+        ), n AS MATERIALIZED (
+            -- valid_vectors: counts are small integers, but the guard
+            -- mirrors the engine's norm window exactly
+            SELECT vid, v FROM hv
+            WHERE len(list_filter(v, x -> x <> 0)) > 0
+              AND list_sum(list_transform(v, x -> x * x)) > 0
+              AND isfinite(list_sum(list_transform(v, x -> x * x)))
+        ), cent AS (
+            SELECT row_number() OVER (ORDER BY vid) - 1 AS cell, v AS c
+            FROM n ORDER BY vid LIMIT {cells}
+        ), dists AS (
+            SELECT n.vid, n.v, cent.cell,
+                   list_dot_product(
+                       [n.v[i+1] - cent.c[i+1] for i in range(64)],
+                       [n.v[i+1] - cent.c[i+1] for i in range(64)]) AS d2
+            FROM n, cent
+        ), assigned AS (
+            SELECT vid, v, cell, sqrt(list_dot_product(v, v)) AS nrm
+            FROM (SELECT vid, v, cell,
+                         row_number() OVER (PARTITION BY vid
+                                            ORDER BY d2 ASC, cell ASC)
+                         AS rn
+                  FROM dists) WHERE rn = 1
+        ), pairs AS (
+            SELECT a.vid AS id_a, b.vid AS id_b
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vid < b.vid
+            WHERE a.nrm > 0 AND b.nrm > 0
+              AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9
+        ), sym AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ), reach(id, r) AS (
+            SELECT s, s FROM (SELECT DISTINCT s FROM sym)
+            UNION
+            SELECT s.s, reach.r FROM sym s JOIN reach ON reach.id = s.d
+        ), labels AS (
+            SELECT id, min(r) AS canonical_id FROM reach GROUP BY id
+        )
+        SELECT a.vid AS doc_id, CAST(a.cell AS BIGINT) AS cell
+        FROM assigned a
+        WHERE a.vid NOT IN
+              (SELECT id FROM labels WHERE id != canonical_id)
+    """
+
+
 def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-duplicate ADMISSION CONTROL end to end (r9): the
     documents table is hash-split into two ingest slices staged as
@@ -3018,6 +3123,7 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # diverging three ways across Spark-SQL/BLAS/DuckDB), plus the NEW
     # streaming admission-control query and the BPE training loop
     "bpe_encode": q_bpe_encode,
+    "text_semantic_dedup": q_text_semantic_dedup,
     "stream_near_dup": q_stream_near_dup,
     "bpe_train": q_bpe_train,
     "hashed_vectors": q_hashed_vectors,
@@ -3066,10 +3172,10 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_md5_pairs": q_simhash_md5_pairs,
     "simhash_pairs": q_simhash_pairs,
     "sketch_mergeable": q_sketch_mergeable,
-    "stock_hourly": q_stock_hourly,
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stock_hourly": q_stock_hourly,
     "stratified_sample": q_stratified_sample,
     # displaced by the r9 rotation (the r8 window re-confirmed all 50;
     # the backlog above promotes the stalest r4/r5 confirmations);
@@ -3229,6 +3335,8 @@ def oracle_sql() -> dict[str, str]:
     # corpus-sized quantizer (r8): same footer-count derivation as the
     # ANN planes — both engines fit cells_for(n) centers
     from bda_spadochrony_spark.operators.similarity import cells_for
+    d["text_semantic_dedup"] = _text_semantic_dedup_oracle(
+        cells_for(_oracle_table_count("documents")))
     cells = str(cells_for(_oracle_embedding_count()))
     d["semantic_dedup"] = d["semantic_dedup"].replace("__CELLS__", cells)
     d["semantic_dedup_probed"] = \
@@ -3276,8 +3384,8 @@ def oracle_sql() -> dict[str, str]:
     return d
 
 
-def _oracle_embedding_count() -> int:
-    """Row count of the embeddings table at the scale the ORACLE runs at
+def _oracle_table_count(table: str) -> int:
+    """Row count of a contract table at the scale the ORACLE runs at
     (the driver contract evaluates oracle_sql() at sf0.01; overridable
     via $SPARK_GRAFT_ORACLE_SF_DIR for local parity runs). oracle_sql()
     returns STATIC SQL, so a corpus-sized index parameter (planes_for —
@@ -3290,7 +3398,7 @@ def _oracle_embedding_count() -> int:
     import pyarrow.parquet as pq
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     try:
-        return pq.ParquetFile(f"{sf}/embeddings.parquet").metadata.num_rows
+        return pq.ParquetFile(f"{sf}/{table}.parquet").metadata.num_rows
     except (FileNotFoundError, ImportError, OSError) as exc:
         # r8 (ADVICE): only a genuinely-absent file/module falls back to
         # the contract scale's count, and loudly — a mistyped
@@ -3299,11 +3407,15 @@ def _oracle_embedding_count() -> int:
         # mismatch instead of a config error. Any other failure raises.
         import warnings
         warnings.warn(
-            f"_oracle_embedding_count: cannot read {sf}/embeddings.parquet"
+            f"_oracle_table_count: cannot read {sf}/{table}.parquet"
             f" ({exc!r}); falling back to the sf0.01 contract count 500 —"
             " corpus-sized oracle parameters (planes_for/cells_for) may"
             " mismatch the Spark side if the oracle runs elsewhere")
         return 500
+
+
+def _oracle_embedding_count() -> int:
+    return _oracle_table_count("embeddings")
 
 
 def _ann_stack_oracle() -> str:
