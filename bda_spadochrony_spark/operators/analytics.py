@@ -38,7 +38,8 @@ def funnel_analysis(df: DataFrame, user_col: str, type_col: str,
            .groupBy("__u").agg(F.min("__ts").alias("__prev"))
            .localCheckpoint(eager=False))
     stages = [cur.select(F.lit(1).alias("step_order"),
-                         F.lit(steps[0]).alias("step"), "__u")]
+                         F.lit(steps[0]).alias("step"),
+                         F.lit(1).alias("__m"))]
     for i, step in enumerate(steps[1:], start=2):
         cur = (base.where(F.col("__t") == step)
                .join(cur, "__u")
@@ -46,24 +47,26 @@ def funnel_analysis(df: DataFrame, user_col: str, type_col: str,
                .groupBy("__u").agg(F.min("__ts").alias("__prev"))
                .localCheckpoint(eager=False))
         stages.append(cur.select(F.lit(i).alias("step_order"),
-                                 F.lit(step).alias("step"), "__u"))
-    # one distributed plan: union the (user, step) survivor frames, count
-    # per step, derive conversion from the k-row aggregate itself — no
-    # per-step driver actions
+                                 F.lit(step).alias("step"),
+                                 F.lit(1).alias("__m")))
+    # one distributed plan: union the per-step survivor frames (one row
+    # per qualifying user, weight 1), count per step, derive conversion
+    # from the k-row aggregate itself — no per-step driver actions.
+    # Zero-survivor steps (r9 zero-row edge fixture: a step nobody
+    # reaches — or an empty feed day — must report 0, the SQL-oracle
+    # semantics) are handled by SEEDING the union with a weight-0 row
+    # per step instead of left-joining counts onto the step list: the
+    # seed folds into the existing aggregate (sum of weights), where
+    # the r9 join added a broadcast-join stage that the round-10 A/B
+    # measured ~0.5 s slower at sf0.1 with no semantic difference
     import functools
-    all_stages = functools.reduce(lambda a, b: a.unionByName(b), stages)
-    # LEFT-join survivor counts onto the literal step list so every step
-    # emits a row even with ZERO survivors (r9 zero-row edge fixture: a
-    # step nobody reaches — or an empty feed day — must report 0, the
-    # SQL-oracle semantics, not silently vanish from the funnel)
-    steps_df = df.sparkSession.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(steps)],
-        "step_order: int, step: string")
+    seed = df.sparkSession.createDataFrame(
+        [(i + 1, s, 0) for i, s in enumerate(steps)],
+        "step_order: int, step: string, __m: int")
+    all_stages = functools.reduce(
+        lambda a, b: a.unionByName(b), stages).unionByName(seed)
     counts = (all_stages.groupBy("step_order", "step")
-              .agg(F.count(F.lit(1)).alias("n_users")))
-    counts = (steps_df.join(counts, ["step_order", "step"], "left")
-              .select("step_order", "step",
-                      F.coalesce("n_users", F.lit(0)).alias("n_users")))
+              .agg(F.sum("__m").alias("n_users")))
     first = counts.where(F.col("step_order") == 1).select(
         F.col("n_users").alias("__first"))
     return (counts.crossJoin(F.broadcast(first))
