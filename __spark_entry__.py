@@ -786,6 +786,169 @@ def q_embedding_ann_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
                       stable_round(F.col("cosine"), 6).alias("cosine"))
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes under the full value oracle (r10 —
+    Jégou et al. 2011): deterministic-subset codebooks (the 16 smallest
+    valid ids per 8-dim subspace, the ivf_portable convention), map-only
+    argmin encoding. Codes are m·log2(k) = 32 bits per 64-dim vector —
+    the compression rung between int8 (4×) and the coarse quantizer; a
+    100 TB candidate scan reads ONLY this column. The oracle derives the
+    identical codebooks from the table itself (no literals needed — the
+    subset rows ARE the codebook) and restates the per-subspace argmin
+    with the row_number tie-break."""
+    from bda_spadochrony_spark.operators.similarity import (pq_codebooks,
+                                                            pq_encode)
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(emb, "vec_id", m=8, k=16)
+    out = pq_encode(emb, "vec_id", codebooks=cbs)
+    return out.select(
+        "vec_id",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes"))
+
+
+def q_embedding_pq_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ search stack end to end (r10): LSH bucket (portable literal
+    planes) → ADC approximate scoring — each candidate's cosine against
+    the query computed from its RECONSTRUCTED (centroid-concatenation)
+    vector, i.e. the corpus side is read as 32-bit codes, never floats —
+    → exact float64 rerank of each query's top-10, k=3. The asymmetric-
+    distance sibling of ``embedding_ann_stack``'s int8 stage: PQ codes
+    are 16× smaller than the int8 codes that query scans. Fully oracled:
+    planes, subset codebooks, reconstruction (flattened per-subspace
+    centroid slices), and both rank stages restate exactly."""
+    from bda_spadochrony_spark.operators.similarity import (
+        deterministic_planes, planes_for, pq_codebooks, pq_encode,
+        pq_reconstruct, valid_vectors, with_hyperplane_bucket)
+    from pyspark.sql import Window
+    emb = _t(spark, sf_dir, "embeddings")
+    pm = deterministic_planes(planes_for(emb.count()), 64)
+    cbs = pq_codebooks(emb, "vec_id", m=8, k=16)
+    base = valid_vectors(emb, "embedding").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v"))
+    base = with_hyperplane_bucket(base, "v", pm)
+    codes = pq_encode(emb, "vec_id", codebooks=cbs)
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0),
+                                       lambda acc, x: acc + x * x))
+    d = (base.join(codes, "vec_id")
+         .withColumn("r", pq_reconstruct("codes", cbs))
+         .withColumn("rnm", nrm(F.col("r")))
+         .withColumn("qn", nrm(F.col("v"))))
+    # checkpoint before the bucket self-join (the ann_stack rule: AQE
+    # never cross-stage-reuses, so both sides would re-encode otherwise)
+    d = d.localCheckpoint(eager=False)
+    a = d.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                 F.col("qn").alias("qna"), "bucket")
+    b = d.select(F.col("vec_id").alias("corpus_id"), F.col("v").alias("cv"),
+                 F.col("r").alias("rb"), F.col("rnm").alias("rnb"), "bucket")
+    dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
+                                   F.lit(0.0), lambda acc, t: acc + t)
+    pairs = (a.join(b, "bucket")
+             .where((F.col("query_id") != F.col("corpus_id")) &
+                    (F.col("qna") > 0) & (F.col("rnb") > 0))
+             .withColumn("approx", dot(F.col("qv"), F.col("rb")) /
+                         (F.col("qna") * F.col("rnb"))))
+    w1 = Window.partitionBy("query_id").orderBy(F.col("approx").desc(),
+                                                F.col("corpus_id").asc())
+    cand = (pairs.withColumn("rn", F.row_number().over(w1))
+            .where(F.col("rn") <= 10))
+    exact = cand.withColumn(
+        "cosine", dot(F.col("qv"), F.col("cv")) /
+        (nrm(F.col("qv")) * nrm(F.col("cv"))))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col("corpus_id").asc())
+    out = (exact.withColumn("rn2", F.row_number().over(w2))
+           .where(F.col("rn2") <= 3))
+    return out.select("query_id", "corpus_id",
+                      stable_round(F.col("cosine"), 6).alias("cosine"))
+
+
+_PQ_N_CTE = """n AS MATERIALIZED (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                  AND list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x)) > 0
+                  AND isfinite(list_sum(list_transform(
+                          embedding::DOUBLE[], x -> x * x)))
+            ), cb AS (
+                -- deterministic-subset codebooks: row j of the 16
+                -- smallest valid ids IS centroid j of every subspace
+                -- (its slice [s*8+1 : s*8+8])
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+                FROM n ORDER BY vec_id LIMIT 16
+            ), sub AS (
+                SELECT n.vec_id, s.range AS s, cb.j,
+                       list_dot_product(
+                           [n.v[s.range*8 + i + 1] - cb.v[s.range*8 + i + 1]
+                            for i in range(8)],
+                           [n.v[s.range*8 + i + 1] - cb.v[s.range*8 + i + 1]
+                            for i in range(8)]) AS d2
+                FROM n CROSS JOIN range(8) s CROSS JOIN cb
+            ), best AS (
+                SELECT vec_id, s, j FROM (
+                    SELECT vec_id, s, j,
+                           row_number() OVER (PARTITION BY vec_id, s
+                                              ORDER BY d2 ASC, j ASC) AS rn
+                    FROM sub) WHERE rn = 1
+            )"""
+
+
+def _pq_stack_oracle() -> str:
+    """Planes (literal, sized from the oracle-scale corpus) + the subset
+    codebooks/argmin CTEs shared with pq_codes + reconstruction as
+    flattened per-subspace centroid slices + the two rank stages."""
+    from bda_spadochrony_spark.operators.similarity import (
+        deterministic_planes, planes_for)
+    pm = deterministic_planes(planes_for(_oracle_embedding_count()), 64)
+    bits = "\n                   || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in row)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for row in pm)
+    return f"""
+            WITH {_PQ_N_CTE}, rec AS (
+                SELECT best.vec_id,
+                       flatten(list(cb.v[best.s*8 + 1 : best.s*8 + 8]
+                                    ORDER BY best.s)) AS r
+                FROM best JOIN cb USING (j) GROUP BY 1
+            ), b AS (
+                SELECT n.vec_id, n.v, rec.r,
+                       sqrt(list_dot_product(n.v, n.v)) AS qn,
+                       sqrt(list_dot_product(rec.r, rec.r)) AS rnm,
+                   {bits} AS bucket
+                FROM n JOIN rec USING (vec_id)
+            ), pairs AS (
+                SELECT qa.vec_id AS query_id, cr.vec_id AS corpus_id,
+                       qa.v AS qv, cr.v AS cv,
+                       list_dot_product(qa.v, cr.r) / (qa.qn * cr.rnm)
+                       AS approx
+                FROM b qa JOIN b cr
+                  ON qa.bucket = cr.bucket AND qa.vec_id != cr.vec_id
+                WHERE qa.qn > 0 AND cr.rnm > 0
+            ), cand AS (
+                SELECT query_id, corpus_id, qv, cv FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx DESC, corpus_id ASC) AS rn
+                    FROM pairs) WHERE rn <= 10
+            ), exact AS (
+                SELECT query_id, corpus_id,
+                       list_dot_product(qv, cv) /
+                       (sqrt(list_dot_product(qv, qv)) *
+                        sqrt(list_dot_product(cv, cv))) AS cos
+                FROM cand
+            ), ranked AS (
+                SELECT query_id, corpus_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, corpus_id ASC)
+                       AS rn
+                FROM exact
+            )
+            SELECT query_id, corpus_id, round((cos) + 1e-10, 6) AS cosine
+            FROM ranked WHERE rn <= 3
+        """
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding column (per-vector scale
     + int8 codes) — engine-portable floor rounding, fully oracled. The
@@ -3112,19 +3275,24 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # confirmation backlog; _TAIL holds long-confirmed queries whose parity is
 # continuously re-proven by tests/test_oracle_parity.py.
 _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- round-9 head: the NEW query (semantic_dedup_probed — zero
-    # driver rows, enters immediately), the four whose SOURCE changed
-    # (similarity.py n_probe + ragged-cell tolerance; multimodal.py
-    # numpy-vectorized rasters + AVI timing/stream-0 fixes; corpus.py
-    # size-gated bpe prune), and the ten cosine-family queries whose
-    # SOURCE AND ORACLE both changed for the r9 norm-window guard
-    # (valid_vectors now requires 0 < sum(x^2) < Inf; the extreme-doubles
-    # edge fixture found subnormal-underflow and overflow-to-Inf norms
-    # diverging three ways across Spark-SQL/BLAS/DuckDB), plus the NEW
-    # streaming admission-control query and the BPE training loop
+    # ---- round-10 head: the two NEW queries (bpe_encode — the trained
+    # merge table applied via the recursive-CTE-oracled fold;
+    # text_semantic_dedup — hashed vectors chained into SemDeDup, the
+    # no-external-model dedup loop), the queries whose SOURCE changed
+    # this round (stream_near_dup: persisted-sketch admission + FS
+    # existence probe; incremental_dedup/minhash_near_dup/dedup_*:
+    # the _minhash_family refactor; funnel: union-seeded zero-survivor
+    # counts; bpe_train: merge_fold factored out), and the r9 singles
+    # (VERDICT r9 #3: semantic_dedup_probed, stream_near_dup, bpe_train,
+    # hashed_vectors get their first re-confirmation), ahead of the
+    # retained r9 backlog
     "bpe_encode": q_bpe_encode,
     "text_semantic_dedup": q_text_semantic_dedup,
     "stream_near_dup": q_stream_near_dup,
+    "incremental_dedup": q_incremental_dedup,
+    "funnel": q_funnel,
+    "pq_codes": q_pq_codes,
+    "embedding_pq_stack": q_embedding_pq_stack,
     "bpe_train": q_bpe_train,
     "hashed_vectors": q_hashed_vectors,
     "semantic_dedup_probed": q_semantic_dedup_probed,
@@ -3168,13 +3336,13 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "returned_items": q_returned_items,
     "revenue_change": q_revenue_change,
+}
+
+_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "simhash_md5_pairs": q_simhash_md5_pairs,
     "simhash_pairs": q_simhash_pairs,
     "sketch_mergeable": q_sketch_mergeable,
-}
-
-_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stock_hourly": q_stock_hourly,
     "stratified_sample": q_stratified_sample,
     # displaced by the r9 rotation (the r8 window re-confirmed all 50;
@@ -3267,7 +3435,6 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_covariance": q_embedding_covariance,
     "tokens_to_ids": q_tokens_to_ids,
     "ml_linear_fit": q_ml_linear_fit,
-    "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
     "expectations": q_expectations,
     "token_pmi": q_token_pmi,
@@ -3295,7 +3462,6 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot": q_unpivot,
     "string_funcs2": q_string_funcs2,
     "hash_funcs": q_hash_funcs,
-    "incremental_dedup": q_incremental_dedup,
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {**_WINDOW, **_TAIL}
@@ -3331,6 +3497,13 @@ def oracle_sql() -> dict[str, str]:
     d["traffic_hourly_fused"] = d["traffic_hourly"]
     d["embedding_lsh_portable"] = _lsh_portable_oracle()
     d["bpe_encode"] = _bpe_encode_oracle()
+    d["pq_codes"] = """
+        WITH """ + _PQ_N_CTE + """
+        SELECT vec_id,
+               string_agg(CAST(j AS VARCHAR), ',' ORDER BY s) AS codes
+        FROM best GROUP BY 1
+    """
+    d["embedding_pq_stack"] = _pq_stack_oracle()
     d["embedding_ann_stack"] = _ann_stack_oracle()
     # corpus-sized quantizer (r8): same footer-count derivation as the
     # ANN planes — both engines fit cells_for(n) centers

@@ -14,6 +14,9 @@ warranted.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -585,6 +588,85 @@ def quantize_embeddings(df: DataFrame, id_col: str,
         F.floor(x / scale + F.lit(0.5))).cast("long"))
     return (df.where(raw.isNotNull() & ~junk)
             .select(F.col(id_col), scale.alias("scale"), q.alias("q")))
+
+
+def pq_codebooks(df: DataFrame, id_col: str, vec_col: str = "embedding",
+                 m: int = 8, k: int = 16) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the d-dim space
+    into ``m`` subspaces of d/m dims; each subspace gets ``k`` centroids.
+    PQ is the compression rung BETWEEN int8 scalar quantization (4×) and
+    the coarse IVF quantizer: codes are m·log2(k) bits per vector — at
+    the default m=8, k=16 that is 8 small ints for a 64-dim float vector
+    (64× smaller than float64, 16× smaller than int8), and approximate
+    scoring reads ONLY the code column.
+
+    This fit uses the deterministic-subset convention every oracled
+    index here uses (``ivf_topk(centers=)``, ``semantic_dedup``): the
+    ``k`` smallest valid ids' subvectors are the centroids — engine-
+    portable, so a SQL oracle derives the identical codebooks from the
+    same table. A production run passes persisted per-subspace KMeans
+    centroids through the same argument. Bounded driver collect (k rows
+    — the documented fit-step exception)."""
+    base = valid_vectors(df, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"))
+    rows = base.orderBy("id").limit(k).collect()
+    if not rows:
+        raise ValueError("pq_codebooks: no valid vectors to fit from")
+    d = len(rows[0]["v"])
+    if d % m:
+        raise ValueError(f"pq_codebooks: dim {d} not divisible by m={m}")
+    ds = d // m
+    return [[list(r["v"][s * ds:(s + 1) * ds]) for r in rows]
+            for s in range(m)]
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str = "embedding",
+              codebooks: list | None = None, m: int = 8,
+              k: int = 16) -> DataFrame:
+    """PQ-encode every vector: per subspace, the code is the argmin
+    squared-euclidean centroid (ties → lowest code, the ``_assign_cells``
+    rule). MAP-ONLY — the codebooks inline as literals (m·k·d/m doubles;
+    default 1,024 — far under the assignment literal budget) and
+    ``array_position(array_min)`` picks the first minimal entry, the same
+    bit-exact argmin trick the cell assigner uses. Returns
+    ``(id, codes array<int>)`` — the column a 100 TB candidate scan
+    reads INSTEAD of the embeddings."""
+    if codebooks is None:
+        codebooks = pq_codebooks(df, id_col, vec_col, m, k)
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    base = valid_vectors(df, vec_col).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"))
+    code_cols = []
+    for s, cb in enumerate(codebooks):
+        dists = F.array(*[
+            functools.reduce(
+                operator.add,
+                [(F.element_at("v", s * ds + i + 1) - F.lit(c[i])) *
+                 (F.element_at("v", s * ds + i + 1) - F.lit(c[i]))
+                 for i in range(ds)])
+            for c in cb])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return base.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+
+
+def pq_reconstruct(codes_col, codebooks: list):
+    """The decoded (centroid-concatenation) vector for a code array — the
+    asymmetric-distance form: scoring a full-precision query against
+    ``pq_reconstruct(codes)`` IS ADC (the query side stays exact, the
+    corpus side is its quantization). Pure column expression over literal
+    codebooks; at scale the scan reads codes only and reconstruction is
+    map-side arithmetic, never an embedding-column read."""
+    col = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    cbs = [F.array(*[F.array(*[F.lit(x) for x in c]) for c in cb])
+           for cb in codebooks]
+    return F.flatten(F.array(*[
+        F.element_at(cbs[s], F.element_at(col, s + 1) + 1)
+        for s in range(len(codebooks))]))
 
 
 def pairwise_cosine_blocked(df: DataFrame, id_col: str,

