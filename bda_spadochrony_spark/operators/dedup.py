@@ -494,10 +494,38 @@ def admission_sketch(df: DataFrame, id_col: str, text_col: str,
             .withColumn("n_shingles", F.size("shingles")))
 
 
+def _sketch_band_rows(sk: DataFrame, id_col: str, out_id: str,
+                      rows_per_band: int, num_hashes: int) -> DataFrame:
+    """Band a sketch's ``sig`` column into (band_id, band_hash) rows for
+    the cross-frame candidate join. ``rows_per_band=1`` is the classic
+    any-minhash-collision candidacy (the admission contract's oracled
+    semantics); r>1 hashes r consecutive signature entries per band —
+    the standard LSH knob that drops a band's collision rate from J to
+    J^r, the lever when candidacy explodes on a boilerplate-heavy corpus
+    (same construction as ``minhash_lsh_candidates``)."""
+    if rows_per_band == 1:
+        return sk.select(F.col(id_col).alias(out_id),
+                         F.posexplode("sig").alias("band_id", "band_hash"))
+    bands = num_hashes // rows_per_band
+    return sk.select(
+        F.col(id_col).alias(out_id),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.xxhash64(F.concat_ws("_", *[
+                         F.element_at("sig",
+                                      b * rows_per_band + r + 1)
+                         .cast("string")
+                         for r in range(rows_per_band)])).alias("band_hash"))
+            for b in range(bands)])).alias("band")
+    ).select(out_id, "band.band_id", "band.band_hash")
+
+
 def sketch_incremental_dedup(new_sketch: DataFrame,
                              existing_sketch: DataFrame, id_col: str,
                              min_jaccard: float = 0.5,
-                             materialize: bool = True) -> DataFrame:
+                             materialize: bool = True,
+                             rows_per_band: int = 1,
+                             num_hashes: int = 16) -> DataFrame:
     """``incremental_dedup`` computed ENTIRELY from persisted sketches —
     no raw text on either side. Same flags, same math: exact gate is a
     digest semi-join, band candidacy is the sig-element equi join, and
@@ -527,11 +555,10 @@ def sketch_incremental_dedup(new_sketch: DataFrame,
                   .join(existing_sketch.select("digest").distinct(),
                         "digest", "left_semi")
                   .select(id_col))
-    nb = new_keyed.select(F.col(id_col).alias("id_a"),
-                          F.posexplode("sig").alias("band_id", "band_hash"))
-    eb = existing_sketch.select(
-        F.col(id_col).alias("id_b"),
-        F.posexplode("sig").alias("band_id", "band_hash"))
+    nb = _sketch_band_rows(new_keyed, id_col, "id_a",
+                           rows_per_band, num_hashes)
+    eb = _sketch_band_rows(existing_sketch, id_col, "id_b",
+                           rows_per_band, num_hashes)
     cands = (nb.join(eb, ["band_id", "band_hash"])
              .select("id_a", "id_b").distinct())
     if materialize:

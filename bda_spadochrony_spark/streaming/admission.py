@@ -69,7 +69,8 @@ def admission_batch_writer(corpus_path: str, results_path: str,
                            min_jaccard: float = 0.5, num_hashes: int = 16,
                            shingle_n: int = 3, seed: int = 42,
                            hash_fn: str = "xxhash64",
-                           sketch_path: str | None = None):
+                           sketch_path: str | None = None,
+                           rows_per_band: int = 1):
     """foreachBatch callback factory: sketch ``batch_df`` once, classify
     it against the admitted corpus's persisted sketch at ``sketch_path``,
     write flags to ``results_path`` and the admitted documents + their
@@ -104,7 +105,9 @@ def admission_batch_writer(corpus_path: str, results_path: str,
                 [], batch_sketch.schema).select(
                     id_col, "digest", "sig", "shingles", "n_shingles")
         flags = sketch_incremental_dedup(batch_sketch, existing, id_col,
-                                         min_jaccard=min_jaccard)
+                                         min_jaccard=min_jaccard,
+                                         rows_per_band=rows_per_band,
+                                         num_hashes=num_hashes)
         flags = flags.localCheckpoint()   # three consumers below
         flags.write.mode("overwrite") \
             .parquet(f"{results_path}/batch_id={batch_id}")

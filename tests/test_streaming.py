@@ -678,3 +678,39 @@ def test_admission_corrupt_sketch_fails_loudly(spark):
         assert not isinstance(exc_info.value, TimeoutError)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_sketch_classifier_multi_row_bands_knob(spark):
+    """r10: rows_per_band>1 is the candidacy-explosion lever (per-band
+    collision rate J^r instead of J). Exact duplicates survive ANY band
+    width (identical signatures collide in every band, and the digest
+    gate is band-independent); candidate volume must strictly shrink on
+    a boilerplate-heavy corpus; weak near-dups MAY lose candidacy — the
+    documented recall trade, not a bug."""
+    from bda_spadochrony_spark.operators.dedup import (
+        _sketch_band_rows, admission_sketch, sketch_incremental_dedup)
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = [(i, f"{shared} tail{i} {'filler' * (i % 3)}")
+              for i in range(30)]
+    batch = [(100, corpus[5][1]),                  # exact dup
+             (101, "completely unrelated fresh text body here")]
+    cdf = spark.createDataFrame(corpus, "doc_id: long, text: string")
+    bdf = spark.createDataFrame(batch, "doc_id: long, text: string")
+    cs = admission_sketch(cdf, "doc_id", "text", num_hashes=16)
+    bs = admission_sketch(bdf, "doc_id", "text", num_hashes=16)
+
+    def cand_count(r):
+        nb = _sketch_band_rows(bs, "doc_id", "id_a", r, 16)
+        eb = _sketch_band_rows(cs, "doc_id", "id_b", r, 16)
+        return (nb.join(eb, ["band_id", "band_hash"])
+                .select("id_a", "id_b").distinct().count())
+
+    n1, n4 = cand_count(1), cand_count(4)
+    assert n4 < n1, f"wider bands must shrink candidacy ({n4} !< {n1})"
+    for r in (1, 4):
+        flags = {row["doc_id"]: (row["dup_exact"], row["admitted"])
+                 for row in sketch_incremental_dedup(
+                     bs, cs, "doc_id", min_jaccard=0.5,
+                     rows_per_band=r, num_hashes=16).collect()}
+        assert flags[100] == (1, 0), f"exact dup lost at r={r}"
+        assert flags[101] == (0, 1), f"fresh doc flagged at r={r}"
