@@ -1412,6 +1412,10 @@ def q_text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = _t(spark, sf_dir, "documents")
         vecs = hashed_doc_vectors(docs, "doc_id", "text", dim=64,
                                   hash_fn="md5")
+        # the vector frame feeds the center-fit collect, the assignment,
+        # and (through its lineage) every CC round — checkpoint or each
+        # consumer replays the featurizer (AQE never cross-stage-reuses)
+        vecs = vecs.localCheckpoint(eager=False)
         out = semantic_dedup(vecs, "doc_id", vec_col="vector",
                              min_cosine=0.9)
         return out.select("doc_id", F.col("cell").cast("long").alias("cell"))

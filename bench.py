@@ -152,6 +152,8 @@ HEADLINE = [
     # round 10 additions
     ("bpe_encode", "count"),
     ("text_semantic_dedup", "count"),
+    ("pq_codes", "count"),
+    ("embedding_pq_stack", "count"),
 ]
 
 N_SHARDS = 2
@@ -297,6 +299,26 @@ def main() -> None:
                            "same tree plans once, execution scales with "
                            "data (sf1 calibrated run: 14.4s, "
                            "exec-dominated)"),
+                       "text_semantic_dedup": (
+                           "~9s warm at sf0.1: the semantic_dedup floor "
+                           "family (CC rounds + per-cell Gram) over 2.5x "
+                           "the vectors - every one of the 5,000 hashed "
+                           "doc vectors is valid, vs 2,000 valid rows in "
+                           "the embeddings table the semantic_dedup "
+                           "contract query quantizes. Cost tracks the "
+                           "vector count, not a plan flaw; the featurizer "
+                           "itself is 0.3s (hashed_vectors)"),
+                       "pq_codes": (
+                           "~2s warm at sf0.1 after the r10 fold rewrite: "
+                           "the first cut unrolled m*k distance sums into "
+                           "~80k expression nodes and paid ~10s of "
+                           "CATALYST ANALYSIS per call (0.1s exec) - the "
+                           "transform/aggregate fold over one literal "
+                           "array-of-arrays per subspace is ~60x smaller "
+                           "and bit-identical (the _assign_cells "
+                           "pattern). Do not re-unroll for codegen: the "
+                           "tree cost dominates at any data size because "
+                           "it is per-CALL, not per-row"),
                        "embedding_ann_stack": (
                            "~2.4-2.6s warm: exec is interpreted "
                            "higher-order int8 dot products over bucket "
