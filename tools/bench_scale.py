@@ -44,6 +44,8 @@ FAMILY = [
     "semantic_dedup",
     # r9: the neighbor-cell-probed variant (n_probe=2 pair generation)
     "semantic_dedup_probed",
+    # r10: BPE encode, the chained text->semantic-dedup loop, PQ
+    "bpe_encode", "text_semantic_dedup", "pq_codes", "embedding_pq_stack",
     "stream_hourly", "stream_distinct", "stream_sliding",
     "stream_join_outer",
 ]
