@@ -949,6 +949,83 @@ def _pq_stack_oracle() -> str:
         """
 
 
+def q_embedding_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ self-search (r10 — the canonical FAISS pairing): the coarse
+    quantizer prunes WHICH rows each query scores (n_probe=2 nearest
+    cells; the corpus lives in its primary cell — the parquet partition
+    key at rest), PQ prunes WHAT the scoring reads (ADC against 32-bit
+    reconstructed codes, never the float column), and the exact float64
+    rerank of each query's top-10 restores precision for k=3. Subset
+    centers (cells_for-sized) and subset codebooks throughout — fully
+    oracled with the probe/assignment tie-breaks restated exactly."""
+    from bda_spadochrony_spark.operators.similarity import ivf_pq_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_pq_topk(emb, "vec_id", k=3, n_probe=2)
+    return out.select("query_id", "corpus_id",
+                      stable_round(F.col("cosine"), 6).alias("cosine"))
+
+
+def _ivf_pq_oracle(cells: int) -> str:
+    """The pq_codes codebook/argmin CTEs + subset IVF centers with the
+    probed (rn<=2) query side and primary (rn=1) corpus side + ADC
+    scoring + the two rank stages."""
+    return f"""
+        WITH {_PQ_N_CTE}, rec AS (
+            SELECT best.vec_id,
+                   flatten(list(cb.v[best.s*8 + 1 : best.s*8 + 8]
+                                ORDER BY best.s)) AS r
+            FROM best JOIN cb USING (j) GROUP BY 1
+        ), cent AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+            FROM n ORDER BY vec_id LIMIT {cells}
+        ), dists AS (
+            SELECT n.vec_id, n.v, cent.cell,
+                   list_dot_product(
+                       [n.v[i+1] - cent.c[i+1] for i in range(64)],
+                       [n.v[i+1] - cent.c[i+1] for i in range(64)]) AS d2
+            FROM n, cent
+        ), ranked_cells AS (
+            SELECT vec_id, v, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2 ASC, cell ASC) AS rn
+            FROM dists
+        ), probes AS (
+            SELECT vec_id, v, cell, sqrt(list_dot_product(v, v)) AS qn
+            FROM ranked_cells WHERE rn <= 2
+        ), assigned AS (
+            SELECT rc.vec_id, rc.v, rc.cell, rec.r,
+                   sqrt(list_dot_product(rec.r, rec.r)) AS rnm
+            FROM ranked_cells rc JOIN rec USING (vec_id) WHERE rc.rn = 1
+        ), pairs AS (
+            SELECT p.vec_id AS query_id, a.vec_id AS corpus_id,
+                   p.v AS qv, a.v AS cv,
+                   list_dot_product(p.v, a.r) / (p.qn * a.rnm) AS approx
+            FROM probes p JOIN assigned a
+              ON a.cell = p.cell AND a.vec_id != p.vec_id
+            WHERE p.qn > 0 AND a.rnm > 0
+        ), cand AS (
+            SELECT query_id, corpus_id, qv, cv FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY approx DESC, corpus_id ASC) AS rn
+                FROM pairs) WHERE rn <= 10
+        ), exact AS (
+            SELECT query_id, corpus_id,
+                   list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(cv, cv))) AS cos
+            FROM cand
+        ), ranked AS (
+            SELECT query_id, corpus_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, corpus_id ASC)
+                   AS rn
+            FROM exact
+        )
+        SELECT query_id, corpus_id, round((cos) + 1e-10, 6) AS cosine
+        FROM ranked WHERE rn <= 3
+    """
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding column (per-vector scale
     + int8 codes) — engine-portable floor rounding, fully oracled. The
@@ -3297,6 +3374,7 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel": q_funnel,
     "pq_codes": q_pq_codes,
     "embedding_pq_stack": q_embedding_pq_stack,
+    "embedding_ivf_pq": q_embedding_ivf_pq,
     "bpe_train": q_bpe_train,
     "hashed_vectors": q_hashed_vectors,
     "semantic_dedup_probed": q_semantic_dedup_probed,
@@ -3339,10 +3417,10 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantiles": q_quantiles,
     "repetition_stats": q_repetition_stats,
     "returned_items": q_returned_items,
-    "revenue_change": q_revenue_change,
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "revenue_change": q_revenue_change,
     "shipping_priority": q_shipping_priority,
     "simhash_md5_pairs": q_simhash_md5_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -3508,6 +3586,10 @@ def oracle_sql() -> dict[str, str]:
         FROM best GROUP BY 1
     """
     d["embedding_pq_stack"] = _pq_stack_oracle()
+    d["embedding_ivf_pq"] = _ivf_pq_oracle(
+        __import__("bda_spadochrony_spark.operators.similarity",
+                   fromlist=["cells_for"]).cells_for(
+            _oracle_embedding_count()))
     d["embedding_ann_stack"] = _ann_stack_oracle()
     # corpus-sized quantizer (r8): same footer-count derivation as the
     # ANN planes — both engines fit cells_for(n) centers

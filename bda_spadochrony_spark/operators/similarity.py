@@ -670,6 +670,75 @@ def pq_reconstruct(codes_col, codebooks: list):
         for s in range(len(codebooks))]))
 
 
+def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str = "embedding",
+                k: int = 3, n_candidates: int = 10,
+                n_cells: int | None = None, n_probe: int = 2,
+                m: int = 8, codebook_k: int = 16) -> DataFrame:
+    """IVF-PQ self-search (the canonical FAISS pairing): the coarse
+    quantizer prunes WHICH rows a query scores (each query probes its
+    ``n_probe`` nearest cells; the corpus lives in its primary cell —
+    at 100 TB the cell is the parquet partition key, so a probe reads
+    n_probe/n_cells of the data), product quantization prunes WHAT the
+    scoring reads (ADC against the reconstructed code, 32 bits/vector —
+    never the float column), and the exact float64 rerank of each
+    query's top-``n_candidates`` restores precision for the final
+    ``k``. Deterministic-subset centers and codebooks throughout (the
+    ``ivf_portable``/``pq_codes`` conventions), so every stage is
+    SQL-restatable. Both fit collects are bounded (n_cells and
+    codebook_k rows)."""
+    base = valid_vectors(df, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"))
+    if n_cells is None:
+        n_cells = cells_for(df.count())
+    rows = base.orderBy("id").limit(n_cells).collect()
+    if not rows:
+        return base.select(F.col("id").alias("query_id"),
+                           F.col("id").alias("corpus_id"),
+                           F.lit(None).cast("double").alias("cosine")) \
+                   .where(F.lit(False))
+    center_rows = list(enumerate(r["v"] for r in rows))
+    codebooks = pq_codebooks(df, id_col, vec_col, m, codebook_k)
+    codes = pq_encode(df, id_col, vec_col, codebooks) \
+        .select(F.col(id_col).alias("id"), "codes")
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0),
+                                       lambda acc, x: acc + x * x))
+    # corpus side: primary cell + reconstructed code (+ its norm); the
+    # float column is carried only for the final rerank join-back —
+    # at rest it lives in a different (cold) column family
+    corpus = (_assign_cells(base, center_rows, "long")
+              .join(codes, "id")
+              .withColumn("r", pq_reconstruct("codes", codebooks))
+              .withColumn("rnm", nrm(F.col("r")))
+              .select(F.col("id").alias("corpus_id"),
+                      F.col("v").alias("cv"), "cell", "r", "rnm")
+              .localCheckpoint(eager=False))
+    probes = (_assign_cells(base, center_rows, "long", n_probe=n_probe)
+              .withColumn("qn", nrm(F.col("v")))
+              .select(F.col("id").alias("query_id"),
+                      F.col("v").alias("qv"), "cell", "qn")
+              .localCheckpoint(eager=False))
+    dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
+                                   F.lit(0.0), lambda acc, t: acc + t)
+    pairs = (probes.join(corpus, "cell")
+             .where((F.col("query_id") != F.col("corpus_id")) &
+                    (F.col("qn") > 0) & (F.col("rnm") > 0))
+             .withColumn("approx", dot(F.col("qv"), F.col("r")) /
+                         (F.col("qn") * F.col("rnm"))))
+    w1 = Window.partitionBy("query_id").orderBy(F.col("approx").desc(),
+                                                F.col("corpus_id").asc())
+    cand = (pairs.withColumn("rn", F.row_number().over(w1))
+            .where(F.col("rn") <= n_candidates))
+    exact = cand.withColumn(
+        "cosine", dot(F.col("qv"), F.col("cv")) /
+        (nrm(F.col("qv")) * nrm(F.col("cv"))))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col("corpus_id").asc())
+    return (exact.withColumn("rn2", F.row_number().over(w2))
+            .where(F.col("rn2") <= k)
+            .select("query_id", "corpus_id", "cosine"))
+
+
 def pairwise_cosine_blocked(df: DataFrame, id_col: str,
                             vec_col: str = "embedding",
                             min_cosine: float = 0.9,

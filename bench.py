@@ -154,6 +154,7 @@ HEADLINE = [
     ("text_semantic_dedup", "count"),
     ("pq_codes", "count"),
     ("embedding_pq_stack", "count"),
+    ("embedding_ivf_pq", "count"),
 ]
 
 N_SHARDS = 2

@@ -46,6 +46,7 @@ FAMILY = [
     "semantic_dedup_probed",
     # r10: BPE encode, the chained text->semantic-dedup loop, PQ
     "bpe_encode", "text_semantic_dedup", "pq_codes", "embedding_pq_stack",
+    "embedding_ivf_pq",
     "stream_hourly", "stream_distinct", "stream_sliding",
     "stream_join_outer",
 ]
