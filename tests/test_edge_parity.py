@@ -144,6 +144,10 @@ EDGE_EMB_QUERIES = [
     # r7 additions with the junk-element rows: the remaining oracled
     # consumers of the embedding column
     "semantic_dedup", "dedup_clusters", "pca_invariants",
+    # r10: the product-quantization family — subset codebooks must skip
+    # junk rows identically, ADC guards (qn/rnm > 0) must agree, and the
+    # cell/probe assignment tie-breaks must survive extreme magnitudes
+    "pq_codes", "embedding_pq_stack", "embedding_ivf_pq",
 ]
 
 
