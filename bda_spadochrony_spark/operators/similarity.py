@@ -610,7 +610,11 @@ def pq_codebooks(df: DataFrame, id_col: str, vec_col: str = "embedding",
         F.col(vec_col).cast("array<double>").alias("v"))
     rows = base.orderBy("id").limit(k).collect()
     if not rows:
-        raise ValueError("pq_codebooks: no valid vectors to fit from")
+        # fully-corrupt or empty corpus (r10 zero-row edge fixture):
+        # nothing to fit — return the empty codebook; pq_encode maps it
+        # to the empty codes frame (the ivf_topk/semantic_dedup
+        # empty-in → empty-out convention, not a trainer raise)
+        return []
     d = len(rows[0]["v"])
     if d % m:
         raise ValueError(f"pq_codebooks: dim {d} not divisible by m={m}")
@@ -636,6 +640,11 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str = "embedding",
     scan reads INSTEAD of the embeddings."""
     if codebooks is None:
         codebooks = pq_codebooks(df, id_col, vec_col, m, k)
+    if not codebooks:
+        # empty codebook (empty/corrupt corpus): the empty codes frame
+        return valid_vectors(df, vec_col).select(
+            F.col(id_col),
+            F.array().cast("array<int>").alias("codes"))
     m = len(codebooks)
     ds = len(codebooks[0][0])
     out = valid_vectors(df, vec_col).select(
@@ -662,6 +671,8 @@ def pq_reconstruct(codes_col, codebooks: list):
     corpus side is its quantization). Pure column expression over literal
     codebooks; at scale the scan reads codes only and reconstruction is
     map-side arithmetic, never an embedding-column read."""
+    if not codebooks:
+        return F.array().cast("array<double>")
     col = F.col(codes_col) if isinstance(codes_col, str) else codes_col
     cbs = [F.array(*[F.array(*[F.lit(x) for x in c]) for c in cb])
            for cb in codebooks]
