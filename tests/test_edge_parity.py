@@ -915,7 +915,13 @@ def edge_dup_duck(edge_dup_dir):
 # papered over with a dropDuplicates shuffle every query would pay.
 EDGE_DUP_DIVERGENT = {"repetition_stats", "quality_gate",
                       "pca_invariants", "semantic_dedup",
-                      "semantic_dedup_probed"}
+                      "semantic_dedup_probed",
+                      # r10: the PQ family's oracles collapse retry
+                      # copies through their per-(vec_id, s) argmin
+                      # row_number while Spark codes every input ROW —
+                      # the same id-keyed-oracle boundary; Spark-side
+                      # determinism pinned below
+                      "pq_codes", "embedding_pq_stack", "embedding_ivf_pq"}
 EDGE_DUP_QUERIES = [q for q in
                     EDGE_QUERIES + EDGE_EMB_QUERIES + ["semantic_dedup_probed"]
                     if q not in EDGE_DUP_DIVERGENT]
@@ -1120,3 +1126,31 @@ def test_edge_tokenizer_unicode_bpe_train_matches_reference(
     got = [(r["rank"], r["a"], r["b"], r["n"]) for r in
            bpe_train(docs, "text", n_merges=8).orderBy("rank").collect()]
     assert got == want
+
+
+def test_duplicate_key_pq_boundary_documented(spark, edge_dup_dir):
+    """r10: PQ under exact-copy duplicate ids — the oracle keys on
+    vec_id (its per-(vec_id, subspace) argmin row_number collapses
+    copies), so parity is a documented boundary; the SPARK side must
+    stay deterministic and sane: every input ROW gets a code row,
+    copies of the same id get IDENTICAL codes (same vector → same
+    argmin), and re-execution is stable."""
+    import collections
+
+    from bda_spadochrony_spark.operators.similarity import (pq_codebooks,
+                                                            pq_encode)
+    from bda_spadochrony_spark.sources.readers import scan
+    emb = scan(spark, f"{edge_dup_dir}/embeddings.parquet")
+    cbs = pq_codebooks(emb, "vec_id")
+    codes = pq_encode(emb, "vec_id", codebooks=cbs)
+    rows = codes.collect()
+    per_id = collections.defaultdict(set)
+    n_per_id = collections.Counter()
+    for r in rows:
+        per_id[r["vec_id"]].add(tuple(r["codes"]))
+        n_per_id[r["vec_id"]] += 1
+    assert max(n_per_id.values()) > 1          # the fixture really dups
+    assert all(len(v) == 1 for v in per_id.values()), \
+        "copies of one id must code identically"
+    assert sorted(map(tuple, (tuple(r) for r in rows))) == \
+        sorted(map(tuple, (tuple(r) for r in codes.collect())))
