@@ -997,9 +997,12 @@ def _ivf_pq_oracle(cells: int) -> str:
                    sqrt(list_dot_product(rec.r, rec.r)) AS rnm
             FROM ranked_cells rc JOIN rec USING (vec_id) WHERE rc.rn = 1
         ), pairs AS (
+            -- ADC numerator in the engine's LUT order: per-subspace
+            -- dots (index-ordered folds), summed left-to-right over s
             SELECT p.vec_id AS query_id, a.vec_id AS corpus_id,
                    p.v AS qv, a.v AS cv,
-                   list_dot_product(p.v, a.r) / (p.qn * a.rnm) AS approx
+                   (list_dot_product(p.v[1:8], a.r[1:8])\n                    + list_dot_product(p.v[9:16], a.r[9:16])\n                    + list_dot_product(p.v[17:24], a.r[17:24])\n                    + list_dot_product(p.v[25:32], a.r[25:32])\n                    + list_dot_product(p.v[33:40], a.r[33:40])\n                    + list_dot_product(p.v[41:48], a.r[41:48])\n                    + list_dot_product(p.v[49:56], a.r[49:56])\n                    + list_dot_product(p.v[57:64], a.r[57:64]))
+                   / (p.qn * a.rnm) AS approx
             FROM probes p JOIN assigned a
               ON a.cell = p.cell AND a.vec_id != p.vec_id
             WHERE p.qn > 0 AND a.rnm > 0

@@ -708,41 +708,79 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str = "embedding",
                            F.col("id").alias("corpus_id"),
                            F.lit(None).cast("double").alias("cosine")) \
                    .where(F.lit(False))
+    # the assignment/LUT folds are the CPU of this operator (n_cells·d
+    # interpreted ops per row) — spread them across the cluster even
+    # when the input is a single parquet file (the shingle_rows
+    # few-file-input rule; measured 25 s/side on 1-2 scan partitions at
+    # sf1, ~2 s spread). The shuffle carries one slim row per vector.
+    base = base.repartition(F.col("id"))
     center_rows = list(enumerate(r["v"] for r in rows))
     codebooks = pq_codebooks(df, id_col, vec_col, m, codebook_k)
     codes = pq_encode(df, id_col, vec_col, codebooks) \
         .select(F.col(id_col).alias("id"), "codes")
     nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0),
                                        lambda acc, x: acc + x * x))
-    # corpus side: primary cell + reconstructed code (+ its norm); the
-    # float column is carried only for the final rerank join-back —
-    # at rest it lives in a different (cold) column family
+    m_eff, ds = len(codebooks), len(codebooks[0][0])
+    # the full-precision vectors are touched exactly twice: the LUT
+    # build on the probe side, and the bounded rerank JOIN-BACK below
+    vecs = base.localCheckpoint(eager=False)
     corpus = (_assign_cells(base, center_rows, "long")
               .join(codes, "id")
-              .withColumn("r", pq_reconstruct("codes", codebooks))
-              .withColumn("rnm", nrm(F.col("r")))
-              .select(F.col("id").alias("corpus_id"),
-                      F.col("v").alias("cv"), "cell", "r", "rnm")
+              .withColumn("rnm", nrm(pq_reconstruct("codes", codebooks)))
+              .select(F.col("id").alias("corpus_id"), "cell", "codes",
+                      "rnm")
               .localCheckpoint(eager=False))
-    probes = (_assign_cells(base, center_rows, "long", n_probe=n_probe)
-              .withColumn("qn", nrm(F.col("v")))
-              .select(F.col("id").alias("query_id"),
-                      F.col("v").alias("qv"), "cell", "qn")
-              .localCheckpoint(eager=False))
+    # the REAL ADC trick (Jégou §IV): each query precomputes its m×k
+    # lookup table lut[s][j] = <q_s, c_{s,j}> ONCE (m·k·d/m ops), and a
+    # candidate's dot against its reconstruction is m table lookups —
+    # <q, recon(x)> = Σ_s lut[s][codes_x[s]]. A first cut recomputed the
+    # full 64-term dot per pair: 5M sf1 pairs × 64 interpreted ops
+    # dominated the drain (247 s → 30 s with LUTs). Per-subspace dots
+    # fold in index order and the s-sum is left-to-right, so the value
+    # is bit-identical to the oracle's Σ_s list_dot_product(slices)
     dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
                                    F.lit(0.0), lambda acc, t: acc + t)
+    luts = []
+    for s, cb in enumerate(codebooks):
+        cb_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                           for c in cb])
+        sub = F.slice("v", s * ds + 1, ds)
+        luts.append(F.transform(cb_lit, lambda c: dot(sub, c)))
+    probes = (_assign_cells(base, center_rows, "long", n_probe=n_probe)
+              .withColumn("qn", nrm(F.col("v")))
+              .withColumn("lut", F.array(*luts))
+              .select(F.col("id").alias("query_id"), "cell", "qn", "lut")
+              .localCheckpoint(eager=False))
+    adc_num = None
+    for s in range(m_eff):
+        term = F.element_at(F.element_at("lut", s + 1),
+                            F.element_at("codes", s + 1) + 1)
+        adc_num = term if adc_num is None else adc_num + term
+    # ADC scores compute INSIDE the cell join and the pair frame is
+    # projected to (query_id, corpus_id, approx) BEFORE the top-k
+    # window: the candidate exchange carries 24 B/pair, not both full
+    # vectors (a first cut kept qv/cv on the 5M-pair frame at sf1 and
+    # the window sorted ~7.5 GB — 536 s; slimming the exchange and
+    # joining vectors back for the bounded rerank is the fix)
     pairs = (probes.join(corpus, "cell")
              .where((F.col("query_id") != F.col("corpus_id")) &
                     (F.col("qn") > 0) & (F.col("rnm") > 0))
-             .withColumn("approx", dot(F.col("qv"), F.col("r")) /
-                         (F.col("qn") * F.col("rnm"))))
+             .select("query_id", "corpus_id",
+                     (adc_num / (F.col("qn") * F.col("rnm")))
+                     .alias("approx")))
     w1 = Window.partitionBy("query_id").orderBy(F.col("approx").desc(),
                                                 F.col("corpus_id").asc())
     cand = (pairs.withColumn("rn", F.row_number().over(w1))
-            .where(F.col("rn") <= n_candidates))
-    exact = cand.withColumn(
-        "cosine", dot(F.col("qv"), F.col("cv")) /
-        (nrm(F.col("qv")) * nrm(F.col("cv"))))
+            .where(F.col("rn") <= n_candidates)
+            .select("query_id", "corpus_id"))
+    # bounded join-back: n_candidates rows per query fetch full vectors
+    exact = (cand
+             .join(vecs.select(F.col("id").alias("query_id"),
+                               F.col("v").alias("qv")), "query_id")
+             .join(vecs.select(F.col("id").alias("corpus_id"),
+                               F.col("v").alias("cv")), "corpus_id")
+             .withColumn("cosine", dot(F.col("qv"), F.col("cv")) /
+                         (nrm(F.col("qv")) * nrm(F.col("cv")))))
     w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                 F.col("corpus_id").asc())
     return (exact.withColumn("rn2", F.row_number().over(w2))
