@@ -29,6 +29,11 @@ session weight under which rounds 1-4 were measured — and the parent
 merges timings into the one contract line. A resident 100 TB engine
 pays JVM startup once a week, not per query; billing a 90-plan session
 tax to whichever queries run last measured the harness, not the engine.
+Round 10: the headline grew to 93 queries and the r10 additions sat at
+the tail of a ~47-plan shard — their cold numbers degraded 3-6x vs
+isolated runs (bpe_encode 7.0 s sharded vs 1.2 s isolated; same code),
+the exact r5 pattern again — so N_SHARDS is now 3 (~31 plans/shard,
+comfortably under the measured degradation threshold).
 """
 
 from __future__ import annotations
@@ -157,7 +162,7 @@ HEADLINE = [
     ("embedding_ivf_pq", "count"),
 ]
 
-N_SHARDS = 2
+N_SHARDS = 3
 
 
 def run_shard(shard: int) -> None:
