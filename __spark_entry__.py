@@ -3303,6 +3303,44 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sort_by(agg, ["date", "hour"])
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source format under the oracle (r10 — the third non-parquet
+    path after CSV/JSON): events exported once to ORC with native types
+    (no string staging — ORC carries timestamps directly), read back
+    through the typed scan, and aggregated per event type; the result
+    must equal the same aggregate over the original parquet. Exercises
+    fmt="orc" end to end (write, typed read, predicate-friendly
+    columnar layout — the lake format a reference user might already
+    have on disk)."""
+    import os
+    import tempfile
+    ev = _t(spark, sf_dir, "events")
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    orc_dir = os.path.join(
+        tempfile.gettempdir(),
+        "bda_orc_%s_%d_%d" % (sf_dir.strip("/").replace("/", "_"),
+                              int(st.st_mtime), st.st_size))
+    if not os.path.exists(orc_dir):
+        import shutil
+        staging = tempfile.mkdtemp(prefix="bda_orc_stage_")
+        ev.select("event_id", "ts", "user_id", "event_type", "value") \
+          .write.mode("overwrite").orc(staging)
+        try:
+            os.rename(staging, orc_dir)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    back = scan(spark, orc_dir, fmt="orc")
+    agg = group_agg(back.where(F.col("event_type").isNotNull()),
+                    ["event_type"], [
+        F.count(F.lit(1)).alias("cnt"),
+        F.count("value").alias("n_vals"),
+        stable_round(F.avg("value"), 2).alias("avg_value"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event")])
+    return sort_by(agg, ["event_type"])
+
+
 def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional/null-handling scalar family: nullif, ifnull fallback,
     greatest/least across columns, boolean case."""
@@ -3378,6 +3416,7 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_codes": q_pq_codes,
     "embedding_pq_stack": q_embedding_pq_stack,
     "embedding_ivf_pq": q_embedding_ivf_pq,
+    "orc_roundtrip": q_orc_roundtrip,
     "bpe_train": q_bpe_train,
     "hashed_vectors": q_hashed_vectors,
     "semantic_dedup_probed": q_semantic_dedup_probed,
@@ -3419,10 +3458,10 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue": q_promo_revenue,
     "quantiles": q_quantiles,
     "repetition_stats": q_repetition_stats,
-    "returned_items": q_returned_items,
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "returned_items": q_returned_items,
     "revenue_change": q_revenue_change,
     "shipping_priority": q_shipping_priority,
     "simhash_md5_pairs": q_simhash_md5_pairs,
@@ -6403,6 +6442,16 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT CAST(ts AS DATE) AS date, CAST(hour(ts) AS INTEGER) AS hour,
                    count(*) AS cnt, round((avg(value)) + 1e-06, 2) AS avg_value
             FROM events GROUP BY 1, 2
+        """,
+        "orc_roundtrip": """
+            SELECT event_type,
+                   count(*) AS cnt,
+                   count(value) AS n_vals,
+                   round((avg(value)) + 1e-06, 2) AS avg_value,
+                   min(event_id) AS first_event,
+                   max(event_id) AS last_event
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY 1
         """,
         "conditional_funcs": """
             SELECT event_id,
