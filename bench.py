@@ -160,6 +160,7 @@ HEADLINE = [
     ("pq_codes", "count"),
     ("embedding_pq_stack", "count"),
     ("embedding_ivf_pq", "count"),
+    ("orc_roundtrip", "collect"),
 ]
 
 N_SHARDS = 3
