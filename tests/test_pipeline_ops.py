@@ -2329,6 +2329,14 @@ def test_bpe_encode_known_values_and_reference_parity(spark):
     assert got[1] == ["abc", "a", "ab", "b", "c", "ab"]
     assert got[2] == ["aa", "aa", "aa", "a"]
     assert got[4] == [] and got[5] == [] and got[6] == []
+    # pathological single-token document (r10 probe: the fold was
+    # suspected quadratic in word length via per-element array concat;
+    # measured FLAT to 128k chars — ~1.2 s at 8k/32k/128k — so no
+    # length gate is needed; this pins correctness at depth)
+    long_doc = [(7, "abc" * 4000)]
+    ldf = spark.createDataFrame(long_doc, "doc_id: long, text: string")
+    lgot = bpe_encode(ldf, "doc_id", "text", merges).collect()[0]["symbols"]
+    assert lgot == _ref_bpe_encode(long_doc[0][1], merges)
 
 
 def test_bpe_train_encode_round_trip(spark):
