@@ -684,7 +684,8 @@ def pq_reconstruct(codes_col, codebooks: list):
 def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str = "embedding",
                 k: int = 3, n_candidates: int = 10,
                 n_cells: int | None = None, n_probe: int = 2,
-                m: int = 8, codebook_k: int = 16) -> DataFrame:
+                m: int = 8, codebook_k: int = 16,
+                centers: DataFrame | None = None) -> DataFrame:
     """IVF-PQ self-search (the canonical FAISS pairing): the coarse
     quantizer prunes WHICH rows a query scores (each query probes its
     ``n_probe`` nearest cells; the corpus lives in its primary cell —
@@ -696,7 +697,18 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str = "embedding",
     ``k``. Deterministic-subset centers and codebooks throughout (the
     ``ivf_portable``/``pq_codes`` conventions), so every stage is
     SQL-restatable. Both fit collects are bounded (n_cells and
-    codebook_k rows)."""
+    codebook_k rows).
+
+    ``centers``: a tiny (cell, centroid array<double>) frame — pass
+    persisted KMeans centers to replace the deterministic subset
+    quantizer. BALANCE, not cell count, is the candidate-volume lever
+    on clustered data: measured at sf1 (Zipfian embeddings, 20k valid
+    vectors, n_probe=2), subset centers at k=100 generate 22.1M
+    candidate pairs, DOUBLING the subset to k=200 only cuts them to
+    17.4M (1.27×), while KMeans at the SAME k=100 cuts them to 9.1M
+    (2.4×) — the crowded subset cells split along the data's actual
+    density. The contract query stays on the subset quantizer (the
+    engine-portable oracle convention)."""
     base = valid_vectors(df, vec_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"))
@@ -714,7 +726,12 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str = "embedding",
     # few-file-input rule; measured 25 s/side on 1-2 scan partitions at
     # sf1, ~2 s spread). The shuffle carries one slim row per vector.
     base = base.repartition(F.col("id"))
-    center_rows = list(enumerate(r["v"] for r in rows))
+    if centers is not None:
+        center_rows = sorted(
+            (r["cell"], [float(x) for x in r["centroid"]])
+            for r in centers.select("cell", "centroid").collect())
+    else:
+        center_rows = list(enumerate(r["v"] for r in rows))
     codebooks = pq_codebooks(df, id_col, vec_col, m, codebook_k)
     codes = pq_encode(df, id_col, vec_col, codebooks) \
         .select(F.col(id_col).alias("id"), "codes")

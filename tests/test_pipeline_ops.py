@@ -2411,3 +2411,28 @@ def test_pq_adc_ranking_beats_random(spark):
     codes = {r["vec_id"]: list(r["codes"]) for r in
              pq_encode(emb, "vec_id", codebooks=cbs).collect()}
     assert codes[100] == codes[20]         # identical vectors, same codes
+
+
+def test_ivf_pq_topk_accepts_kmeans_centers(spark):
+    """r10: the candidate-volume lever — ivf_pq_topk takes persisted
+    (cell, centroid) centers in place of the subset quantizer (the sf1
+    A/B measured KMeans at the same k cutting candidates 2.4x where
+    doubling subset cells managed 1.27x). Sanity: the search still
+    returns k rows per query and self-pairs stay excluded."""
+    import numpy as np
+    from bda_spadochrony_spark.operators.similarity import ivf_pq_topk
+    rng = np.random.RandomState(3)
+    emb = spark.createDataFrame(
+        [(i, (rng.randn(64) + (i % 4) * 3).tolist()) for i in range(60)],
+        "vec_id: long, embedding: array<double>")
+    centers = spark.createDataFrame(
+        [(c, (np.full(64, c * 3.0) + rng.randn(64) * 0.1).tolist())
+         for c in range(4)], "cell: long, centroid: array<double>")
+    out = ivf_pq_topk(emb, "vec_id", k=2, n_probe=2, centers=centers) \
+        .collect()
+    per_q = {}
+    for r in out:
+        assert r["query_id"] != r["corpus_id"]
+        per_q.setdefault(r["query_id"], []).append(r["corpus_id"])
+    assert all(len(v) == 2 for v in per_q.values())
+    assert len(per_q) == 60
