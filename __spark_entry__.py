@@ -3265,31 +3265,52 @@ def q_salted_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sort_by(out, ["date", "hour"])
 
 
+def _roundtrip_cache_dir(fmt: str, sf_dir: str, write_fn) -> str:
+    """Per-(user, sf_dir, source-mtime/size) cache dir for the format
+    round-trip queries. The name is scoped by uid (r11 ADVICE: a shared
+    /tmp name could collide with another user's leftover — unreadable or
+    worse, silently scanned), the export is staged then atomically
+    renamed (concurrent callers race benignly — first rename wins), and
+    a LOST race is verified: if the rename failed but the target does
+    not exist/read afterwards, we raise instead of scanning garbage."""
+    import os
+    import shutil
+    import tempfile
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "bda_%s_u%s_%s_%d_%d" % (fmt, getattr(os, "getuid", lambda: 0)(),
+                                 sf_dir.strip("/").replace("/", "_"),
+                                 int(st.st_mtime), st.st_size))
+    if not os.path.exists(out_dir):
+        staging = tempfile.mkdtemp(prefix="bda_%s_stage_" % fmt)
+        write_fn(staging)
+        try:
+            os.rename(staging, out_dir)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+            if not (os.path.isdir(out_dir) and os.listdir(out_dir)):
+                raise RuntimeError(
+                    "%s round-trip cache rename failed and %s is missing "
+                    "or empty" % (fmt, out_dir))
+    return out_dir
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-parquet source format under the oracle: events exported once to
     CSV (timestamps as ISO strings), read back through the engine's
     typed CSV scan, and aggregated — the result must equal the same
     aggregate over the original parquet. Exercises the fmt="csv" reader
     path, header handling, and type-at-scan parsing."""
-    import os
-    import tempfile
     ev = _t(spark, sf_dir, "events")
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    csv_dir = os.path.join(
-        tempfile.gettempdir(),
-        "bda_csv_%s_%d_%d" % (sf_dir.strip("/").replace("/", "_"),
-                              int(st.st_mtime), st.st_size))
-    if not os.path.exists(csv_dir):
-        import shutil
-        staging = tempfile.mkdtemp(prefix="bda_csv_stage_")
-        ev.select("event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-                  .alias("ts"), "user_id", "event_type", "value") \
-          .write.mode("overwrite").option("header", True).csv(staging)
-        try:
-            os.rename(staging, csv_dir)
-        except OSError:
-            shutil.rmtree(staging, ignore_errors=True)
+    csv_dir = _roundtrip_cache_dir(
+        "csv", sf_dir,
+        lambda staging: ev.select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id", "event_type", "value")
+        .write.mode("overwrite").option("header", True).csv(staging))
     schema = StructType([
         StructField("event_id", LongType()), StructField("ts", TimestampType()),
         StructField("user_id", LongType()), StructField("event_type", StringType()),
@@ -3312,24 +3333,12 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     fmt="orc" end to end (write, typed read, predicate-friendly
     columnar layout — the lake format a reference user might already
     have on disk)."""
-    import os
-    import tempfile
     ev = _t(spark, sf_dir, "events")
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    orc_dir = os.path.join(
-        tempfile.gettempdir(),
-        "bda_orc_%s_%d_%d" % (sf_dir.strip("/").replace("/", "_"),
-                              int(st.st_mtime), st.st_size))
-    if not os.path.exists(orc_dir):
-        import shutil
-        staging = tempfile.mkdtemp(prefix="bda_orc_stage_")
-        ev.select("event_id", "ts", "user_id", "event_type", "value") \
-          .write.mode("overwrite").orc(staging)
-        try:
-            os.rename(staging, orc_dir)
-        except OSError:
-            shutil.rmtree(staging, ignore_errors=True)
+    orc_dir = _roundtrip_cache_dir(
+        "orc", sf_dir,
+        lambda staging: ev.select("event_id", "ts", "user_id",
+                                  "event_type", "value")
+        .write.mode("overwrite").orc(staging))
     back = scan(spark, orc_dir, fmt="orc")
     agg = group_agg(back.where(F.col("event_type").isNotNull()),
                     ["event_type"], [

@@ -523,11 +523,21 @@ def _sketch_band_rows(sk: DataFrame, id_col: str, out_id: str,
     semantics); r>1 hashes r consecutive signature entries per band —
     the standard LSH knob that drops a band's collision rate from J to
     J^r, the lever when candidacy explodes on a boilerplate-heavy corpus
-    (same construction as ``minhash_lsh_candidates``)."""
+    (same construction as ``minhash_lsh_candidates``).
+
+    Documents shorter than ``shingle_n`` tokens carry an EMPTY ``sig``
+    (``admission_sketch`` keeps them exact-gate-only). ``posexplode`` of
+    an empty array naturally emits no band rows; the r>1 path must filter
+    them out explicitly — ``element_at`` on an empty array raises under
+    Spark 4 ANSI mode, and one such row persisted by
+    ``admission_batch_writer`` would poison every later drain. The filter
+    also preserves the documented empty-sig-emits-no-band-rows semantics
+    instead of colliding every short doc on the hash of ''."""
     if rows_per_band == 1:
         return sk.select(F.col(id_col).alias(out_id),
                          F.posexplode("sig").alias("band_id", "band_hash"))
     bands = num_hashes // rows_per_band
+    sk = sk.filter(F.size("sig") == num_hashes)
     return sk.select(
         F.col(id_col).alias(out_id),
         F.explode(F.array(*[

@@ -712,9 +712,16 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str = "embedding",
     base = valid_vectors(df, vec_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"))
-    if n_cells is None:
-        n_cells = cells_for(df.count())
-    rows = base.orderBy("id").limit(n_cells).collect()
+    # the subset-quantizer fit (count + limit-collect) runs ONLY when no
+    # centers frame is supplied; with persisted KMeans centers the sole
+    # driver action here is a 1-row emptiness probe (r11 ADVICE — the
+    # fit rows were collected and discarded on the centers path)
+    if centers is None:
+        if n_cells is None:
+            n_cells = cells_for(df.count())
+        rows = base.orderBy("id").limit(n_cells).collect()
+    else:
+        rows = base.limit(1).collect()
     if not rows:
         return base.select(F.col("id").alias("query_id"),
                            F.col("id").alias("corpus_id"),

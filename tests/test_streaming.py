@@ -686,14 +686,24 @@ def test_sketch_classifier_multi_row_bands_knob(spark):
     width (identical signatures collide in every band, and the digest
     gate is band-independent); candidate volume must strictly shrink on
     a boilerplate-heavy corpus; weak near-dups MAY lose candidacy — the
-    documented recall trade, not a bug."""
+    documented recall trade, not a bug.
+
+    r11 (ADVICE): BOTH sides carry short/empty docs whose sketches hold
+    EMPTY sig arrays. r>1 banding must skip them (element_at on an empty
+    array raises under ANSI — one persisted short doc was a poison pill
+    crashing every later drain) while the digest gate still catches a
+    short exact dup, and must NOT bucket all short docs together (the
+    hash-of-'' collision the naive fix would introduce)."""
     from bda_spadochrony_spark.operators.dedup import (
         _sketch_band_rows, admission_sketch, sketch_incremental_dedup)
     shared = "the quick brown fox jumps over the lazy dog again and again"
     corpus = [(i, f"{shared} tail{i} {'filler' * (i % 3)}")
               for i in range(30)]
+    corpus += [(60, "hi"), (61, "")]               # short/empty: empty sig
     batch = [(100, corpus[5][1]),                  # exact dup
-             (101, "completely unrelated fresh text body here")]
+             (101, "completely unrelated fresh text body here"),
+             (102, "hi"),                          # short exact dup of 60
+             (103, "yo")]                          # short fresh doc
     cdf = spark.createDataFrame(corpus, "doc_id: long, text: string")
     bdf = spark.createDataFrame(batch, "doc_id: long, text: string")
     cs = admission_sketch(cdf, "doc_id", "text", num_hashes=16)
@@ -707,6 +717,15 @@ def test_sketch_classifier_multi_row_bands_knob(spark):
 
     n1, n4 = cand_count(1), cand_count(4)
     assert n4 < n1, f"wider bands must shrink candidacy ({n4} !< {n1})"
+    # empty-sig docs emit no band rows at ANY width (no ANSI crash, no
+    # short-doc collision bucket)
+    for r in (1, 4):
+        for side, frame in (("batch", bs), ("corpus", cs)):
+            short_ids = {60, 61, 102, 103}
+            banded = {row["x"] for row in _sketch_band_rows(
+                frame, "doc_id", "x", r, 16).select("x").collect()}
+            assert not (banded & short_ids), \
+                f"short docs banded at r={r} on {side}: {banded & short_ids}"
     for r in (1, 4):
         flags = {row["doc_id"]: (row["dup_exact"], row["admitted"])
                  for row in sketch_incremental_dedup(
@@ -714,6 +733,8 @@ def test_sketch_classifier_multi_row_bands_knob(spark):
                      rows_per_band=r, num_hashes=16).collect()}
         assert flags[100] == (1, 0), f"exact dup lost at r={r}"
         assert flags[101] == (0, 1), f"fresh doc flagged at r={r}"
+        assert flags[102] == (1, 0), f"short exact dup lost at r={r}"
+        assert flags[103] == (0, 1), f"short fresh doc flagged at r={r}"
 
 
 def test_incremental_dedup_accepts_existing_sketch(spark):
