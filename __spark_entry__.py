@@ -965,6 +965,27 @@ def q_embedding_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                       stable_round(F.col("cosine"), 6).alias("cosine"))
 
 
+def q_embedding_ivf_pq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ self-search under the PRODUCTION quantizer (r11, VERDICT
+    r10 #2 — the configuration you would run at 100×): balanced KMeans
+    centers (`kmeans_centers`, seeded MLlib fit at the same
+    corpus-calibrated cell count) replace the contract twin's
+    deterministic-subset centers. Balance is the candidate-volume lever
+    on clustered data — measured at sf1, KMeans at the SAME k cut
+    candidate pairs 2.4× where doubling subset cells managed 1.27×
+    (SCALE.md r10 ladder). Rows-only by declared design (MLlib's
+    iterative fit is not SQL-restatable); the oracled twin is
+    `embedding_ivf_pq`, and recall-vs-exact + the candidate cut are
+    pinned in tests/test_pipeline_ops.py."""
+    from bda_spadochrony_spark.operators.similarity import (ivf_pq_topk,
+                                                            kmeans_centers)
+    emb = _t(spark, sf_dir, "embeddings")
+    centers = kmeans_centers(emb, "embedding", seed=42)
+    out = ivf_pq_topk(emb, "vec_id", k=3, n_probe=2, centers=centers)
+    return out.select("query_id", "corpus_id",
+                      stable_round(F.col("cosine"), 6).alias("cosine"))
+
+
 def _ivf_pq_oracle(cells: int) -> str:
     """The pq_codes codebook/argmin CTEs + subset IVF centers with the
     probed (rn<=2) query side and primary (rn=1) corpus side + ADC
@@ -1423,9 +1444,43 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("symbols").alias("n_symbols"))
 
 
-def _bpe_encode_oracle() -> str:
-    """Generate the chained recursive-CTE restatement of the greedy BPE
-    fold for the literal ``_BPE_MERGES`` table."""
+def q_tokenizer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer loop closed END TO END (r11, VERDICT r10 #5): the
+    trained merge table (``_BPE_MERGES`` — the artifact ``bpe_train``
+    learns on this corpus, frozen as the encoder convention) applied via
+    ``bpe_encode``, the encoded symbol stream re-vocabbed
+    (``build_vocab`` top-100), every document re-emitted as its
+    symbol-id sequence (``tokens_to_ids``, OOV→0) and laid out by
+    concat-and-cut packing (``pack_documents``, 512-token windows, 8
+    shards) — train→encode→ids→packed sequences, the actual artifact a
+    training-data pipeline ships, as ONE lazy plan (the
+    ``corpus_pipeline`` CTE-chaining precedent). The encoded frame is
+    lineage-truncated once and feeds all three downstream stages."""
+    from bda_spadochrony_spark.operators.corpus import (bpe_encode,
+                                                        build_vocab,
+                                                        pack_documents,
+                                                        tokens_to_ids)
+    configure(spark)
+    docs = _t(spark, sf_dir, "documents")
+    enc = (bpe_encode(docs, "doc_id", "text", _BPE_MERGES)
+           .select("doc_id", F.concat_ws(" ", "symbols").alias("enc"))
+           .localCheckpoint(eager=False))
+    vocab = build_vocab(enc, "enc", size=100)
+    ids = tokens_to_ids(enc, "doc_id", "enc", vocab)
+    pack = pack_documents(enc, "doc_id", "enc", budget=512, num_shards=8)
+    return (pack.join(ids, "doc_id")
+            .select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset",
+                    F.concat_ws(",", F.col("token_ids").cast("array<string>"))
+                    .alias("token_ids")))
+
+
+def _bpe_fold_ctes() -> str:
+    """The shared recursive-CTE restatement of the greedy BPE fold for
+    the literal ``_BPE_MERGES`` table: distinct-word pointer walk +
+    per-doc order-stable reassembly. Returns the CTE body (ending in
+    ``rebuilt(doc_id, symbols)``) for a ``WITH RECURSIVE`` prelude —
+    shared by the ``bpe_encode`` oracle and the ``tokenizer_pipeline``
+    oracle that chains vocab/ids/packing on top (r11, VERDICT r10 #5)."""
     toks = "string_split_regex(lower(trim(text)), '[\\s\\x0b]+')"
     stages, prev = [], "c0"
     for k, (a, b) in enumerate(_BPE_MERGES, 1):
@@ -1445,8 +1500,7 @@ def _bpe_encode_oracle() -> str:
         )""")
         prev = f"s{k}"
     chain = ", ".join(stages)
-    return f"""
-        WITH RECURSIVE words AS (
+    return f"""words AS (
             SELECT DISTINCT unnest({toks}) AS w
             FROM documents WHERE text IS NOT NULL
         ), c0 AS (
@@ -1463,11 +1517,68 @@ def _bpe_encode_oracle() -> str:
                    flatten(list(e.chars ORDER BY t.ord)) AS symbols
             FROM tok t JOIN {prev} e ON e.w = t.w
             GROUP BY 1
-        )
+        )"""
+
+
+def _bpe_encode_oracle() -> str:
+    """The chained recursive-CTE restatement of the greedy BPE fold for
+    the literal ``_BPE_MERGES`` table."""
+    return f"""
+        WITH RECURSIVE {_bpe_fold_ctes()}
         SELECT d.doc_id,
                coalesce(array_to_string(r.symbols, ' '), '') AS encoded,
                CAST(coalesce(len(r.symbols), 0) AS INTEGER) AS n_symbols
         FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    """
+
+
+def _tokenizer_pipeline_oracle() -> str:
+    """The full tokenizer pipeline restated over the BPE fold prefix:
+    encoded text -> top-100 symbol vocab (count desc, token asc) ->
+    per-doc id sequences (OOV -> 0, order-stable) -> concat-and-cut
+    packing (512 budget, 8 shards, doc-id order) — each stage the same
+    SQL as its standalone oracle (tokens_to_ids / pack_documents),
+    applied to the ENCODED stream instead of raw text."""
+    etoks = "string_split_regex(lower(trim(enc)), '[\\s\\x0b]+')"
+    return f"""
+        WITH RECURSIVE {_bpe_fold_ctes()}, enc AS (
+            SELECT d.doc_id,
+                   coalesce(array_to_string(r.symbols, ' '), '') AS enc
+            FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+        ), etoks AS (
+            SELECT doc_id, unnest({etoks}) AS token,
+                   generate_subscripts({etoks}, 1) AS pos
+            FROM enc
+        ), vocab AS (
+            SELECT token,
+                   row_number() OVER (ORDER BY count(*) DESC, token ASC)
+                       AS token_id
+            FROM etoks GROUP BY token
+            QUALIFY token_id <= 100
+        ), ids AS (
+            SELECT t.doc_id,
+                   array_to_string(
+                       list(COALESCE(v.token_id, 0) ORDER BY t.pos),
+                       ',') AS token_ids
+            FROM etoks t LEFT JOIN vocab v USING (token)
+            GROUP BY t.doc_id
+        ), base AS (
+            SELECT doc_id, doc_id % 8 AS shard,
+                   len({etoks}) AS n_tokens
+            FROM enc
+        ), laid AS (
+            SELECT doc_id, shard, n_tokens,
+                   COALESCE(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS start
+            FROM base
+        )
+        SELECT l.doc_id, l.shard, l.n_tokens,
+               CAST(l.start // 512 AS BIGINT) AS pack_id,
+               CAST(l.start % 512 AS BIGINT) AS pack_offset,
+               i.token_ids
+        FROM laid l JOIN ids i ON i.doc_id = l.doc_id
     """
 
 
@@ -3418,6 +3529,7 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # hashed_vectors get their first re-confirmation), ahead of the
     # retained r9 backlog
     "bpe_encode": q_bpe_encode,
+    "tokenizer_pipeline": q_tokenizer_pipeline,
     "text_semantic_dedup": q_text_semantic_dedup,
     "stream_near_dup": q_stream_near_dup,
     "incremental_dedup": q_incremental_dedup,
@@ -3425,6 +3537,7 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_codes": q_pq_codes,
     "embedding_pq_stack": q_embedding_pq_stack,
     "embedding_ivf_pq": q_embedding_ivf_pq,
+    "embedding_ivf_pq_kmeans": q_embedding_ivf_pq_kmeans,
     "orc_roundtrip": q_orc_roundtrip,
     "bpe_train": q_bpe_train,
     "hashed_vectors": q_hashed_vectors,
@@ -3465,11 +3578,12 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot": q_pivot,
     "priority_lines": q_priority_lines,
     "promo_revenue": q_promo_revenue,
-    "quantiles": q_quantiles,
-    "repetition_stats": q_repetition_stats,
 }
 
 _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # demoted r11 after their r10 re-confirmations (window stays at 50)
+    "quantiles": q_quantiles,
+    "repetition_stats": q_repetition_stats,
     "returned_items": q_returned_items,
     "revenue_change": q_revenue_change,
     "shipping_priority": q_shipping_priority,
@@ -3630,6 +3744,7 @@ def oracle_sql() -> dict[str, str]:
     d["traffic_hourly_fused"] = d["traffic_hourly"]
     d["embedding_lsh_portable"] = _lsh_portable_oracle()
     d["bpe_encode"] = _bpe_encode_oracle()
+    d["tokenizer_pipeline"] = _tokenizer_pipeline_oracle()
     d["pq_codes"] = """
         WITH """ + _PQ_N_CTE + """
         SELECT vec_id,

@@ -178,6 +178,9 @@ HEADLINE = [
     ("embedding_pq_stack", "count"),
     ("embedding_ivf_pq", "count"),
     ("orc_roundtrip", "collect"),
+    # round 11 additions
+    ("embedding_ivf_pq_kmeans", "count"),
+    ("tokenizer_pipeline", "count"),
 ]
 
 N_SHARDS = 3

@@ -2413,6 +2413,92 @@ def test_pq_adc_ranking_beats_random(spark):
     assert codes[100] == codes[20]         # identical vectors, same codes
 
 
+def test_ivf_pq_kmeans_recall_vs_exact(spark):
+    """r11 (VERDICT r10 #2): the production IVF-PQ path — balanced
+    KMeans centers from `kmeans_centers` — pinned against exact search
+    (the test_ivf_topk_recall precedent). On well-separated clusters the
+    true top-1 lives in the probed cell and the exact rerank recovers it
+    from the ADC candidates."""
+    import random
+
+    from bda_spadochrony_spark.operators.similarity import (
+        cosine_topk_vectorized, ivf_pq_topk, kmeans_centers)
+    rng = random.Random(5)
+    rows = []
+    for cl in range(4):
+        center = [10.0 * (cl == (j % 4)) for j in range(64)]
+        for i in range(25):
+            # ids INTERLEAVED across clusters: the PQ codebooks sample
+            # the first 16 vectors by id, so id order must cover all
+            # clusters or the codebooks only represent one geometry
+            rows.append((i * 4 + cl,
+                         [c + rng.uniform(-0.5, 0.5) for c in center]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(4)
+    exact = {r["query_id"]: r["corpus_id"] for r in
+             cosine_topk_vectorized(df, df, "vec_id", "vec_id",
+                                    k=1).collect()}
+    centers = kmeans_centers(df, "embedding", n_cells=4, seed=42)
+    assert centers.count() == 4
+    # n_candidates = the cell size: the exact rerank then sees every
+    # probed-cell row, so recall isolates the QUANTIZER (the knob under
+    # test) from ADC distortion
+    got = {r["query_id"]: r["corpus_id"] for r in
+           ivf_pq_topk(df, "vec_id", k=1, n_candidates=25, n_probe=1,
+                       centers=centers).collect()}
+    assert len(got) == 100
+    hits = sum(1 for q, c in got.items() if exact.get(q) == c)
+    assert hits >= 90, f"top-1 recall {hits}/100 under KMeans IVF-PQ"
+
+
+def test_ivf_pq_kmeans_candidate_cut_at_scale_regime(spark):
+    """r11 (VERDICT r10 #2): the candidate-volume claim, pinned. In the
+    at-scale regime — cluster count comparable to the calibrated cell
+    count, which is where cells_for lands as n grows — balanced KMeans
+    centers cut IVF candidate volume vs the deterministic-subset
+    quantizer at the SAME cell count (sf1 measured 22.1M -> ~8-9M,
+    2.4-2.7x; reproduced here on the generator's own geometry). The
+    inverse holds at toy scale (sf0.01/0.1: cells >> clusters, cut 0.7-
+    0.9x) — that asymmetry is WHY the contract query keeps the subset
+    quantizer and the production query opts into KMeans; documented in
+    SCALE.md."""
+    import numpy as np
+
+    from bda_spadochrony_spark.operators.similarity import (cells_for,
+                                                            kmeans_centers)
+    # the gen_scale_data.py embedding noise model at n=5k with k=50
+    # clusters, so cells_for(5000)=50 equals the cluster count — the
+    # lambda=1 Poisson center-allocation regime sf1 sits in (100
+    # clusters / 100 cells), where a deterministic-subset quantizer
+    # leaves ~37% of clusters with no center and their mass crowds
+    # neighboring cells. numpy-Lloyd pre-measure: cut 2.24x here vs
+    # 2.67x on the real sf1 table
+    rng = np.random.default_rng(7)
+    n, k = 5000, 50
+    s_c = 0.125 * 0.2
+    s_n = (0.125 ** 2 - s_c ** 2) ** 0.5
+    ctrs = rng.normal(0.0, s_c, (k, 64))
+    X = ctrs[rng.integers(0, k, n)] + rng.normal(0.0, s_n, (n, 64))
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)],
+        "vec_id: long, embedding: array<double>")
+    n_cells = cells_for(n)
+    subset = X[:n_cells]
+    km = kmeans_centers(df, "embedding", n_cells=n_cells, seed=42)
+    C_km = np.stack([np.asarray(r["centroid"]) for r in
+                     sorted(km.collect(), key=lambda r: r["cell"])])
+
+    def cand_volume(C, n_probe=2):
+        d2 = ((X ** 2).sum(1)[:, None] - 2 * X @ C.T
+              + (C ** 2).sum(1)[None, :])
+        prim = d2.argmin(1)
+        probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+        sizes = np.bincount(prim, minlength=len(C))
+        return int(sizes[probes].sum()) - n
+
+    cut = cand_volume(subset) / cand_volume(C_km)
+    assert cut >= 1.5, f"KMeans candidate cut only {cut:.2f}x"
+
+
 def test_ivf_pq_topk_accepts_kmeans_centers(spark):
     """r10: the candidate-volume lever — ivf_pq_topk takes persisted
     (cell, centroid) centers in place of the subset quantizer (the sf1
