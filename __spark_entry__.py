@@ -3413,7 +3413,22 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     CSV (timestamps as ISO strings), read back through the engine's
     typed CSV scan, and aggregated — the result must equal the same
     aggregate over the original parquet. Exercises the fmt="csv" reader
-    path, header handling, and type-at-scan parsing."""
+    path, header handling, and type-at-scan parsing.
+
+    Fidelity options (r11 — the format-fidelity edge fixture found both
+    classics): ``nullValue="\\N"`` on write AND read keeps NULL distinct
+    from '' (Spark's default reader maps quoted-empty back to NULL —
+    pinned in test_csv_null_vs_empty_string_roundtrip_boundary; \\N is
+    the MySQL/Hive sentinel, with the documented boundary that a LITERAL
+    "\\N" string value round-trips to NULL), and ``multiLine`` on read
+    re-assembles quoted embedded newlines (without it a field containing
+    a newline splits into a phantom half-row — the fixture caught the
+    NULL-group count inflating). multiLine costs CSV split-parallelism
+    (files parse whole), which is the standard trade for correctness;
+    the 100 TB hot path is parquet, CSV is the ingest edge. The
+    ignore*WhiteSpace options are off on BOTH sides: Spark's writer
+    default TRIMS unquoted whitespace-only fields (the fixture's third
+    find — ' ' silently became '')."""
     ev = _t(spark, sf_dir, "events")
     csv_dir = _roundtrip_cache_dir(
         "csv", sf_dir,
@@ -3421,14 +3436,20 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
             "user_id", "event_type", "value")
-        .write.mode("overwrite").option("header", True).csv(staging))
+        .write.mode("overwrite").option("header", True)
+        .option("nullValue", "\\N")
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False).csv(staging))
     schema = StructType([
         StructField("event_id", LongType()), StructField("ts", TimestampType()),
         StructField("user_id", LongType()), StructField("event_type", StringType()),
         StructField("value", DoubleType()),
     ])
     back = scan(spark, csv_dir, schema=schema, fmt="csv",
-                options={"header": "true"})
+                options={"header": "true", "multiLine": "true",
+                         "nullValue": "\\N",
+                         "ignoreLeadingWhiteSpace": "false",
+                         "ignoreTrailingWhiteSpace": "false"})
     agg = group_agg(with_date_hour(back, "ts"), ["date", "hour"], [
         F.count(F.lit(1)).alias("cnt"),
         stable_round(F.avg("value"), 2).alias("avg_value")])
@@ -3517,177 +3538,38 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # confirmation backlog; _TAIL holds long-confirmed queries whose parity is
 # continuously re-proven by tests/test_oracle_parity.py.
 _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- round-10 head: the two NEW queries (bpe_encode — the trained
-    # merge table applied via the recursive-CTE-oracled fold;
-    # text_semantic_dedup — hashed vectors chained into SemDeDup, the
-    # no-external-model dedup loop), the queries whose SOURCE changed
-    # this round (stream_near_dup: persisted-sketch admission + FS
-    # existence probe; incremental_dedup/minhash_near_dup/dedup_*:
-    # the _minhash_family refactor; funnel: union-seeded zero-survivor
-    # counts; bpe_train: merge_fold factored out), and the r9 singles
-    # (VERDICT r9 #3: semantic_dedup_probed, stream_near_dup, bpe_train,
-    # hashed_vectors get their first re-confirmation), ahead of the
-    # retained r9 backlog
-    "bpe_encode": q_bpe_encode,
+    # ---- round-11 head: the two NEW queries (tokenizer_pipeline —
+    # train->encode->ids->packing as one oracled plan; 
+    # embedding_ivf_pq_kmeans — the production balanced-quantizer
+    # IVF-PQ path, rows-only), the six r10 singles getting their first
+    # re-confirmation, the queries whose SOURCE changed this round
+    # (stream_near_dup/incremental_dedup: sketch-classifier band fix +
+    # layout-pruned gate params; csv_roundtrip/orc_roundtrip: uid-scoped
+    # cache dirs), then the stalest backlog per the rotation
+    # discipline: ALL r5- and r6-stale queries (so nothing is older
+    # than r7 after this round) and the first 7 of the r7 backlog
     "tokenizer_pipeline": q_tokenizer_pipeline,
+    "embedding_ivf_pq_kmeans": q_embedding_ivf_pq_kmeans,
+    "bpe_encode": q_bpe_encode,
     "text_semantic_dedup": q_text_semantic_dedup,
-    "stream_near_dup": q_stream_near_dup,
-    "incremental_dedup": q_incremental_dedup,
-    "funnel": q_funnel,
     "pq_codes": q_pq_codes,
     "embedding_pq_stack": q_embedding_pq_stack,
     "embedding_ivf_pq": q_embedding_ivf_pq,
-    "embedding_ivf_pq_kmeans": q_embedding_ivf_pq_kmeans,
     "orc_roundtrip": q_orc_roundtrip,
-    "bpe_train": q_bpe_train,
-    "hashed_vectors": q_hashed_vectors,
-    "semantic_dedup_probed": q_semantic_dedup_probed,
-    "semantic_dedup": q_semantic_dedup,
-    "video_frames": q_video_frames,
-    "multimodal_features": q_multimodal_features,
-    "bpe_pair_counts": q_bpe_pair_counts,
-    "embedding_near_dup": q_embedding_near_dup,
-    "embedding_topk": q_embedding_topk,
-    "dedup_survivors": q_dedup_survivors,
-    "pagerank_step": q_pagerank_step,
-    "label_propagation": q_label_propagation,
-    "dedup_clusters": q_dedup_clusters,
-    "embedding_quantize": q_embedding_quantize,
-    "embedding_lsh_portable": q_embedding_lsh_portable,
-    "embedding_ivf_portable": q_embedding_ivf_portable,
-    "embedding_ann_stack": q_embedding_ann_stack,
-    "range_window_sum": q_range_window_sum,
-    "session_window": q_session_window,
-    "sketch_distinct": q_sketch_distinct,
-    "star_join": q_star_join,
-    "stream_hourly": q_stream_hourly,
-    "stream_join_outer": q_stream_join_outer,
-    "text_quality": q_text_quality,
-    "text_stats": q_text_stats,
-    "top_k_per_group": q_top_k_per_group,
-    "traffic_hourly": q_traffic_hourly,
-    "traffic_hourly_fused": q_traffic_hourly_fused,
-    "tz_hourly": q_tz_hourly,
-    "customer_distribution": q_customer_distribution,
-    "hash_sample": q_hash_sample,
-    "idle_customers": q_idle_customers,
-    "large_volume_customer": q_large_volume_customer,
-    "local_supplier_volume": q_local_supplier_volume,
-    "minhash_near_dup": q_minhash_near_dup,
-    "order_priority": q_order_priority,
-    "pivot": q_pivot,
-    "priority_lines": q_priority_lines,
-    "promo_revenue": q_promo_revenue,
-}
-
-_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # demoted r11 after their r10 re-confirmations (window stays at 50)
-    "quantiles": q_quantiles,
-    "repetition_stats": q_repetition_stats,
-    "returned_items": q_returned_items,
-    "revenue_change": q_revenue_change,
-    "shipping_priority": q_shipping_priority,
-    "simhash_md5_pairs": q_simhash_md5_pairs,
-    "simhash_pairs": q_simhash_pairs,
-    "sketch_mergeable": q_sketch_mergeable,
-    "stock_hourly": q_stock_hourly,
-    "stratified_sample": q_stratified_sample,
-    # displaced by the r9 rotation (the r8 window re-confirmed all 50;
-    # the backlog above promotes the stalest r4/r5 confirmations);
-    # parity re-proven every round by tests/test_oracle_parity.py
+    "stream_near_dup": q_stream_near_dup,
+    "incremental_dedup": q_incremental_dedup,
     "string_funcs": q_string_funcs,
     "supplier_part_counts": q_supplier_part_counts,
     "token_frequencies": q_token_frequencies,
     "weather_hourly": q_weather_hourly,
+    "csv_roundtrip": q_csv_roundtrip,
     "argmax_agg": q_argmax_agg,
     "array_agg": q_array_agg,
     "bitwise_funcs": q_bitwise_funcs,
     "conditional_funcs": q_conditional_funcs,
     "corpus_prep": q_corpus_prep,
-    "csv_roundtrip": q_csv_roundtrip,
     "date_functions": q_date_functions,
     "doc_chunks": q_doc_chunks,
-    "scd2_history": q_scd2_history,
-    "pit_join": q_pit_join,
-    "entity_match": q_entity_match,
-    "weighted_sample": q_weighted_sample,
-    "span_dedup": q_span_dedup,
-    "bm25_search": q_bm25_search,
-    "corpus_pipeline": q_corpus_pipeline,
-    "temperature_mixture": q_temperature_mixture,
-    "pca_project": q_pca_project,
-    "anti_join": q_anti_join,
-    "calendar_features": q_calendar_features,
-    "conform_schema": q_conform_schema,
-    "cube_agg": q_cube_agg,
-    "distinct_agg": q_distinct_agg,
-    "exact_dedup": q_exact_dedup,
-    "interval_shift": q_interval_shift,
-    "ml_features": q_ml_features,
-    "onehot_features": q_onehot_features,
-    "range_window_partitioned": q_range_window_partitioned,
-    "rollup_agg": q_rollup_agg,
-    "semi_join": q_semi_join,
-    "serving_keys": q_serving_keys,
-    "small_qty_revenue": q_small_qty_revenue,
-    "two_level_avg": q_two_level_avg,
-    "union_drift": q_union_drift,
-    "volume_shipping": q_volume_shipping,
-    "embedding_lsh_topk": q_embedding_lsh_topk,
-    "ngram_jaccard": q_ngram_jaccard,
-    "asof_join": q_asof_join,
-    "asof_minute_join": q_asof_minute_join,
-    "doc_fingerprint": q_doc_fingerprint,
-    "embedding_ivf_topk": q_embedding_ivf_topk,
-    "exact_dedup_digest": q_exact_dedup_digest,
-    "filtered_hourly": q_filtered_hourly,
-    "hourly_agg": q_hourly_agg,
-    "hourly_with_mode": q_hourly_with_mode,
-    "interval_join_batch": q_interval_join_batch,
-    "interval_join_binned": q_interval_join_binned,
-    "json_payload": q_json_payload,
-    "ml_train_eval": q_ml_train_eval,
-    "mode_event_type": q_mode_event_type,
-    "null_skipping_agg": q_null_skipping_agg,
-    "pricing_summary": q_pricing_summary,
-    "random_split_counts": q_random_split_counts,
-    "pca_invariants": q_pca_invariants,
-    "histogram": q_histogram,
-    "stats_agg": q_stats_agg,
-    "nation_profit": q_nation_profit,
-    "doc_fingerprint_md5": q_doc_fingerprint_md5,
-    "disjunctive_revenue": q_disjunctive_revenue,
-    "pii_scrub": q_pii_scrub,
-    "contamination": q_contamination,
-    "pack_documents": q_pack_documents,
-    "balanced_sample": q_balanced_sample,
-    "column_profile": q_column_profile,
-    "sessionize": q_sessionize,
-    "hash_split": q_hash_split,
-    "embedding_standardize": q_embedding_standardize,
-    "corpus_shuffle": q_corpus_shuffle,
-    "stream_enrich": q_stream_enrich,
-    "centroid_classify": q_centroid_classify,
-    "classify_eval": q_classify_eval,
-    "source_kl": q_source_kl,
-    "quality_gate": q_quality_gate,
-    "kmeans_step": q_kmeans_step,
-    "embedding_outliers": q_embedding_outliers,
-    "skew_diagnostics": q_skew_diagnostics,
-    "zorder_layout": q_zorder_layout,
-    "join_cardinality": q_join_cardinality,
-    "heavy_hitters": q_heavy_hitters,
-    "unigram_surprisal": q_unigram_surprisal,
-    "mixture_sample": q_mixture_sample,
-    "embedding_covariance": q_embedding_covariance,
-    "tokens_to_ids": q_tokens_to_ids,
-    "ml_linear_fit": q_ml_linear_fit,
-    "cohort_retention": q_cohort_retention,
-    "expectations": q_expectations,
-    "token_pmi": q_token_pmi,
-    "equi_depth_histogram": q_equi_depth_histogram,
-    "stream_distinct": q_stream_distinct,
-    "bigram_surprisal": q_bigram_surprisal,
     "tf_idf": q_tf_idf,
     "stream_update": q_stream_update,
     "late_supplier_blame": q_late_supplier_blame,
@@ -3709,7 +3591,148 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot": q_unpivot,
     "string_funcs2": q_string_funcs2,
     "hash_funcs": q_hash_funcs,
+    "pca_invariants": q_pca_invariants,
+    "histogram": q_histogram,
+    "stats_agg": q_stats_agg,
+    "nation_profit": q_nation_profit,
+    "doc_fingerprint_md5": q_doc_fingerprint_md5,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "pii_scrub": q_pii_scrub,
 }
+
+
+_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # long-confirmed queries; parity re-proven every round by
+    # tests/test_oracle_parity.py. Ordered stalest-first (latest
+    # driver check ascending) so the r12 rotation promotes from the
+    # top of this dict.
+    "balanced_sample": q_balanced_sample,
+    "bigram_surprisal": q_bigram_surprisal,
+    "centroid_classify": q_centroid_classify,
+    "classify_eval": q_classify_eval,
+    "cohort_retention": q_cohort_retention,
+    "column_profile": q_column_profile,
+    "contamination": q_contamination,
+    "corpus_shuffle": q_corpus_shuffle,
+    "embedding_covariance": q_embedding_covariance,
+    "embedding_outliers": q_embedding_outliers,
+    "embedding_standardize": q_embedding_standardize,
+    "equi_depth_histogram": q_equi_depth_histogram,
+    "expectations": q_expectations,
+    "hash_split": q_hash_split,
+    "heavy_hitters": q_heavy_hitters,
+    "join_cardinality": q_join_cardinality,
+    "kmeans_step": q_kmeans_step,
+    "mixture_sample": q_mixture_sample,
+    "ml_linear_fit": q_ml_linear_fit,
+    "pack_documents": q_pack_documents,
+    "quality_gate": q_quality_gate,
+    "sessionize": q_sessionize,
+    "skew_diagnostics": q_skew_diagnostics,
+    "source_kl": q_source_kl,
+    "stream_distinct": q_stream_distinct,
+    "stream_enrich": q_stream_enrich,
+    "token_pmi": q_token_pmi,
+    "tokens_to_ids": q_tokens_to_ids,
+    "unigram_surprisal": q_unigram_surprisal,
+    "zorder_layout": q_zorder_layout,
+    "anti_join": q_anti_join,
+    "asof_join": q_asof_join,
+    "asof_minute_join": q_asof_minute_join,
+    "bm25_search": q_bm25_search,
+    "calendar_features": q_calendar_features,
+    "conform_schema": q_conform_schema,
+    "corpus_pipeline": q_corpus_pipeline,
+    "cube_agg": q_cube_agg,
+    "distinct_agg": q_distinct_agg,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+    "entity_match": q_entity_match,
+    "exact_dedup": q_exact_dedup,
+    "exact_dedup_digest": q_exact_dedup_digest,
+    "filtered_hourly": q_filtered_hourly,
+    "hourly_agg": q_hourly_agg,
+    "hourly_with_mode": q_hourly_with_mode,
+    "interval_join_batch": q_interval_join_batch,
+    "interval_join_binned": q_interval_join_binned,
+    "interval_shift": q_interval_shift,
+    "json_payload": q_json_payload,
+    "ml_features": q_ml_features,
+    "ml_train_eval": q_ml_train_eval,
+    "mode_event_type": q_mode_event_type,
+    "ngram_jaccard": q_ngram_jaccard,
+    "null_skipping_agg": q_null_skipping_agg,
+    "onehot_features": q_onehot_features,
+    "pca_project": q_pca_project,
+    "pit_join": q_pit_join,
+    "pricing_summary": q_pricing_summary,
+    "random_split_counts": q_random_split_counts,
+    "range_window_partitioned": q_range_window_partitioned,
+    "rollup_agg": q_rollup_agg,
+    "scd2_history": q_scd2_history,
+    "semi_join": q_semi_join,
+    "serving_keys": q_serving_keys,
+    "small_qty_revenue": q_small_qty_revenue,
+    "span_dedup": q_span_dedup,
+    "temperature_mixture": q_temperature_mixture,
+    "two_level_avg": q_two_level_avg,
+    "union_drift": q_union_drift,
+    "volume_shipping": q_volume_shipping,
+    "weighted_sample": q_weighted_sample,
+    "returned_items": q_returned_items,
+    "revenue_change": q_revenue_change,
+    "shipping_priority": q_shipping_priority,
+    "simhash_md5_pairs": q_simhash_md5_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "sketch_mergeable": q_sketch_mergeable,
+    "stock_hourly": q_stock_hourly,
+    "stratified_sample": q_stratified_sample,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_train": q_bpe_train,
+    "customer_distribution": q_customer_distribution,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_survivors": q_dedup_survivors,
+    "embedding_ann_stack": q_embedding_ann_stack,
+    "embedding_ivf_portable": q_embedding_ivf_portable,
+    "embedding_lsh_portable": q_embedding_lsh_portable,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_quantize": q_embedding_quantize,
+    "embedding_topk": q_embedding_topk,
+    "funnel": q_funnel,
+    "hash_sample": q_hash_sample,
+    "hashed_vectors": q_hashed_vectors,
+    "idle_customers": q_idle_customers,
+    "label_propagation": q_label_propagation,
+    "large_volume_customer": q_large_volume_customer,
+    "local_supplier_volume": q_local_supplier_volume,
+    "minhash_near_dup": q_minhash_near_dup,
+    "multimodal_features": q_multimodal_features,
+    "order_priority": q_order_priority,
+    "pagerank_step": q_pagerank_step,
+    "pivot": q_pivot,
+    "priority_lines": q_priority_lines,
+    "promo_revenue": q_promo_revenue,
+    "quantiles": q_quantiles,
+    "range_window_sum": q_range_window_sum,
+    "repetition_stats": q_repetition_stats,
+    "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_probed": q_semantic_dedup_probed,
+    "session_window": q_session_window,
+    "sketch_distinct": q_sketch_distinct,
+    "star_join": q_star_join,
+    "stream_hourly": q_stream_hourly,
+    "stream_join_outer": q_stream_join_outer,
+    "text_quality": q_text_quality,
+    "text_stats": q_text_stats,
+    "top_k_per_group": q_top_k_per_group,
+    "traffic_hourly": q_traffic_hourly,
+    "traffic_hourly_fused": q_traffic_hourly_fused,
+    "tz_hourly": q_tz_hourly,
+    "video_frames": q_video_frames,
+}
+
+
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {**_WINDOW, **_TAIL}
 

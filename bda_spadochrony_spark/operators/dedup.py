@@ -556,7 +556,10 @@ def sketch_incremental_dedup(new_sketch: DataFrame,
                              min_jaccard: float = 0.5,
                              materialize: bool = True,
                              rows_per_band: int = 1,
-                             num_hashes: int = 16) -> DataFrame:
+                             num_hashes: int = 16,
+                             existing_digests: DataFrame | None = None,
+                             existing_bands: DataFrame | None = None) \
+        -> DataFrame:
     """``incremental_dedup`` computed ENTIRELY from persisted sketches —
     no raw text on either side. Same flags, same math: exact gate is a
     digest semi-join, band candidacy is the sig-element equi join, and
@@ -580,16 +583,34 @@ def sketch_incremental_dedup(new_sketch: DataFrame,
     ``size(shingles)`` — no count aggregate. The Jaccard divisor
     ``na+nb−i ≥ i ≥ 1`` on every surviving row (i ≤ min(na, nb)), so the
     division is ANSI-safe by construction.
+
+    Layout-pruned reads (r11, VERDICT r10 #3): the digest and band gates
+    accept pre-pruned frames so a bucketed sketch layout can turn the
+    per-batch full-table scans into key-pruned slices —
+    ``existing_digests`` (a frame with a ``digest`` column; pruned to the
+    batch's digest buckets by the caller) replaces the exact gate's scan,
+    and ``existing_bands`` (pre-banded ``(id_b, band_id, band_hash)``
+    rows, pruned to the batch's band buckets) replaces the sig explode.
+    Both pruning predicates are equality-safe: an equal digest shares its
+    digest bucket, an equal (band_id, band_hash) shares its band bucket,
+    so pruning can never drop a true match. The shingle verify stays on
+    the FULL sketch frame (candidate-id semi-join — never bucket-pruned,
+    candidates come from the gates). Defaults preserve the flat-layout
+    behavior exactly.
     """
     new_keyed = new_sketch.select(F.col(id_col), "digest", "sig", "shingles")
+    dig_src = (existing_digests if existing_digests is not None
+               else existing_sketch)
     exact_dups = (new_keyed.select(id_col, "digest")
-                  .join(existing_sketch.select("digest").distinct(),
+                  .join(dig_src.select("digest").distinct(),
                         "digest", "left_semi")
                   .select(id_col))
     nb = _sketch_band_rows(new_keyed, id_col, "id_a",
                            rows_per_band, num_hashes)
-    eb = _sketch_band_rows(existing_sketch, id_col, "id_b",
-                           rows_per_band, num_hashes)
+    eb = (existing_bands.select("id_b", "band_id", "band_hash")
+          if existing_bands is not None
+          else _sketch_band_rows(existing_sketch, id_col, "id_b",
+                                 rows_per_band, num_hashes))
     cands = (nb.join(eb, ["band_id", "band_hash"])
              .select("id_a", "id_b").distinct())
     if materialize:

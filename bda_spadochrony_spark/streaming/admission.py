@@ -64,21 +64,57 @@ def default_sketch_path(corpus_path: str) -> str:
     return corpus_path.rstrip("/") + "_sketch"
 
 
+def default_bands_path(sketch_path: str) -> str:
+    """The pre-banded sidecar for a bucketed sketch table (the candidacy
+    gate's key-pruned read side)."""
+    return sketch_path.rstrip("/") + "_bands"
+
+
 def admission_batch_writer(corpus_path: str, results_path: str,
                            id_col: str, text_col: str,
                            min_jaccard: float = 0.5, num_hashes: int = 16,
                            shingle_n: int = 3, seed: int = 42,
                            hash_fn: str = "xxhash64",
                            sketch_path: str | None = None,
-                           rows_per_band: int = 1):
+                           rows_per_band: int = 1,
+                           layout: str = "flat",
+                           n_buckets: int = 64):
     """foreachBatch callback factory: sketch ``batch_df`` once, classify
     it against the admitted corpus's persisted sketch at ``sketch_path``,
     write flags to ``results_path`` and the admitted documents + their
-    sketch rows back out (all three sinks idempotent per batch_id)."""
+    sketch rows back out (all three sinks idempotent per batch_id).
+
+    ``layout`` (r11, VERDICT r10 #3): ``"flat"`` writes the sketch as
+    one parquet dir per batch (the r10 shape — every gate full-scans its
+    column). ``"bucketed"`` is the 100 TB layout: the main sketch is
+    additionally partitioned by ``dbucket = pmod(digest, n_buckets)``
+    and digest-sorted within partitions (row-group min/max ride the
+    sort), and a slim pre-banded sidecar ``<sketch>_bands`` holds the
+    exploded ``(id, band_id, band_hash)`` rows partitioned by
+    ``bucket = pmod(band_hash, n_buckets)``. The classify path then
+    prunes both reads to the BATCH's buckets (PartitionFilters — the
+    pruning predicates are equality-safe: a matching digest/band shares
+    its bucket by construction), so per-batch corpus reads become
+    key-pruned slices instead of full-table column scans; the sidecar
+    also removes the per-batch re-explode of every corpus sig array.
+
+    Sizing rule (document once, fix for the table's lifetime): the read
+    fraction per gate is ≈ min(1, batch_keys / n_buckets), so pruning
+    only bites when ``n_buckets`` exceeds the per-batch key count
+    (digests ≈ batch rows; band keys ≈ rows x bands). n_buckets is a
+    LAYOUT constant — changing it across batches breaks the pruning
+    equality (pmod against a different modulus), so pick it for the
+    target corpus:batch ratio up front. The contract/toy default stays
+    "flat": at bounded test batches every bucket is hit and the
+    partition-dir overhead buys nothing.
+    """
     from bda_spadochrony_spark.operators.dedup import (
-        admission_sketch, sketch_incremental_dedup)
+        _sketch_band_rows, admission_sketch, sketch_incremental_dedup)
+    if layout not in ("flat", "bucketed"):
+        raise ValueError(f"unknown sketch layout {layout!r}")
     if sketch_path is None:
         sketch_path = default_sketch_path(corpus_path)
+    bands_path = default_bands_path(sketch_path)
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -91,6 +127,7 @@ def admission_batch_writer(corpus_path: str, results_path: str,
             batch_df, id_col, text_col, num_hashes=num_hashes,
             shingle_n=shingle_n, seed=seed,
             hash_fn=hash_fn).localCheckpoint()
+        ex_digests = ex_bands = None
         if _hadoop_path_exists(spark, sketch_path):
             # any read failure past the probe (corrupt footer, permissions)
             # propagates and fails the drain — never classify against an
@@ -99,6 +136,16 @@ def admission_batch_writer(corpus_path: str, results_path: str,
                         .where(F.col("batch_id") != F.lit(batch_id))
                         .select(id_col, "digest", "sig", "shingles",
                                 "n_shingles"))
+            if layout == "bucketed":
+                if not _hadoop_path_exists(spark, bands_path):
+                    raise RuntimeError(
+                        f"bucketed sketch at {sketch_path} has no bands "
+                        f"sidecar at {bands_path} — inconsistent layout "
+                        "(was the table written with layout='flat'?)")
+                ex_digests, ex_bands = _pruned_gate_frames(
+                    spark, batch_sketch, batch_id, sketch_path, bands_path,
+                    id_col, n_buckets, rows_per_band, num_hashes,
+                    _sketch_band_rows)
         else:
             # genuinely the first batch: no corpus admitted yet
             existing = spark.createDataFrame(
@@ -107,7 +154,9 @@ def admission_batch_writer(corpus_path: str, results_path: str,
         flags = sketch_incremental_dedup(batch_sketch, existing, id_col,
                                          min_jaccard=min_jaccard,
                                          rows_per_band=rows_per_band,
-                                         num_hashes=num_hashes)
+                                         num_hashes=num_hashes,
+                                         existing_digests=ex_digests,
+                                         existing_bands=ex_bands)
         flags = flags.localCheckpoint()   # three consumers below
         flags.write.mode("overwrite") \
             .parquet(f"{results_path}/batch_id={batch_id}")
@@ -115,11 +164,57 @@ def admission_batch_writer(corpus_path: str, results_path: str,
         batch_df.join(admitted_ids, id_col, "left_semi") \
             .write.mode("overwrite") \
             .parquet(f"{corpus_path}/batch_id={batch_id}")
-        batch_sketch.join(admitted_ids, id_col, "left_semi") \
-            .write.mode("overwrite") \
-            .parquet(f"{sketch_path}/batch_id={batch_id}")
+        admitted_sketch = batch_sketch.join(admitted_ids, id_col,
+                                            "left_semi")
+        if layout == "flat":
+            admitted_sketch.write.mode("overwrite") \
+                .parquet(f"{sketch_path}/batch_id={batch_id}")
+        else:
+            (admitted_sketch
+             .withColumn("dbucket", F.pmod(F.col("digest"),
+                                           F.lit(n_buckets)))
+             .repartition(F.col("dbucket"))
+             .sortWithinPartitions("dbucket", "digest")
+             .write.mode("overwrite").partitionBy("dbucket")
+             .parquet(f"{sketch_path}/batch_id={batch_id}"))
+            (_sketch_band_rows(admitted_sketch, id_col, id_col,
+                               rows_per_band, num_hashes)
+             .withColumn("bucket", F.pmod(F.col("band_hash"),
+                                          F.lit(n_buckets)))
+             .repartition(F.col("bucket"))
+             .write.mode("overwrite").partitionBy("bucket")
+             .parquet(f"{bands_path}/batch_id={batch_id}"))
 
     return admit
+
+
+def _pruned_gate_frames(spark, batch_sketch, batch_id, sketch_path,
+                        bands_path, id_col, n_buckets, rows_per_band,
+                        num_hashes, band_rows_fn):
+    """Build the bucket-pruned digest/band read frames for the bucketed
+    layout: collect the BATCH's bucket sets (bounded — ≤ n_buckets values
+    after distinct, from a localCheckpointed bounded batch) and push them
+    as partition filters on the corpus-side reads."""
+    dbuckets = [int(r[0]) for r in batch_sketch.select(
+        F.pmod(F.col("digest"), F.lit(n_buckets)).alias("b"))
+        .distinct().collect()]
+    bbuckets = [int(r[0]) for r in band_rows_fn(
+        batch_sketch, id_col, "id_a", rows_per_band, num_hashes)
+        .select(F.pmod(F.col("band_hash"), F.lit(n_buckets)).alias("b"))
+        .distinct().collect()]
+    not_this_batch = F.col("batch_id") != F.lit(batch_id)
+    dig_pred = (F.col("dbucket").isin(dbuckets) if dbuckets
+                else F.lit(False))
+    band_pred = (F.col("bucket").isin(bbuckets) if bbuckets
+                 else F.lit(False))
+    ex_digests = (spark.read.parquet(sketch_path)
+                  .where(not_this_batch & dig_pred)
+                  .select("digest"))
+    ex_bands = (spark.read.parquet(bands_path)
+                .where(not_this_batch & band_pred)
+                .select(F.col(id_col).alias("id_b"), "band_id",
+                        "band_hash"))
+    return ex_digests, ex_bands
 
 
 def stream_admission_dedup(stream_docs: DataFrame, id_col: str,

@@ -418,7 +418,16 @@ def main() -> None:
                            "and bit-identical (the _assign_cells "
                            "pattern). Do not re-unroll for codegen: the "
                            "tree cost dominates at any data size because "
-                           "it is per-CALL, not per-row"),
+                           "it is per-CALL, not per-row. SPLIT (r10 "
+                           "healthy ledger, pinned r11): ~1.9s build vs "
+                           "~0.1s exec - the residual floor is per-call "
+                           "analysis of the literal codebook fold itself. "
+                           "Reuse rule: fit codebooks ONCE, build the "
+                           "encoded frame ONCE, and reuse the analyzed "
+                           "frame across calls (persist/checkpoint or "
+                           "write codes to parquet); a resident engine "
+                           "pays the analysis once per codebook, never "
+                           "per batch"),
                        "embedding_ann_stack": (
                            "~2.4-2.6s warm: exec is interpreted "
                            "higher-order int8 dot products over bucket "

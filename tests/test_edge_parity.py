@@ -1154,3 +1154,142 @@ def test_duplicate_key_pq_boundary_documented(spark, edge_dup_dir):
         "copies of one id must code identically"
     assert sorted(map(tuple, (tuple(r) for r in rows))) == \
         sorted(map(tuple, (tuple(r) for r in codes.collect())))
+
+
+# --------------------------------------------------------------------------
+# r11 (VERDICT r10 #6): format-fidelity round-trips. The csv/orc round-trip
+# queries export events and re-read them through the typed scan; their
+# oracles aggregate the ORIGINAL parquet — so any write→read fidelity loss
+# (timestamp precision, NULL vs empty string, extreme doubles, quoting,
+# embedded control characters, non-ASCII) surfaces as a value mismatch.
+# The fixture stacks every classic at once: pre-1970 + DST-transition +
+# far-future timestamps, NULL ts, NULL vs '' event_type, embedded
+# comma/quote/newline/tab, unicode, max/subnormal/-0.0/nonfinite doubles,
+# and Long.MAX ids.
+
+@pytest.fixture(scope="module")
+def edge_fmt_dir():
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tempfile.mkdtemp(prefix="bda_edge_fmt_")
+    ts = lambda *a: datetime(*a)
+    t = ts(2024, 6, 1, 12, 0, 0)
+    rows = [
+        (0, ts(1969, 12, 31, 23, 59, 59, 123456), 1, "pre-epoch", 1.25),
+        (1, ts(1901, 7, 1, 0, 0, 0, 1), 1, "deep-past", -2.5),
+        (2, ts(1970, 1, 1, 0, 0, 0), 1, "epoch", 0.0),
+        # DST pathologies (nonexistent / ambiguous WALL times in
+        # common zones; sessions run UTC so these must pass through
+        # verbatim — a tz-naive engine would shift them)
+        (3, ts(2024, 3, 10, 2, 30, 0), 2, "dst-spring-us", 1.0),
+        (4, ts(2024, 11, 3, 1, 30, 0), 2, "dst-fall-us", 2.0),
+        (5, ts(2024, 3, 31, 2, 30, 0), 2, "dst-spring-eu", 3.0),
+        (6, ts(2200, 1, 1, 12, 34, 56, 789012), 3, "far-future", 4.0),
+        (7, None, 3, "null-ts", 5.0),
+        (8, t, 4, None, 6.0),
+        (9, t, 4, "", 7.0),                      # the CSV classic: '' vs NULL
+        (10, t, 4, "café ünïcode 日本語", 8.0),
+        (11, t, 5, "with,comma", 9.0),
+        (12, t, 5, 'with"quote', 10.0),
+        (13, t, 5, "with\nnewline", 11.0),
+        (14, t, 5, "with\ttab", 12.0),
+        (15, t, 6, "extreme", 1.7976931348623157e308),
+        (16, t, 6, "extreme", 5e-324),           # subnormal
+        (17, t, 6, "extreme", -0.0),
+        (18, t, 6, "tiny-frac", 0.30000000000000004),
+        (19, t, 7, "nonfinite", float("nan")),
+        (20, t, 7, "nonfinite", float("inf")),
+        (21, t, 7, "nonfinite", float("-inf")),
+        (22, t, 7, "null-val", None),
+        (9223372036854775807, t, 8, "max-id", 13.0),
+    ]
+    cols = list(zip(*rows))
+    tbl = pa.table({
+        "event_id": pa.array(cols[0], pa.int64()),
+        "ts": pa.array(cols[1], pa.timestamp("us")),
+        "user_id": pa.array(cols[2], pa.int64()),
+        "event_type": pa.array(cols[3], pa.string()),
+        "value": pa.array(cols[4], pa.float64()),
+    })
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    for t2 in ["region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem", "documents", "embeddings"]:
+        shutil.copy(f"{SF_SMALL}/{t2}.parquet", f"{d}/{t2}.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def edge_fmt_duck(edge_fmt_dir):
+    con = duck_connection(edge_fmt_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ["csv_roundtrip", "orc_roundtrip"])
+def test_edge_format_roundtrip_parity(spark, edge_fmt_dir, edge_fmt_duck,
+                                      name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert_query_matches_oracle(spark, edge_fmt_duck, qs[name],
+                                oracles[name], edge_fmt_dir, name=name)
+
+
+def test_csv_null_vs_empty_string_roundtrip_boundary(spark):
+    """r11: the CSV classic, probed at the SCAN level (the roundtrip
+    queries' aggregates never read event_type, so the contract query
+    cannot see it directly). MEASURED: Spark's writer emits NULL as an
+    unquoted empty field and '' as a QUOTED empty field, but the
+    DEFAULT reader maps BOTH back to NULL — the round-trip collapses
+    the distinction. The engine convention (what q_csv_roundtrip ships):
+    ``nullValue='\\N'`` on write and read — NULL↔\\N, quoted-empty↔'',
+    and the literal string 'NULL' stays a string. Known sentinel
+    boundary: a LITERAL '\\N' string value reads back as NULL (the
+    MySQL/Hive convention's inherent collision). Both behaviors pinned
+    so neither can drift silently."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from bda_spadochrony_spark.sources.readers import scan
+    d = tempfile.mkdtemp(prefix="bda_csv_nullempty_")
+    try:
+        schema = StructType([StructField("id", LongType()),
+                             StructField("s", StringType())])
+        df = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "x"), (4, " "), (5, "NULL")], schema)
+        # DEFAULT options: the documented collapse ('' -> NULL on read)
+        out0 = os.path.join(d, "t0.csv")
+        df.coalesce(1).write.option("header", True).csv(out0)
+        back0 = {r["id"]: r["s"] for r in
+                 scan(spark, out0, schema=schema, fmt="csv",
+                      options={"header": "true"}).collect()}
+        assert back0[1] is None
+        assert back0[2] is None        # THE classic: '' collapsed to NULL
+        assert back0[5] == "NULL"      # but the literal string survives
+        # ENGINE convention: \N sentinel + whitespace preservation
+        # (Spark's WRITER default trims unquoted whitespace-only
+        # fields — the fixture's third find)
+        out1 = os.path.join(d, "t1.csv")
+        df.coalesce(1).write.option("header", True) \
+            .option("nullValue", "\\N") \
+            .option("ignoreLeadingWhiteSpace", False) \
+            .option("ignoreTrailingWhiteSpace", False).csv(out1)
+        back1 = {r["id"]: r["s"] for r in
+                 scan(spark, out1, schema=schema, fmt="csv",
+                      options={"header": "true", "multiLine": "true",
+                               "nullValue": "\\N",
+                               "ignoreLeadingWhiteSpace": "false",
+                               "ignoreTrailingWhiteSpace": "false"})
+                 .collect()}
+        assert back1[1] is None        # NULL survives as \N
+        assert back1[2] == ""          # '' survives (quoted on write)
+        assert back1[3] == "x"
+        assert back1[4] == " "         # whitespace not trimmed
+        assert back1[5] == "NULL"      # the literal string, not NULL
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

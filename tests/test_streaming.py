@@ -3,6 +3,7 @@ completion with availableNow/processAllAvailable, golden asserts."""
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import tempfile
@@ -562,6 +563,97 @@ def test_admission_replay_same_batch_id_is_idempotent(spark):
         flags = {r["doc_id"]: (r["dup_exact"], r["admitted"]) for r in
                  read_admission_results(spark, results).collect()}
         assert flags[3] == (1, 0)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_bucketed_sketch_layout_matches_flat(spark):
+    """r11 (VERDICT r10 #3): the bucketed sketch layout — digest-bucket
+    partitions + the pre-banded sidecar — must classify EXACTLY like the
+    flat layout across a multi-batch drain (the pruning predicates are
+    equality-safe, so no flag may move), and the classify path must
+    actually PRUNE: the pruned gate frames' physical plans carry
+    non-empty PartitionFilters on dbucket/bucket."""
+    from bda_spadochrony_spark.streaming.admission import (
+        admission_batch_writer, default_bands_path, default_sketch_path,
+        read_admission_results)
+    batches = [
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five six"),
+         (3, "hi")],                                   # short: empty sig
+        [(4, "alpha beta gamma delta epsilon"),        # exact dup of 1
+         (5, "alpha beta gamma delta zeta"),           # near dup of 1
+         (6, "totally different text entirely here"),
+         (7, "hi")],                                   # short exact dup
+    ]
+    flags_by_layout = {}
+    for layout in ("flat", "bucketed"):
+        base = tempfile.mkdtemp(prefix=f"bda_admit_{layout}_")
+        corpus = os.path.join(base, "corpus")
+        results = os.path.join(base, "res")
+        try:
+            writer = admission_batch_writer(
+                corpus, results, "doc_id", "text", min_jaccard=0.5,
+                layout=layout, n_buckets=16)
+            for i, rows in enumerate(batches):
+                writer(spark.createDataFrame(
+                    rows, "doc_id: long, text: string"), i)
+            flags_by_layout[layout] = {
+                r["doc_id"]: (r["dup_exact"], r["dup_near"], r["admitted"])
+                for r in read_admission_results(spark, results).collect()}
+            if layout == "bucketed":
+                sketch_path = default_sketch_path(corpus)
+                bands_path = default_bands_path(sketch_path)
+                # layout on disk: partition dirs for both tables
+                assert glob.glob(f"{sketch_path}/batch_id=0/dbucket=*")
+                assert glob.glob(f"{bands_path}/batch_id=0/bucket=*")
+                # plan assertion: the pruned reads push PartitionFilters
+                from bda_spadochrony_spark.operators.dedup import (
+                    _sketch_band_rows, admission_sketch)
+                from bda_spadochrony_spark.streaming.admission import (
+                    _pruned_gate_frames)
+                probe = admission_sketch(
+                    spark.createDataFrame(batches[1],
+                                          "doc_id: long, text: string"),
+                    "doc_id", "text").localCheckpoint()
+                ex_dig, ex_bands = _pruned_gate_frames(
+                    spark, probe, 1, sketch_path, bands_path, "doc_id",
+                    16, 1, 16, _sketch_band_rows)
+                for frame, col in ((ex_dig, "dbucket"),
+                                   (ex_bands, "bucket")):
+                    plan = frame._jdf.queryExecution().executedPlan() \
+                        .toString()
+                    import re
+                    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+                    assert pf and col in pf.group(1), \
+                        f"no {col} PartitionFilters in:\n{plan[:2000]}"
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    assert flags_by_layout["bucketed"] == flags_by_layout["flat"]
+    assert flags_by_layout["flat"][4] == (1, 1, 0)  # exact dup is near too
+    assert flags_by_layout["flat"][5][2] == 0      # near dup rejected
+    assert flags_by_layout["flat"][7] == (1, 0, 0)  # short exact dup
+
+
+def test_bucketed_layout_missing_bands_sidecar_fails_loudly(spark):
+    """r11: a bucketed classify against a sketch whose bands sidecar is
+    missing (e.g. the table was written flat) must FAIL the drain — the
+    corrupt-sketch loud-failure contract extended to layout mismatch."""
+    from bda_spadochrony_spark.streaming.admission import (
+        admission_batch_writer, default_bands_path, default_sketch_path)
+    base = tempfile.mkdtemp(prefix="bda_admit_nobands_")
+    corpus, results = os.path.join(base, "corpus"), os.path.join(base, "res")
+    try:
+        flat = admission_batch_writer(corpus, results, "doc_id", "text",
+                                      layout="flat")
+        flat(spark.createDataFrame([(1, "alpha beta gamma delta")],
+                                   "doc_id: long, text: string"), 0)
+        bucketed = admission_batch_writer(corpus, results, "doc_id",
+                                          "text", layout="bucketed")
+        with pytest.raises(RuntimeError, match="bands sidecar"):
+            bucketed(spark.createDataFrame(
+                [(2, "alpha beta gamma delta")],
+                "doc_id: long, text: string"), 1)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

@@ -47,6 +47,9 @@ FAMILY = [
     # r10: BPE encode, the chained text->semantic-dedup loop, PQ
     "bpe_encode", "text_semantic_dedup", "pq_codes", "embedding_pq_stack",
     "embedding_ivf_pq",
+    # r11: the tokenizer loop closed end-to-end + the production
+    # (balanced-KMeans) IVF-PQ path
+    "tokenizer_pipeline", "embedding_ivf_pq_kmeans",
     "stream_hourly", "stream_distinct", "stream_sliding",
     "stream_join_outer",
 ]
