@@ -497,16 +497,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
                            F.col("centroid").cast("array<double>").alias("centroid")))
         # nearest-center assignment (squared euclidean; ties → lower cell),
         # same rule the probe stage uses — broadcast nested loop over the
-        # tiny center table, one window per corpus row
-        cc = (c.crossJoin(cent_df)
-              .withColumn("dist2", F.aggregate(
-                  F.zip_with("cvec", "centroid", lambda a, b: (a - b) * (a - b)),
-                  F.lit(0.0), lambda acc, v: acc + v)))
-        wc = Window.partitionBy("corpus_id").orderBy(F.col("dist2").asc(),
-                                                     F.col("cell").asc())
-        c_assigned = (cc.withColumn("rn", F.row_number().over(wc))
-                      .where(F.col("rn") == 1)
-                      .select("corpus_id", "cvec", "cell"))
+        # tiny center table, one window per corpus row (shared with the
+        # persisted-index maintenance path)
+        c_assigned = _assign_primary_cells(c, centers, "corpus_id")
     c_assigned = with_norm(c_assigned, "cvec", "cnorm")
     q = valid_vectors(queries, vec_col) \
         .select(F.col(query_id).alias("query_id"),
@@ -523,6 +516,114 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
 
     scored = (c_assigned.join(probes, on="cell")
               .where(F.col("corpus_id") != F.col("query_id"))
+              .select("query_id", "corpus_id",
+                      (_dot("cvec", "qvec") /
+                       (F.col("cnorm") * F.col("qnorm"))).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("corpus_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k).drop("rn"))
+
+
+def _assign_primary_cells(vecs: DataFrame, centers: DataFrame,
+                          id_out: str) -> DataFrame:
+    """Nearest-center assignment against a tiny broadcast (cell,
+    centroid) frame — squared euclidean, ties to the lower cell, the
+    exact rule ``ivf_topk``'s explicit-centers branch and its oracle
+    state. Input ``vecs`` carries (id, cvec); output adds ``cell``."""
+    cent = F.broadcast(centers.select(
+        F.col("cell"),
+        F.col("centroid").cast("array<double>").alias("centroid")))
+    cc = (vecs.crossJoin(cent)
+          .withColumn("dist2", F.aggregate(
+              F.zip_with("cvec", "centroid",
+                         lambda a, b: (a - b) * (a - b)),
+              F.lit(0.0), lambda acc, v: acc + v)))
+    w = Window.partitionBy(id_out).orderBy(F.col("dist2").asc(),
+                                           F.col("cell").asc())
+    return (cc.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(id_out, "cvec", "cell"))
+
+
+def ann_index_append(batch_df: DataFrame, batch_id: int, index_path: str,
+                     centers: DataFrame, id_col: str,
+                     vec_col: str = "embedding") -> None:
+    """ONE incremental-maintenance step of a persisted IVF index: assign
+    the batch's valid vectors to their primary cells (against the FIXED
+    persisted quantizer — production refits on drift, never per batch)
+    and append them, with their precomputed norms, to the index laid out
+    as ``index_path/batch_id=N/cell=M`` — the cell IS the parquet
+    partition key, which is the IVF at-rest contract (`ivf_topk`
+    docstring: a query reads n_probe/n_lists of the data via partition
+    pruning). The batch_id-partitioned overwrite is the admission
+    sinks' idempotent-replay pattern: a replayed foreachBatch epoch
+    rewrites its own directory. Cross-batch duplicate ids are appended
+    verbatim (an index append is not an upsert); point the compaction
+    job (`sources/writers.py`) at the index to fold replays/updates."""
+    vecs = valid_vectors(batch_df, vec_col).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"))
+    assigned = _assign_primary_cells(vecs, centers, "corpus_id")
+    (with_norm(assigned, "cvec", "cnorm")
+     .repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{index_path}/batch_id={batch_id}"))
+
+
+def ann_index_topk(spark, index_path: str, queries: DataFrame,
+                   query_id: str, vec_col: str = "embedding",
+                   centers: DataFrame | None = None, k: int = 5,
+                   n_probe: int = 4) -> DataFrame:
+    """Partition-pruned top-k search over a persisted IVF index built by
+    ``ann_index_append``: each query probes its ``n_probe`` nearest
+    cells, the probed cell set (bounded by the quantizer size) becomes
+    an ``isin`` PARTITION FILTER on the index read — the scan touches
+    only the probed cells' directories, never the whole index — and
+    scoring reuses the index's stored norms. Value semantics are
+    IDENTICAL to ``ivf_topk`` with the same centers (same assignment,
+    probe, and tie-break rules), so a search over a streamed-in index is
+    verifiable against the one-shot operator — and against its SQL
+    oracle."""
+    if centers is None:
+        raise ValueError("ann_index_topk requires the index's persisted "
+                         "quantizer (centers=) — searching with a "
+                         "different quantizer than the one that laid out "
+                         "the cells would silently miss neighbors")
+    q = valid_vectors(queries, vec_col).select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"))
+    cent = F.broadcast(centers.select(
+        F.col("cell"),
+        F.col("centroid").cast("array<double>").alias("centroid")))
+    qc = (q.crossJoin(cent)
+          .withColumn("dist2", F.aggregate(
+              F.zip_with("cvec", "centroid",
+                         lambda a, b: (a - b) * (a - b)),
+              F.lit(0.0), lambda acc, v: acc + v)))
+    wq = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
+                                                F.col("cell").asc())
+    probes = (qc.withColumn("rn", F.row_number().over(wq))
+              .where(F.col("rn") <= n_probe)
+              .select("query_id",
+                      F.col("cvec").alias("qvec"), "cell"))
+    probes = with_norm(probes, "qvec", "qnorm").localCheckpoint(
+        eager=False)
+    # the probed-cell set is quantizer-bounded (≤ n_cells values) — a
+    # driver-side literal the scan can partition-prune on
+    cells = sorted({r["cell"] for r in
+                    probes.select("cell").distinct().collect()})
+    if not cells:
+        return probes.select("query_id",
+                             F.col("query_id").alias("corpus_id"),
+                             F.lit(None).cast("double").alias("cosine")) \
+                     .where(F.lit(False))
+    idx = (spark.read.parquet(index_path)
+           .where(F.col("cell").isin(cells))
+           .select("corpus_id", "cvec", "cnorm", "cell"))
+    scored = (idx.join(probes, "cell")
+              .where((F.col("corpus_id") != F.col("query_id")) &
+                     (F.col("cnorm") > 0) & (F.col("qnorm") > 0))
               .select("query_id", "corpus_id",
                       (_dot("cvec", "qvec") /
                        (F.col("cnorm") * F.col("qnorm"))).alias("cosine")))

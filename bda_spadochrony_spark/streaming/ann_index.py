@@ -1,0 +1,46 @@
+"""Streaming IVF-index MAINTENANCE (round 11): embeddings arrive as a
+stream, each micro-batch is assigned to its coarse cells against the
+PERSISTED quantizer and appended to the cell-partitioned index —
+the ingest half of the similarity-search story, so a 100 TB corpus's ANN
+index stays current without ever re-indexing the corpus
+(`operators/similarity.ann_index_append` holds the layout contract;
+`ann_index_topk` is the partition-pruned search over the result).
+
+Same durability rules as the admission stream (`streaming/admission.py`):
+foreachBatch is at-least-once, so the append writes a ``batch_id=N``
+directory with per-partition overwrite — a replayed epoch rewrites its own
+directory and the index never double-counts. The quantizer is FIXED for
+the index's lifetime (cells are a layout constant, like the bucketed
+sketch's modulus); refitting the quantizer means rebuilding the index —
+the standard IVF contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def stream_ann_index_build(stream_vecs: DataFrame, index_path: str,
+                           centers: DataFrame, id_col: str,
+                           vec_col: str = "embedding",
+                           checkpoint: str | None = None,
+                           timeout_s: int = 300) -> "StreamingQuery":
+    """Drain the available micro-batches of an embedding stream into the
+    IVF index (availableNow). Pass the SAME ``checkpoint`` across drains
+    and the stream RESUMES — already-indexed input is never re-read, so
+    staging new embedding files and draining again is the production
+    index-maintenance loop."""
+    from bda_spadochrony_spark.operators.similarity import ann_index_append
+    from bda_spadochrony_spark.streaming.runner import run_foreach_batch
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        ann_index_append(batch_df, batch_id, index_path, centers,
+                         id_col, vec_col)
+
+    query = run_foreach_batch(stream_vecs, fn, available_now=True,
+                              checkpoint=checkpoint)
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"ann index drain did not finish within {timeout_s}s")
+    return query

@@ -181,6 +181,7 @@ HEADLINE = [
     # round 11 additions
     ("embedding_ivf_pq_kmeans", "count"),
     ("tokenizer_pipeline", "count"),
+    ("stream_ann_index", "count"),
 ]
 
 N_SHARDS = 3

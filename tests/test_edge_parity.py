@@ -85,6 +85,9 @@ EDGE_QUERIES = [
     # r7: the six-stage composite end-to-end on NULL/empty/short/unicode
     # docs — every stage's degenerate-input semantics must agree at once
     "corpus_pipeline",
+    # r11: the tokenizer chain on the same degenerate docs (empty vocab
+    # windows, zero-symbol docs packing at offset 0, NULL text)
+    "tokenizer_pipeline",
     # r8: the video frame explode on NULL/zero durations (NULL n_chars
     # drops the row in both engines; n_chars=0 keeps exactly t=0)
     "video_frames",
@@ -148,6 +151,10 @@ EDGE_EMB_QUERIES = [
     # junk rows identically, ADC guards (qn/rnm > 0) must agree, and the
     # cell/probe assignment tie-breaks must survive extreme magnitudes
     "pq_codes", "embedding_pq_stack", "embedding_ivf_pq",
+    # r11: the streamed cell-partitioned index — junk vectors must be
+    # excluded at APPEND time (valid_vectors inside ann_index_append)
+    # and the pruned search must still equal the one-shot oracle
+    "stream_ann_index",
 ]
 
 
@@ -1047,6 +1054,11 @@ def test_edge_zero_rows_all_queries_survive_and_match(spark, edge_zero_dir,
 EDGE_TOK_QUERIES = [
     "bpe_encode", "hashed_vectors", "text_semantic_dedup",
     "bpe_pair_counts",
+    # r11: the full tokenizer chain over the same adversarial unicode —
+    # encode fold + symbol vocab + id reassembly + packing must agree
+    # end-to-end on combining floods, astral pairs, bidi controls, ZWJ,
+    # NULL/empty/whitespace-only docs
+    "tokenizer_pipeline",
 ]
 
 EDGE_TOK_DOCS_TEXT = [

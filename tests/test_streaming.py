@@ -847,3 +847,63 @@ def test_incremental_dedup_accepts_existing_sketch(spark):
         new, None, "doc_id", "text", min_jaccard=0.5,
         existing_sketch=sk).collect()))
     assert got == want
+
+
+def test_stream_ann_index_matches_one_shot_and_prunes(spark):
+    """r11: the streamed-in, cell-partitioned IVF index is
+    semantics-preserving — searching it equals the one-shot ivf_topk
+    with the same quantizer — and the search scan actually PRUNES: its
+    physical plan carries a non-empty PartitionFilters on cell. Also
+    pins the idempotent-replay contract: re-appending the same batch_id
+    overwrites, never double-counts."""
+    import re
+
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append, ann_index_topk, ivf_topk)
+    from bda_spadochrony_spark.sources.readers import scan
+    emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    centers = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid")).localCheckpoint()
+    base = tempfile.mkdtemp(prefix="bda_annidx_t_")
+    index = os.path.join(base, "index")
+    try:
+        halves = [emb.where(F.col("vec_id") % 2 == 0),
+                  emb.where(F.col("vec_id") % 2 == 1)]
+        for i, half in enumerate(halves):
+            ann_index_append(half, i, index, centers, "vec_id")
+        # replay batch 1 (at-least-once epoch): must overwrite, not dup
+        ann_index_append(halves[1], 1, index, centers, "vec_id")
+        got_df = ann_index_topk(spark, index, emb, "vec_id",
+                                centers=centers, k=3, n_probe=4)
+        got = sorted((r["query_id"], r["corpus_id"],
+                      round(r["cosine"], 9)) for r in got_df.collect())
+        want = sorted((r["query_id"], r["corpus_id"],
+                       round(r["cosine"], 9)) for r in
+                      ivf_topk(emb, emb, "vec_id", "vec_id", k=3,
+                               n_lists=16, n_probe=4,
+                               centers=centers).collect())
+        assert got == want
+        # no duplicate corpus hits per query (the replay would show here)
+        seen = {}
+        for q, c, _ in got:
+            assert c not in seen.setdefault(q, set())
+            seen[q].add(c)
+        # plan assertion: the index scan is partition-pruned on cell
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        pf = [m for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+              if "cell" in m]
+        assert pf, f"no cell PartitionFilters in:\n{plan[:3000]}"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_ann_index_topk_requires_centers(spark):
+    """r11: searching an index with a different (or no) quantizer than
+    the one that laid out the cells silently misses neighbors — the
+    operator refuses instead."""
+    from bda_spadochrony_spark.operators.similarity import ann_index_topk
+    from bda_spadochrony_spark.sources.readers import scan
+    emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="persisted quantizer"):
+        ann_index_topk(spark, "/nonexistent", emb, "vec_id")
