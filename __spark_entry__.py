@@ -2162,6 +2162,25 @@ def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("token_ids"))
 
 
+def q_detokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECODE half of vocabulary encoding (r11): every document is
+    encoded against the corpus-derived top-100 vocab (``tokens_to_ids``,
+    OOV→0) and decoded straight back (``ids_to_tokens``, 0→'<unk>') —
+    the audit view a training pipeline uses to inspect its sequences.
+    The round trip is exact on in-vocabulary tokens and
+    token-count-preserving everywhere; ``n_unk`` is the per-document
+    information loss. One vocab fit feeds both directions."""
+    from bda_spadochrony_spark.operators.corpus import (build_vocab,
+                                                        ids_to_tokens,
+                                                        tokens_to_ids)
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", size=100).localCheckpoint(eager=False)
+    ids = tokens_to_ids(docs, "doc_id", "text", vocab)
+    out = ids_to_tokens(ids, "doc_id", "token_ids", vocab)
+    return out.select("doc_id", "detok",
+                      F.col("n_unk").cast("long").alias("n_unk"))
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: concat-and-cut context-window assignment
     (512-token windows, 8 shards packed independently in doc-id order)."""
@@ -3531,6 +3550,41 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sort_by(agg, ["date", "hour"])
 
 
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON LINES source format under the oracle (r11 — the fourth
+    format path after CSV/JSON-payload/ORC): events exported once to
+    newline-delimited JSON, read back through the typed scan, and
+    aggregated per (date, hour) with a value histogram band; the result
+    must equal the same aggregate over the original parquet. JSON's
+    fidelity profile differs from CSV's: NULL fields are OMITTED (no
+    sentinel needed — absent key reads back NULL, and '' is a quoted
+    empty string, so the NULL/'' distinction is free), timestamps ride
+    the same explicit format both ways, and non-finite doubles are the
+    documented boundary (JSON has no NaN/Inf literal; Spark emits bare
+    tokens its own reader accepts but the spec forbids — the events
+    table carries none, and the edge fixture pins the behavior)."""
+    ev = _t(spark, sf_dir, "events")
+    json_dir = _roundtrip_cache_dir(
+        "json", sf_dir,
+        lambda staging: ev.select("event_id", "ts", "user_id",
+                                  "event_type", "value")
+        .write.mode("overwrite")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .json(staging))
+    schema = StructType([
+        StructField("event_id", LongType()), StructField("ts", TimestampType()),
+        StructField("user_id", LongType()), StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    back = scan(spark, json_dir, schema=schema, fmt="json",
+                options={"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"})
+    agg = group_agg(with_date_hour(back, "ts"), ["date", "hour"], [
+        F.count(F.lit(1)).alias("cnt"),
+        F.count("user_id").alias("n_users"),
+        stable_round(F.sum("value"), 2).alias("sum_value")])
+    return sort_by(agg, ["date", "hour"])
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source format under the oracle (r10 — the third non-parquet
     path after CSV/JSON): events exported once to ORC with native types
@@ -3626,6 +3680,8 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenizer_pipeline": q_tokenizer_pipeline,
     "embedding_ivf_pq_kmeans": q_embedding_ivf_pq_kmeans,
     "stream_ann_index": q_stream_ann_index,
+    "json_roundtrip": q_json_roundtrip,
+    "detokenize": q_detokenize,
     "bpe_encode": q_bpe_encode,
     "text_semantic_dedup": q_text_semantic_dedup,
     "pq_codes": q_pq_codes,
@@ -3671,8 +3727,6 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram": q_histogram,
     "stats_agg": q_stats_agg,
     "nation_profit": q_nation_profit,
-    "doc_fingerprint_md5": q_doc_fingerprint_md5,
-    "disjunctive_revenue": q_disjunctive_revenue,
 }
 
 
@@ -3681,6 +3735,8 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tests/test_oracle_parity.py. Ordered stalest-first (latest
     # driver check ascending) so the r12 rotation promotes from the
     # top of this dict.
+    "doc_fingerprint_md5": q_doc_fingerprint_md5,
+    "disjunctive_revenue": q_disjunctive_revenue,
     "pii_scrub": q_pii_scrub,
     "balanced_sample": q_balanced_sample,
     "bigram_surprisal": q_bigram_surprisal,
@@ -3844,6 +3900,38 @@ def oracle_sql() -> dict[str, str]:
     # the streamed-in, cell-partitioned index is semantics-preserving:
     # the partition-pruned search equals the one-shot subset-center IVF
     d["stream_ann_index"] = d["embedding_ivf_portable"]
+    d["json_roundtrip"] = """
+        SELECT CAST(ts AS DATE) AS date, CAST(hour(ts) AS INTEGER) AS hour,
+               count(*) AS cnt, count(user_id) AS n_users,
+               round((sum(value)) + 1e-06, 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+    d["detokenize"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '[\\s\\x0b]+'))
+                       AS token,
+                   generate_subscripts(
+                       string_split_regex(lower(trim(text)), '[\\s\\x0b]+'), 1)
+                       AS pos
+            FROM documents
+        ), vocab AS (
+            SELECT token,
+                   row_number() OVER (ORDER BY count(*) DESC, token ASC)
+                       AS token_id
+            FROM toks GROUP BY token
+            QUALIFY token_id <= 100
+        ), dec AS (
+            SELECT t.doc_id, t.pos,
+                   COALESCE(v.token, '<unk>') AS tok,
+                   CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END AS is_unk
+            FROM toks t LEFT JOIN vocab v USING (token)
+        )
+        SELECT doc_id,
+               array_to_string(list(tok ORDER BY pos), ' ') AS detok,
+               CAST(sum(is_unk) AS BIGINT) AS n_unk
+        FROM dec GROUP BY doc_id
+    """
     d["embedding_lsh_portable"] = _lsh_portable_oracle()
     d["bpe_encode"] = _bpe_encode_oracle()
     d["tokenizer_pipeline"] = _tokenizer_pipeline_oracle()

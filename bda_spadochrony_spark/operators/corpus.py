@@ -114,6 +114,33 @@ def tokens_to_ids(df: DataFrame, id_col: str, text_col: str,
                 lambda s: s["tid"]).alias("token_ids")))
 
 
+def ids_to_tokens(ids_df: DataFrame, id_col: str, ids_col: str,
+                  vocab: DataFrame, unk_id: int = 0,
+                  unk_token: str = "<unk>") -> DataFrame:
+    """The INVERSE of ``tokens_to_ids`` (r11 — the decode half a serving
+    pipeline needs to audit or display its training sequences): rebuild
+    each document's token stream from its id sequence against the same
+    vocabulary. ``unk_id`` maps to the ``unk_token`` sentinel — the
+    information the encoder dropped is gone, so
+    ``decode(encode(x)) == x`` exactly on the in-vocabulary tokens and
+    the round trip is pinned token-count-preserving (every id produces
+    exactly one output token). Same order-stable reassembly as the
+    encoder: (pos, token) structs sorted before projection, and the
+    vocabulary broadcasts. Output: ``(id_col, detok, n_unk)``."""
+    ex = ids_df.select(F.col(id_col),
+                       F.posexplode(F.col(ids_col)).alias("pos", "tid"))
+    j = (ex.join(F.broadcast(vocab.select(
+            F.col("token_id").alias("tid"), "token")), "tid", "left")
+         .select(id_col, "pos",
+                 F.coalesce("token", F.lit(unk_token)).alias("tok"),
+                 (F.col("tid") == unk_id).cast("int").alias("is_unk")))
+    return (j.groupBy(id_col)
+            .agg(F.concat_ws(" ", F.transform(
+                     F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                     lambda s: s["tok"])).alias("detok"),
+                 F.sum("is_unk").alias("n_unk")))
+
+
 def pack_documents(df: DataFrame, id_col: str, text_col: str,
                    budget: int = 512, num_shards: int = 8,
                    order_col: Column | None = None) -> DataFrame:

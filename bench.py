@@ -182,6 +182,8 @@ HEADLINE = [
     ("embedding_ivf_pq_kmeans", "count"),
     ("tokenizer_pipeline", "count"),
     ("stream_ann_index", "count"),
+    ("json_roundtrip", "collect"),
+    ("detokenize", "count"),
 ]
 
 N_SHARDS = 3

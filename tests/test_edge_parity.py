@@ -88,6 +88,9 @@ EDGE_QUERIES = [
     # r11: the tokenizer chain on the same degenerate docs (empty vocab
     # windows, zero-symbol docs packing at offset 0, NULL text)
     "tokenizer_pipeline",
+    # r11: encode->decode round trip on degenerate docs ('' tokens,
+    # unicode, NULL text dropped identically on both sides)
+    "detokenize",
     # r8: the video frame explode on NULL/zero durations (NULL n_chars
     # drops the row in both engines; n_chars=0 keeps exactly t=0)
     "video_frames",
@@ -1240,7 +1243,8 @@ def edge_fmt_duck(edge_fmt_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", ["csv_roundtrip", "orc_roundtrip"])
+@pytest.mark.parametrize("name", ["csv_roundtrip", "orc_roundtrip",
+                                  "json_roundtrip"])
 def test_edge_format_roundtrip_parity(spark, edge_fmt_dir, edge_fmt_duck,
                                       name):
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
