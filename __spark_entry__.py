@@ -1111,9 +1111,6 @@ def q_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from pyspark.sql.types import (ArrayType, FloatType, LongType,
-                                   StructField, StructType)
-
     from bda_spadochrony_spark.operators.similarity import ann_index_topk
     from bda_spadochrony_spark.streaming.ann_index import (
         stream_ann_index_build)
@@ -1125,10 +1122,14 @@ def q_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("centroid")).localCheckpoint()
     base = tempfile.mkdtemp(prefix="bda_annidx_q_")
     in_dir, index, ckpt = f"{base}/in", f"{base}/index", f"{base}/ckpt"
-    schema = StructType([StructField("vec_id", LongType()),
-                         StructField("embedding", ArrayType(FloatType()))])
-    staged = emb.select("vec_id", F.col("embedding").cast("array<float>")
-                        .alias("embedding"))
+    # Stage with the table's OWN element type — a float32 staging cast
+    # flushes extreme-but-valid float64 corpus vectors (the r11
+    # extreme-doubles fixture's [1e-160]*64 row) to all-zero, silently
+    # dropping them from the index while the one-shot path keeps them.
+    # Precision reduction is the EXPLICIT quantize/PQ path, never an
+    # implicit side effect of index staging.
+    staged = emb.select("vec_id", "embedding")
+    schema = staged.schema
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
