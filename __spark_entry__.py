@@ -3660,6 +3660,79 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 for c in ["click", "view", "purchase", "signup", "error"]])
 
 
+def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order ARRAY-function family — the lambda surface
+    (transform / filter / exists / forall / aggregate / zip_with) plus
+    slice / array_sort / reverse / get — folded over the embedding
+    column and pinned against DuckDB's list_* functions. Entry guard:
+    NULL arrays and NULL/NaN/Inf elements are dropped (the cosine
+    family's junk rule) and a max|x| < 1e6 moment bound keeps the
+    mixed-sign dot_rev fold's reorder error far below the 4-decimal
+    round (the `finite_vectors` precedent — cancellation between
+    1e30-magnitude terms would otherwise dwarf the rounding grid).
+    Elements are cast to DOUBLE before any arithmetic
+    (similarity.valid_vectors' float32-square overflow rule). All
+    map-only: one scan, zero exchanges."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    junk = F.exists(v, lambda x: x.isNull() | F.isnan(x)
+                    | (F.abs(x) == F.lit(float("inf"))))
+    base = (emb.where(v.isNotNull() & ~junk)
+               .select("vec_id", v.cast("array<double>").alias("e"))
+               .where(F.array_max(F.transform(F.col("e"),
+                                              lambda x: F.abs(x)))
+                      < F.lit(1e6)))
+    e = F.col("e")
+    return base.select(
+        "vec_id",
+        stable_round(F.sqrt(F.aggregate(e, F.lit(0.0),
+                                        lambda a, x: a + x * x)), 4)
+        .alias("l2_norm"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("int").alias("n_pos"),
+        stable_round(F.array_max(F.transform(e, lambda x: F.abs(x))), 4)
+        .alias("max_abs"),
+        F.exists(e, lambda x: x > F.lit(0.5)).alias("any_gt_half"),
+        F.forall(e, lambda x: x < F.lit(10.0)).alias("all_lt10"),
+        stable_round(F.aggregate(F.slice(e, 1, 3), F.lit(0.0),
+                                 lambda a, x: a + x), 4)
+        .alias("head3_sum"),
+        stable_round(F.get(F.array_sort(e), 0), 4).alias("min_val"),
+        stable_round(F.aggregate(F.zip_with(e, F.reverse(e),
+                                            lambda a, b: a * b),
+                                 F.lit(0.0), lambda a, x: a + x), 4)
+        .alias("dot_rev"))
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-function family — create_map / map_filter / transform_values /
+    map_keys / map_values / try_element_at / map_contains_key — over a
+    map built from the event's measure columns plus its JSON payload
+    key. The oracle computes the same scalars directly (a map literal
+    keyed by three known names IS three scalars), pinning Spark's map
+    NULL semantics: map_filter's lambda drops NULL-valued entries
+    (predicate NULL ≠ true), try_element_at on a present key returns
+    its value even when NULL, and the map_values fold coalesces NULLs
+    into the running sum. Map-only, zero exchanges."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("value"), F.col("value"),
+        F.lit("uid"), F.col("user_id").cast("double"),
+        F.lit("kprop"), F.get_json_object("props", "$.k").cast("double"))
+    base = ev.select("event_id", m.alias("m"))
+    pos = F.map_filter(F.col("m"), lambda k, v: v.isNotNull() & (v > 0))
+    doubled = F.transform_values(F.col("m"), lambda k, v: v * 2.0)
+    return base.select(
+        "event_id",
+        F.size(pos).cast("int").alias("n_pos"),
+        F.concat_ws(",", F.array_sort(F.map_keys(pos))).alias("pos_keys"),
+        stable_round(F.try_element_at(doubled, F.lit("value")), 4)
+        .alias("value_x2"),
+        stable_round(F.aggregate(F.map_values(F.col("m")), F.lit(0.0),
+                                 lambda a, x: a + F.coalesce(x, F.lit(0.0))),
+                     4).alias("sum_vals"),
+        F.map_contains_key(pos, "kprop").alias("kprop_pos"))
+
+
 # Registry order matters: the driver's CORRECTNESS run covers EXACTLY the
 # first 50 entries (_WINDOW below; round 4 accidentally placed 51 ahead of
 # the marker and `quantiles` silently missed its slot — the split dicts +
@@ -3678,6 +3751,8 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cache dirs), then the stalest backlog per the rotation
     # discipline: ALL r5- and r6-stale queries (so nothing is older
     # than r7 after this round) and the first 7 of the r7 backlog
+    "higher_order_funcs": q_higher_order_funcs,
+    "map_funcs": q_map_funcs,
     "tokenizer_pipeline": q_tokenizer_pipeline,
     "embedding_ivf_pq_kmeans": q_embedding_ivf_pq_kmeans,
     "stream_ann_index": q_stream_ann_index,
@@ -3726,8 +3801,6 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_funcs": q_hash_funcs,
     "pca_invariants": q_pca_invariants,
     "histogram": q_histogram,
-    "stats_agg": q_stats_agg,
-    "nation_profit": q_nation_profit,
 }
 
 
@@ -3735,7 +3808,11 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # long-confirmed queries; parity re-proven every round by
     # tests/test_oracle_parity.py. Ordered stalest-first (latest
     # driver check ascending) so the r12 rotation promotes from the
-    # top of this dict.
+    # top of this dict. stats_agg / nation_profit were displaced from
+    # the r11 window bottom by the two new r11 queries (their latest
+    # check is r7 — still inside the staleness budget).
+    "stats_agg": q_stats_agg,
+    "nation_profit": q_nation_profit,
     "doc_fingerprint_md5": q_doc_fingerprint_md5,
     "disjunctive_revenue": q_disjunctive_revenue,
     "pii_scrub": q_pii_scrub,
@@ -4154,6 +4231,65 @@ def _lsh_portable_oracle() -> str:
 
 def _oracle_sql_literal() -> dict[str, str]:
     return {
+        # higher-order array-function family: the oracle mirrors every
+        # lambda with DuckDB's list_* twins; the max|x| < 1e6 moment
+        # bound (NULL list_max drops empty arrays on both sides) keeps
+        # the mixed-sign dot_rev fold's reorder error below the
+        # 4-decimal grid
+        "higher_order_funcs": """
+            WITH clean AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+                WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                  AND list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) < 1000000.0
+            )
+            SELECT vec_id,
+                   round(sqrt(list_sum(list_transform(e, x -> x * x)))
+                         + 1e-08, 4) AS l2_norm,
+                   CAST(len(list_filter(e, x -> x > 0)) AS INTEGER)
+                       AS n_pos,
+                   round(list_max(list_transform(e, x -> abs(x)))
+                         + 1e-08, 4) AS max_abs,
+                   len(list_filter(e, x -> x > 0.5)) > 0 AS any_gt_half,
+                   len(list_filter(e, x -> NOT (x < 10.0))) = 0
+                       AS all_lt10,
+                   round(list_sum(e[1:3]) + 1e-08, 4) AS head3_sum,
+                   round(list_sort(e)[1] + 1e-08, 4) AS min_val,
+                   round(list_dot_product(e, list_reverse(e))
+                         + 1e-08, 4) AS dot_rev
+            FROM clean
+        """,
+        # map-function family: a map literal keyed by three known names
+        # IS three scalars — the oracle computes them directly, pinning
+        # Spark's map_filter NULL-predicate and try_element_at semantics
+        "map_funcs": """
+            WITH t AS (
+                SELECT event_id, value AS v,
+                       CAST(user_id AS DOUBLE) AS u,
+                       CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                           AS k
+                FROM events
+            )
+            SELECT event_id,
+                   CAST((CASE WHEN v > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN u > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN k > 0 THEN 1 ELSE 0 END) AS INTEGER)
+                       AS n_pos,
+                   array_to_string(list_sort(list_filter(
+                       [CASE WHEN k > 0 THEN 'kprop' END,
+                        CASE WHEN u > 0 THEN 'uid' END,
+                        CASE WHEN v > 0 THEN 'value' END],
+                       x -> x IS NOT NULL)), ',') AS pos_keys,
+                   round(v * 2.0 + 1e-08, 4) AS value_x2,
+                   round(coalesce(v, 0) + coalesce(u, 0) + coalesce(k, 0)
+                         + 1e-08, 4) AS sum_vals,
+                   coalesce(k > 0, FALSE) AS kprop_pos
+            FROM t
+        """,
         "hourly_agg": """
             SELECT CAST(ts AS DATE) AS date, CAST(hour(ts) AS INTEGER) AS hour,
                    count(*) AS cnt, round((avg(value)) + 1e-06, 2) AS avg_value

@@ -184,6 +184,8 @@ HEADLINE = [
     ("stream_ann_index", "count"),
     ("json_roundtrip", "collect"),
     ("detokenize", "count"),
+    ("higher_order_funcs", "count"),
+    ("map_funcs", "count"),
 ]
 
 N_SHARDS = 3

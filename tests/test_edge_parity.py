@@ -158,6 +158,12 @@ EDGE_EMB_QUERIES = [
     # excluded at APPEND time (valid_vectors inside ann_index_append)
     # and the pruned search must still equal the one-shot oracle
     "stream_ann_index",
+    # r11: the higher-order lambda family — junk elements must be
+    # dropped by the entry guard and the max|x| < 1e6 moment bound
+    # must exclude extreme magnitudes identically on both engines
+    # (subnormals survive the bound: every fold underflows to the
+    # same 0.0 on both sides)
+    "higher_order_funcs",
 ]
 
 
