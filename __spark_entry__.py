@@ -3703,6 +3703,25 @@ def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dot_rev"))
 
 
+def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET sampling per source (r11): each source contributes
+    documents in deterministic (hash, id) order until ~2,000 tokens are
+    taken — the budget-bounded mixing rule a training-data pipeline
+    applies per source/language, where a doc-COUNT cap would over-weight
+    verbose sources. One group-keyed shuffle (the running-sum window);
+    the kept set is partition-invariant and the oracle restates the
+    identical integer hash and window frame."""
+    from bda_spadochrony_spark.operators.sampling import budget_sample
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.lower(F.trim("text")), r"[\s\x0b]+"))
+        .cast("int").alias("n_tokens"))
+    out = budget_sample(toks, "doc_id", "source", "n_tokens",
+                        budget=2000, cum_col="cum_tokens")
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAP-function family — create_map / map_filter / transform_values /
     map_keys / map_values / try_element_at / map_contains_key — over a
@@ -3753,6 +3772,7 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # than r7 after this round) and the first 7 of the r7 backlog
     "higher_order_funcs": q_higher_order_funcs,
     "map_funcs": q_map_funcs,
+    "budget_sample": q_budget_sample,
     "tokenizer_pipeline": q_tokenizer_pipeline,
     "embedding_ivf_pq_kmeans": q_embedding_ivf_pq_kmeans,
     "stream_ann_index": q_stream_ann_index,
@@ -3800,7 +3820,6 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_funcs2": q_string_funcs2,
     "hash_funcs": q_hash_funcs,
     "pca_invariants": q_pca_invariants,
-    "histogram": q_histogram,
 }
 
 
@@ -3813,6 +3832,7 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # check is r7 — still inside the staleness budget).
     "stats_agg": q_stats_agg,
     "nation_profit": q_nation_profit,
+    "histogram": q_histogram,
     "doc_fingerprint_md5": q_doc_fingerprint_md5,
     "disjunctive_revenue": q_disjunctive_revenue,
     "pii_scrub": q_pii_scrub,
@@ -4262,6 +4282,29 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(list_dot_product(e, list_reverse(e))
                          + 1e-08, 4) AS dot_rev
             FROM clean
+        """,
+        # token-budget sampling: the oracle restates the multiplicative
+        # id hash (hash_sample's pinned integer form) and the identical
+        # running-sum window frame; sum(int) is cast to BIGINT on both
+        # sides (DuckDB widens window sums to INT128)
+        "budget_sample": """
+            WITH t AS (
+                SELECT doc_id, source,
+                       CAST(len(string_split_regex(lower(trim(text)),
+                            '[\\s\\x0b]+')) AS INTEGER) AS n_tokens,
+                       (((doc_id * 2654435761) % 4294967296)
+                        + 4294967296) % 4294967296 AS h
+                FROM documents
+            ), c AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(sum(n_tokens) OVER (
+                            PARTITION BY source ORDER BY h, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum_tokens
+                FROM t
+            )
+            SELECT doc_id, source, n_tokens, cum_tokens
+            FROM c WHERE cum_tokens <= 2000
         """,
         # map-function family: a map literal keyed by three known names
         # IS three scalars — the oracle computes them directly, pinning

@@ -64,6 +64,33 @@ def balanced_sample(df: DataFrame, id_col: str, class_col: str,
             .where(F.col("__rk") <= n_per_class).drop("__rk"))
 
 
+def budget_sample(df: DataFrame, id_col: str, group_col: str,
+                  size_col: str, budget: int, salt: int = 0,
+                  cum_col: str = "cum_size") -> DataFrame:
+    """Deterministic BUDGET-bounded sampling per group: rows order within
+    their group by (hash, id) and survive while the group's RUNNING SIZE
+    total stays within ``budget`` — the token-budget mixing rule a
+    training-data pipeline applies per source/language ("take ~N tokens
+    of each", not "~N documents of each", because document lengths are
+    long-tailed and a doc-count cap over-weights verbose sources).
+    Sizes are positive, so the running sum is monotone and the kept set
+    is the maximal (hash, id)-prefix fitting the budget.
+
+    One shuffle, keyed on the group (bounded by group cardinality,
+    AQE-splittable); the (hash, id) order is row-pure, so the selected
+    set is independent of partitioning and restatable by any engine —
+    the same contract as ``balanced_sample``, with the running-sum
+    window in place of the rank window. The cumulative column survives
+    in the output (``cum_col``) as the per-group budget audit trail."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy(group_col)
+         .orderBy(hash_bucket(id_col, salt).asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn(cum_col,
+                          F.sum(size_col).over(w).cast("bigint"))
+            .where(F.col(cum_col) <= F.lit(budget)))
+
+
 def stratified_hash_sample(df: DataFrame, id_col: str, strata_col: str,
                            fractions: dict[str, float],
                            default_fraction: float = 0.0,

@@ -186,6 +186,7 @@ HEADLINE = [
     ("detokenize", "count"),
     ("higher_order_funcs", "count"),
     ("map_funcs", "count"),
+    ("budget_sample", "count"),
 ]
 
 N_SHARDS = 3

@@ -898,6 +898,38 @@ def test_stream_ann_index_matches_one_shot_and_prunes(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_ann_index_topk_sub_tiling_preserves_values(spark):
+    """r11: corpus_blocks/query_blocks sub-tile a cell whose corpus or
+    probe side outgrows one executor's memory (the 100 TB knob on the
+    BLAS tile scoring). Tiling must be value-INVISIBLE: every (cell,
+    corpus row, probe row) pair still meets exactly once, and the
+    global top-k (with its tie-break) is byte-identical to the
+    untiled search."""
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append, ann_index_topk)
+    from bda_spadochrony_spark.sources.readers import scan
+    emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    centers = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid")).localCheckpoint()
+    base = tempfile.mkdtemp(prefix="bda_annidx_blk_")
+    index = os.path.join(base, "index")
+    try:
+        ann_index_append(emb, 0, index, centers, "vec_id")
+        def run(cb, qb):
+            return sorted(
+                (r["query_id"], r["corpus_id"], round(r["cosine"], 9))
+                for r in ann_index_topk(spark, index, emb, "vec_id",
+                                        centers=centers, k=3, n_probe=2,
+                                        corpus_blocks=cb,
+                                        query_blocks=qb).collect())
+        base_rows = run(1, 1)
+        assert base_rows == run(3, 2)
+        assert base_rows == run(2, 4)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_ann_index_topk_requires_centers(spark):
     """r11: searching an index with a different (or no) quantizer than
     the one that laid out the cells silently misses neighbors — the

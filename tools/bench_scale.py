@@ -50,7 +50,7 @@ FAMILY = [
     # r11: the tokenizer loop closed end-to-end + the production
     # (balanced-KMeans) IVF-PQ path
     "tokenizer_pipeline", "embedding_ivf_pq_kmeans", "stream_ann_index",
-    "detokenize", "higher_order_funcs", "map_funcs",
+    "detokenize", "higher_order_funcs", "map_funcs", "budget_sample",
     "stream_hourly", "stream_distinct", "stream_sliding",
     "stream_join_outer",
 ]
