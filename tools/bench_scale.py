@@ -59,11 +59,61 @@ FAMILY = [
 # (VERDICT r6 ask #4: the sizing story was asserted, not measured)
 STREAMING = ["stream_join_outer", "stream_distinct", "stream_sliding"]
 
+# Fresh-JVM family shards (r11): the r11 full regen ran the (by then)
+# 48-query family twice in ONE session and the tail of the list
+# inflated 2-3x vs isolated runs (tokenizer_pipeline 8.05 -> 19.4 s at
+# sf1 on identical code) — the exact single-session codegen/GC load
+# bench.py's r6/r10 A/Bs measured and fixed with subprocess shards.
+# Each shard is a fresh JVM, warms ITS slice at sf0.001, times it at
+# the target sf, and reports the bench.py canary queries (report-only
+# here: the committed ledger's floors are sf0.1 cold numbers, and this
+# harness also runs at sf1 where they do not apply).
+FAMILY_SHARD_SIZE = 16
+
+
+def run_family_shard(shard: int, sf_dir: str) -> None:
+    """Child mode: time FAMILY[shard*K:(shard+1)*K] in a fresh JVM."""
+    from bda_spadochrony_spark.session import get_session
+    import __spark_entry__ as entry_mod
+
+    spark = get_session(f"bda-bench-scale-s{shard}",
+                        extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    names = FAMILY[shard * FAMILY_SHARD_SIZE:(shard + 1) * FAMILY_SHARD_SIZE]
+    for name in names:
+        try:
+            qs[name](spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
+    canary = {}
+    try:
+        import bench
+        for cn in bench.CANARY_REF:
+            qs[cn](spark, "/root/testdata/sf0.001").count()
+            t0 = time.perf_counter()
+            qs[cn](spark, "/root/testdata/sf0.1").count()
+            canary[cn] = round(
+                (time.perf_counter() - t0) / bench.CANARY_REF[cn], 2)
+    except Exception:
+        pass
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    print(json.dumps({"times": out, "canary_ratios_vs_sf01_ledger": canary}))
+
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sf01 = "/root/testdata/sf0.1"
     sf1 = os.path.join(repo, "testdata_sf1")
+
+    if len(sys.argv) > 2 and sys.argv[1].startswith("--family-shard="):
+        run_family_shard(int(sys.argv[1].split("=")[1]),
+                         sys.argv[2].split("=", 1)[1])
+        return
 
     from bda_spadochrony_spark.session import get_session
     import __spark_entry__ as entry_mod
@@ -73,19 +123,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
 
+    shard_canaries: dict[str, dict] = {}
+
     def timed_pass(sf_dir: str) -> dict[str, float]:
-        # warm every plan shape at sf0.001 first (bench.py methodology)
-        for name in FAMILY:
-            try:
-                qs[name](spark, "/root/testdata/sf0.001").count()
-            except Exception:
-                pass
+        import subprocess
         out: dict[str, float] = {}
-        for name in FAMILY:
-            t0 = time.perf_counter()
-            n = qs[name](spark, sf_dir).count()
-            out[name] = round(time.perf_counter() - t0, 3)
-            print(f"  {name}: {out[name]:.2f}s rows={n}", flush=True)
+        n_shards = (len(FAMILY) + FAMILY_SHARD_SIZE - 1) // FAMILY_SHARD_SIZE
+        for s in range(n_shards):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 f"--family-shard={s}", f"--sf={sf_dir}"],
+                capture_output=True, text=True, cwd=repo)
+            if r.returncode != 0:
+                sys.stderr.write(r.stderr[-2000:])
+                raise SystemExit(f"family shard {s} failed")
+            payload = json.loads(r.stdout.strip().splitlines()[-1])
+            out.update(payload["times"])
+            shard_canaries[f"{os.path.basename(sf_dir)}_s{s}"] = \
+                payload["canary_ratios_vs_sf01_ledger"]
+            for name, t in payload["times"].items():
+                print(f"  {name}: {t:.2f}s", flush=True)
         return out
 
     def probe_join_state(sf_dir: str, events_glob: str = "events*.parquet",
@@ -255,6 +312,15 @@ def main() -> None:
         "sf0.1": t01, "sf1": t1, "factor_10x_data": factors,
         "sum_sf0.1": round(sum(t01.values()), 2),
         "sum_sf1": round(sum(t1.values()), 2),
+        "family_shard_canaries": {
+            **shard_canaries,
+            "note": ("per fresh-JVM family shard: bench.py's pinned "
+                     "canary queries at sf0.1 vs the committed healthy "
+                     "ledger floors (report-only; ~1.0 = healthy "
+                     "window). Shards exist because the r11 full regen "
+                     "measured the 48-plan single-session tail 2-3x "
+                     "inflated vs isolated runs — the bench.py r6/r10 "
+                     "session-load artifact, same fix")},
         "note": ("10x rows in documents/embeddings/events "
                  "(tools/gen_scale_data.py). factor ~= marginal cost of "
                  "10x data; << 10 means the sf0.1 time was scheduling "
