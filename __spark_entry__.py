@@ -3703,6 +3703,58 @@ def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dot_rev"))
 
 
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — important stock identification, the last-but-one
+    missing TPC-H silhouette (r11 completes all 22): per-part value
+    concentrated through ONE nation's suppliers, kept only where the
+    part's value exceeds a FRACTION OF THE GLOBAL TOTAL — the
+    global-scalar-aggregate-as-HAVING-bound pattern (Q11's signature),
+    planned as a broadcast of the one-row total crossed back into the
+    per-part frame. Adapted to this schema (no partsupp table, the
+    SURVEY §1.4 substitution rule): value = discounted lineitem revenue
+    through NATION_1's suppliers; fraction 0.001."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    base = (li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+              .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+              .where(F.col("n_name") == "NATION_1")
+              .select("l_partkey",
+                      (F.col("l_extendedprice")
+                       * (1 - F.col("l_discount"))).alias("val")))
+    per = base.groupBy("l_partkey").agg(F.sum("val").alias("raw_value"))
+    total = per.agg(F.sum("raw_value").alias("total_value"))
+    return (per.join(F.broadcast(total), F.lit(True))
+            .where(F.col("raw_value") > 0.001 * F.col("total_value"))
+            .select("l_partkey",
+                    stable_round(F.col("raw_value"), 2).alias("value")))
+
+
+def q_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — potential part promotion, the last missing
+    TPC-H silhouette (r11 completes all 22): suppliers who shipped MORE
+    THAN HALF of a part's total 1996 volume — Q20's correlated
+    half-of-sum subquery (availqty > 0.5 × the part/supplier's shipped
+    quantity), adapted to this schema (no partsupp) as the
+    per-(part, supplier) share against the part's total, then resolved
+    to supplier names through the broadcast dim. Two aggregations over
+    ONE scan lineage + an equi-join on the part key."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    y = li.where(F.year("l_shipdate") == 1996) \
+          .select("l_partkey", "l_suppkey", "l_quantity")
+    per_ps = y.groupBy("l_partkey", "l_suppkey") \
+              .agg(F.sum("l_quantity").alias("supp_qty"))
+    per_p = y.groupBy("l_partkey").agg(F.sum("l_quantity").alias("part_qty"))
+    cand = (per_ps.join(per_p, "l_partkey")
+            .where(F.col("supp_qty") > 0.5 * F.col("part_qty")))
+    return (cand.join(F.broadcast(su),
+                      cand.l_suppkey == su.s_suppkey)
+            .select("s_name", "l_partkey",
+                    stable_round(F.col("supp_qty"), 2).alias("supp_qty"),
+                    stable_round(F.col("part_qty"), 2).alias("part_qty")))
+
+
 def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOKEN-BUDGET sampling per source (r11): each source contributes
     documents in deterministic (hash, id) order until ~2,000 tokens are
@@ -3773,6 +3825,8 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "higher_order_funcs": q_higher_order_funcs,
     "map_funcs": q_map_funcs,
     "budget_sample": q_budget_sample,
+    "important_stock": q_important_stock,
+    "part_promotion": q_part_promotion,
     "tokenizer_pipeline": q_tokenizer_pipeline,
     "embedding_ivf_pq_kmeans": q_embedding_ivf_pq_kmeans,
     "stream_ann_index": q_stream_ann_index,
@@ -3818,8 +3872,6 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_surface": q_sql_surface,
     "unpivot": q_unpivot,
     "string_funcs2": q_string_funcs2,
-    "hash_funcs": q_hash_funcs,
-    "pca_invariants": q_pca_invariants,
 }
 
 
@@ -3833,6 +3885,8 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_agg": q_stats_agg,
     "nation_profit": q_nation_profit,
     "histogram": q_histogram,
+    "hash_funcs": q_hash_funcs,
+    "pca_invariants": q_pca_invariants,
     "doc_fingerprint_md5": q_doc_fingerprint_md5,
     "disjunctive_revenue": q_disjunctive_revenue,
     "pii_scrub": q_pii_scrub,
@@ -4282,6 +4336,48 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(list_dot_product(e, list_reverse(e))
                          + 1e-08, 4) AS dot_rev
             FROM clean
+        """,
+        # TPC-H Q11 shape: the HAVING bound restated as a scalar
+        # cross-join (DuckDB evaluates the same one-row total)
+        "important_stock": """
+            WITH base AS (
+                SELECT l_partkey,
+                       l_extendedprice * (1 - l_discount) AS val
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_1'
+            ), per AS (
+                SELECT l_partkey, sum(val) AS raw_value
+                FROM base GROUP BY 1
+            ), tot AS (
+                SELECT sum(raw_value) AS total_value FROM per
+            )
+            SELECT l_partkey,
+                   round((raw_value) + 1e-06, 2) AS value
+            FROM per CROSS JOIN tot
+            WHERE raw_value > 0.001 * total_value
+        """,
+        # TPC-H Q20 shape: the correlated half-of-sum subquery as two
+        # aggregates over the same year slice + the part-key join
+        "part_promotion": """
+            WITH y AS (
+                SELECT l_partkey, l_suppkey, l_quantity
+                FROM lineitem WHERE year(l_shipdate) = 1996
+            ), per_ps AS (
+                SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+                FROM y GROUP BY 1, 2
+            ), per_p AS (
+                SELECT l_partkey, sum(l_quantity) AS part_qty
+                FROM y GROUP BY 1
+            )
+            SELECT s_name, l_partkey,
+                   round((supp_qty) + 1e-06, 2) AS supp_qty,
+                   round((part_qty) + 1e-06, 2) AS part_qty
+            FROM per_ps
+            JOIN per_p USING (l_partkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE supp_qty > 0.5 * part_qty
         """,
         # token-budget sampling: the oracle restates the multiplicative
         # id hash (hash_sample's pinned integer form) and the identical

@@ -187,6 +187,8 @@ HEADLINE = [
     ("higher_order_funcs", "count"),
     ("map_funcs", "count"),
     ("budget_sample", "count"),
+    ("important_stock", "collect"),
+    ("part_promotion", "collect"),
 ]
 
 N_SHARDS = 3
