@@ -94,6 +94,11 @@ EDGE_QUERIES = [
     # r8: the video frame explode on NULL/zero durations (NULL n_chars
     # drops the row in both engines; n_chars=0 keeps exactly t=0)
     "video_frames",
+    # r11: the running-sum budget gate on NULL/empty text — a NULL
+    # n_tokens row contributes nothing to the window sum but still
+    # carries the preceding cum (both engines' sum-over-frame skips
+    # NULLs), and ''-text rows count their one empty token identically
+    "budget_sample",
 ]
 
 
