@@ -3703,6 +3703,31 @@ def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dot_rev"))
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS VERSIONING DIFF (r11): two corpus versions derived
+    deterministically from the documents table — the OLD snapshot drops
+    ids ≡ 7 (mod 10) and the NEW version drops ids ≡ 2 (mod 10) and
+    rewrites ids ≡ 5 (mod 10) (text + a marker suffix) — then
+    `dedup.corpus_diff` classifies every id added / removed / changed /
+    unchanged by md5 digest under a full-outer id join. Text never
+    shuffles (each side reduces to (id, digest) map-side); the output
+    is the per-status census plus the exact changed/added/removed id
+    bounds as a value check."""
+    from bda_spadochrony_spark.operators.dedup import corpus_diff
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 7)
+    new = (docs.where(F.col("doc_id") % 10 != 2)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 10 == 5,
+                          F.concat(F.col("text"), F.lit(" [rev2]")))
+                   .otherwise(F.col("text")).alias("text")))
+    d = corpus_diff(old, new, "doc_id", "text")
+    return (d.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id")))
+
+
 def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape — important stock identification, the last-but-one
     missing TPC-H silhouette (r11 completes all 22): per-part value
@@ -3827,6 +3852,7 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "budget_sample": q_budget_sample,
     "important_stock": q_important_stock,
     "part_promotion": q_part_promotion,
+    "corpus_diff": q_corpus_diff,
     "tokenizer_pipeline": q_tokenizer_pipeline,
     "embedding_ivf_pq_kmeans": q_embedding_ivf_pq_kmeans,
     "stream_ann_index": q_stream_ann_index,
@@ -3871,7 +3897,6 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_normalize": q_text_normalize,
     "sql_surface": q_sql_surface,
     "unpivot": q_unpivot,
-    "string_funcs2": q_string_funcs2,
 }
 
 
@@ -3887,6 +3912,7 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram": q_histogram,
     "hash_funcs": q_hash_funcs,
     "pca_invariants": q_pca_invariants,
+    "string_funcs2": q_string_funcs2,
     "doc_fingerprint_md5": q_doc_fingerprint_md5,
     "disjunctive_revenue": q_disjunctive_revenue,
     "pii_scrub": q_pii_scrub,
@@ -4336,6 +4362,33 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(list_dot_product(e, list_reverse(e))
                          + 1e-08, 4) AS dot_rev
             FROM clean
+        """,
+        # corpus versioning diff: the derived old/new versions and the
+        # digest compare restated; presence flags (not digest NULLs)
+        # decide added/removed, digest null-safe equality decides
+        # changed/unchanged
+        "corpus_diff": """
+            WITH old AS (
+                SELECT doc_id, md5(text) AS od, TRUE AS in_old
+                FROM documents WHERE doc_id % 10 != 7
+            ), new AS (
+                SELECT doc_id,
+                       md5(CASE WHEN doc_id % 10 = 5
+                                THEN text || ' [rev2]' ELSE text END) AS nd,
+                       TRUE AS in_new
+                FROM documents WHERE doc_id % 10 != 2
+            ), j AS (
+                SELECT doc_id,
+                       CASE WHEN in_old IS NULL THEN 'added'
+                            WHEN in_new IS NULL THEN 'removed'
+                            WHEN od IS NOT DISTINCT FROM nd
+                                 THEN 'unchanged'
+                            ELSE 'changed' END AS status
+                FROM old FULL OUTER JOIN new USING (doc_id)
+            )
+            SELECT status, count(*) AS n,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM j GROUP BY 1
         """,
         # TPC-H Q11 shape: the HAVING bound restated as a scalar
         # cross-join (DuckDB evaluates the same one-row total)

@@ -466,6 +466,37 @@ def incremental_dedup(new: DataFrame, existing: DataFrame | None,
                     .otherwise(0).alias("admitted")))
 
 
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str,
+                text_col: str) -> DataFrame:
+    """DIGEST-based corpus versioning diff: classify every id across two
+    corpus versions as added / removed / changed / unchanged by
+    comparing content digests under a FULL OUTER id join — the dataset-
+    version audit a training pipeline runs before re-training ("what
+    actually moved since the last snapshot?"). Text never shuffles:
+    each side reduces to (id, md5) map-side first, so the exchange
+    carries two slim columns however wide the documents are; at 100 TB
+    the join is id-keyed and AQE-splittable. NULL text digests to NULL,
+    and a NULL-vs-NULL id match compares as 'unchanged' (null-safe
+    equality) — deletion of content (text -> NULL) reads as 'changed',
+    matching the digest sketch's exact-gate convention."""
+    o = old.select(F.col(id_col).alias("doc_id"),
+                   F.md5(F.col(text_col)).alias("old_digest"),
+                   F.lit(True).alias("in_old"))
+    n = new.select(F.col(id_col).alias("doc_id"),
+                   F.md5(F.col(text_col)).alias("new_digest"),
+                   F.lit(True).alias("in_new"))
+    j = o.join(n, "doc_id", "full_outer")
+    # presence markers (not digest NULL-ness) decide added/removed: a
+    # present row with NULL text digests to NULL, which must NOT read
+    # as an absent side
+    status = (F.when(F.col("in_old").isNull(), F.lit("added"))
+              .when(F.col("in_new").isNull(), F.lit("removed"))
+              .when(F.col("old_digest").eqNullSafe(F.col("new_digest")),
+                    F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select("doc_id", status.alias("status"))
+
+
 def admission_sketch(df: DataFrame, id_col: str, text_col: str,
                      num_hashes: int = 16, shingle_n: int = 3,
                      seed: int = 42, hash_fn: str = "xxhash64") -> DataFrame:

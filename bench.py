@@ -189,6 +189,7 @@ HEADLINE = [
     ("budget_sample", "count"),
     ("important_stock", "collect"),
     ("part_promotion", "collect"),
+    ("corpus_diff", "collect"),
 ]
 
 N_SHARDS = 3

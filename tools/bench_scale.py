@@ -51,6 +51,7 @@ FAMILY = [
     # (balanced-KMeans) IVF-PQ path
     "tokenizer_pipeline", "embedding_ivf_pq_kmeans", "stream_ann_index",
     "detokenize", "higher_order_funcs", "map_funcs", "budget_sample",
+    "corpus_diff",
     "stream_hourly", "stream_distinct", "stream_sliding",
     "stream_join_outer",
 ]

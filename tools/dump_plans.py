@@ -82,6 +82,8 @@ QUERIES = [
     "higher_order_funcs", "map_funcs", "budget_sample",
     # round 11 (cont.): the last two TPC-H silhouettes (all 22 covered)
     "important_stock", "part_promotion",
+    # round 11 (cont.): digest-based corpus versioning diff
+    "corpus_diff",
 ]
 
 
