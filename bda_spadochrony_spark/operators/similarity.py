@@ -990,26 +990,68 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str = "embedding",
               .withColumn("lut", F.array(*luts))
               .select(F.col("id").alias("query_id"), "cell", "qn", "lut")
               .localCheckpoint(eager=False))
-    adc_num = None
-    for s in range(m_eff):
-        term = F.element_at(F.element_at("lut", s + 1),
-                            F.element_at("codes", s + 1) + 1)
-        adc_num = term if adc_num is None else adc_num + term
-    # ADC scores compute INSIDE the cell join and the pair frame is
-    # projected to (query_id, corpus_id, approx) BEFORE the top-k
-    # window: the candidate exchange carries 24 B/pair, not both full
-    # vectors (a first cut kept qv/cv on the 5M-pair frame at sf1 and
-    # the window sorted ~7.5 GB — 536 s; slimming the exchange and
-    # joining vectors back for the bounded rerank is the fix)
-    pairs = (probes.join(corpus, "cell")
-             .where((F.col("query_id") != F.col("corpus_id")) &
-                    (F.col("qn") > 0) & (F.col("rnm") > 0))
-             .select("query_id", "corpus_id",
-                     (adc_num / (F.col("qn") * F.col("rnm")))
-                     .alias("approx")))
+    # ADC scoring as a cogrouped PER-CELL TILE (r11, the _blas_cell_topk
+    # lesson applied to the lookup path): the per-pair 8-term
+    # element_at chain is an interpreted expression over EVERY candidate
+    # pair (22.1M at sf1), and the global candidate window then sorts
+    # all of them. Each probed cell's codes meet its probes in ONE
+    # Arrow task instead: the m gathers vectorize across the whole
+    # T×B tile (numpy fancy indexing), the s-sum accumulates in the
+    # SAME left-to-right order as the previous fold (and as the
+    # oracle's Σ_s list_dot_product), division and norms are IEEE
+    # identical — so `approx` is bit-for-bit the old value — and only
+    # the tile-local top-(n_candidates+1) survives to the global
+    # window, which now sorts n_probe·(n_candidates+1) rows per query
+    # instead of every pair. A first cut of this operator kept full
+    # vectors on the pair frame (536 s at sf1), the LUT cut it to 38 s,
+    # the tile cuts the residual pair-window floor.
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = base.schema["id"].dataType
+    out_schema = StructType([
+        StructField("query_id", id_type),
+        StructField("corpus_id", id_type),
+        StructField("approx", DoubleType())])
+    empty_t = pd.DataFrame({"query_id": [], "corpus_id": [], "approx": []})
+    take_n = n_candidates + 1  # the self-match may occupy one slot
+
+    def adc_tile(_key, cpdf: pd.DataFrame, ppdf: pd.DataFrame) -> pd.DataFrame:
+        if cpdf.empty or ppdf.empty:
+            return empty_t
+        codes_m = np.stack([np.asarray(c, dtype=np.int64)
+                            for c in cpdf["codes"]])              # B×m
+        lut_m = np.stack([np.stack([np.asarray(s, dtype=np.float64)
+                                    for s in row])
+                          for row in ppdf["lut"]])                # T×m×k
+        num = lut_m[:, 0, :][:, codes_m[:, 0]]
+        for s in range(1, lut_m.shape[1]):                        # s-order
+            num = num + lut_m[:, s, :][:, codes_m[:, s]]
+        approx = num / np.outer(ppdf["qn"].to_numpy(),
+                                cpdf["rnm"].to_numpy())           # T×B
+        cids = cpdf["corpus_id"].to_numpy()
+        qids = ppdf["query_id"].to_numpy()
+        take = min(take_n, approx.shape[1])
+        idx_ = np.lexsort((np.broadcast_to(cids, approx.shape), -approx),
+                          axis=1)[:, :take]
+        return pd.DataFrame({
+            "query_id": np.repeat(qids, take),
+            "corpus_id": cids[idx_].ravel(),
+            "approx": np.take_along_axis(approx, idx_, axis=1).ravel()})
+
+    c_side = corpus.where(F.col("rnm") > 0)
+    p_side = (probes.where(F.col("qn") > 0)
+              .select("query_id", "qn", "lut",
+                      F.col("cell").alias("pcell")))
+    tile_out = (c_side.groupBy("cell")
+                .cogroup(p_side.groupBy("pcell"))
+                .applyInPandas(adc_tile, schema=out_schema))
     w1 = Window.partitionBy("query_id").orderBy(F.col("approx").desc(),
                                                 F.col("corpus_id").asc())
-    cand = (pairs.withColumn("rn", F.row_number().over(w1))
+    cand = (tile_out.where(F.col("query_id") != F.col("corpus_id"))
+            .withColumn("rn", F.row_number().over(w1))
             .where(F.col("rn") <= n_candidates)
             .select("query_id", "corpus_id"))
     # bounded join-back: n_candidates rows per query fetch full vectors
