@@ -3666,10 +3666,12 @@ def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice / array_sort / reverse / get — folded over the embedding
     column and pinned against DuckDB's list_* functions. Entry guard:
     NULL arrays and NULL/NaN/Inf elements are dropped (the cosine
-    family's junk rule) and a max|x| < 1e6 moment bound keeps the
-    mixed-sign dot_rev fold's reorder error far below the 4-decimal
-    round (the `finite_vectors` precedent — cancellation between
-    1e30-magnitude terms would otherwise dwarf the rounding grid).
+    family's junk rule) and a max|x| < 1e2 moment bound keeps the
+    mixed-sign dot_rev fold's reorder error below the 4-decimal round
+    FROM THE BOUND ALONE (r12 ADVICE: the previous 1e6 bound admitted
+    64 terms of magnitude up to 1e12 — worst-case reorder error ~1e-1,
+    larger than the grid; at 1e2 the worst case is ~1e-9, so the claim
+    holds for any fixture, not just the unit-scale embeddings).
     Elements are cast to DOUBLE before any arithmetic
     (similarity.valid_vectors' float32-square overflow rule). All
     map-only: one scan, zero exchanges."""
@@ -3681,7 +3683,7 @@ def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("vec_id", v.cast("array<double>").alias("e"))
                .where(F.array_max(F.transform(F.col("e"),
                                               lambda x: F.abs(x)))
-                      < F.lit(1e6)))
+                      < F.lit(1e2)))
     e = F.col("e")
     return base.select(
         "vec_id",
@@ -3749,8 +3751,15 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                        * (1 - F.col("l_discount"))).alias("val")))
     per = base.groupBy("l_partkey").agg(F.sum("val").alias("raw_value"))
     total = per.agg(F.sum("raw_value").alias("total_value"))
+    # the membership predicate compares BIAS-STABILIZED values on both
+    # engines (r12 ADVICE): the raw sums differ in ulps between Spark's
+    # partial-aggregate order and DuckDB's, so a part sitting within ulps
+    # of the threshold could flip set membership — rounding both sides of
+    # the > to the same 2-decimal grid (the stable_round rule the output
+    # column already gets) pins the set itself
     return (per.join(F.broadcast(total), F.lit(True))
-            .where(F.col("raw_value") > 0.001 * F.col("total_value"))
+            .where(stable_round(F.col("raw_value"), 2)
+                   > stable_round(F.lit(0.001) * F.col("total_value"), 2))
             .select("l_partkey",
                     stable_round(F.col("raw_value"), 2).alias("value")))
 
@@ -4345,7 +4354,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                   AND len(list_filter(embedding,
                           x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
                   AND list_max(list_transform(embedding,
-                          x -> abs(CAST(x AS DOUBLE)))) < 1000000.0
+                          x -> abs(CAST(x AS DOUBLE)))) < 100.0
             )
             SELECT vec_id,
                    round(sqrt(list_sum(list_transform(e, x -> x * x)))
@@ -4409,7 +4418,8 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT l_partkey,
                    round((raw_value) + 1e-06, 2) AS value
             FROM per CROSS JOIN tot
-            WHERE raw_value > 0.001 * total_value
+            WHERE round((raw_value) + 1e-06, 2)
+                  > round((0.001 * total_value) + 1e-06, 2)
         """,
         # TPC-H Q20 shape: the correlated half-of-sum subquery as two
         # aggregates over the same year slice + the part-key join
@@ -4462,8 +4472,14 @@ def _oracle_sql_literal() -> dict[str, str]:
             WITH t AS (
                 SELECT event_id, value AS v,
                        CAST(user_id AS DOUBLE) AS u,
-                       CAST(json_extract_string(props, '$.k') AS DOUBLE)
-                           AS k
+                       -- the json_payload precedent (r12 ADVICE): a bare
+                       -- CAST hard-errors in DuckDB on malformed JSON /
+                       -- non-numeric $.k while Spark yields NULL — guard
+                       -- with json_valid + TRY_CAST so edge fixtures with
+                       -- junk props can't kill the oracle
+                       CASE WHEN props IS NOT NULL AND json_valid(props)
+                            THEN TRY_CAST(json_extract_string(props, '$.k')
+                                          AS DOUBLE) END AS k
                 FROM events
             )
             SELECT event_id,

@@ -648,7 +648,16 @@ def _blas_cell_topk(corpus_side: DataFrame, probes: DataFrame, k: int,
     (the ``cosine_topk_blocked`` shape); a final partitioned row_number
     picks the global top-k with the (cosine desc, corpus_id asc)
     tie-break every IVF operator and oracle states. Zero-norm rows are
-    guarded out here so every caller shares the rule."""
+    guarded out here so every caller shares the rule.
+
+    FINITENESS CONTRACT (r12 ADVICE): the tile assumes finite vectors —
+    every caller routes through ``valid_vectors`` plus the cnorm>0 /
+    qnorm>0 guards, so no NaN cosine is reachable today. If a future
+    caller passes unguarded vectors, note the tile's numpy lexsort
+    ranks NaN LAST (silently dropped from the tile-local top-k) while
+    Spark's window ordering ranks NaN FIRST — a caller that needs
+    NaN-first semantics must pre-filter or use the pre-tile window
+    path, not this function."""
     import numpy as np
     import pandas as pd
 

@@ -79,7 +79,11 @@ QUERIES = [
     "tokenizer_pipeline", "embedding_ivf_pq_kmeans",
     # round 11 (cont.): the lambda surfaces — both must stay map-only
     # (one scan, zero exchanges)
-    "higher_order_funcs", "map_funcs", "budget_sample",
+    "higher_order_funcs", "map_funcs",
+    # round 11 (cont.): token-budget sampling — expects exactly ONE
+    # exchange (the group-keyed running-sum window; its docstring states
+    # the single shuffle), unlike the map-only lambda families above
+    "budget_sample",
     # round 11 (cont.): the last two TPC-H silhouettes (all 22 covered)
     "important_stock", "part_promotion",
     # round 11 (cont.): digest-based corpus versioning diff
