@@ -135,6 +135,67 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]), ["l_returnflag", "l_linestatus"])
 
 
+def q_pricing_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q1 pricing summary on DECIMAL money (r12, VERDICT r11 #6 —
+    the engine's first DECIMAL-typed coverage; nothing is owed by the
+    reference, but TPC-H money at 100 TB is decimal in every real
+    warehouse). The doubles are bias-rounded to the 2-decimal money
+    grid FIRST (``stable_round`` — Spark's double→decimal cast rounds
+    the shortest decimal repr while DuckDB rounds the true binary
+    value, the exact tie hazard stable_round exists for; after the
+    round both casts recover the same 2-decimal value), then every
+    downstream step is EXACT decimal arithmetic: no summation-order ulp
+    noise, no output rounding bias needed — the sums agree digit for
+    digit, which is the point of decimal money. Intermediate widths are
+    pinned by explicit casts on both engines (disc_price scale 4,
+    charge scale 6) so neither engine's implicit precision promotion
+    rules enter; each measure keeps its NATURAL exact scale (qty/base
+    2, disc_price 4, charge 6) and is SERIALIZED AS A STRING for the
+    driver hash (the driver's pandas round-trip coerces DuckDB DECIMAL
+    to float64 while Spark keeps ``Decimal`` objects —
+    `tests/oracle_utils.assert_numeric_kinds_match` documents the
+    stringification mismatch; the VARCHAR form instead pins the
+    rendered decimal DIGIT FOR DIGIT, trailing zeros included).
+
+    SENTINEL (measured building this query): the engines DISAGREE on
+    lossy decimal scale reduction — ``CAST(DECIMAL(18,4) AS
+    DECIMAL(18,2))`` TRUNCATES in DuckDB (1.0051 → 1.00) but rounds
+    HALF_UP in Spark (→ 1.01), so a final-scale-2 variant of this
+    query hash-mismatched on exact sums that agreed at scale 4. The
+    portable contract is therefore: never reduce decimal scale by
+    cast; round explicitly (with a documented rule) or keep the
+    natural scale, as here."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01"))
+    money = lambda c: stable_round(F.col(c), 2).cast("decimal(12,2)")
+    d = (li.select(
+        "l_returnflag", "l_linestatus",
+        money("l_quantity").alias("qty"),
+        money("l_extendedprice").alias("price"),
+        money("l_discount").alias("disc"),
+        money("l_tax").alias("tax")))
+    d = d.withColumn(
+        "disc_price",
+        (F.col("price") * (F.lit(1).cast("decimal(12,2)") - F.col("disc")))
+        .cast("decimal(18,4)"))
+    d = d.withColumn(
+        "charge",
+        (F.col("disc_price")
+         * (F.lit(1).cast("decimal(12,2)") + F.col("tax")))
+        .cast("decimal(18,6)"))
+    out = group_agg(d, ["l_returnflag", "l_linestatus"], [
+        F.sum("qty").cast("decimal(20,2)").cast("string").alias("sum_qty"),
+        F.sum("price").cast("decimal(20,2)").cast("string")
+        .alias("sum_base_price"),
+        F.sum("disc_price").cast("decimal(24,4)").cast("string")
+        .alias("sum_disc_price"),
+        F.sum("charge").cast("decimal(28,6)").cast("string")
+        .alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    ])
+    return sort_by(out, ["l_returnflag", "l_linestatus"])
+
+
 def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 — chained multi-key equi joins over the star schema with explicit
     broadcast of the small dims (``pyspark/batch_tomtom.py:102-111`` shape;
@@ -3856,6 +3917,7 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cache dirs), then the stalest backlog per the rotation
     # discipline: ALL r5- and r6-stale queries (so nothing is older
     # than r7 after this round) and the first 7 of the r7 backlog
+    "pricing_summary_decimal": q_pricing_summary_decimal,
     "higher_order_funcs": q_higher_order_funcs,
     "map_funcs": q_map_funcs,
     "budget_sample": q_budget_sample,
@@ -3905,7 +3967,6 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_serving_pipeline": q_stream_serving_pipeline,
     "text_normalize": q_text_normalize,
     "sql_surface": q_sql_surface,
-    "unpivot": q_unpivot,
 }
 
 
@@ -4049,6 +4110,7 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "traffic_hourly_fused": q_traffic_hourly_fused,
     "tz_hourly": q_tz_hourly,
     "video_frames": q_video_frames,
+    "unpivot": q_unpivot,
 }
 
 
@@ -4591,6 +4653,49 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
             GROUP BY 1, 2
+        """,
+        # decimal money (r12): doubles are bias-rounded to the 2-decimal
+        # grid BEFORE the decimal cast (the stable_round tie rule — after
+        # the round both engines' casts recover the same decimal), then
+        # all arithmetic is exact decimal with explicitly pinned widths,
+        # so the sums need no output rounding at all
+        "pricing_summary_decimal": """
+            WITH d AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(round((l_quantity) + 1e-06, 2)
+                            AS DECIMAL(12,2)) AS qty,
+                       CAST(round((l_extendedprice) + 1e-06, 2)
+                            AS DECIMAL(12,2)) AS price,
+                       CAST(round((l_discount) + 1e-06, 2)
+                            AS DECIMAL(12,2)) AS disc,
+                       CAST(round((l_tax) + 1e-06, 2)
+                            AS DECIMAL(12,2)) AS tax
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+            ), e AS (
+                SELECT *, CAST(price * (CAST(1 AS DECIMAL(12,2)) - disc)
+                               AS DECIMAL(18,4)) AS disc_price
+                FROM d
+            ), f AS (
+                SELECT *, CAST(disc_price
+                               * (CAST(1 AS DECIMAL(12,2)) + tax)
+                               AS DECIMAL(18,6)) AS charge
+                FROM e
+            )
+            -- widening casts only (scale never reduced): DuckDB
+            -- TRUNCATES on scale-reducing decimal casts while Spark
+            -- rounds HALF_UP — the sentinel this query documents
+            SELECT l_returnflag, l_linestatus,
+                   CAST(CAST(sum(qty) AS DECIMAL(20,2)) AS VARCHAR)
+                       AS sum_qty,
+                   CAST(CAST(sum(price) AS DECIMAL(20,2)) AS VARCHAR)
+                       AS sum_base_price,
+                   CAST(CAST(sum(disc_price) AS DECIMAL(24,4)) AS VARCHAR)
+                       AS sum_disc_price,
+                   CAST(CAST(sum(charge) AS DECIMAL(28,6)) AS VARCHAR)
+                       AS sum_charge,
+                   count(*) AS count_order
+            FROM f GROUP BY 1, 2
         """,
         "star_join": """
             SELECT r_name, n_name,
