@@ -1154,6 +1154,47 @@ def q_embedding_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                       stable_round(F.col("cosine"), 6).alias("cosine"))
 
 
+def q_quantizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIZER DRIFT MONITOR (r12, VERDICT r11 #3 — ties the
+    maintenance loop together: `corpus_diff` measures dataset change,
+    `kmeans_centers` is the persisted refit-on-drift artifact, the IVF
+    index contract says refit-means-rebuild; this query decides WHEN).
+    The subset quantizer (vec_id < 16, the embedding_ivf_portable
+    convention) is profiled at "fit time" (the embeddings table as-is)
+    and against a DETERMINISTICALLY DRIFTED live corpus (vectors with
+    vec_id ≡ 0 mod 3 scaled ×1.5 — a density shift both engines restate
+    exactly), then `quantizer_drift` emits the per-cell smoothed
+    occupancy fractions, KL contributions, and mean-assignment-distance
+    ratios. Fully oracled: assignment is the shared primary-cell rule
+    (already SQL-restated by every IVF oracle), the profiles and drift
+    terms are plain aggregates over quantizer-sized frames. The
+    threshold semantics (`drift_decision`: KL > 0.1 or inflation > 1.5
+    → rebuild) are pinned in tests/test_pipeline_ops.py — a drifted
+    corpus trips the rule, a refit on the drifted corpus restores it."""
+    from bda_spadochrony_spark.operators.similarity import (
+        quantizer_drift, quantizer_profile)
+    emb = _t(spark, sf_dir, "embeddings")
+    centers = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid"))
+    drifted = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 3 == 0,
+               F.transform(F.col("embedding").cast("array<double>"),
+                           lambda x: x * F.lit(1.5)))
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"))
+    ref = quantizer_profile(emb, centers, "vec_id")
+    cur = quantizer_profile(drifted, centers, "vec_id")
+    d = quantizer_drift(cur, ref)
+    return d.select(
+        "cell", "n", "ref_n",
+        stable_round(F.col("p"), 6).alias("p"),
+        stable_round(F.col("q"), 6).alias("q"),
+        stable_round(F.col("kl_term"), 6).alias("kl_term"),
+        stable_round(F.col("d2_ratio"), 4).alias("d2_ratio"))
+
+
 def q_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL ANN-INDEX MAINTENANCE end to end (r11): the embeddings
     table arrives as TWO sequential file-source drains sharing one
@@ -3918,6 +3959,7 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # discipline: ALL r5- and r6-stale queries (so nothing is older
     # than r7 after this round) and the first 7 of the r7 backlog
     "pricing_summary_decimal": q_pricing_summary_decimal,
+    "quantizer_drift": q_quantizer_drift,
     "higher_order_funcs": q_higher_order_funcs,
     "map_funcs": q_map_funcs,
     "budget_sample": q_budget_sample,
@@ -3966,7 +4008,6 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup": q_stream_dedup,
     "stream_serving_pipeline": q_stream_serving_pipeline,
     "text_normalize": q_text_normalize,
-    "sql_surface": q_sql_surface,
 }
 
 
@@ -4110,6 +4151,7 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "traffic_hourly_fused": q_traffic_hourly_fused,
     "tz_hourly": q_tz_hourly,
     "video_frames": q_video_frames,
+    "sql_surface": q_sql_surface,
     "unpivot": q_unpivot,
 }
 
@@ -4460,6 +4502,92 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT status, count(*) AS n,
                    min(doc_id) AS min_id, max(doc_id) AS max_id
             FROM j GROUP BY 1
+        """,
+        # quantizer drift monitor (r12): both profiles restate the shared
+        # primary-cell assignment (dist2 asc, cell asc — the rule every
+        # IVF oracle already pins), validity is applied AFTER the drift
+        # transform on the current side (mirroring the Spark order), and
+        # the drift terms are plain aggregates over the 16-cell frames
+        "quantizer_drift": """
+            WITH cent AS (
+                SELECT CAST(vec_id AS INTEGER) AS cell,
+                       embedding::DOUBLE[] AS c
+                FROM embeddings WHERE vec_id < 16
+            ), refv AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding,
+                          x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                  AND list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x)) > 0
+                  AND isfinite(list_sum(list_transform(
+                          embedding::DOUBLE[], x -> x * x)))
+            ), curraw AS (
+                SELECT vec_id,
+                       CASE WHEN vec_id % 3 = 0
+                            THEN list_transform(embedding::DOUBLE[],
+                                                x -> x * 1.5)
+                            ELSE embedding::DOUBLE[] END AS e
+                FROM embeddings
+            ), curv AS (
+                SELECT vec_id, e AS v FROM curraw
+                WHERE e IS NOT NULL
+                  AND len(list_filter(e,
+                          x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                  AND list_sum(list_transform(e, x -> x * x)) > 0
+                  AND isfinite(list_sum(list_transform(e, x -> x * x)))
+            ), ref_d AS (
+                SELECT v.vec_id, c.cell,
+                       list_dot_product(
+                           [v.v[i+1] - c.c[i+1] for i in range(64)],
+                           [v.v[i+1] - c.c[i+1] for i in range(64)]) AS d2
+                FROM refv v CROSS JOIN cent c
+            ), ref_a AS (
+                SELECT vec_id, cell, d2 FROM (
+                    SELECT vec_id, cell, d2,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d2 ASC, cell ASC)
+                               AS rn
+                    FROM ref_d) WHERE rn = 1
+            ), cur_d AS (
+                SELECT v.vec_id, c.cell,
+                       list_dot_product(
+                           [v.v[i+1] - c.c[i+1] for i in range(64)],
+                           [v.v[i+1] - c.c[i+1] for i in range(64)]) AS d2
+                FROM curv v CROSS JOIN cent c
+            ), cur_a AS (
+                SELECT vec_id, cell, d2 FROM (
+                    SELECT vec_id, cell, d2,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d2 ASC, cell ASC)
+                               AS rn
+                    FROM cur_d) WHERE rn = 1
+            ), ref_prof AS (
+                SELECT c.cell, count(a.vec_id) AS ref_n,
+                       avg(a.d2) AS ref_mean_d2
+                FROM cent c LEFT JOIN ref_a a USING (cell) GROUP BY 1
+            ), cur_prof AS (
+                SELECT c.cell, count(a.vec_id) AS n,
+                       avg(a.d2) AS mean_d2
+                FROM cent c LEFT JOIN cur_a a USING (cell) GROUP BY 1
+            ), j AS (
+                SELECT cell, n, ref_n, mean_d2, ref_mean_d2,
+                       sum(n) OVER () AS tot_n,
+                       sum(ref_n) OVER () AS tot_ref,
+                       count(*) OVER () AS k
+                FROM cur_prof JOIN ref_prof USING (cell)
+            ), terms AS (
+                SELECT cell, n, ref_n, mean_d2, ref_mean_d2,
+                       (n + 0.5) / (tot_n + 0.5 * k) AS p,
+                       (ref_n + 0.5) / (tot_ref + 0.5 * k) AS q
+                FROM j
+            )
+            SELECT cell, n, ref_n,
+                   round((p) + 1e-10, 6) AS p,
+                   round((q) + 1e-10, 6) AS q,
+                   round((p * ln(p / q)) + 1e-10, 6) AS kl_term,
+                   round((mean_d2 / ref_mean_d2) + 1e-08, 4) AS d2_ratio
+            FROM terms
         """,
         # TPC-H Q11 shape: the HAVING bound restated as a scalar
         # cross-join (DuckDB evaluates the same one-row total)

@@ -524,11 +524,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
 
 
 def _assign_primary_cells(vecs: DataFrame, centers: DataFrame,
-                          id_out: str) -> DataFrame:
+                          id_out: str,
+                          keep_dist2: bool = False) -> DataFrame:
     """Nearest-center assignment against a tiny broadcast (cell,
     centroid) frame — squared euclidean, ties to the lower cell, the
     exact rule ``ivf_topk``'s explicit-centers branch and its oracle
-    state. Input ``vecs`` carries (id, cvec); output adds ``cell``."""
+    state. Input ``vecs`` carries (id, cvec); output adds ``cell``
+    (and, with ``keep_dist2``, the winning squared distance — the
+    drift monitor's raw signal)."""
     cent = F.broadcast(centers.select(
         F.col("cell"),
         F.col("centroid").cast("array<double>").alias("centroid")))
@@ -539,9 +542,107 @@ def _assign_primary_cells(vecs: DataFrame, centers: DataFrame,
               F.lit(0.0), lambda acc, v: acc + v)))
     w = Window.partitionBy(id_out).orderBy(F.col("dist2").asc(),
                                            F.col("cell").asc())
+    cols = [id_out, "cvec", "cell"] + (["dist2"] if keep_dist2 else [])
     return (cc.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
-            .select(id_out, "cvec", "cell"))
+            .select(*cols))
+
+
+def quantizer_profile(df: DataFrame, centers: DataFrame, id_col: str,
+                      vec_col: str = "embedding") -> DataFrame:
+    """Per-cell census of a corpus under a FIXED quantizer — the raw
+    material of the drift monitor (r12, VERDICT r11 #3): every valid
+    vector is assigned to its primary cell (the ``_assign_primary_cells``
+    rule every IVF operator shares) and the profile aggregates
+    ``(cell, n, mean_d2)`` — occupancy and mean squared assignment
+    distance. One row per quantizer cell (silent cells keep n=0 and
+    NULL mean_d2 via the left join onto the centers' own cell list).
+
+    Scale shape: the assignment is a broadcast nested loop over the
+    tiny centers frame plus one id-keyed window; the profile then
+    reduces map-side to quantizer-sized output (≤ n_cells rows) — at
+    100 TB this is one corpus scan that shuffles ONLY per-cell partial
+    aggregates. Persist the fit-time profile next to the centers
+    artifact; re-run on the live corpus and feed both to
+    ``quantizer_drift`` to decide refits."""
+    vecs = valid_vectors(df, vec_col).select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).cast("array<double>").alias("cvec"))
+    assigned = _assign_primary_cells(vecs, centers, "__qid",
+                                     keep_dist2=True)
+    prof = (assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.avg("dist2").alias("mean_d2")))
+    return (centers.select("cell").join(prof, "cell", "left")
+            .select("cell", F.coalesce("n", F.lit(0)).alias("n"),
+                    "mean_d2"))
+
+
+def quantizer_drift(current: DataFrame, reference: DataFrame,
+                    smoothing: float = 0.5) -> DataFrame:
+    """Score a persisted quantizer against the corpus it now serves
+    (r12, VERDICT r11 #3 — the maintenance loop's missing middle:
+    ``corpus_diff`` measures dataset change, ``kmeans_centers`` is the
+    refit-on-drift artifact, and the IVF index contract says "refit
+    means rebuild"; this operator decides WHEN). Inputs are two
+    ``quantizer_profile`` frames over the same centers — ``reference``
+    taken at fit time, ``current`` over the live corpus. Per cell it
+    emits the add-λ-smoothed occupancy fractions ``p`` (current) vs
+    ``q`` (reference), the occupancy-KL contribution ``p·ln(p/q)``,
+    and the mean-assignment-distance ratio — so ``sum(kl_term)`` is
+    KL(current ‖ reference) over cell occupancy and the n-weighted
+    d2 ratio is the distance-inflation factor (``drift_decision``
+    folds both into the documented rebuild rule).
+
+    Everything here is plain aggregates over two quantizer-sized
+    frames (the totals are unpartitioned window sums over ≤ n_cells
+    rows — bounded by construction), so the whole monitor is
+    SQL-restatable under the oracle. Smoothing keeps empty cells
+    finite: λ=0.5 (Jeffreys) by default."""
+    s = float(smoothing)
+    cur = current.select("cell", F.col("n").alias("n"),
+                         F.col("mean_d2").alias("mean_d2"))
+    ref = reference.select("cell", F.col("n").alias("ref_n"),
+                           F.col("mean_d2").alias("ref_mean_d2"))
+    j = cur.join(ref, "cell")
+    w = Window.partitionBy()
+    j = (j.withColumn("__N", F.sum("n").over(w))
+          .withColumn("__refN", F.sum("ref_n").over(w))
+          .withColumn("__k", F.count(F.lit(1)).over(w)))
+    p = (F.col("n") + s) / (F.col("__N") + s * F.col("__k"))
+    q = (F.col("ref_n") + s) / (F.col("__refN") + s * F.col("__k"))
+    return j.select(
+        "cell", "n", "ref_n",
+        p.alias("p"), q.alias("q"),
+        (p * F.log(p / q)).alias("kl_term"),
+        (F.col("mean_d2") / F.col("ref_mean_d2")).alias("d2_ratio"),
+        "mean_d2", "ref_mean_d2")
+
+
+def drift_decision(drift: DataFrame, max_kl: float = 0.1,
+                   max_inflation: float = 1.5) -> DataFrame:
+    """Fold a ``quantizer_drift`` frame into the one-row rebuild
+    decision: ``occupancy_kl`` (Σ kl_term), ``dist_inflation`` (the
+    n-weighted mean assignment distance of the current corpus over the
+    reference's — the recall proxy: vectors far from every center sit
+    in cells whose probes miss them), and ``rebuild`` — true when
+    either exceeds its threshold. The thresholds are the documented
+    contract knobs: KL 0.1 ≈ the occupancy histogram moving a tenth of
+    a nat (well past noise on any corpus big enough to index), and
+    1.5× mean-d2 means the quantizer's cells are half again looser
+    than at fit time. One aggregate over a quantizer-sized frame —
+    driver-side cost is nil; wire it before ``ann_index_append``
+    batches or on a maintenance schedule, and rebuild the index when
+    it fires (the fixed-quantizer contract in streaming/ann_index)."""
+    agg = drift.agg(
+        F.sum("kl_term").alias("occupancy_kl"),
+        (F.sum(F.col("n") * F.col("mean_d2")) / F.sum("n")
+         / (F.sum(F.col("ref_n") * F.col("ref_mean_d2"))
+            / F.sum("ref_n"))).alias("dist_inflation"))
+    return agg.select(
+        "occupancy_kl", "dist_inflation",
+        ((F.col("occupancy_kl") > max_kl)
+         | (F.col("dist_inflation") > max_inflation)).alias("rebuild"))
 
 
 def ann_index_append(batch_df: DataFrame, batch_id: int, index_path: str,

@@ -2522,3 +2522,48 @@ def test_ivf_pq_topk_accepts_kmeans_centers(spark):
         per_q.setdefault(r["query_id"], []).append(r["corpus_id"])
     assert all(len(v) == 2 for v in per_q.values())
     assert len(per_q) == 60
+
+
+def test_quantizer_drift_trips_and_refit_restores(spark):
+    """r12 (VERDICT r11 #3): the drift monitor's contract end to end —
+    a corpus identical to fit time scores no-rebuild; a drifted corpus
+    (clusters moved) trips `drift_decision`; refitting the quantizer on
+    the drifted corpus and re-profiling restores no-rebuild. This is
+    the documented maintenance loop: profile at fit time, monitor, and
+    rebuild the index only when the decision fires."""
+    import numpy as np
+    from bda_spadochrony_spark.operators.similarity import (
+        drift_decision, kmeans_centers, quantizer_drift, quantizer_profile)
+    rng = np.random.RandomState(7)
+    fit_rows = [(i, (rng.randn(64) * 0.3 + (i % 4) * 5.0).tolist())
+                for i in range(80)]
+    fit = spark.createDataFrame(fit_rows,
+                                "vec_id: long, embedding: array<double>")
+    centers = kmeans_centers(fit, "embedding", n_cells=4, seed=42)
+    ref = quantizer_profile(fit, centers, "vec_id").localCheckpoint()
+
+    # identity: the fit-time corpus against its own profile is clean
+    same = drift_decision(quantizer_drift(ref, ref)).collect()[0]
+    assert not same["rebuild"]
+    assert abs(same["occupancy_kl"]) < 1e-12
+    assert abs(same["dist_inflation"] - 1.0) < 1e-12
+
+    # drifted live corpus: every vector shifted off the fit geometry —
+    # cells get looser (mean d2 inflates) and occupancy shifts
+    drift_rows = [(i, (rng.randn(64) * 0.3 + (i % 2) * 11.0 + 2.5).tolist())
+                  for i in range(80)]
+    live = spark.createDataFrame(drift_rows,
+                                 "vec_id: long, embedding: array<double>")
+    cur = quantizer_profile(live, centers, "vec_id").localCheckpoint()
+    fired = drift_decision(quantizer_drift(cur, ref)).collect()[0]
+    assert fired["rebuild"], (
+        f"drift did not fire: kl={fired['occupancy_kl']}, "
+        f"inflation={fired['dist_inflation']}")
+
+    # the refit-means-rebuild loop: new centers fit on the live corpus,
+    # new fit-time profile, and the monitor is quiet again
+    centers2 = kmeans_centers(live, "embedding", n_cells=4, seed=42)
+    ref2 = quantizer_profile(live, centers2, "vec_id").localCheckpoint()
+    cur2 = quantizer_profile(live, centers2, "vec_id")
+    ok = drift_decision(quantizer_drift(cur2, ref2)).collect()[0]
+    assert not ok["rebuild"]
