@@ -1254,6 +1254,69 @@ def q_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def q_stream_ann_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streamed ANN index at its 100 TB STORAGE RUNG (r12, VERDICT
+    r11 #1): same two-drain maintenance loop as `stream_ann_index`, but
+    each micro-batch is PQ-ENCODED against fixed subset codebooks and
+    the index stores ``(corpus_id, codes, rnm)`` per cell — 32-bit
+    codes plus one stored norm, never the float vectors (~64× smaller
+    at rest at d=64 float64). The search (`ann_index_pq_topk`) probes
+    n_probe=2 cells, partition-prunes the index scan to them, scores
+    through the shared ADC tile, and exact-reranks the bounded
+    candidate set against the embeddings table as the full-precision
+    side lookup. Centers are the deterministic-subset quantizer at the
+    one-shot operator's own size (`cells_for`), codebooks the subset
+    codebooks — so the result is VALUE-IDENTICAL to `embedding_ivf_pq`
+    and the oracle IS that query's SQL (the stream_ann_index
+    shared-oracle precedent, one storage rung further down)."""
+    import shutil
+    import tempfile
+
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_pq_topk, cells_for, pq_codebooks, valid_vectors)
+    from bda_spadochrony_spark.streaming.ann_index import (
+        stream_ann_index_build_pq)
+    from bda_spadochrony_spark.streaming.sources import file_stream
+    configure(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    n_cells = cells_for(emb.count())
+    basev = valid_vectors(emb, "embedding").select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"))
+    # the subset-quantizer fit: k smallest valid ids (the ivf_pq_topk
+    # convention) — bounded driver collect, the documented fit exception
+    rows = basev.orderBy("vec_id").limit(n_cells).collect()
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in r["v"]]) for i, r in enumerate(rows)],
+        "cell: int, centroid: array<double>").localCheckpoint()
+    cbs = pq_codebooks(emb, "vec_id")
+    base = tempfile.mkdtemp(prefix="bda_annidx_pq_q_")
+    in_dir, index, ckpt = f"{base}/in", f"{base}/index", f"{base}/ckpt"
+    staged = emb.select("vec_id", "embedding")
+    schema = staged.schema
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        staged.where(F.col("vec_id") % 2 == 0).write.parquet(f"{in_dir}/b0")
+        stream_ann_index_build_pq(
+            file_stream(spark, f"{in_dir}/*/*.parquet", schema),
+            index, centers, cbs, "vec_id", checkpoint=ckpt)
+        staged.where(F.col("vec_id") % 2 == 1).write.parquet(f"{in_dir}/b1")
+        stream_ann_index_build_pq(
+            file_stream(spark, f"{in_dir}/*/*.parquet", schema),
+            index, centers, cbs, "vec_id", checkpoint=ckpt)
+        out = ann_index_pq_topk(spark, index, emb, "vec_id", vectors=emb,
+                                centers=centers, codebooks=cbs, k=3,
+                                n_candidates=10, n_probe=2)
+        out = out.select("query_id", "corpus_id",
+                         stable_round(F.col("cosine"), 6).alias("cosine")) \
+                 .localCheckpoint(eager=True)
+        shutil.rmtree(base, ignore_errors=True)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def q_embedding_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH cosine top-1 with md5-derived LITERAL planes — the
     fully-oracled twin of embedding_lsh_topk: both engines bucket with the
@@ -3958,6 +4021,7 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cache dirs), then the stalest backlog per the rotation
     # discipline: ALL r5- and r6-stale queries (so nothing is older
     # than r7 after this round) and the first 7 of the r7 backlog
+    "stream_ann_index_pq": q_stream_ann_index_pq,
     "pricing_summary_decimal": q_pricing_summary_decimal,
     "quantizer_drift": q_quantizer_drift,
     "higher_order_funcs": q_higher_order_funcs,
@@ -4007,7 +4071,6 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nullsafe_join": q_nullsafe_join,
     "stream_dedup": q_stream_dedup,
     "stream_serving_pipeline": q_stream_serving_pipeline,
-    "text_normalize": q_text_normalize,
 }
 
 
@@ -4151,6 +4214,7 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "traffic_hourly_fused": q_traffic_hourly_fused,
     "tz_hourly": q_tz_hourly,
     "video_frames": q_video_frames,
+    "text_normalize": q_text_normalize,
     "sql_surface": q_sql_surface,
     "unpivot": q_unpivot,
 }
@@ -4237,6 +4301,11 @@ def oracle_sql() -> dict[str, str]:
         __import__("bda_spadochrony_spark.operators.similarity",
                    fromlist=["cells_for"]).cells_for(
             _oracle_embedding_count()))
+    # the codes-only streamed index is semantics-preserving one rung
+    # further down the storage ladder: with the same subset quantizer
+    # and codebooks its ADC-tile search + bounded rerank is value-
+    # identical to the one-shot IVF-PQ self-search
+    d["stream_ann_index_pq"] = d["embedding_ivf_pq"]
     d["embedding_ann_stack"] = _ann_stack_oracle()
     # corpus-sized quantizer (r8): same footer-count derivation as the
     # ANN planes — both engines fit cells_for(n) centers

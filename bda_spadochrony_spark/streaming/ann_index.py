@@ -44,3 +44,35 @@ def stream_ann_index_build(stream_vecs: DataFrame, index_path: str,
         raise TimeoutError(
             f"ann index drain did not finish within {timeout_s}s")
     return query
+
+
+def stream_ann_index_build_pq(stream_vecs: DataFrame, index_path: str,
+                              centers: DataFrame, codebooks: list,
+                              id_col: str, vec_col: str = "embedding",
+                              checkpoint: str | None = None,
+                              timeout_s: int = 300) -> "StreamingQuery":
+    """The CODES-ONLY variant of the index drain (r12, VERDICT r11 #1):
+    each micro-batch is PQ-encoded against the index's FIXED codebooks
+    and appended as ``(corpus_id, codes, rnm)`` per cell — ~64× smaller
+    at rest than the raw layout (``operators/similarity.
+    ann_index_append_pq`` holds the layout contract;
+    ``ann_index_pq_topk`` is the ADC-tile search + bounded exact rerank
+    over the result). Same resume/replay rules as the raw drain: shared
+    ``checkpoint`` resumes, ``batch_id=N`` overwrite absorbs replays,
+    and refitting EITHER artifact (quantizer or codebooks) means
+    rebuilding the index."""
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append_pq)
+    from bda_spadochrony_spark.streaming.runner import run_foreach_batch
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        ann_index_append_pq(batch_df, batch_id, index_path, centers,
+                            codebooks, id_col, vec_col)
+
+    query = run_foreach_batch(stream_vecs, fn, available_now=True,
+                              checkpoint=checkpoint)
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"pq ann index drain did not finish within {timeout_s}s")
+    return query
