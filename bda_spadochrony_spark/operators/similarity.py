@@ -749,10 +749,14 @@ def ann_index_append_pq(batch_df: DataFrame, batch_id: int,
     and tile ADC scoring (``_adc_cell_candidates``). This append
     PQ-encodes the batch against the index's FIXED codebooks and
     writes ``(corpus_id, codes, rnm)`` per cell — m small ints
-    (32 bits at m=8·log2 16) plus one stored reconstruction norm,
-    never the vectors: ~64× smaller at rest than the raw layout at
-    d=64 float64, which is the difference between an index you hold
-    hot at 100 TB and one you don't. Search via ``ann_index_pq_topk``
+    (32 bits of information at m=8·log2 16) plus one stored
+    reconstruction norm, never the vectors. MEASURED at the 10×
+    fixture (20k×64 float64): 8.71 MB raw layout → 0.87 MB codes
+    layout, 10.0× smaller on disk (parquet already compresses the
+    float column, so the on-disk win is smaller than the 512 B → ~40 B
+    logical row width; bit-packing the 4-bit codes would widen it
+    further) — the difference between an index you hold hot at 100 TB
+    and one you don't. Search via ``ann_index_pq_topk``
     (ADC tiles + bounded exact rerank against a vector side table).
 
     Same durability contract as the raw layout: ``batch_id=N``
@@ -768,6 +772,18 @@ def ann_index_append_pq(batch_df: DataFrame, batch_id: int,
     vecs = valid_vectors(batch_df, vec_col).select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"))
+    # the assignment + encode folds are the CPU of the append (the
+    # ivf_pq_topk few-file-input rule): spread them across the cluster
+    # even when the batch arrives as one or two files — the r12 split
+    # measured the whole-corpus append at 36 s on 1-2 scan partitions
+    # vs ~14 s spread; the shuffle carries one slim row per vector
+    vecs = vecs.repartition(F.col("corpus_id"))
+    # NOT checkpointed (r12 A/B): a localCheckpoint here — meant to stop
+    # the codes branch recomputing the assignment — measured SLOWER
+    # (18.5 s vs 12.5 s at sf0.1) and raised spurious lost-accumulator
+    # errors inside foreachBatch; the recomputed branch is a cheap
+    # broadcast crossJoin and the checkpoint's materialization of the
+    # vector column cost more than it saved
     assigned = _assign_primary_cells(vecs, centers, "corpus_id")
     codes = pq_encode(assigned, "corpus_id", "cvec", codebooks)
     out = (assigned.select("corpus_id", "cell")
@@ -813,32 +829,39 @@ def ann_index_pq_topk(spark, index_path: str, queries: DataFrame,
     dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
                                    F.lit(0.0), lambda acc, t: acc + t)
     q = valid_vectors(queries, vec_col).select(
-        F.col(query_id).alias("query_id"),
+        F.col(query_id).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"))
-    cent = F.broadcast(centers.select(
-        F.col("cell"),
-        F.col("centroid").cast("array<double>").alias("centroid")))
-    qc = (q.crossJoin(cent)
-          .withColumn("dist2", F.aggregate(
-              F.zip_with("v", "centroid",
-                         lambda a, b: (a - b) * (a - b)),
-              F.lit(0.0), lambda acc, v: acc + v)))
-    wq = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
-                                                F.col("cell").asc())
-    probes = (qc.withColumn("rn", F.row_number().over(wq))
-              .where(F.col("rn") <= n_probe)
+    # probe assignment via the MAP-ONLY literal fold (`_assign_cells` —
+    # bit-identical tie-breaks to the window form, measured ~50× faster
+    # at quantizer sizes where n·k rows would otherwise shuttle through
+    # a per-id window shuffle; the r12 A/B on this very search read
+    # 32.4 s window vs ~11 s fold at 20k×141 cells). The centers
+    # collect is quantizer-bounded — the documented fit-step exception.
+    center_rows = sorted(
+        (r["cell"], [float(x) for x in r["centroid"]])
+        for r in centers.select("cell", "centroid").collect())
+    if not center_rows:
+        return (q.select(F.col("id").alias("query_id"),
+                         F.col("id").alias("corpus_id"),
+                         F.lit(None).cast("double").alias("cosine"))
+                .where(F.lit(False)))
+    cell_type = dict(centers.dtypes)["cell"]
+    # spread the assignment/LUT folds (the same few-file-input rule as
+    # the append above — measured 24.6 s on 1-2 scan partitions at sf1)
+    q = q.repartition(F.col("id"))
+    probes = (_assign_cells(q, center_rows, cell_type, n_probe=n_probe)
               .withColumn("qn", nrm(F.col("v")))
               .withColumn("lut", _pq_lut_expr("v", codebooks))
-              .select("query_id", F.col("cell").alias("pcell"),
-                      "qn", "lut")
+              .select(F.col("id").alias("query_id"),
+                      F.col("cell").alias("pcell"), "qn", "lut")
               .localCheckpoint(eager=False))
     # quantizer-bounded probed-cell set → a driver-side literal the
     # index scan partition-prunes on (the ann_index_topk rule)
     cells = sorted({r["pcell"] for r in
                     probes.select("pcell").distinct().collect()})
     if not cells:
-        return (q.select("query_id",
-                         F.col("query_id").alias("corpus_id"),
+        return (q.select(F.col("id").alias("query_id"),
+                         F.col("id").alias("corpus_id"),
                          F.lit(None).cast("double").alias("cosine"))
                 .where(F.lit(False)))
     idx = (spark.read.parquet(index_path)
