@@ -1712,13 +1712,21 @@ def q_tokenizer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("token_ids")))
 
 
-def _bpe_fold_ctes() -> str:
+def _bpe_fold_ctes(src: str = "documents",
+                   reserved: list[str] | None = None) -> str:
     """The shared recursive-CTE restatement of the greedy BPE fold for
     the literal ``_BPE_MERGES`` table: distinct-word pointer walk +
     per-doc order-stable reassembly. Returns the CTE body (ending in
     ``rebuilt(doc_id, symbols)``) for a ``WITH RECURSIVE`` prelude —
     shared by the ``bpe_encode`` oracle and the ``tokenizer_pipeline``
-    oracle that chains vocab/ids/packing on top (r11, VERDICT r10 #5)."""
+    oracle that chains vocab/ids/packing on top (r11, VERDICT r10 #5).
+
+    ``src`` names the (doc_id, text) relation to encode — a prepended
+    CTE lets the byte-fallback oracle feed the adversarial fixture
+    through the same fold; ``reserved`` restates the special-token
+    bypass (a reserved word's c0 split is the one-element list, so no
+    merge stage can touch it — bytes/specials are just a different c0
+    split, r12)."""
     toks = "string_split_regex(lower(trim(text)), '[\\s\\x0b]+')"
     stages, prev = [], "c0"
     for k, (a, b) in enumerate(_BPE_MERGES, 1):
@@ -1738,17 +1746,24 @@ def _bpe_fold_ctes() -> str:
         )""")
         prev = f"s{k}"
     chain = ", ".join(stages)
+    if reserved:
+        res_list = ", ".join("'" + t.replace("'", "''") + "'"
+                             for t in reserved)
+        c0_split = (f"CASE WHEN w IN ({res_list}) THEN [w] "
+                    "ELSE string_split(w, '') END")
+    else:
+        c0_split = "string_split(w, '')"
     return f"""words AS (
             SELECT DISTINCT unnest({toks}) AS w
-            FROM documents WHERE text IS NOT NULL
+            FROM {src} WHERE text IS NOT NULL
         ), c0 AS (
-            SELECT w, string_split(w, '') AS chars
+            SELECT w, {c0_split} AS chars
             FROM words WHERE w <> ''
         ), {chain}, tok AS (
             SELECT doc_id, ord, w FROM (
                 SELECT doc_id, unnest({toks}) AS w,
                        generate_subscripts({toks}, 1) AS ord
-                FROM documents WHERE text IS NOT NULL)
+                FROM {src} WHERE text IS NOT NULL)
             WHERE w <> ''
         ), rebuilt AS (
             SELECT t.doc_id,
@@ -1756,6 +1771,130 @@ def _bpe_fold_ctes() -> str:
             FROM tok t JOIN {prev} e ON e.w = t.w
             GROUP BY 1
         )"""
+
+
+# special tokens + the deterministic Unicode palette for the r12
+# byte-fallback fixture: 512 CJK characters generated from codepoints
+# (shared between the Spark query and the oracle generator so both
+# engines derive the identical adversarial text). 512 matters: each
+# palette char then appears ~once per contract corpus, so it LOSES the
+# top-100 vocab race (count-1 ties break token-asc, latin first) and
+# the byte rung actually fires — a 64-char palette measured counts ~8
+# per char, most of which made the vocab and dodged the fallback.
+_TOK_RESERVED = ["<|doc|>"]
+_UNI_PALETTE = [chr(0x4E00 + 13 * i) for i in range(512)]
+
+
+def q_tokenizer_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-FALLBACK + SPECIAL-TOKEN tokenizer loop (r12, VERDICT r11
+    #4 — the production property the r11 pipeline lacked: no document
+    is ever OOV). The ADVERSARIAL fixture appends to every document a
+    reserved ``<|doc|>`` marker plus a globally-unique Unicode word
+    (umlaut + a doc_id-selected CJK palette char + an emoji + the id),
+    so the corpus contains text no 100-slot vocabulary can cover. The
+    pipeline: ``bpe_encode(reserved=)`` keeps the marker one unsplit
+    symbol (no merge can touch it), ``build_vocab`` takes the top-100
+    encoded symbols, and ``tokens_to_ids_bytes`` maps reserved → pinned
+    id 1, vocab → shifted ids, and EVERYTHING ELSE to its UTF-8 bytes
+    (ids 102..357) — ``n_unk`` is structurally 0 and the driver hash
+    pins it, while ``n_byte_ids`` proves the fallback rung actually
+    fires. Fully oracled: the recursive-CTE BPE fold takes the
+    reserved bypass as a different c0 split, and the byte
+    decomposition is hex arithmetic both engines state identically."""
+    from bda_spadochrony_spark.operators.corpus import (bpe_encode,
+                                                        build_vocab,
+                                                        tokens_to_ids_bytes)
+    configure(spark)
+    docs = _t(spark, sf_dir, "documents")
+    palette = F.array(*[F.lit(c) for c in _UNI_PALETTE])
+    junk = F.concat(
+        F.lit("ü"),
+        F.element_at(palette, (F.col("doc_id") % 512).cast("int") + 1),
+        F.lit("🚀"), F.col("doc_id").cast("string"))
+    adoc = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.lit("<|doc|>"), F.col("text"), junk)
+        .alias("text"))
+    enc = (bpe_encode(adoc, "doc_id", "text", _BPE_MERGES,
+                      reserved=_TOK_RESERVED)
+           .select("doc_id", F.concat_ws(" ", "symbols").alias("enc"))
+           .localCheckpoint(eager=False))
+    vocab = build_vocab(enc, "enc", size=100)
+    ids = tokens_to_ids_bytes(enc, "doc_id", "enc", vocab,
+                              _TOK_RESERVED, vocab_size=100)
+    return ids.select(
+        "doc_id",
+        F.concat_ws(",", F.col("token_ids").cast("array<string>"))
+        .alias("token_ids"),
+        "n_ids", "n_byte_ids", "n_unk")
+
+
+def _tokenizer_bytes_oracle() -> str:
+    """The byte-fallback loop restated: the adversarial fixture CTE
+    feeds the shared BPE fold (reserved bypass = a different c0
+    split), the vocab stage mirrors build_vocab (unfiltered token
+    stream — '' may hold a slot if empty docs exist, exactly as the
+    Spark side counts it), and the three id rungs restate
+    tokens_to_ids_bytes with the hex byte arithmetic."""
+    pal = "[" + ", ".join("'" + c + "'" for c in _UNI_PALETTE) + "]"
+    etoks = "string_split_regex(lower(trim(enc)), '[\\s\\x0b]+')"
+    byte_expr = (
+        "[CAST((strpos('0123456789ABCDEF', substr(h, 2*i+1, 1))-1)*16"
+        " + (strpos('0123456789ABCDEF', substr(h, 2*i+2, 1))-1)"
+        " + 102 AS INT) for i in range(CAST(len(h)//2 AS INT))]")
+    return f"""
+        WITH RECURSIVE adoc AS (
+            SELECT doc_id,
+                   concat_ws(' ', '<|doc|>', text,
+                             'ü' || {pal}[CAST(doc_id % 512 AS INT) + 1]
+                             || '🚀' || CAST(doc_id AS VARCHAR)) AS text
+            FROM documents
+        ), {_bpe_fold_ctes(src="adoc", reserved=_TOK_RESERVED)}, enc AS (
+            SELECT d.doc_id,
+                   coalesce(array_to_string(r.symbols, ' '), '') AS enc
+            FROM adoc d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+        ), etok AS (
+            SELECT doc_id, unnest({etoks}) AS token,
+                   generate_subscripts({etoks}, 1) AS pos
+            FROM enc
+        ), vocab AS (
+            SELECT token,
+                   row_number() OVER (ORDER BY count(*) DESC, token ASC)
+                       AS token_id
+            FROM etok GROUP BY token
+            QUALIFY token_id <= 100
+        ), per_tok AS (
+            SELECT e.doc_id, e.pos,
+                   CASE WHEN e.token = '<|doc|>' THEN [CAST(1 AS INT)]
+                        WHEN v.token_id IS NOT NULL
+                             THEN [CAST(v.token_id + 1 AS INT)]
+                        ELSE {byte_expr}
+                   END AS tids
+            FROM (SELECT *, hex(encode(token)) AS h
+                  FROM etok WHERE token <> '') e
+            LEFT JOIN vocab v USING (token)
+        ), flat AS (
+            SELECT doc_id, pos, generate_subscripts(tids, 1) AS bpos,
+                   unnest(tids) AS tid
+            FROM per_tok
+        ), agg AS (
+            SELECT doc_id,
+                   array_to_string(list(tid ORDER BY pos, bpos), ',')
+                       AS token_ids,
+                   CAST(count(*) AS INTEGER) AS n_ids,
+                   CAST(sum(CASE WHEN tid > 101 THEN 1 ELSE 0 END)
+                        AS INTEGER) AS n_byte_ids,
+                   CAST(sum(CASE WHEN tid <= 0 THEN 1 ELSE 0 END)
+                        AS INTEGER) AS n_unk
+            FROM flat GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.token_ids, '') AS token_ids,
+               coalesce(a.n_ids, 0) AS n_ids,
+               coalesce(a.n_byte_ids, 0) AS n_byte_ids,
+               coalesce(a.n_unk, 0) AS n_unk
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
 
 
 def _bpe_encode_oracle() -> str:
@@ -4023,6 +4162,7 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # discipline: ALL r5- and r6-stale queries (so nothing is older
     # than r7 after this round) and the first 7 of the r7 backlog
     "stream_ann_index_pq": q_stream_ann_index_pq,
+    "tokenizer_bytes": q_tokenizer_bytes,
     "pricing_summary_decimal": q_pricing_summary_decimal,
     "quantizer_drift": q_quantizer_drift,
     "higher_order_funcs": q_higher_order_funcs,
@@ -4071,7 +4211,6 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_hourly": q_salted_hourly,
     "nullsafe_join": q_nullsafe_join,
     "stream_dedup": q_stream_dedup,
-    "stream_serving_pipeline": q_stream_serving_pipeline,
 }
 
 
@@ -4215,6 +4354,7 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "traffic_hourly_fused": q_traffic_hourly_fused,
     "tz_hourly": q_tz_hourly,
     "video_frames": q_video_frames,
+    "stream_serving_pipeline": q_stream_serving_pipeline,
     "text_normalize": q_text_normalize,
     "sql_surface": q_sql_surface,
     "unpivot": q_unpivot,
@@ -4291,6 +4431,7 @@ def oracle_sql() -> dict[str, str]:
     d["embedding_lsh_portable"] = _lsh_portable_oracle()
     d["bpe_encode"] = _bpe_encode_oracle()
     d["tokenizer_pipeline"] = _tokenizer_pipeline_oracle()
+    d["tokenizer_bytes"] = _tokenizer_bytes_oracle()
     d["pq_codes"] = """
         WITH """ + _PQ_N_CTE + """
         SELECT vec_id,

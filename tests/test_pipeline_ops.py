@@ -2567,3 +2567,35 @@ def test_quantizer_drift_trips_and_refit_restores(spark):
     cur2 = quantizer_profile(live, centers2, "vec_id")
     ok = drift_decision(quantizer_drift(cur2, ref2)).collect()[0]
     assert not ok["rebuild"]
+
+
+def test_tokens_to_ids_bytes_contract(spark):
+    """r12 (VERDICT r11 #4): the byte-fallback tokenizer contract —
+    reserved tokens survive BPE unsplit and map to pinned ids, vocab
+    tokens shift past the reserved range, any other token decomposes
+    to exact UTF-8 bytes in order, and n_unk is 0 on text no
+    vocabulary covers."""
+    from bda_spadochrony_spark.operators.corpus import (
+        bpe_encode, tokens_to_ids_bytes)
+    docs = spark.createDataFrame(
+        [(1, "<|doc|> aa bb"), (2, "<|doc|> aa 🚀"), (3, None)],
+        "doc_id: long, text: string")
+    enc = bpe_encode(docs, "doc_id", "text", [("a", "a")],
+                     reserved=["<|doc|>"])
+    by_id = {r["doc_id"]: r["symbols"] for r in enc.collect()}
+    assert by_id[1] == ["<|doc|>", "aa", "b", "b"]   # marker unsplit
+    assert by_id[3] == []
+    vocab = spark.createDataFrame([("aa", 1), ("b", 2)],
+                                  ["token", "token_id"])
+    ids = tokens_to_ids_bytes(docs, "doc_id", "text", vocab,
+                              ["<|doc|>"], vocab_size=2)
+    out = {r["doc_id"]: r for r in ids.collect()}
+    # R=1, V=2: reserved -> 1, vocab 'aa' -> 2, OOV 'bb' -> UTF-8
+    # bytes [98, 98] offset by R+V+1=4 -> [102, 102]
+    assert out[1]["token_ids"] == [1, 2, 102, 102]
+    assert out[1]["n_byte_ids"] == 2 and out[1]["n_unk"] == 0
+    # the emoji decomposes to its 4 UTF-8 bytes in order
+    assert out[2]["token_ids"] == [1, 2, 244, 163, 158, 132]
+    assert out[2]["n_byte_ids"] == 4 and out[2]["n_unk"] == 0
+    # NULL-text doc keeps an empty sequence
+    assert out[3]["token_ids"] == [] and out[3]["n_ids"] == 0
