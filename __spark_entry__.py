@@ -4151,82 +4151,39 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # confirmation backlog; _TAIL holds long-confirmed queries whose parity is
 # continuously re-proven by tests/test_oracle_parity.py.
 _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- round-11 head: the two NEW queries (tokenizer_pipeline —
-    # train->encode->ids->packing as one oracled plan; 
-    # embedding_ivf_pq_kmeans — the production balanced-quantizer
-    # IVF-PQ path, rows-only), the six r10 singles getting their first
-    # re-confirmation, the queries whose SOURCE changed this round
-    # (stream_near_dup/incremental_dedup: sketch-classifier band fix +
-    # layout-pruned gate params; csv_roundtrip/orc_roundtrip: uid-scoped
-    # cache dirs), then the stalest backlog per the rotation
-    # discipline: ALL r5- and r6-stale queries (so nothing is older
-    # than r7 after this round) and the first 7 of the r7 backlog
+    # ---- round-12 head: the four NEW queries (stream_ann_index_pq —
+    # the codes-only streamed index; tokenizer_bytes — byte-fallback +
+    # special tokens; pricing_summary_decimal — the DECIMAL money
+    # sentinel; quantizer_drift — the refit-trigger monitor), then the
+    # seven queries whose SOURCE or ORACLE changed this round
+    # (ivf_pq_topk's ADC stage was extracted for sharing; the
+    # important_stock membership predicate and the higher_order/map
+    # oracles were hardened; bpe_encode gained the reserved bypass and
+    # the fold-CTE generator was generalized), then the FULL stale
+    # backlog: both r6-stale queries (hash_funcs/string_funcs2 — the
+    # r11 rotation claim missed them; VERDICT r11 #2) and ALL 37
+    # r7-stale queries, so after this round no registry query's latest
+    # driver check is older than r8. The six unpromoted r11 singles
+    # (stream_ann_index, budget_sample, part_promotion, corpus_diff,
+    # json_roundtrip, detokenize) rotate in r13 — they are the
+    # freshest cohort and re-proven locally every round.
     "stream_ann_index_pq": q_stream_ann_index_pq,
     "tokenizer_bytes": q_tokenizer_bytes,
     "pricing_summary_decimal": q_pricing_summary_decimal,
     "quantizer_drift": q_quantizer_drift,
+    "embedding_ivf_pq": q_embedding_ivf_pq,
+    "embedding_ivf_pq_kmeans": q_embedding_ivf_pq_kmeans,
+    "important_stock": q_important_stock,
     "higher_order_funcs": q_higher_order_funcs,
     "map_funcs": q_map_funcs,
-    "budget_sample": q_budget_sample,
-    "important_stock": q_important_stock,
-    "part_promotion": q_part_promotion,
-    "corpus_diff": q_corpus_diff,
     "tokenizer_pipeline": q_tokenizer_pipeline,
-    "embedding_ivf_pq_kmeans": q_embedding_ivf_pq_kmeans,
-    "stream_ann_index": q_stream_ann_index,
-    "json_roundtrip": q_json_roundtrip,
-    "detokenize": q_detokenize,
     "bpe_encode": q_bpe_encode,
-    "text_semantic_dedup": q_text_semantic_dedup,
-    "pq_codes": q_pq_codes,
-    "embedding_pq_stack": q_embedding_pq_stack,
-    "embedding_ivf_pq": q_embedding_ivf_pq,
-    "orc_roundtrip": q_orc_roundtrip,
-    "stream_near_dup": q_stream_near_dup,
-    "incremental_dedup": q_incremental_dedup,
-    "string_funcs": q_string_funcs,
-    "supplier_part_counts": q_supplier_part_counts,
-    "token_frequencies": q_token_frequencies,
-    "weather_hourly": q_weather_hourly,
-    "csv_roundtrip": q_csv_roundtrip,
-    "argmax_agg": q_argmax_agg,
-    "array_agg": q_array_agg,
-    "bitwise_funcs": q_bitwise_funcs,
-    "conditional_funcs": q_conditional_funcs,
-    "corpus_prep": q_corpus_prep,
-    "date_functions": q_date_functions,
-    "doc_chunks": q_doc_chunks,
-    "tf_idf": q_tf_idf,
-    "stream_update": q_stream_update,
-    "late_supplier_blame": q_late_supplier_blame,
-    "top_supplier": q_top_supplier,
-    "grouping_sets": q_grouping_sets,
-    "window_analytics": q_window_analytics,
-    "set_ops": q_set_ops,
-    "min_cost_per_part": q_min_cost_per_part,
-    "market_share": q_market_share,
-    "stream_sliding": q_stream_sliding,
-    "partition_pruned": q_partition_pruned,
-    "regr_agg": q_regr_agg,
-    "salted_hourly": q_salted_hourly,
-    "nullsafe_join": q_nullsafe_join,
-    "stream_dedup": q_stream_dedup,
-}
-
-
-_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # long-confirmed queries; parity re-proven every round by
-    # tests/test_oracle_parity.py. Ordered stalest-first (latest
-    # driver check ascending) so the r12 rotation promotes from the
-    # top of this dict. stats_agg / nation_profit were displaced from
-    # the r11 window bottom by the two new r11 queries (their latest
-    # check is r7 — still inside the staleness budget).
+    "hash_funcs": q_hash_funcs,
+    "string_funcs2": q_string_funcs2,
     "stats_agg": q_stats_agg,
     "nation_profit": q_nation_profit,
     "histogram": q_histogram,
-    "hash_funcs": q_hash_funcs,
     "pca_invariants": q_pca_invariants,
-    "string_funcs2": q_string_funcs2,
     "doc_fingerprint_md5": q_doc_fingerprint_md5,
     "disjunctive_revenue": q_disjunctive_revenue,
     "pii_scrub": q_pii_scrub,
@@ -4260,6 +4217,14 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokens_to_ids": q_tokens_to_ids,
     "unigram_surprisal": q_unigram_surprisal,
     "zorder_layout": q_zorder_layout,
+}
+
+
+_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # long-confirmed queries; parity re-proven every round by
+    # tests/test_oracle_parity.py. Ordered stalest-first (latest
+    # driver check ascending: r8 cohort, then r9, r10, r11) so the
+    # r13 rotation promotes from the top of this dict.
     "anti_join": q_anti_join,
     "asof_join": q_asof_join,
     "asof_minute_join": q_asof_minute_join,
@@ -4354,6 +4319,45 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "traffic_hourly_fused": q_traffic_hourly_fused,
     "tz_hourly": q_tz_hourly,
     "video_frames": q_video_frames,
+    "budget_sample": q_budget_sample,
+    "part_promotion": q_part_promotion,
+    "corpus_diff": q_corpus_diff,
+    "stream_ann_index": q_stream_ann_index,
+    "json_roundtrip": q_json_roundtrip,
+    "detokenize": q_detokenize,
+    "text_semantic_dedup": q_text_semantic_dedup,
+    "pq_codes": q_pq_codes,
+    "embedding_pq_stack": q_embedding_pq_stack,
+    "orc_roundtrip": q_orc_roundtrip,
+    "stream_near_dup": q_stream_near_dup,
+    "incremental_dedup": q_incremental_dedup,
+    "string_funcs": q_string_funcs,
+    "supplier_part_counts": q_supplier_part_counts,
+    "token_frequencies": q_token_frequencies,
+    "weather_hourly": q_weather_hourly,
+    "csv_roundtrip": q_csv_roundtrip,
+    "argmax_agg": q_argmax_agg,
+    "array_agg": q_array_agg,
+    "bitwise_funcs": q_bitwise_funcs,
+    "conditional_funcs": q_conditional_funcs,
+    "corpus_prep": q_corpus_prep,
+    "date_functions": q_date_functions,
+    "doc_chunks": q_doc_chunks,
+    "tf_idf": q_tf_idf,
+    "stream_update": q_stream_update,
+    "late_supplier_blame": q_late_supplier_blame,
+    "top_supplier": q_top_supplier,
+    "grouping_sets": q_grouping_sets,
+    "window_analytics": q_window_analytics,
+    "set_ops": q_set_ops,
+    "min_cost_per_part": q_min_cost_per_part,
+    "market_share": q_market_share,
+    "stream_sliding": q_stream_sliding,
+    "partition_pruned": q_partition_pruned,
+    "regr_agg": q_regr_agg,
+    "salted_hourly": q_salted_hourly,
+    "nullsafe_join": q_nullsafe_join,
+    "stream_dedup": q_stream_dedup,
     "stream_serving_pipeline": q_stream_serving_pipeline,
     "text_normalize": q_text_normalize,
     "sql_surface": q_sql_surface,

@@ -190,6 +190,11 @@ HEADLINE = [
     ("important_stock", "collect"),
     ("part_promotion", "collect"),
     ("corpus_diff", "collect"),
+    # round 12 additions
+    ("stream_ann_index_pq", "count"),
+    ("tokenizer_bytes", "count"),
+    ("pricing_summary_decimal", "collect"),
+    ("quantizer_drift", "collect"),
 ]
 
 N_SHARDS = 3

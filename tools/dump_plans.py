@@ -88,6 +88,12 @@ QUERIES = [
     "important_stock", "part_promotion",
     # round 11 (cont.): digest-based corpus versioning diff
     "corpus_diff",
+    # round 12: the codes-only streamed ANN index (partition-pruned ADC
+    # search), the byte-fallback tokenizer, the DECIMAL money sentinel,
+    # and the quantizer-drift monitor (two broadcast-assignment passes,
+    # quantizer-sized aggregates)
+    "stream_ann_index_pq", "tokenizer_bytes", "pricing_summary_decimal",
+    "quantizer_drift",
 ]
 
 
