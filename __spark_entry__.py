@@ -1870,7 +1870,10 @@ def _tokenizer_bytes_oracle() -> str:
                              THEN [CAST(v.token_id + 1 AS INT)]
                         ELSE {byte_expr}
                    END AS tids
-            FROM (SELECT *, hex(encode(token)) AS h
+            -- byte rung encodes ' ' || token (the GPT-2 leading-space
+            -- convention — the separator byte is what makes decode
+            -- lossless; see ids_to_tokens_bytes)
+            FROM (SELECT *, hex(encode(' ' || token)) AS h
                   FROM etok WHERE token <> '') e
             LEFT JOIN vocab v USING (token)
         ), flat AS (
@@ -1894,6 +1897,131 @@ def _tokenizer_bytes_oracle() -> str:
                coalesce(a.n_byte_ids, 0) AS n_byte_ids,
                coalesce(a.n_unk, 0) AS n_unk
         FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+def q_detokenize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS encode→decode round trip (r12 — the closing claim of
+    the byte-fallback surface): the adversarial Unicode fixture is
+    encoded with `tokens_to_ids_bytes` (reserved + top-100 vocab +
+    UTF-8 byte fallback with the leading-space byte) and decoded with
+    `ids_to_tokens_bytes`; `roundtrip_ok` pins that the decode equals
+    the normalized text EXACTLY for every document — no `<unk>`
+    sentinel, no loss, which is the property the r11 `detokenize` loop
+    could only measure the loss of (`n_unk`). Raw whitespace tokens
+    (the `detokenize` precedent), no BPE stage — the byte alphabet is
+    the contract under test. Fully oracled: the gaps-and-islands
+    segment window, the per-run `unhex` UTF-8 decode, and the id rungs
+    restate as plain SQL."""
+    from bda_spadochrony_spark.operators.corpus import (build_vocab,
+                                                        ids_to_tokens_bytes,
+                                                        tokens_to_ids_bytes)
+    from bda_spadochrony_spark.operators.text import tokens
+    configure(spark)
+    docs = _t(spark, sf_dir, "documents")
+    palette = F.array(*[F.lit(c) for c in _UNI_PALETTE])
+    junk = F.concat(
+        F.lit("ü"),
+        F.element_at(palette, (F.col("doc_id") % 512).cast("int") + 1),
+        F.lit("🚀"), F.col("doc_id").cast("string"))
+    adoc = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.lit("<|doc|>"), F.col("text"), junk)
+        .alias("text")).localCheckpoint(eager=False)
+    vocab = build_vocab(adoc, "text", size=100)
+    ids = tokens_to_ids_bytes(adoc, "doc_id", "text", vocab,
+                              _TOK_RESERVED, vocab_size=100)
+    dec = ids_to_tokens_bytes(ids, "doc_id", "token_ids", vocab,
+                              _TOK_RESERVED, vocab_size=100)
+    norm = adoc.select("doc_id",
+                       F.concat_ws(" ", tokens("text")).alias("norm"))
+    return (dec.join(norm, "doc_id")
+            .select("doc_id", "detok",
+                    (F.col("detok") == F.col("norm"))
+                    .alias("roundtrip_ok")))
+
+
+def _detokenize_bytes_oracle() -> str:
+    """The lossless round trip restated: fixture → top-100 vocab over
+    the raw token stream → three-rung encode (space-prefixed byte
+    fallback) → flat id sequence → gaps-and-islands segments → per-run
+    from_hex UTF-8 decode → space-joined reassembly, compared against
+    the normalized text."""
+    pal = "[" + ", ".join("'" + c + "'" for c in _UNI_PALETTE) + "]"
+    toks = "string_split_regex(lower(trim(text)), '[\\s\\x0b]+')"
+    byte_expr = (
+        "[CAST((strpos('0123456789ABCDEF', substr(h, 2*i+1, 1))-1)*16"
+        " + (strpos('0123456789ABCDEF', substr(h, 2*i+2, 1))-1)"
+        " + 102 AS INT) for i in range(CAST(len(h)//2 AS INT))]")
+    return f"""
+        WITH adoc AS (
+            SELECT doc_id,
+                   concat_ws(' ', '<|doc|>', text,
+                             'ü' || {pal}[CAST(doc_id % 512 AS INT) + 1]
+                             || '🚀' || CAST(doc_id AS VARCHAR)) AS text
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, unnest({toks}) AS token,
+                   generate_subscripts({toks}, 1) AS pos
+            FROM adoc
+        ), vocab AS (
+            SELECT token,
+                   row_number() OVER (ORDER BY count(*) DESC, token ASC)
+                       AS token_id
+            FROM toks GROUP BY token
+            QUALIFY token_id <= 100
+        ), enc AS (
+            SELECT t.doc_id, t.pos,
+                   CASE WHEN t.token = '<|doc|>' THEN [CAST(1 AS INT)]
+                        WHEN v.token_id IS NOT NULL
+                             THEN [CAST(v.token_id + 1 AS INT)]
+                        ELSE {byte_expr}
+                   END AS tids
+            FROM (SELECT *, hex(encode(' ' || token)) AS h
+                  FROM toks WHERE token <> '') t
+            LEFT JOIN vocab v USING (token)
+        ), flat AS (
+            SELECT doc_id, pos, generate_subscripts(tids, 1) AS bpos,
+                   unnest(tids) AS tid
+            FROM enc
+        ), ids AS (
+            SELECT doc_id, tid,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY pos, bpos) AS gpos
+            FROM flat
+        ), segs AS (
+            SELECT doc_id, tid, gpos,
+                   sum(CASE WHEN tid <= 101 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY gpos) AS seg
+            FROM ids
+        ), segagg AS (
+            SELECT s.doc_id, s.seg, min(s.gpos) AS spos,
+                   min(CASE WHEN s.tid = 1 THEN '<|doc|>'
+                            ELSE v2.token END) AS tok,
+                   string_agg(CASE WHEN s.tid > 101
+                                   THEN printf('%02x', s.tid - 102) END,
+                              '' ORDER BY s.gpos) AS hexrun
+            FROM segs s
+            LEFT JOIN vocab v2
+              ON s.tid BETWEEN 2 AND 101 AND v2.token_id = s.tid - 1
+            GROUP BY 1, 2
+        ), segstr AS (
+            SELECT doc_id, spos,
+                   (CASE WHEN tok IS NOT NULL THEN ' ' || tok
+                         ELSE '' END)
+                   || (CASE WHEN hexrun IS NOT NULL AND hexrun <> ''
+                            THEN decode(from_hex(hexrun))
+                            ELSE '' END) AS s
+            FROM segagg
+        ), detok AS (
+            SELECT doc_id,
+                   ltrim(string_agg(s, '' ORDER BY spos), ' ') AS detok
+            FROM segstr GROUP BY 1
+        )
+        SELECT a.doc_id, coalesce(d.detok, '') AS detok,
+               coalesce(d.detok, '')
+                   = array_to_string({toks}, ' ') AS roundtrip_ok
+        FROM adoc a LEFT JOIN detok d USING (doc_id)
     """
 
 
@@ -4169,6 +4297,7 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # freshest cohort and re-proven locally every round.
     "stream_ann_index_pq": q_stream_ann_index_pq,
     "tokenizer_bytes": q_tokenizer_bytes,
+    "detokenize_bytes": q_detokenize_bytes,
     "pricing_summary_decimal": q_pricing_summary_decimal,
     "quantizer_drift": q_quantizer_drift,
     "embedding_ivf_pq": q_embedding_ivf_pq,
@@ -4177,7 +4306,6 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "higher_order_funcs": q_higher_order_funcs,
     "map_funcs": q_map_funcs,
     "tokenizer_pipeline": q_tokenizer_pipeline,
-    "bpe_encode": q_bpe_encode,
     "hash_funcs": q_hash_funcs,
     "string_funcs2": q_string_funcs2,
     "stats_agg": q_stats_agg,
@@ -4325,6 +4453,11 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_ann_index": q_stream_ann_index,
     "json_roundtrip": q_json_roundtrip,
     "detokenize": q_detokenize,
+    # bpe_encode yielded its r12 window slot to detokenize_bytes (its
+    # oracle SQL is textually unchanged by the r12 fold-CTE
+    # generalization and its default-path behavior is untouched; the
+    # reserved bypass is exercised by tokenizer_bytes in the window)
+    "bpe_encode": q_bpe_encode,
     "text_semantic_dedup": q_text_semantic_dedup,
     "pq_codes": q_pq_codes,
     "embedding_pq_stack": q_embedding_pq_stack,
@@ -4436,6 +4569,7 @@ def oracle_sql() -> dict[str, str]:
     d["bpe_encode"] = _bpe_encode_oracle()
     d["tokenizer_pipeline"] = _tokenizer_pipeline_oracle()
     d["tokenizer_bytes"] = _tokenizer_bytes_oracle()
+    d["detokenize_bytes"] = _detokenize_bytes_oracle()
     d["pq_codes"] = """
         WITH """ + _PQ_N_CTE + """
         SELECT vec_id,

@@ -126,10 +126,15 @@ def tokens_to_ids_bytes(df: DataFrame, id_col: str, text_col: str,
        protects from merging) map to pinned ids ``1..R`` by list order.
     2. Vocabulary tokens map to ``R + token_id`` (``build_vocab`` ids
        are 1-based, so the ranges never collide).
-    3. Everything else decomposes to its UTF-8 BYTES, byte ``b`` →
-       ``R + V + 1 + b`` — a fixed 256-slot byte alphabet (the
-       Llama/GPT-2 byte-fallback contract), so any Unicode string
-       encodes and ``n_unk`` is 0 by construction.
+    3. Everything else decomposes to the UTF-8 BYTES of the token WITH
+       ITS LEADING SPACE (``' ' + token`` — the GPT-2 byte-level
+       convention, where a token carries its separator), byte ``b`` →
+       ``R + V + 1 + b`` — a fixed 256-slot byte alphabet, so any
+       Unicode string encodes and ``n_unk`` is 0 by construction. The
+       space byte is what makes decoding LOSSLESS: two consecutive
+       fallback tokens' byte runs are adjacent in the id stream, and
+       without the separator byte their boundary would be
+       unrecoverable (``ids_to_tokens_bytes`` round-trips exactly).
 
     The byte decomposition is pure column arithmetic on the hex form
     (``hex(encode(token))`` — engine-portable, byte-for-byte identical
@@ -152,7 +157,7 @@ def tokens_to_ids_bytes(df: DataFrame, id_col: str, text_col: str,
                     F.posexplode(tokens(text_col)).alias("pos", "token"))
           .where(F.col("token") != ""))
     j = ex.join(F.broadcast(vocab), "token", "left")
-    h = F.hex(F.encode(F.col("token"), "UTF-8"))
+    h = F.hex(F.encode(F.concat(F.lit(" "), F.col("token")), "UTF-8"))
     byte_ids = F.transform(
         F.sequence(F.lit(0), (F.length(h) / 2).cast("int") - 1),
         lambda i: (F.conv(F.substring(h, i * 2 + 1, F.lit(2)), 16, 10)
@@ -181,6 +186,72 @@ def tokens_to_ids_bytes(df: DataFrame, id_col: str, text_col: str,
                         lambda x: x > F.lit(R + V))).alias("n_byte_ids"),
         F.size(F.filter("token_ids",
                         lambda x: x <= F.lit(0))).alias("n_unk"))
+
+
+def ids_to_tokens_bytes(ids_df: DataFrame, id_col: str, ids_col: str,
+                        vocab: DataFrame, reserved: list[str],
+                        vocab_size: int | None = None) -> DataFrame:
+    """The LOSSLESS inverse of ``tokens_to_ids_bytes`` (r12): rebuild
+    each document's normalized text exactly — no ``<unk>`` sentinel,
+    no information loss, because the encoder's byte rung kept every
+    out-of-vocabulary token (with its leading space byte marking the
+    token boundary). ``decode(encode(x)) == concat_ws(' ', tokens(x))``
+    for EVERY document, which ``detokenize_bytes`` pins under the
+    oracle — the property the r11 ``detokenize`` loop could only
+    measure the loss of (``n_unk``).
+
+    Shape: ids explode to (pos, id) rows; a per-doc running count of
+    NON-byte ids assigns each byte run to the segment of the token
+    before it (gaps-and-islands, one window over rows that number
+    O(sequence length)); each segment's byte run concatenates its hex
+    pairs in order and decodes as ONE ``unhex``/UTF-8 decode (multi-
+    byte characters must decode from the whole run, never per byte);
+    reserved/vocab ids map through the broadcast vocab. Every rung is
+    engine-portable column arithmetic — the oracle restates it with
+    the same window and ``from_hex`` decode."""
+    R = len(reserved)
+    if vocab_size is None:
+        row = vocab.agg(F.max("token_id")).collect()[0][0]
+        vocab_size = int(row or 0)
+    V = int(vocab_size)
+    res_arr = F.array(*[F.lit(t) for t in reserved])
+    ex = ids_df.select(F.col(id_col),
+                       F.posexplode(F.col(ids_col)).alias("pos", "tid"))
+    is_byte = F.col("tid") > R + V
+    w = Window.partitionBy(id_col).orderBy("pos")
+    ex = ex.withColumn("seg", F.sum((~is_byte).cast("int")).over(w))
+    ex = ex.withColumn(
+        "tok",
+        F.when(F.col("tid") <= R,
+               F.element_at(res_arr, F.col("tid").cast("int")))
+        .otherwise(F.lit(None).cast("string")))
+    ex = (ex.join(F.broadcast(vocab.select(
+        (F.col("token_id") + R).alias("tid"),
+        F.col("token").alias("vtok"))), "tid", "left")
+        .withColumn("tok", F.coalesce("tok", "vtok"))
+        .withColumn("hex", F.when(is_byte, F.lpad(
+            F.conv((F.col("tid") - (R + V + 1)).cast("string"), 10, 16),
+            2, "0"))))
+    seg = (ex.groupBy(id_col, "seg")
+           .agg(F.min("pos").alias("spos"),
+                F.min("tok").alias("tok"),
+                F.concat_ws("", F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "hex"))),
+                    lambda s: s["hex"])).alias("hexrun")))
+    seg_str = F.concat(
+        F.when(F.col("tok").isNotNull(),
+               F.concat(F.lit(" "), F.col("tok"))).otherwise(F.lit("")),
+        F.when(F.col("hexrun") != "",
+               F.decode(F.unhex(F.col("hexrun")), "UTF-8"))
+        .otherwise(F.lit("")))
+    out = (seg.groupBy(id_col)
+           .agg(F.ltrim(F.concat_ws("", F.transform(
+               F.sort_array(F.collect_list(
+                   F.struct("spos", seg_str.alias("s")))),
+               lambda x: x["s"]))).alias("detok")))
+    return (ids_df.select(id_col).join(out, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("detok", F.lit("")).alias("detok")))
 
 
 def ids_to_tokens(ids_df: DataFrame, id_col: str, ids_col: str,

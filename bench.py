@@ -193,6 +193,7 @@ HEADLINE = [
     # round 12 additions
     ("stream_ann_index_pq", "count"),
     ("tokenizer_bytes", "count"),
+    ("detokenize_bytes", "count"),
     ("pricing_summary_decimal", "collect"),
     ("quantizer_drift", "collect"),
 ]

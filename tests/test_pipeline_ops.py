@@ -2591,11 +2591,21 @@ def test_tokens_to_ids_bytes_contract(spark):
                               ["<|doc|>"], vocab_size=2)
     out = {r["doc_id"]: r for r in ids.collect()}
     # R=1, V=2: reserved -> 1, vocab 'aa' -> 2, OOV 'bb' -> UTF-8
-    # bytes [98, 98] offset by R+V+1=4 -> [102, 102]
-    assert out[1]["token_ids"] == [1, 2, 102, 102]
-    assert out[1]["n_byte_ids"] == 2 and out[1]["n_unk"] == 0
-    # the emoji decomposes to its 4 UTF-8 bytes in order
-    assert out[2]["token_ids"] == [1, 2, 244, 163, 158, 132]
-    assert out[2]["n_byte_ids"] == 4 and out[2]["n_unk"] == 0
+    # bytes of ' bb' (leading space = the token separator the decoder
+    # needs) [32, 98, 98] offset by R+V+1=4 -> [36, 102, 102]
+    assert out[1]["token_ids"] == [1, 2, 36, 102, 102]
+    assert out[1]["n_byte_ids"] == 3 and out[1]["n_unk"] == 0
+    # the emoji decomposes to space + its 4 UTF-8 bytes in order
+    assert out[2]["token_ids"] == [1, 2, 36, 244, 163, 158, 132]
+    assert out[2]["n_byte_ids"] == 5 and out[2]["n_unk"] == 0
     # NULL-text doc keeps an empty sequence
     assert out[3]["token_ids"] == [] and out[3]["n_ids"] == 0
+    # the decode half round-trips LOSSLESSLY (the point of the space
+    # byte): normalized text comes back exactly, unk-free
+    from bda_spadochrony_spark.operators.corpus import ids_to_tokens_bytes
+    dec = {r["doc_id"]: r["detok"] for r in
+           ids_to_tokens_bytes(ids, "doc_id", "token_ids", vocab,
+                               ["<|doc|>"], vocab_size=2).collect()}
+    assert dec[1] == "<|doc|> aa bb"
+    assert dec[2] == "<|doc|> aa 🚀"
+    assert dec[3] == ""

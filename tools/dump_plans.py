@@ -94,6 +94,8 @@ QUERIES = [
     # quantizer-sized aggregates)
     "stream_ann_index_pq", "tokenizer_bytes", "pricing_summary_decimal",
     "quantizer_drift",
+    # round 12 (cont.): the lossless byte-fallback round trip
+    "detokenize_bytes",
 ]
 
 
