@@ -818,7 +818,7 @@ def ann_index_pq_topk(spark, index_path: str, queries: DataFrame,
     index is verifiable against the one-shot operator's SQL oracle
     (the ``stream_ann_index`` precedent, one rung further down the
     storage ladder)."""
-    if centers is None or not codebooks:
+    if centers is None or codebooks is None:
         raise ValueError(
             "ann_index_pq_topk requires the index's persisted quantizer "
             "(centers=) and codebooks (codebooks=) — searching with "
@@ -826,6 +826,18 @@ def ann_index_pq_topk(spark, index_path: str, queries: DataFrame,
             "and codes would silently return wrong neighbors")
     nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0),
                                        lambda acc, x: acc + x * x))
+    if not codebooks:
+        # an EMPTY codebook list is the pq_codebooks fit over an
+        # empty/fully-corrupt corpus (r12 zero-rows edge fixture) —
+        # nothing was indexed, so the search finds nothing: the
+        # empty-in → empty-out convention every IVF operator follows,
+        # distinct from the None case above (artifacts not supplied)
+        q0 = valid_vectors(queries, vec_col).select(
+            F.col(query_id).alias("query_id"))
+        return (q0.select("query_id",
+                          F.col("query_id").alias("corpus_id"),
+                          F.lit(None).cast("double").alias("cosine"))
+                .where(F.lit(False)))
     dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
                                    F.lit(0.0), lambda acc, t: acc + t)
     q = valid_vectors(queries, vec_col).select(
