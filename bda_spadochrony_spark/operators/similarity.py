@@ -658,8 +658,9 @@ def ann_index_append(batch_df: DataFrame, batch_id: int, index_path: str,
     pruning). The batch_id-partitioned overwrite is the admission
     sinks' idempotent-replay pattern: a replayed foreachBatch epoch
     rewrites its own directory. Cross-batch duplicate ids are appended
-    verbatim (an index append is not an upsert); point the compaction
-    job (`sources/writers.py`) at the index to fold replays/updates."""
+    verbatim (an index append is not an upsert); run
+    ``ann_index_compact`` periodically to fold the per-batch
+    directories into one generation (small-file control)."""
     vecs = valid_vectors(batch_df, vec_col).select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"))
@@ -793,6 +794,88 @@ def ann_index_append_pq(batch_df: DataFrame, batch_id: int,
     (out.repartition(F.col("cell"))
      .write.mode("overwrite").partitionBy("cell")
      .parquet(f"{index_path}/batch_id={batch_id}"))
+
+
+def ann_index_compact(spark, index_path: str) -> int:
+    """Fold a streamed IVF index's per-batch append directories into ONE
+    compacted generation (r12): every drain leaves a ``batch_id=N``
+    directory with per-cell files, so an always-on index accumulates
+    O(batches × cells) small files — the operational failure mode of
+    log-structured layouts. Compaction reads the current compacted
+    generation (if any) plus all batch directories and rewrites them as
+    ``batch_id=-1`` with one file per cell; ``cell`` stays the
+    partition key, so searches prune identically before and after.
+    Layout-agnostic: raw (``ann_index_append``) and codes-only
+    (``ann_index_append_pq``) indexes both ride through unchanged.
+
+    Durability contract:
+    - The compacted generation lives at ``batch_id=-1`` — streaming
+      epochs are never negative, so no future foreachBatch replay can
+      ever overwrite it.
+    - MANIFEST-FIRST (the ``sources.writers.compact`` discipline): the
+      batch directories to fold are listed BEFORE reading; appends that
+      land mid-compaction are untouched and survive to the next run.
+    - The new generation is written to a SIBLING staging dir and
+      promoted with one atomic rename; the folded manifest is recorded
+      INSIDE the generation (``_folded.json`` — underscore-prefixed,
+      invisible to parquet readers) before the folded dirs are purged.
+      A crash between promote and purge leaves duplicates that the
+      next compaction's RECOVERY step removes (any still-present dir
+      named in the live generation's manifest is a leftover purge,
+      completed before reading) — readers in that window double-count,
+      so a crashed compaction should be followed by a no-op
+      ``ann_index_compact`` before trusting results; full
+      read-isolation needs a transaction log (Delta/Iceberg), which is
+      exactly what those formats add at 100 TB.
+
+    One caveat the manifest cannot close: recovery deletes any
+    STILL-PRESENT directory named in the live generation's manifest, so
+    resetting the stream's checkpoint to REUSE an already-folded epoch
+    id against a compacted index is unsupported (the monotonic-epoch
+    contract ``batch_id=-1`` already relies on).
+
+    Returns the number of batch directories folded (0 = nothing to do).
+    """
+    import json
+    import os
+    import shutil
+    import uuid
+
+    if not os.path.isdir(index_path):
+        return 0
+    gen = os.path.join(index_path, "batch_id=-1")
+    manifest_file = os.path.join(gen, "_folded.json")
+    # recovery: complete a crashed purge before anything reads
+    if os.path.exists(manifest_file):
+        for d in json.load(open(manifest_file)):
+            leftover = os.path.join(index_path, d)
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
+    batch_dirs = sorted(
+        d for d in os.listdir(index_path)
+        if d.startswith("batch_id=") and not d.startswith("batch_id=-"))
+    if not batch_dirs:
+        return 0
+    srcs = [os.path.join(index_path, d) for d in batch_dirs]
+    if os.path.exists(gen):
+        srcs.append(gen)
+    df = (spark.read.option("basePath", index_path).parquet(*srcs)
+          .drop("batch_id"))
+    staging = f"{index_path}__compact_{uuid.uuid4().hex[:8]}"
+    (df.repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell").parquet(staging))
+    json.dump(batch_dirs, open(os.path.join(staging, "_folded.json"), "w"))
+    old = f"{index_path}__oldgen_{uuid.uuid4().hex[:8]}"
+    had_gen = os.path.exists(gen)
+    if had_gen:
+        os.replace(gen, old)
+    os.replace(staging, gen)
+    for d in batch_dirs:
+        shutil.rmtree(os.path.join(index_path, d), ignore_errors=True)
+    os.remove(manifest_file)
+    if had_gen:
+        shutil.rmtree(old, ignore_errors=True)
+    return len(batch_dirs)
 
 
 def ann_index_pq_topk(spark, index_path: str, queries: DataFrame,

@@ -994,3 +994,60 @@ def test_stream_ann_index_pq_matches_one_shot_and_prunes(spark):
         assert pf, f"no cell PartitionFilters in:\n{plan[:3000]}"
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_ann_index_compact_folds_batches_and_recovers(spark):
+    """r12: compaction folds per-batch append dirs into one batch_id=-1
+    generation with identical search results and pruning, is
+    idempotent, keeps absorbing later appends, and its recovery step
+    completes a crashed purge (a folded dir resurrected next to a live
+    manifest is removed, never double-counted)."""
+    import json
+
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append, ann_index_compact, ann_index_topk)
+    from bda_spadochrony_spark.sources.readers import scan
+    emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    centers = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid")).localCheckpoint()
+    base = tempfile.mkdtemp(prefix="bda_annidx_cmp_t_")
+    index = os.path.join(base, "index")
+
+    def search():
+        return sorted((r["query_id"], r["corpus_id"],
+                       round(r["cosine"], 9)) for r in
+                      ann_index_topk(spark, index, emb, "vec_id",
+                                     centers=centers, k=3,
+                                     n_probe=4).collect())
+
+    try:
+        thirds = [emb.where(F.col("vec_id") % 3 == i) for i in range(3)]
+        ann_index_append(thirds[0], 0, index, centers, "vec_id")
+        ann_index_append(thirds[1], 1, index, centers, "vec_id")
+        ann_index_append(thirds[1], 1, index, centers, "vec_id")  # replay
+        before = search()
+        assert ann_index_compact(spark, index) == 2
+        dirs = sorted(d for d in os.listdir(index)
+                      if d.startswith("batch_id="))
+        assert dirs == ["batch_id=-1"]
+        assert search() == before
+        # idempotent: nothing left to fold
+        assert ann_index_compact(spark, index) == 0
+        # later appends keep folding into the same generation
+        ann_index_append(thirds[2], 2, index, centers, "vec_id")
+        full = search()
+        assert ann_index_compact(spark, index) == 1
+        assert search() == full
+        # crashed-purge recovery: resurrect a folded dir and name it in
+        # the live generation's manifest — the next compact removes it
+        # without double-counting
+        ann_index_append(thirds[2], 3, index, centers, "vec_id")
+        json.dump(["batch_id=3"],
+                  open(os.path.join(index, "batch_id=-1",
+                                    "_folded.json"), "w"))
+        assert ann_index_compact(spark, index) == 0
+        assert not os.path.exists(os.path.join(index, "batch_id=3"))
+        assert search() == full
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
