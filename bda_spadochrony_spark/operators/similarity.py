@@ -645,9 +645,51 @@ def drift_decision(drift: DataFrame, max_kl: float = 0.1,
          | (F.col("dist_inflation") > max_inflation)).alias("rebuild"))
 
 
+def _write_batch_profile(assigned_d2: DataFrame, index_path: str,
+                         batch_id: int) -> None:
+    """Persist one batch's quantizer census next to the index
+    (``_profile/batch_id=N`` — the underscore prefix hides the sidecar
+    from parquet readers of the index itself): ``(cell, n, sum_d2)``
+    rows, SUMS not means so generations merge by addition
+    (``ann_index_drift`` folds them). Quantizer-sized output per batch;
+    the same idempotent batch_id-overwrite contract as the index."""
+    (assigned_d2.groupBy("cell")
+     .agg(F.count(F.lit(1)).alias("n"), F.sum("dist2").alias("sum_d2"))
+     .coalesce(1)
+     .write.mode("overwrite")
+     .parquet(f"{index_path}/_profile/batch_id={batch_id}"))
+
+
+def ann_index_drift(spark, index_path: str, centers: DataFrame,
+                    reference: DataFrame, max_kl: float = 0.1,
+                    max_inflation: float = 1.5) -> DataFrame:
+    """The streamed index's REBUILD TRIGGER (r12 — wiring
+    ``quantizer_drift`` into the maintenance loop its docstring
+    promises): fold the per-batch profile sidecars the appends wrote
+    (``profile=True``) into the index's current census and score it
+    against the fit-time ``reference`` profile. Nothing corpus-sized
+    is read — the sidecars are quantizer-sized per batch — so this
+    check is cheap enough to run after every drain; when ``rebuild``
+    is true, refit the quantizer (and codebooks, for the codes
+    layout), rebuild the index, and persist a new reference profile —
+    the fixed-quantizer contract in streaming/ann_index."""
+    from bda_spadochrony_spark.operators.similarity import (  # noqa: F401
+        drift_decision, quantizer_drift)
+    prof = (spark.read.parquet(f"{index_path}/_profile")
+            .groupBy("cell")
+            .agg(F.sum("n").alias("n"),
+                 (F.sum("sum_d2") / F.sum("n")).alias("mean_d2")))
+    current = (centers.select("cell").join(prof, "cell", "left")
+               .select("cell", F.coalesce("n", F.lit(0)).alias("n"),
+                       "mean_d2"))
+    return drift_decision(quantizer_drift(current, reference),
+                          max_kl=max_kl, max_inflation=max_inflation)
+
+
 def ann_index_append(batch_df: DataFrame, batch_id: int, index_path: str,
                      centers: DataFrame, id_col: str,
-                     vec_col: str = "embedding") -> None:
+                     vec_col: str = "embedding",
+                     profile: bool = False) -> None:
     """ONE incremental-maintenance step of a persisted IVF index: assign
     the batch's valid vectors to their primary cells (against the FIXED
     persisted quantizer — production refits on drift, never per batch)
@@ -664,7 +706,14 @@ def ann_index_append(batch_df: DataFrame, batch_id: int, index_path: str,
     vecs = valid_vectors(batch_df, vec_col).select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"))
-    assigned = _assign_primary_cells(vecs, centers, "corpus_id")
+    assigned = _assign_primary_cells(vecs, centers, "corpus_id",
+                                     keep_dist2=profile)
+    if profile:
+        # the drift monitor's raw material (``ann_index_drift``) — one
+        # extra quantizer-sized aggregate per batch, opt-in so the
+        # bare-index contract queries don't pay it
+        _write_batch_profile(assigned, index_path, batch_id)
+        assigned = assigned.drop("dist2")
     (with_norm(assigned, "cvec", "cnorm")
      .repartition(F.col("cell"))
      .write.mode("overwrite").partitionBy("cell")
@@ -742,7 +791,8 @@ def ann_index_topk(spark, index_path: str, queries: DataFrame,
 def ann_index_append_pq(batch_df: DataFrame, batch_id: int,
                         index_path: str, centers: DataFrame,
                         codebooks: list, id_col: str,
-                        vec_col: str = "embedding") -> None:
+                        vec_col: str = "embedding",
+                        profile: bool = False) -> None:
     """The CODES-ONLY layout of the streamed IVF index (r12, VERDICT
     r11 #1 — composing the two r11 pieces that didn't yet):
     ``ann_index_append`` stores full float64 vectors while the batch
@@ -785,7 +835,11 @@ def ann_index_append_pq(batch_df: DataFrame, batch_id: int,
     # errors inside foreachBatch; the recomputed branch is a cheap
     # broadcast crossJoin and the checkpoint's materialization of the
     # vector column cost more than it saved
-    assigned = _assign_primary_cells(vecs, centers, "corpus_id")
+    assigned = _assign_primary_cells(vecs, centers, "corpus_id",
+                                     keep_dist2=profile)
+    if profile:
+        _write_batch_profile(assigned, index_path, batch_id)
+        assigned = assigned.drop("dist2")
     codes = pq_encode(assigned, "corpus_id", "cvec", codebooks)
     out = (assigned.select("corpus_id", "cell")
            .join(codes, "corpus_id")

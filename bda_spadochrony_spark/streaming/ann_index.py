@@ -24,18 +24,21 @@ def stream_ann_index_build(stream_vecs: DataFrame, index_path: str,
                            centers: DataFrame, id_col: str,
                            vec_col: str = "embedding",
                            checkpoint: str | None = None,
-                           timeout_s: int = 300) -> "StreamingQuery":
+                           timeout_s: int = 300,
+                           profile: bool = False) -> "StreamingQuery":
     """Drain the available micro-batches of an embedding stream into the
     IVF index (availableNow). Pass the SAME ``checkpoint`` across drains
     and the stream RESUMES — already-indexed input is never re-read, so
     staging new embedding files and draining again is the production
-    index-maintenance loop."""
+    index-maintenance loop. ``profile=True`` also writes each batch's
+    quantizer census sidecar so ``ann_index_drift`` can fire the
+    rebuild trigger without re-scanning anything (r12)."""
     from bda_spadochrony_spark.operators.similarity import ann_index_append
     from bda_spadochrony_spark.streaming.runner import run_foreach_batch
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         ann_index_append(batch_df, batch_id, index_path, centers,
-                         id_col, vec_col)
+                         id_col, vec_col, profile=profile)
 
     query = run_foreach_batch(stream_vecs, fn, available_now=True,
                               checkpoint=checkpoint)
@@ -50,7 +53,8 @@ def stream_ann_index_build_pq(stream_vecs: DataFrame, index_path: str,
                               centers: DataFrame, codebooks: list,
                               id_col: str, vec_col: str = "embedding",
                               checkpoint: str | None = None,
-                              timeout_s: int = 300) -> "StreamingQuery":
+                              timeout_s: int = 300,
+                              profile: bool = False) -> "StreamingQuery":
     """The CODES-ONLY variant of the index drain (r12, VERDICT r11 #1):
     each micro-batch is PQ-encoded against the index's FIXED codebooks
     and appended as ``(corpus_id, codes, rnm)`` per cell — measured
@@ -68,7 +72,7 @@ def stream_ann_index_build_pq(stream_vecs: DataFrame, index_path: str,
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         ann_index_append_pq(batch_df, batch_id, index_path, centers,
-                            codebooks, id_col, vec_col)
+                            codebooks, id_col, vec_col, profile=profile)
 
     query = run_foreach_batch(stream_vecs, fn, available_now=True,
                               checkpoint=checkpoint)

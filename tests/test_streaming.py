@@ -1051,3 +1051,49 @@ def test_ann_index_compact_folds_batches_and_recovers(spark):
         assert search() == full
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_ann_index_drift_trigger(spark):
+    """r12: the streamed index's rebuild trigger end to end — appends
+    with profile=True leave quantizer-census sidecars, and
+    ann_index_drift folds them against the fit-time profile without
+    reading the index or any corpus: an index fed data like the fit
+    corpus stays quiet; draining a DRIFTED batch on top fires the
+    decision. The sidecar survives compaction (underscore dir,
+    invisible to the index's own readers)."""
+    import numpy as np
+
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append, ann_index_compact, ann_index_drift,
+        kmeans_centers, quantizer_profile)
+    rng = np.random.RandomState(11)
+    fit = spark.createDataFrame(
+        [(i, (rng.randn(64) * 0.3 + (i % 4) * 5.0).tolist())
+         for i in range(120)], "vec_id: long, embedding: array<double>")
+    centers = kmeans_centers(fit, "embedding", n_cells=4, seed=42) \
+        .localCheckpoint()
+    ref = quantizer_profile(fit, centers, "vec_id").localCheckpoint()
+    base = tempfile.mkdtemp(prefix="bda_annidx_drift_t_")
+    index = os.path.join(base, "index")
+    try:
+        ann_index_append(fit.where(F.col("vec_id") % 2 == 0), 0, index,
+                         centers, "vec_id", profile=True)
+        ann_index_append(fit.where(F.col("vec_id") % 2 == 1), 1, index,
+                         centers, "vec_id", profile=True)
+        quiet = ann_index_drift(spark, index, centers, ref).collect()[0]
+        assert not quiet["rebuild"], quiet
+        # compaction must not disturb the monitor's sidecars
+        assert ann_index_compact(spark, index) == 2
+        still = ann_index_drift(spark, index, centers, ref).collect()[0]
+        assert not still["rebuild"]
+        # a drifted batch lands: occupancy shifts + cells loosen
+        drifted = spark.createDataFrame(
+            [(1000 + i, (rng.randn(64) * 0.3 + (i % 2) * 11.0 + 2.5)
+              .tolist()) for i in range(240)],
+            "vec_id: long, embedding: array<double>")
+        ann_index_append(drifted, 2, index, centers, "vec_id",
+                         profile=True)
+        fired = ann_index_drift(spark, index, centers, ref).collect()[0]
+        assert fired["rebuild"], fired
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
