@@ -1320,3 +1320,51 @@ def test_csv_null_vs_empty_string_roundtrip_boundary(spark):
         assert back1[5] == "NULL"      # the literal string, not NULL
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_lowercase_divergence_sentinel(spark):
+    """r12 SENTINEL (found by a targeted cross-engine probe): the two
+    known points where Spark's lower() (Java full-Unicode case mapping)
+    and DuckDB's lower() (utf8proc simple mapping) DISAGREE — every
+    oracled query that lowercases text (text.tokens, text_normalize,
+    the tokenizer family) silently depends on the fixtures avoiding
+    these:
+
+    - Turkish dotted capital İ (U+0130): Spark lowers to 'i' + COMBINING
+      DOT ABOVE (two codepoints, the Unicode full mapping); DuckDB to
+      plain 'i'.
+    - Greek capital sigma in final position: Spark applies the
+      context-aware FINAL form ς; DuckDB maps every Σ to σ.
+
+    This test PINS the divergence (if an engine upgrade changes either
+    side, the pin fails and the fixture-avoidance rule must be
+    re-audited) and documents the rule: adversarial text fixtures must
+    not contain İ or a word-final Σ unless the query normalizes case
+    engine-side first."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+    probes = ["İ", "ΑΣ"]
+    sp = {r["t"]: r["l"] for r in
+          spark.createDataFrame([(p,) for p in probes], ["t"])
+          .select("t", F.lower("t").alias("l")).collect()}
+    con = duckdb.connect()
+    try:
+        dk = {p: con.execute("SELECT lower(?)", [p]).fetchone()[0]
+              for p in probes}
+    finally:
+        con.close()
+    assert sp["İ"] == "i̇" and dk["İ"] == "i"
+    assert sp["ΑΣ"] == "ας" and dk["ΑΣ"] == "ασ"
+    # and the engines AGREE on the classes the fixtures do use
+    agree = ["ÉCOLE", "ＡＢ", "ǅ", "Å", "ß", "Ω", "中", "🚀", "ü"]
+    sp2 = {r["t"]: r["l"] for r in
+           spark.createDataFrame([(p,) for p in agree], ["t"])
+           .select("t", F.lower("t").alias("l")).collect()}
+    con = duckdb.connect()
+    try:
+        for p in agree:
+            assert sp2[p] == con.execute("SELECT lower(?)",
+                                         [p]).fetchone()[0], p
+    finally:
+        con.close()
