@@ -52,6 +52,10 @@ FAMILY = [
     "tokenizer_pipeline", "embedding_ivf_pq_kmeans", "stream_ann_index",
     "detokenize", "higher_order_funcs", "map_funcs", "budget_sample",
     "corpus_diff",
+    # r12: the codes-only streamed index, the byte-fallback tokenizer
+    # loop (encode + lossless decode), and the drift monitor
+    "stream_ann_index_pq", "tokenizer_bytes", "detokenize_bytes",
+    "quantizer_drift",
     "stream_hourly", "stream_distinct", "stream_sliding",
     "stream_join_outer",
 ]
