@@ -686,6 +686,62 @@ def ann_index_drift(spark, index_path: str, centers: DataFrame,
                           max_kl=max_kl, max_inflation=max_inflation)
 
 
+def ann_index_rebuild(spark, index_path: str, n_cells: int | None = None,
+                      seed: int = 42) -> tuple:
+    """Execute the rebuild the drift trigger fires (r12 — the last arc
+    of the maintenance loop: ``ann_index_drift`` decides WHEN, this is
+    WHAT it runs). The raw-layout index stores its own vectors, so the
+    rebuild is self-contained: refit a balanced quantizer
+    (``kmeans_centers``) on the index's stored rows, re-assign and
+    rewrite everything as ONE ``batch_id=-1`` generation under the new
+    centers (a rebuild IS a compaction under a new quantizer — same
+    reserved id, same small-file payoff), replace the ``_profile``
+    sidecars with the new fit-time census, and return
+    ``(centers, reference_profile)`` — persist the centers next to the
+    index and feed both to subsequent appends/searches/drift checks.
+
+    Same promote discipline as ``ann_index_compact``: the new
+    generation is fully written to a sibling staging dir (reads
+    complete BEFORE anything is replaced — parquet cannot read and
+    overwrite in place), the old index is moved aside, staging promotes
+    by rename, the old copy is deleted last. The stream's checkpoint
+    is NOT touched: already-indexed input stays indexed (it was just
+    re-laid-out), and future epochs keep their monotonic ids.
+
+    The codes layout cannot rebuild from itself (codes are lossy);
+    rebuild a codes index from the corpus source — or keep the raw
+    layout as the rebuild-capable store and derive the codes index
+    from it."""
+    import os
+    import shutil
+    import uuid
+
+    vecs = (spark.read.parquet(index_path)
+            .select("corpus_id", "cvec"))
+    centers = kmeans_centers(vecs, "cvec", n_cells=n_cells, seed=seed) \
+        .localCheckpoint()
+    assigned = _assign_primary_cells(vecs, centers, "corpus_id",
+                                     keep_dist2=True)
+    staging = f"{index_path}__rebuild_{uuid.uuid4().hex[:8]}"
+    _write_batch_profile(assigned, staging, -1)
+    (with_norm(assigned.drop("dist2"), "cvec", "cnorm")
+     .repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{staging}/batch_id=-1"))
+    old = f"{index_path}__old_{uuid.uuid4().hex[:8]}"
+    os.replace(index_path, old)
+    os.replace(staging, index_path)
+    shutil.rmtree(old, ignore_errors=True)
+    reference = (spark.read.parquet(f"{index_path}/_profile")
+                 .groupBy("cell")
+                 .agg(F.sum("n").alias("n"),
+                      (F.sum("sum_d2") / F.sum("n")).alias("mean_d2")))
+    reference = (centers.select("cell").join(reference, "cell", "left")
+                 .select("cell", F.coalesce("n", F.lit(0)).alias("n"),
+                         "mean_d2").localCheckpoint())
+    return centers, reference
+
+
 def ann_index_append(batch_df: DataFrame, batch_id: int, index_path: str,
                      centers: DataFrame, id_col: str,
                      vec_col: str = "embedding",

@@ -1097,3 +1097,59 @@ def test_stream_ann_index_drift_trigger(spark):
         assert fired["rebuild"], fired
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_ann_index_rebuild_closes_loop(spark):
+    """r12: the full maintenance loop — monitor fires on drift,
+    ann_index_rebuild refits on the index's own stored vectors and
+    rewrites it as one generation under the new quantizer, the new
+    reference profile reads clean, and searching the rebuilt index
+    equals one-shot ivf_topk over the same rows with the new centers."""
+    import numpy as np
+
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append, ann_index_drift, ann_index_rebuild,
+        ann_index_topk, ivf_topk, kmeans_centers, quantizer_profile)
+    rng = np.random.RandomState(13)
+    fit = spark.createDataFrame(
+        [(i, (rng.randn(64) * 0.3 + (i % 4) * 5.0).tolist())
+         for i in range(120)], "vec_id: long, embedding: array<double>")
+    drifted = spark.createDataFrame(
+        [(1000 + i, (rng.randn(64) * 0.3 + (i % 2) * 11.0 + 2.5)
+          .tolist()) for i in range(240)],
+        "vec_id: long, embedding: array<double>")
+    centers = kmeans_centers(fit, "embedding", n_cells=4, seed=42) \
+        .localCheckpoint()
+    ref = quantizer_profile(fit, centers, "vec_id").localCheckpoint()
+    base = tempfile.mkdtemp(prefix="bda_annidx_reb_t_")
+    index = os.path.join(base, "index")
+    try:
+        ann_index_append(fit, 0, index, centers, "vec_id", profile=True)
+        ann_index_append(drifted, 1, index, centers, "vec_id",
+                         profile=True)
+        fired = ann_index_drift(spark, index, centers, ref).collect()[0]
+        assert fired["rebuild"]
+        centers2, ref2 = ann_index_rebuild(spark, index, n_cells=4,
+                                           seed=42)
+        # one generation, sidecar replaced, monitor quiet again
+        dirs = sorted(d for d in os.listdir(index)
+                      if d.startswith("batch_id="))
+        assert dirs == ["batch_id=-1"]
+        calm = ann_index_drift(spark, index, centers2, ref2).collect()[0]
+        assert not calm["rebuild"], calm
+        # the rebuilt index searches identically to the one-shot
+        # operator over the same rows under the new quantizer
+        union = fit.unionByName(drifted)
+        got = sorted((r["query_id"], r["corpus_id"],
+                      round(r["cosine"], 9)) for r in
+                     ann_index_topk(spark, index, union, "vec_id",
+                                    centers=centers2, k=2,
+                                    n_probe=2).collect())
+        want = sorted((r["query_id"], r["corpus_id"],
+                       round(r["cosine"], 9)) for r in
+                      ivf_topk(union, union, "vec_id", "vec_id", k=2,
+                               n_lists=4, n_probe=2,
+                               centers=centers2).collect())
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
