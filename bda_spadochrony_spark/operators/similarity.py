@@ -742,6 +742,51 @@ def ann_index_rebuild(spark, index_path: str, n_cells: int | None = None,
     return centers, reference
 
 
+def ann_index_rebuild_pq(spark, index_path: str, source: DataFrame,
+                         id_col: str, vec_col: str = "embedding",
+                         n_cells: int | None = None, seed: int = 42,
+                         codebooks: list | None = None, m: int = 8,
+                         codebook_k: int = 16) -> tuple:
+    """The codes layout's rebuild (r12): PQ codes are lossy, so a codes
+    index cannot refit from itself (`ann_index_rebuild` handles the
+    raw layout) — this one rebuilds FROM THE CORPUS SOURCE: refit
+    balanced centers (and, unless supplied, subset codebooks) on
+    ``source``, re-encode everything, and rewrite the index as one
+    ``batch_id=-1`` generation with a fresh ``_profile`` census.
+    Returns ``(centers, codebooks, reference_profile)`` — the three
+    artifacts every subsequent append/search/drift check needs
+    (refitting EITHER quantizer or codebooks means this full rebuild;
+    the fixed-artifacts contract in streaming/ann_index). Same
+    staging-then-rename promote as `ann_index_rebuild`; also serves as
+    the initial bulk build when ``index_path`` does not exist yet."""
+    import os
+    import shutil
+    import uuid
+
+    centers = kmeans_centers(source, vec_col, n_cells=n_cells,
+                             seed=seed).localCheckpoint()
+    if codebooks is None:
+        codebooks = pq_codebooks(source, id_col, vec_col, m, codebook_k)
+    staging = f"{index_path}__rebuild_{uuid.uuid4().hex[:8]}"
+    ann_index_append_pq(source, -1, staging, centers, codebooks,
+                        id_col, vec_col, profile=True)
+    if os.path.exists(index_path):
+        old = f"{index_path}__old_{uuid.uuid4().hex[:8]}"
+        os.replace(index_path, old)
+        os.replace(staging, index_path)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.replace(staging, index_path)
+    reference = (spark.read.parquet(f"{index_path}/_profile")
+                 .groupBy("cell")
+                 .agg(F.sum("n").alias("n"),
+                      (F.sum("sum_d2") / F.sum("n")).alias("mean_d2")))
+    reference = (centers.select("cell").join(reference, "cell", "left")
+                 .select("cell", F.coalesce("n", F.lit(0)).alias("n"),
+                         "mean_d2").localCheckpoint())
+    return centers, codebooks, reference
+
+
 def ann_index_append(batch_df: DataFrame, batch_id: int, index_path: str,
                      centers: DataFrame, id_col: str,
                      vec_col: str = "embedding",

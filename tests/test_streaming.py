@@ -1153,3 +1153,60 @@ def test_stream_ann_index_rebuild_closes_loop(spark):
         assert got == want
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_ann_index_rebuild_pq_from_source(spark):
+    """r12: the codes layout's rebuild — lossy codes cannot refit from
+    themselves, so ann_index_rebuild_pq refits centers and codebooks
+    from the corpus source, rewrites the index as one generation, and
+    the rebuilt index's search equals the one-shot ivf_pq_topk over the
+    same source under the new quantizer (identical subset codebooks by
+    construction). The drift monitor reads clean against the returned
+    reference."""
+    import numpy as np
+
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append_pq, ann_index_drift, ann_index_rebuild_pq,
+        ann_index_pq_topk, ivf_pq_topk, kmeans_centers, pq_codebooks)
+    rng = np.random.RandomState(17)
+    fit = spark.createDataFrame(
+        [(i, (rng.randn(64) * 0.3 + (i % 4) * 5.0).tolist())
+         for i in range(120)], "vec_id: long, embedding: array<double>")
+    drifted = spark.createDataFrame(
+        [(1000 + i, (rng.randn(64) * 0.3 + (i % 2) * 11.0 + 2.5)
+          .tolist()) for i in range(120)],
+        "vec_id: long, embedding: array<double>")
+    source = fit.unionByName(drifted).localCheckpoint()
+    centers0 = kmeans_centers(fit, "embedding", n_cells=4, seed=42) \
+        .localCheckpoint()
+    cbs0 = pq_codebooks(fit, "vec_id")
+    base = tempfile.mkdtemp(prefix="bda_annidx_rebpq_t_")
+    index = os.path.join(base, "index")
+    try:
+        ann_index_append_pq(fit, 0, index, centers0, cbs0, "vec_id",
+                            profile=True)
+        ann_index_append_pq(drifted, 1, index, centers0, cbs0, "vec_id",
+                            profile=True)
+        c2, cbs2, ref2 = ann_index_rebuild_pq(spark, index, source,
+                                              "vec_id", n_cells=4,
+                                              seed=42)
+        dirs = sorted(d for d in os.listdir(index)
+                      if d.startswith("batch_id="))
+        assert dirs == ["batch_id=-1"]
+        calm = ann_index_drift(spark, index, c2, ref2).collect()[0]
+        assert not calm["rebuild"], calm
+        got = sorted((r["query_id"], r["corpus_id"],
+                      round(r["cosine"], 9)) for r in
+                     ann_index_pq_topk(spark, index, source, "vec_id",
+                                       vectors=source, centers=c2,
+                                       codebooks=cbs2, k=2,
+                                       n_candidates=10,
+                                       n_probe=2).collect())
+        want = sorted((r["query_id"], r["corpus_id"],
+                       round(r["cosine"], 9)) for r in
+                      ivf_pq_topk(source, "vec_id", k=2,
+                                  n_candidates=10, n_probe=2,
+                                  centers=c2).collect())
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
