@@ -82,8 +82,8 @@ def stream_ann_index_build_pq(stream_vecs: DataFrame, index_path: str,
                               checkpoint: str | None = None,
                               timeout_s: int = 300,
                               profile: bool = False,
-                              compact_every: int | None = None
-                              ) -> "StreamingQuery":
+                              compact_every: int | None = None,
+                              pack: bool = False) -> "StreamingQuery":
     """The CODES-ONLY variant of the index drain (r12, VERDICT r11 #1):
     each micro-batch is PQ-encoded against the index's FIXED codebooks
     and appended as ``(corpus_id, codes, rnm)`` per cell — measured
@@ -103,7 +103,8 @@ def stream_ann_index_build_pq(stream_vecs: DataFrame, index_path: str,
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         ann_index_append_pq(batch_df, batch_id, index_path, centers,
-                            codebooks, id_col, vec_col, profile=profile)
+                            codebooks, id_col, vec_col, profile=profile,
+                            pack=pack)
 
     query = run_foreach_batch(stream_vecs, fn, available_now=True,
                               checkpoint=checkpoint)
