@@ -4454,80 +4454,29 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # confirmation backlog; _TAIL holds long-confirmed queries whose parity is
 # continuously re-proven by tests/test_oracle_parity.py.
 _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- round-12 head: the four NEW queries (stream_ann_index_pq —
-    # the codes-only streamed index; tokenizer_bytes — byte-fallback +
-    # special tokens; pricing_summary_decimal — the DECIMAL money
-    # sentinel; quantizer_drift — the refit-trigger monitor), then the
-    # seven queries whose SOURCE or ORACLE changed this round
-    # (ivf_pq_topk's ADC stage was extracted for sharing; the
-    # important_stock membership predicate and the higher_order/map
-    # oracles were hardened; bpe_encode gained the reserved bypass and
-    # the fold-CTE generator was generalized), then the FULL stale
-    # backlog: both r6-stale queries (hash_funcs/string_funcs2 — the
-    # r11 rotation claim missed them; VERDICT r11 #2) and ALL 37
-    # r7-stale queries, so after this round no registry query's latest
-    # driver check is older than r8. The six unpromoted r11 singles
-    # (stream_ann_index, budget_sample, part_promotion, corpus_diff,
-    # json_roundtrip, detokenize) rotate in r13 — they are the
-    # freshest cohort and re-proven locally every round.
+    # ---- round-13 head: the two NEW queries (bpe_train_bytes — the
+    # byte-alphabet trainer completing the tokenizer triad, fully
+    # oracled; pricing_decimal_avg — the decimal avg/ratio rule pinned
+    # against DuckDB's exactness loss), then the two queries whose
+    # SOURCE changed this round (stream_ann_index_pq — auto-compaction
+    # wired into its second drain, manifest-aware search scan, packed-
+    # layout detection; stream_ann_index — its search reads through
+    # _ann_index_scan now), then corpus_diff + detokenize from the r11
+    # singles cohort, then the FULL r8-stale backlog (44 queries) — so
+    # after this round no registry query's latest driver check is older
+    # than r9 (VERDICT r12 #2). Of the six r11 singles the verdict
+    # listed, three (budget_sample, part_promotion, json_roundtrip)
+    # stay at r11 to make room for the two new queries and the changed
+    # stream_ann_index_pq: r11 ≥ the r9 invariant floor, each has an
+    # oracled same-family twin re-proven continuously (hash_split /
+    # partition_pruned / csv+orc_roundtrip), and they head the r14
+    # promotion queue in _TAIL below.
+    "bpe_train_bytes": q_bpe_train_bytes,
+    "pricing_decimal_avg": q_pricing_decimal_avg,
     "stream_ann_index_pq": q_stream_ann_index_pq,
-    "tokenizer_bytes": q_tokenizer_bytes,
-    "detokenize_bytes": q_detokenize_bytes,
-    "pricing_summary_decimal": q_pricing_summary_decimal,
-    "quantizer_drift": q_quantizer_drift,
-    "embedding_ivf_pq": q_embedding_ivf_pq,
-    "embedding_ivf_pq_kmeans": q_embedding_ivf_pq_kmeans,
-    "important_stock": q_important_stock,
-    "higher_order_funcs": q_higher_order_funcs,
-    "map_funcs": q_map_funcs,
-    "tokenizer_pipeline": q_tokenizer_pipeline,
-    "hash_funcs": q_hash_funcs,
-    "string_funcs2": q_string_funcs2,
-    "stats_agg": q_stats_agg,
-    "nation_profit": q_nation_profit,
-    "histogram": q_histogram,
-    "pca_invariants": q_pca_invariants,
-    "doc_fingerprint_md5": q_doc_fingerprint_md5,
-    "disjunctive_revenue": q_disjunctive_revenue,
-    "pii_scrub": q_pii_scrub,
-    "balanced_sample": q_balanced_sample,
-    "bigram_surprisal": q_bigram_surprisal,
-    "centroid_classify": q_centroid_classify,
-    "classify_eval": q_classify_eval,
-    "cohort_retention": q_cohort_retention,
-    "column_profile": q_column_profile,
-    "contamination": q_contamination,
-    "corpus_shuffle": q_corpus_shuffle,
-    "embedding_covariance": q_embedding_covariance,
-    "embedding_outliers": q_embedding_outliers,
-    "embedding_standardize": q_embedding_standardize,
-    "equi_depth_histogram": q_equi_depth_histogram,
-    "expectations": q_expectations,
-    "hash_split": q_hash_split,
-    "heavy_hitters": q_heavy_hitters,
-    "join_cardinality": q_join_cardinality,
-    "kmeans_step": q_kmeans_step,
-    "mixture_sample": q_mixture_sample,
-    "ml_linear_fit": q_ml_linear_fit,
-    "pack_documents": q_pack_documents,
-    "quality_gate": q_quality_gate,
-    "sessionize": q_sessionize,
-    "skew_diagnostics": q_skew_diagnostics,
-    "source_kl": q_source_kl,
-    "stream_distinct": q_stream_distinct,
-    "stream_enrich": q_stream_enrich,
-    "token_pmi": q_token_pmi,
-    "tokens_to_ids": q_tokens_to_ids,
-    "unigram_surprisal": q_unigram_surprisal,
-    "zorder_layout": q_zorder_layout,
-}
-
-
-_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # long-confirmed queries; parity re-proven every round by
-    # tests/test_oracle_parity.py. Ordered stalest-first (latest
-    # driver check ascending: r8 cohort, then r9, r10, r11) so the
-    # r13 rotation promotes from the top of this dict.
+    "stream_ann_index": q_stream_ann_index,
+    "corpus_diff": q_corpus_diff,
+    "detokenize": q_detokenize,
     "anti_join": q_anti_join,
     "asof_join": q_asof_join,
     "asof_minute_join": q_asof_minute_join,
@@ -4572,6 +4521,14 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_drift": q_union_drift,
     "volume_shipping": q_volume_shipping,
     "weighted_sample": q_weighted_sample,
+}
+
+
+_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # long-confirmed queries; parity re-proven every round by
+    # tests/test_oracle_parity.py. Ordered stalest-first (latest
+    # driver check ascending: r9 cohort, then r10, r11, r12) so the
+    # r14 rotation promotes from the top of this dict.
     "returned_items": q_returned_items,
     "revenue_change": q_revenue_change,
     "shipping_priority": q_shipping_priority,
@@ -4622,56 +4579,96 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "traffic_hourly_fused": q_traffic_hourly_fused,
     "tz_hourly": q_tz_hourly,
     "video_frames": q_video_frames,
-    "budget_sample": q_budget_sample,
-    "part_promotion": q_part_promotion,
-    "corpus_diff": q_corpus_diff,
-    "stream_ann_index": q_stream_ann_index,
-    "json_roundtrip": q_json_roundtrip,
-    "detokenize": q_detokenize,
-    # bpe_encode yielded its r12 window slot to detokenize_bytes (its
-    # oracle SQL is textually unchanged by the r12 fold-CTE
-    # generalization and its default-path behavior is untouched; the
-    # reserved bypass is exercised by tokenizer_bytes in the window)
-    "bpe_encode": q_bpe_encode,
-    "text_semantic_dedup": q_text_semantic_dedup,
-    "pq_codes": q_pq_codes,
-    "embedding_pq_stack": q_embedding_pq_stack,
-    "orc_roundtrip": q_orc_roundtrip,
-    "stream_near_dup": q_stream_near_dup,
-    "incremental_dedup": q_incremental_dedup,
-    "string_funcs": q_string_funcs,
-    "supplier_part_counts": q_supplier_part_counts,
-    "token_frequencies": q_token_frequencies,
-    "weather_hourly": q_weather_hourly,
-    "csv_roundtrip": q_csv_roundtrip,
     "argmax_agg": q_argmax_agg,
     "array_agg": q_array_agg,
     "bitwise_funcs": q_bitwise_funcs,
+    "bpe_encode": q_bpe_encode,
+    "budget_sample": q_budget_sample,
     "conditional_funcs": q_conditional_funcs,
     "corpus_prep": q_corpus_prep,
+    "csv_roundtrip": q_csv_roundtrip,
     "date_functions": q_date_functions,
     "doc_chunks": q_doc_chunks,
-    "tf_idf": q_tf_idf,
-    "stream_update": q_stream_update,
-    "late_supplier_blame": q_late_supplier_blame,
-    "top_supplier": q_top_supplier,
+    "embedding_pq_stack": q_embedding_pq_stack,
     "grouping_sets": q_grouping_sets,
-    "window_analytics": q_window_analytics,
-    "set_ops": q_set_ops,
-    "min_cost_per_part": q_min_cost_per_part,
+    "incremental_dedup": q_incremental_dedup,
+    "json_roundtrip": q_json_roundtrip,
+    "late_supplier_blame": q_late_supplier_blame,
     "market_share": q_market_share,
-    "stream_sliding": q_stream_sliding,
+    "min_cost_per_part": q_min_cost_per_part,
+    "nullsafe_join": q_nullsafe_join,
+    "orc_roundtrip": q_orc_roundtrip,
+    "part_promotion": q_part_promotion,
     "partition_pruned": q_partition_pruned,
+    "pq_codes": q_pq_codes,
     "regr_agg": q_regr_agg,
     "salted_hourly": q_salted_hourly,
-    "nullsafe_join": q_nullsafe_join,
-    "stream_dedup": q_stream_dedup,
-    "stream_serving_pipeline": q_stream_serving_pipeline,
-    "text_normalize": q_text_normalize,
+    "set_ops": q_set_ops,
     "sql_surface": q_sql_surface,
+    "stream_dedup": q_stream_dedup,
+    "stream_near_dup": q_stream_near_dup,
+    "stream_serving_pipeline": q_stream_serving_pipeline,
+    "stream_sliding": q_stream_sliding,
+    "stream_update": q_stream_update,
+    "string_funcs": q_string_funcs,
+    "supplier_part_counts": q_supplier_part_counts,
+    "text_normalize": q_text_normalize,
+    "text_semantic_dedup": q_text_semantic_dedup,
+    "tf_idf": q_tf_idf,
+    "token_frequencies": q_token_frequencies,
+    "top_supplier": q_top_supplier,
     "unpivot": q_unpivot,
-    "bpe_train_bytes": q_bpe_train_bytes,
-    "pricing_decimal_avg": q_pricing_decimal_avg,
+    "weather_hourly": q_weather_hourly,
+    "window_analytics": q_window_analytics,
+    "balanced_sample": q_balanced_sample,
+    "bigram_surprisal": q_bigram_surprisal,
+    "centroid_classify": q_centroid_classify,
+    "classify_eval": q_classify_eval,
+    "cohort_retention": q_cohort_retention,
+    "column_profile": q_column_profile,
+    "contamination": q_contamination,
+    "corpus_shuffle": q_corpus_shuffle,
+    "detokenize_bytes": q_detokenize_bytes,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "doc_fingerprint_md5": q_doc_fingerprint_md5,
+    "embedding_covariance": q_embedding_covariance,
+    "embedding_ivf_pq": q_embedding_ivf_pq,
+    "embedding_ivf_pq_kmeans": q_embedding_ivf_pq_kmeans,
+    "embedding_outliers": q_embedding_outliers,
+    "embedding_standardize": q_embedding_standardize,
+    "equi_depth_histogram": q_equi_depth_histogram,
+    "expectations": q_expectations,
+    "hash_funcs": q_hash_funcs,
+    "hash_split": q_hash_split,
+    "heavy_hitters": q_heavy_hitters,
+    "higher_order_funcs": q_higher_order_funcs,
+    "histogram": q_histogram,
+    "important_stock": q_important_stock,
+    "join_cardinality": q_join_cardinality,
+    "kmeans_step": q_kmeans_step,
+    "map_funcs": q_map_funcs,
+    "mixture_sample": q_mixture_sample,
+    "ml_linear_fit": q_ml_linear_fit,
+    "nation_profit": q_nation_profit,
+    "pack_documents": q_pack_documents,
+    "pca_invariants": q_pca_invariants,
+    "pii_scrub": q_pii_scrub,
+    "pricing_summary_decimal": q_pricing_summary_decimal,
+    "quality_gate": q_quality_gate,
+    "quantizer_drift": q_quantizer_drift,
+    "sessionize": q_sessionize,
+    "skew_diagnostics": q_skew_diagnostics,
+    "source_kl": q_source_kl,
+    "stats_agg": q_stats_agg,
+    "stream_distinct": q_stream_distinct,
+    "stream_enrich": q_stream_enrich,
+    "string_funcs2": q_string_funcs2,
+    "token_pmi": q_token_pmi,
+    "tokenizer_bytes": q_tokenizer_bytes,
+    "tokenizer_pipeline": q_tokenizer_pipeline,
+    "tokens_to_ids": q_tokens_to_ids,
+    "unigram_surprisal": q_unigram_surprisal,
+    "zorder_layout": q_zorder_layout,
 }
 
 

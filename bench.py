@@ -196,6 +196,9 @@ HEADLINE = [
     ("detokenize_bytes", "count"),
     ("pricing_summary_decimal", "collect"),
     ("quantizer_drift", "collect"),
+    # round 13 additions
+    ("bpe_train_bytes", "collect"),
+    ("pricing_decimal_avg", "collect"),
 ]
 
 N_SHARDS = 3
@@ -214,6 +217,13 @@ CANARY_REF = {
 }
 CANARY_GATE_MIN_REF = 1.0      # refs below this report but never gate
 CANARY_MAX_RATIO = 1.4
+CANARY_SOFT_RATIO = 1.2        # accepted-but-hot (r13, VERDICT r12 #7):
+#   r12's shard 1 certified at 1.21 after one retry — inside the 1.4
+#   gate but the hottest window in three rounds. A shard whose timed
+#   pass lands with gate ratio in (1.2, 1.4] now spends a remaining
+#   retry looking for a cooler window and ships the BEST attempt; the
+#   artifact records soft_retries + the accepted ratio so the choice
+#   is auditable.
 CANARY_RETRIES = 2             # extra attempts per shard on a bad window
 CANARY_BACKOFF_S = 60.0
 
@@ -322,7 +332,7 @@ def main() -> None:
     merged = {"timings": {}, "build": {}, "exec": {}, "warm_rerun": {}}
     shard_canary = {}
     for shard in range(N_SHARDS):
-        payload = None
+        payload, best, soft_retries = None, None, 0
         for attempt in range(CANARY_RETRIES + 1):
             is_final = attempt == CANARY_RETRIES
             cmd = [sys.executable, os.path.abspath(__file__),
@@ -333,18 +343,35 @@ def main() -> None:
                 sys.stderr.write(out.stderr[-2000:])
                 raise SystemExit(f"shard {shard} failed rc={out.returncode}")
             payload = json.loads(out.stdout.strip().splitlines()[-1])
-            if not payload.get("canary_degraded"):
+            if payload.get("canary_degraded"):
+                sys.stderr.write(
+                    "shard %d canary degraded (gate %.2fx, ratios %s) — "
+                    "backing off %ds, attempt %d/%d\n"
+                    % (shard, payload["gate_ratio"],
+                       payload["canary_ratios"], int(CANARY_BACKOFF_S),
+                       attempt + 2, CANARY_RETRIES + 1))
+                time.sleep(CANARY_BACKOFF_S)
+                continue
+            gate = payload.get("gate_ratio")
+            if best is None or (gate or 0) < (best.get("gate_ratio") or 0):
+                best = payload
+            if gate is None or gate <= CANARY_SOFT_RATIO or is_final:
                 break
+            # accepted-but-hot window (VERDICT r12 #7): spend a retry
+            # looking for a cooler one; ship the best attempt either way
+            soft_retries += 1
             sys.stderr.write(
-                "shard %d canary degraded (gate %.2fx, ratios %s) — "
-                "backing off %ds, attempt %d/%d\n"
-                % (shard, payload["gate_ratio"], payload["canary_ratios"],
-                   int(CANARY_BACKOFF_S), attempt + 2, CANARY_RETRIES + 1))
+                "shard %d canary hot but within gate (%.2fx > %.2fx "
+                "soft) — soft retry after %ds, attempt %d/%d\n"
+                % (shard, gate, CANARY_SOFT_RATIO, int(CANARY_BACKOFF_S),
+                   attempt + 2, CANARY_RETRIES + 1))
             time.sleep(CANARY_BACKOFF_S)
+        payload = best if best is not None else payload
         shard_canary[str(shard)] = {
             "ratios": payload["canary_ratios"],
             "gate_ratio": payload["gate_ratio"],
-            "attempts": attempt + 1}
+            "attempts": attempt + 1,
+            "soft_retries": soft_retries}
         for k in merged:
             merged[k].update(payload[k])
     timings = merged["timings"]
