@@ -759,6 +759,19 @@ def _ann_index_recover(index_path: str) -> None:
                 shutil.rmtree(leftover)
 
 
+def _has_parquet(path: str) -> bool:
+    """True when the directory holds at least one parquet part file —
+    an EMPTY streamed epoch writes its ``batch_id=N`` directory with no
+    parts (dynamic partitionBy over zero rows), and reading a
+    footerless directory raises UNABLE_TO_INFER_SCHEMA; compact and
+    scan skip such dirs instead (r13 zero-rows edge sweep)."""
+    import os
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def _ann_index_scan(spark, index_path: str, cols: list[str]) -> DataFrame:
     """MANIFEST-AWARE read of a streamed IVF index (r13, VERDICT r12
     #1 — read isolation without a transaction log): instead of scanning
@@ -810,6 +823,9 @@ def _ann_index_scan(spark, index_path: str, cols: list[str]) -> DataFrame:
                 outside = old
     inside += [os.path.join(index_path, d) for d in batch_dirs
                if d not in folded]
+    inside = [p for p in inside if _has_parquet(p)]
+    if outside and not _has_parquet(outside):
+        outside = None
     parts: list[DataFrame] = []
     if inside:
         parts.append(spark.read.option("basePath", index_path)
@@ -819,6 +835,9 @@ def _ann_index_scan(spark, index_path: str, cols: list[str]) -> DataFrame:
         # cell only — read it relative to itself
         parts.append(spark.read.parquet(outside).select(*cols))
     if not parts:
+        # nothing readable (e.g. only empty-epoch dirs): fall through to
+        # the plain read so the caller sees the same error the pre-r13
+        # whole-tree scan raised
         return spark.read.parquet(index_path).select(*cols)
     out = parts[0]
     for p in parts[1:]:
@@ -1209,7 +1228,15 @@ def ann_index_compact(spark, index_path: str) -> int:
     srcs = [os.path.join(index_path, d) for d in batch_dirs]
     if os.path.exists(gen):
         srcs.append(gen)
-    df = (spark.read.option("basePath", index_path).parquet(*srcs)
+    # empty streamed epochs leave footerless batch dirs (partitionBy
+    # over zero rows writes no parts) — fold them by deletion alone; if
+    # NOTHING is readable there is no generation to write either
+    readable = [p for p in srcs if _has_parquet(p)]
+    if not readable:
+        for d in batch_dirs:
+            shutil.rmtree(os.path.join(index_path, d))
+        return len(batch_dirs)
+    df = (spark.read.option("basePath", index_path).parquet(*readable)
           .drop("batch_id"))
     staging = f"{index_path}__compact_{uuid.uuid4().hex[:8]}"
     (df.repartition(F.col("cell"))
