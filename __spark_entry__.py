@@ -1314,7 +1314,7 @@ def q_stream_ann_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     each micro-batch is PQ-ENCODED against fixed subset codebooks and
     the index stores ``(corpus_id, codes, rnm)`` per cell — 32-bit
     codes plus one stored norm, never the float vectors (measured
-    10.0× smaller on disk at the 10× fixture; see
+    ~18× smaller on disk at the 10× fixture; see
     ann_index_append_pq's docstring for the honest parquet numbers). The search (`ann_index_pq_topk`) probes
     n_probe=2 cells, partition-prunes the index scan to them, scores
     through the shared ADC tile, and exact-reranks the bounded

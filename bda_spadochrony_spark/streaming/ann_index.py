@@ -87,7 +87,8 @@ def stream_ann_index_build_pq(stream_vecs: DataFrame, index_path: str,
     """The CODES-ONLY variant of the index drain (r12, VERDICT r11 #1):
     each micro-batch is PQ-encoded against the index's FIXED codebooks
     and appended as ``(corpus_id, codes, rnm)`` per cell — measured
-    10.0× smaller on disk than the raw layout at the 10× fixture
+    ~18× smaller on disk than the raw layout at the 10× fixture (r13
+    re-measurement on the contract quantizer; r12 fixture read 10.0×)
     (``operators/similarity.ann_index_append_pq`` holds the layout
     contract and the measurement;
     ``ann_index_pq_topk`` is the ADC-tile search + bounded exact rerank
