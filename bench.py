@@ -199,6 +199,7 @@ HEADLINE = [
     # round 13 additions
     ("bpe_train_bytes", "collect"),
     ("pricing_decimal_avg", "collect"),
+    ("tokenizer_bytes_trained", "count"),
 ]
 
 N_SHARDS = 3

@@ -96,9 +96,10 @@ QUERIES = [
     "quantizer_drift",
     # round 12 (cont.): the lossless byte-fallback round trip
     "detokenize_bytes",
-    # round 13: the byte-alphabet BPE trainer (vocab-sized rounds) and
-    # the exact decimal avg/ratio surface (map + one combined shuffle)
-    "bpe_train_bytes", "pricing_decimal_avg",
+    # round 13: the byte-alphabet BPE trainer (vocab-sized rounds), the
+    # exact decimal avg/ratio surface (map + one combined shuffle), and
+    # the train->encode loop with a data-dependent merge table
+    "bpe_train_bytes", "pricing_decimal_avg", "tokenizer_bytes_trained",
 ]
 
 
