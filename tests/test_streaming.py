@@ -1124,6 +1124,108 @@ def test_ann_index_search_isolated_from_crashed_compaction(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_ann_index_compact_crash_matrix(spark, monkeypatch):
+    """r13 — the definitive crash test: fault-inject EVERY filesystem
+    mutation ann_index_compact performs (each os.replace, each
+    shutil.rmtree, the sidecar os.remove), one run per injection point,
+    and prove that at every crash point (a) a search over the crashed
+    index returns exactly the pre-crash results — the manifest/sidecar
+    read isolation, (b) the next ann_index_compact call recovers to
+    exactly one generation with unchanged results and no leftover
+    sidecars or siblings. The final iteration (fault beyond the last
+    mutation) is the clean run and closes the matrix."""
+    import os as os_mod
+    import shutil as shutil_mod
+
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append, ann_index_compact, ann_index_topk)
+    from bda_spadochrony_spark.sources.readers import scan
+    emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    centers = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid")).localCheckpoint()
+    base = tempfile.mkdtemp(prefix="bda_annidx_matrix_")
+
+    def build(idx):
+        ann_index_append(emb.where(F.col("vec_id") % 3 == 0), 0, idx,
+                         centers, "vec_id")
+        ann_index_append(emb.where(F.col("vec_id") % 3 != 0), 1, idx,
+                         centers, "vec_id")
+
+    def search(idx):
+        return sorted((r["query_id"], r["corpus_id"],
+                       round(r["cosine"], 9)) for r in
+                      ann_index_topk(spark, idx, emb, "vec_id",
+                                     centers=centers, k=3,
+                                     n_probe=4).collect())
+
+    proto = os.path.join(base, "proto")
+    build(proto)
+    want = search(proto)
+
+    real_replace = os_mod.replace
+    real_rmtree = shutil_mod.rmtree
+    real_remove = os_mod.remove
+    state = {"budget": None, "count": 0}
+
+    def spend():
+        if state["budget"] is not None:
+            if state["count"] >= state["budget"]:
+                raise RuntimeError("injected crash")
+            state["count"] += 1
+
+    def patched_replace(src, dst):
+        if "annidx_matrix" in str(src) or "annidx_matrix" in str(dst):
+            spend()
+        return real_replace(src, dst)
+
+    def patched_rmtree(path, *a, **kw):
+        if "annidx_matrix" in str(path):
+            spend()
+        return real_rmtree(path, *a, **kw)
+
+    def patched_remove(path):
+        if "annidx_matrix" in str(path) and str(path).endswith(".json"):
+            spend()
+        return real_remove(path)
+
+    monkeypatch.setattr(os_mod, "replace", patched_replace)
+    monkeypatch.setattr(shutil_mod, "rmtree", patched_rmtree)
+    monkeypatch.setattr(os_mod, "remove", patched_remove)
+
+    clean_seen = False
+    for k in range(0, 12):
+        idx = os.path.join(base, f"run{k}")
+        state["budget"] = None
+        real_rmtree(idx, ignore_errors=True)
+        shutil_mod.copytree(proto, idx)
+        state["budget"], state["count"] = k, 0
+        try:
+            folded = ann_index_compact(spark, idx)
+            crashed = False
+        except RuntimeError:
+            crashed = True
+        state["budget"] = None
+        # (a) read isolation at this crash point
+        assert search(idx) == want, f"crash point {k}: search diverged"
+        # (b) recovery converges to one clean generation
+        ann_index_compact(spark, idx)
+        dirs = sorted(d for d in os.listdir(idx)
+                      if d.startswith("batch_id="))
+        assert dirs == ["batch_id=-1"], (k, dirs)
+        assert not os.path.exists(os.path.join(idx,
+                                               "_compact_pending.json"))
+        assert not [d for d in os.listdir(base)
+                    if d.startswith(f"run{k}__")], k
+        assert search(idx) == want, f"crash point {k}: post-recovery"
+        if not crashed:
+            assert folded == 2
+            clean_seen = True
+            break
+    assert clean_seen, "fault budget never exceeded the mutation count"
+    real_rmtree(base, ignore_errors=True)
+
+
 def test_ann_index_rebuild_recovers_mid_promote(spark):
     """r13 (r12 ADVICE): a crash between ann_index_rebuild's two
     renames (index moved aside, staging not yet promoted) leaves NO
