@@ -531,7 +531,11 @@ def bpe_encode(df: DataFrame, id_col: str, text_col: str,
         split0 = base_split
     enc = words.select("w", split0.alias("syms"))
     for a, b in merges:
-        enc = enc.select("w", merge_fold("syms", a, b).alias("syms"))
+        # same fold gate as the trainer's apply_merge: words without
+        # both symbols pass through untouched at codegen speed
+        hit = F.array_contains("syms", a) & F.array_contains("syms", b)
+        enc = enc.select("w", F.when(hit, merge_fold("syms", a, b))
+                         .otherwise(F.col("syms")).alias("syms"))
     # plan depth grows with the merge count: checkpoint the (tiny,
     # vocab-sized) encoded table once instead of codegen'ing a k-deep
     # fold into the corpus-sized reassembly join
@@ -637,7 +641,15 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 10,
                 .agg(F.sum("cnt").alias("n")))
 
     def apply_merge(syms_df: DataFrame, a: str, b: str) -> DataFrame:
-        return syms_df.select(merge_fold("syms", a, b).alias("syms"), "cnt")
+        # only words containing BOTH symbols can change — gate the
+        # interpreted fold behind a codegen array_contains pair (a
+        # necessary-not-sufficient superset: adjacency is the fold's
+        # job). Measured at the 10× byte fixture (60k words, 8 rounds):
+        # 35 s ungated vs 12.5–14 s gated, identical merge tables.
+        hit = F.array_contains("syms", a) & F.array_contains("syms", b)
+        return syms_df.select(
+            F.when(hit, merge_fold("syms", a, b))
+            .otherwise(F.col("syms")).alias("syms"), "cnt")
 
     merges: list[tuple[int, str, str, int]] = []
     syms = words
