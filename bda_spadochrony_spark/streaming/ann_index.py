@@ -115,3 +115,52 @@ def stream_ann_index_build_pq(stream_vecs: DataFrame, index_path: str,
             f"pq ann index drain did not finish within {timeout_s}s")
     _auto_compact(stream_vecs.sparkSession, index_path, compact_every)
     return query
+
+
+def stream_ann_index_maintain(stream_vecs: DataFrame, index_path: str,
+                              centers: DataFrame, reference: DataFrame,
+                              id_col: str, vec_col: str = "embedding",
+                              checkpoint: str | None = None,
+                              timeout_s: int = 300,
+                              compact_every: int | None = 8,
+                              max_kl: float = 0.1,
+                              max_inflation: float = 1.5,
+                              n_cells: int | None = None,
+                              seed: int = 42) -> tuple:
+    """The WHOLE maintenance loop as one call (r13 — the function a
+    production operator actually schedules): drain the available
+    micro-batches into the raw-layout index (`stream_ann_index_build`,
+    profile sidecars on), auto-compact at the ``compact_every``
+    threshold, score the accumulated quantizer census against the
+    fit-time ``reference`` (`ann_index_drift` — quantizer-sized reads
+    only, never the corpus), and when the drift decision fires, REBUILD
+    under a freshly-fit quantizer (`ann_index_rebuild` — the index
+    stores its own vectors, so the rebuild is self-contained) and
+    return the new artifacts.
+
+    Returns ``(centers, reference, rebuilt)`` — feed the returned
+    centers/reference to the NEXT maintain call (they only change when
+    ``rebuilt`` is True). Searches keep working at every point in the
+    loop: the drain's appends are replay-idempotent, compaction and
+    rebuild promote through the sidecar-guarded renames, and
+    `ann_index_topk` reads through the manifest — so a crash anywhere
+    in this function recovers on the next call, which is the loop's
+    durability contract end to end. The stream checkpoint is never
+    touched by compaction or rebuild: already-indexed input stays
+    indexed, future epochs keep monotonic ids."""
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_drift, ann_index_rebuild)
+
+    spark = stream_vecs.sparkSession
+    stream_ann_index_build(stream_vecs, index_path, centers, id_col,
+                           vec_col, checkpoint=checkpoint,
+                           timeout_s=timeout_s, profile=True,
+                           compact_every=compact_every)
+    decision = ann_index_drift(spark, index_path, centers, reference,
+                               max_kl=max_kl,
+                               max_inflation=max_inflation).collect()[0]
+    if not decision["rebuild"]:
+        return centers, reference, False
+    centers2, reference2 = ann_index_rebuild(spark, index_path,
+                                             n_cells=n_cells, seed=seed)
+    return centers2.localCheckpoint(), reference2, True

@@ -1517,6 +1517,78 @@ def test_stream_ann_index_rebuild_closes_loop(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_stream_ann_index_maintain_full_loop(spark):
+    """r13: the whole maintenance loop as ONE call — drain →
+    auto-compact → drift-check → rebuild-if-fired. Call 1 drains
+    fit-like data: monitor quiet, artifacts unchanged, index compacted
+    at the threshold. Call 2 drains a drifted batch: the decision
+    fires, the index rebuilds under freshly-fit centers, and searching
+    it equals the one-shot ivf_topk over all indexed rows with the
+    returned quantizer. The checkpoint survives the whole loop (the
+    second call never re-reads call 1's input)."""
+    import numpy as np
+
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_topk, ivf_topk, kmeans_centers, quantizer_profile)
+    from bda_spadochrony_spark.streaming.ann_index import (
+        stream_ann_index_maintain)
+    from bda_spadochrony_spark.streaming.sources import file_stream
+    rng = np.random.RandomState(29)
+    fit = spark.createDataFrame(
+        [(i, (rng.randn(64) * 0.3 + (i % 4) * 5.0).tolist())
+         for i in range(120)], "vec_id: long, embedding: array<double>")
+    drifted = spark.createDataFrame(
+        [(1000 + i, (rng.randn(64) * 0.3 + (i % 2) * 11.0 + 2.5)
+          .tolist()) for i in range(240)],
+        "vec_id: long, embedding: array<double>")
+    centers = kmeans_centers(fit, "embedding", n_cells=4, seed=42) \
+        .localCheckpoint()
+    ref = quantizer_profile(fit, centers, "vec_id").localCheckpoint()
+    base = tempfile.mkdtemp(prefix="bda_annidx_maint_")
+    in_dir, index, ckpt = f"{base}/in", f"{base}/index", f"{base}/ckpt"
+    schema = fit.schema
+    try:
+        fit.where(F.col("vec_id") % 2 == 0).write.parquet(f"{in_dir}/b0")
+        fit.where(F.col("vec_id") % 2 == 1).write.parquet(f"{in_dir}/b1")
+        c1, r1, rebuilt1 = stream_ann_index_maintain(
+            file_stream(spark, f"{in_dir}/*/*.parquet", schema),
+            index, centers, ref, "vec_id", checkpoint=ckpt,
+            compact_every=1, n_cells=4, seed=42)
+        assert not rebuilt1
+        assert c1 is centers and r1 is ref
+        dirs = sorted(d for d in os.listdir(index)
+                      if d.startswith("batch_id="))
+        assert dirs == ["batch_id=-1"], dirs   # compacted at threshold
+        drifted.write.parquet(f"{in_dir}/b2")
+        c2, r2, rebuilt2 = stream_ann_index_maintain(
+            file_stream(spark, f"{in_dir}/*/*.parquet", schema),
+            index, c1, r1, "vec_id", checkpoint=ckpt,
+            compact_every=1, n_cells=4, seed=42)
+        assert rebuilt2
+        # the rebuilt index searches identically to the one-shot
+        # operator over ALL indexed rows under the new quantizer
+        union = fit.unionByName(drifted)
+        got = sorted((r["query_id"], r["corpus_id"],
+                      round(r["cosine"], 9)) for r in
+                     ann_index_topk(spark, index, union, "vec_id",
+                                    centers=c2, k=2,
+                                    n_probe=2).collect())
+        want = sorted((r["query_id"], r["corpus_id"],
+                       round(r["cosine"], 9)) for r in
+                      ivf_topk(union, union, "vec_id", "vec_id", k=2,
+                               n_lists=4, n_probe=2,
+                               centers=c2).collect())
+        assert got == want
+        # the loop's monitor reads clean under the new artifacts
+        c3, r3, rebuilt3 = stream_ann_index_maintain(
+            file_stream(spark, f"{in_dir}/*/*.parquet", schema),
+            index, c2, r2, "vec_id", checkpoint=ckpt,
+            compact_every=1, n_cells=4, seed=42)
+        assert not rebuilt3                    # nothing new, no drift
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_stream_ann_index_rebuild_pq_from_source(spark):
     """r12: the codes layout's rebuild — lossy codes cannot refit from
     themselves, so ann_index_rebuild_pq refits centers and codebooks
