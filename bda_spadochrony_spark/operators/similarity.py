@@ -726,14 +726,26 @@ def _ann_index_recover(index_path: str) -> None:
     if os.path.exists(pending):
         meta = json.load(open(pending))
         staging, old = meta.get("staging"), meta.get("old")
-        if not os.path.isdir(index_path):
-            if staging and os.path.isdir(staging):
-                os.replace(staging, index_path)
-            elif old and os.path.isdir(old):
-                os.replace(old, index_path)
-        for d in (staging, old):
-            if d and os.path.isdir(d):
-                shutil.rmtree(d)
+        if old and os.path.isdir(old):
+            # ROLL BACK, never forward (r13 matrix finding): a crashed
+            # rebuild never returned its refit artifacts, so the staged
+            # NEW-quantizer layout is unreadable to every caller — the
+            # pre-rebuild copy is the only view consistent with the
+            # centers readers still hold. The redo is one idempotent
+            # rebuild call.
+            if os.path.isdir(index_path):
+                shutil.rmtree(index_path)
+            os.replace(old, index_path)
+        elif (not os.path.isdir(index_path) and staging
+              and os.path.isdir(staging)):
+            # no prior copy ever existed (initial bulk build): forward-
+            # complete the promote — there are no old-artifact readers
+            os.replace(staging, index_path)
+        # else: old already purged (crash between the success path's
+        # last two steps) — the new layout stands; re-run the rebuild
+        # to refit and obtain the artifacts (idempotent on these rows)
+        if staging and os.path.isdir(staging):
+            shutil.rmtree(staging)
         os.remove(pending)
     if not os.path.isdir(index_path):
         return
@@ -791,12 +803,22 @@ def _ann_index_scan(spark, index_path: str, cols: list[str]) -> DataFrame:
     import os
 
     pending = f"{index_path}__pending.json"
-    if not os.path.isdir(index_path) and os.path.exists(pending):
-        # crashed whole-index promote: read the surviving complete copy
+    if os.path.exists(pending):
+        # crashed whole-index promote (a rebuild): the caller's centers
+        # are still the PRE-rebuild quantizer (the rebuild never
+        # returned), so the only readable copy is the pre-rebuild one —
+        # prefer the moved-aside original wherever it survives, even
+        # when the new layout already sits at index_path (r13 matrix
+        # finding: serving the staged new-quantizer layout to an
+        # old-centers reader silently drops neighbors). Only the
+        # initial bulk build (no original ever existed) reads staging.
         meta = json.load(open(pending))
-        for d in (meta.get("staging"), meta.get("old")):
-            if d and os.path.isdir(d):
-                return _ann_index_scan(spark, d, cols)
+        old, staging = meta.get("old"), meta.get("staging")
+        if old and os.path.isdir(old):
+            return _ann_index_scan(spark, old, cols)
+        if (not os.path.isdir(index_path) and staging
+                and os.path.isdir(staging)):
+            return _ann_index_scan(spark, staging, cols)
     gen = os.path.join(index_path, "batch_id=-1")
     batch_dirs = sorted(
         d for d in os.listdir(index_path)

@@ -1226,6 +1226,113 @@ def test_ann_index_compact_crash_matrix(spark, monkeypatch):
     real_rmtree(base, ignore_errors=True)
 
 
+def test_ann_index_rebuild_crash_matrix(spark, monkeypatch):
+    """r13 — the rebuild twin of the compact crash matrix, pinning the
+    ROLLBACK policy the matrix itself surfaced: a crashed rebuild never
+    returned its refit artifacts, so the staged new-quantizer layout is
+    unreadable to every caller still holding the old centers — at every
+    crash point where the pre-rebuild copy survives, BOTH the
+    manifest-aware search and the next maintenance call must serve/
+    restore the ORIGINAL (old-centers reads stay exactly correct); only
+    the terminal window (old already purged, sidecar not yet removed)
+    stands forward, where re-running the rebuild refits idempotently.
+    Fault-injects every filesystem mutation of the promote (the two
+    renames, the old purge, the sidecar remove), one run per point."""
+    import os as os_mod
+    import shutil as shutil_mod
+
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append, ann_index_compact, ann_index_rebuild,
+        ann_index_topk, ivf_topk, kmeans_centers)
+    from bda_spadochrony_spark.sources.readers import scan
+    emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    centers_old = kmeans_centers(emb, "embedding", n_cells=4, seed=7) \
+        .localCheckpoint()
+    base = tempfile.mkdtemp(prefix="bda_annidx_rebmx_")
+    proto = os.path.join(base, "proto")
+    ann_index_append(emb, 0, proto, centers_old, "vec_id", profile=True)
+
+    def search(idx, cents):
+        return sorted((r["query_id"], r["corpus_id"],
+                       round(r["cosine"], 9)) for r in
+                      ann_index_topk(spark, idx, emb, "vec_id",
+                                     centers=cents, k=2,
+                                     n_probe=2).collect())
+
+    want_old = search(proto, centers_old)
+
+    real_replace, real_rmtree = os_mod.replace, shutil_mod.rmtree
+    real_remove = os_mod.remove
+    state = {"budget": None, "count": 0}
+
+    def spend(path):
+        if state["budget"] is not None and "annidx_rebmx" in str(path):
+            if state["count"] >= state["budget"]:
+                raise RuntimeError("injected crash")
+            state["count"] += 1
+
+    monkeypatch.setattr(os_mod, "replace",
+                        lambda s, d: (spend(s), real_replace(s, d))[1])
+    monkeypatch.setattr(shutil_mod, "rmtree",
+                        lambda p, *a, **kw: (spend(p),
+                                             real_rmtree(p, *a, **kw))[1])
+
+    def patched_remove(p):
+        if str(p).endswith(".json"):
+            spend(p)
+        return real_remove(p)
+
+    monkeypatch.setattr(os_mod, "remove", patched_remove)
+
+    clean_seen = False
+    for k in range(0, 8):
+        idx = os.path.join(base, f"run{k}")
+        state["budget"] = None
+        real_rmtree(idx, ignore_errors=True)
+        shutil_mod.copytree(proto, idx)
+        state["budget"], state["count"] = k, 0
+        try:
+            ann_index_rebuild(spark, idx, n_cells=4, seed=42)
+            crashed = False
+        except RuntimeError:
+            crashed = True
+        state["budget"] = None
+        import json as _json
+        pending = f"{idx}__pending.json"
+        old_dir = (_json.load(open(pending)).get("old")
+                   if os.path.exists(pending) else None)
+        rolled_back = bool(old_dir and os.path.isdir(old_dir))
+        if crashed and rolled_back:
+            # the pre-rebuild copy survives somewhere: an old-centers
+            # reader must get EXACTLY the original results pre-recovery
+            assert search(idx, centers_old) == want_old, \
+                f"crash point {k}: old-centers read diverged"
+        # recovery (any maintenance call) converges to one live index
+        ann_index_compact(spark, idx)
+        assert os.path.isdir(idx), k
+        assert not os.path.exists(pending), k
+        assert not [d for d in os.listdir(base)
+                    if d.startswith(f"run{k}__")], k
+        if crashed and rolled_back:
+            # rollback restored the ORIGINAL layout
+            assert search(idx, centers_old) == want_old, k
+        # redo/complete: a (re-)run rebuild returns artifacts that are
+        # self-consistent with one-shot ivf_topk over the same rows
+        c2, _ = ann_index_rebuild(spark, idx, n_cells=4, seed=42)
+        got = search(idx, c2)
+        want_new = sorted((r["query_id"], r["corpus_id"],
+                           round(r["cosine"], 9)) for r in
+                          ivf_topk(emb, emb, "vec_id", "vec_id", k=2,
+                                   n_lists=4, n_probe=2,
+                                   centers=c2).collect())
+        assert got == want_new, f"crash point {k}: redo diverged"
+        if not crashed:
+            clean_seen = True
+            break
+    assert clean_seen, "fault budget never exceeded the mutation count"
+    real_rmtree(base, ignore_errors=True)
+
+
 def test_ann_index_rebuild_recovers_mid_promote(spark):
     """r13 (r12 ADVICE): a crash between ann_index_rebuild's two
     renames (index moved aside, staging not yet promoted) leaves NO
