@@ -1696,6 +1696,48 @@ def test_stream_ann_index_maintain_full_loop(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_ann_index_initial_build_crash_promotes_forward(spark):
+    """r13: the one whole-index promote that stands FORWARD — the
+    initial bulk build (ann_index_rebuild_pq with no pre-existing
+    index) has no old-artifact readers to protect, so a crash between
+    staging completion and the single promote rename recovers by
+    completing it; the manifest-aware scan reads the staged copy even
+    before recovery runs."""
+    import json
+
+    from bda_spadochrony_spark.operators.similarity import (
+        _ann_index_scan, ann_index_compact, ann_index_rebuild_pq)
+    from bda_spadochrony_spark.sources.readers import scan
+    emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    base = tempfile.mkdtemp(prefix="bda_annidx_init_")
+    index = os.path.join(base, "index")
+    try:
+        # build the staged copy by bulk-building elsewhere, then
+        # hand-construct the pre-promote crash state
+        donor = os.path.join(base, "donor")
+        centers, cbs, _ = ann_index_rebuild_pq(spark, donor, emb,
+                                               "vec_id", n_cells=4)
+        staging = f"{index}__rebuild_crash"
+        shutil.copytree(donor, staging)
+        json.dump({"staging": staging, "old": f"{index}__old_never"},
+                  open(f"{index}__pending.json", "w"))
+        assert not os.path.isdir(index)
+        # pre-recovery: the scan reads the staged copy
+        n = _ann_index_scan(spark, index,
+                            ["corpus_id", "cell", "codes", "rnm"]).count()
+        assert n > 0
+        # recovery completes the promote
+        ann_index_compact(spark, index)
+        assert os.path.isdir(index)
+        assert not os.path.exists(staging)
+        assert not os.path.exists(f"{index}__pending.json")
+        m = _ann_index_scan(spark, index,
+                            ["corpus_id", "cell", "codes", "rnm"]).count()
+        assert m == n
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_stream_ann_index_rebuild_pq_from_source(spark):
     """r12: the codes layout's rebuild — lossy codes cannot refit from
     themselves, so ann_index_rebuild_pq refits centers and codebooks
