@@ -58,9 +58,22 @@ def stream_ann_index_build(stream_vecs: DataFrame, index_path: str,
     ``compact_every=N`` (r13) folds the per-batch directories into the
     compacted generation whenever a drain leaves N or more of them —
     the always-on index never needs an operator to remember
-    ``ann_index_compact``."""
-    from bda_spadochrony_spark.operators.similarity import ann_index_append
+    ``ann_index_compact``.
+
+    Recovery runs BEFORE the drain (r14, closing the r13 ADVICE data-loss
+    window): a rebuild that crashed between its two renames leaves the
+    index rolled-back-able through its pending sidecar, but an append
+    that lands first would write new ``batch_id=N`` directories into a
+    fresh (or staged-new) index_path AND commit them to the stream
+    checkpoint — the later rollback would then delete batches the
+    checkpoint will never replay. Rolling the crashed promote back
+    first makes the drain land on the restored index, so every
+    checkpointed batch survives every crash point."""
+    from bda_spadochrony_spark.operators.similarity import (
+        _ann_index_recover, ann_index_append)
     from bda_spadochrony_spark.streaming.runner import run_foreach_batch
+
+    _ann_index_recover(index_path)
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         ann_index_append(batch_df, batch_id, index_path, centers,
@@ -97,10 +110,15 @@ def stream_ann_index_build_pq(stream_vecs: DataFrame, index_path: str,
     refitting EITHER artifact (quantizer or codebooks) means
     rebuilding the index, and ``compact_every=N`` (r13) folds batch
     directories into the compacted generation once a drain leaves N or
-    more of them."""
+    more of them. Like the raw drain, a crashed promote is recovered
+    BEFORE any micro-batch is appended and checkpointed (r14 — see
+    ``stream_ann_index_build``): rollback-after-drain would delete
+    batches the checkpoint considers done."""
     from bda_spadochrony_spark.operators.similarity import (
-        ann_index_append_pq)
+        _ann_index_recover, ann_index_append_pq)
     from bda_spadochrony_spark.streaming.runner import run_foreach_batch
+
+    _ann_index_recover(index_path)
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         ann_index_append_pq(batch_df, batch_id, index_path, centers,

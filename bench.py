@@ -354,7 +354,11 @@ def main() -> None:
                 time.sleep(CANARY_BACKOFF_S)
                 continue
             gate = payload.get("gate_ratio")
-            if best is None or (gate or 0) < (best.get("gate_ratio") or 0):
+            # only a MEASURED window may become best (r13 ADVICE): an
+            # attempt whose canaries all failed (gate None) must never
+            # displace a gated one — None-as-0 would win every compare
+            if gate is not None and (best is None
+                                     or gate < best["gate_ratio"]):
                 best = payload
             if gate is None or gate <= CANARY_SOFT_RATIO or is_final:
                 break

@@ -1383,6 +1383,72 @@ def test_ann_index_rebuild_recovers_mid_promote(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_stream_drain_recovers_crashed_rebuild_before_append(spark):
+    """r14 (r13 ADVICE, high): a rebuild crash between its two renames
+    followed by a DRAIN of new micro-batches must lose nothing. Before
+    the fix, the drain appended batch dirs into a fresh index_path (the
+    real index was still moved aside as __old) and committed them to
+    the stream checkpoint; the next maintenance call's recovery then
+    rolled the rebuild back with ``rmtree(index_path)`` — deleting the
+    just-drained batches the checkpoint will never replay. The drains
+    now run ``_ann_index_recover`` BEFORE draining, so the appends land
+    on the restored index and every checkpointed row survives."""
+    import json
+
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append, ann_index_compact)
+    from bda_spadochrony_spark.sources.readers import scan
+    from bda_spadochrony_spark.streaming.ann_index import (
+        stream_ann_index_build)
+    from bda_spadochrony_spark.streaming.sources import file_stream
+    emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    centers = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid")).localCheckpoint()
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    base = tempfile.mkdtemp(prefix="bda_annidx_drainrec_")
+    in_dir, index, ckpt = f"{base}/in", f"{base}/index", f"{base}/ckpt"
+    staged = emb.select("vec_id", "embedding")
+    schema = staged.schema
+    try:
+        # epoch 0: first half drained normally
+        staged.where(F.col("vec_id") % 2 == 0).write.parquet(f"{in_dir}/b0")
+        stream_ann_index_build(
+            file_stream(spark, f"{in_dir}/*/*.parquet", schema),
+            index, centers, "vec_id", checkpoint=ckpt)
+        # hand-build the crashed-rebuild state: index moved aside as
+        # old, a complete staged new layout, the pending sidecar on disk
+        staging = f"{index}__rebuild_stage"
+        old = f"{index}__old_crashed"
+        shutil.copytree(index, staging)
+        os.replace(index, old)
+        json.dump({"staging": staging, "old": old},
+                  open(f"{index}__pending.json", "w"))
+        # epoch 1: second half arrives and is drained + checkpointed
+        staged.where(F.col("vec_id") % 2 == 1).write.parquet(f"{in_dir}/b1")
+        stream_ann_index_build(
+            file_stream(spark, f"{in_dir}/*/*.parquet", schema),
+            index, centers, "vec_id", checkpoint=ckpt)
+        # maintenance after the drain must keep BOTH halves
+        ann_index_compact(spark, index)
+        got = {r["corpus_id"] for r in
+               spark.read.parquet(index).select("corpus_id").collect()}
+        assert got == all_ids, (
+            f"lost {len(all_ids - got)} checkpointed rows")
+        assert not os.path.exists(f"{index}__pending.json")
+        assert not os.path.exists(staging) and not os.path.exists(old)
+        # idempotence: a replayed drain call on the same checkpoint
+        # neither duplicates nor drops anything
+        stream_ann_index_build(
+            file_stream(spark, f"{in_dir}/*/*.parquet", schema),
+            index, centers, "vec_id", checkpoint=ckpt)
+        got2 = {r["corpus_id"] for r in
+                spark.read.parquet(index).select("corpus_id").collect()}
+        assert got2 == all_ids
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_stream_ann_index_auto_compacts(spark):
     """r13 (VERDICT r12 #5): compact_every=N wired into the drain loop
     — three drains with compact_every=2 leave exactly one compacted
