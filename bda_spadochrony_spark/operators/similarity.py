@@ -679,7 +679,8 @@ def ann_index_drift(spark, index_path: str, centers: DataFrame,
         drift_decision, quantizer_drift)
     # a maintenance entry point: complete any crashed promote first so
     # the _profile sidecars read from the live index, not a stranded one
-    _ann_index_recover(index_path)
+    from bda_spadochrony_spark.fs import index_fs
+    _ann_index_recover(index_path, fs=index_fs(index_path, spark))
     prof = (spark.read.parquet(f"{index_path}/_profile")
             .groupBy("cell")
             .agg(F.sum("n").alias("n"),
@@ -691,7 +692,58 @@ def ann_index_drift(spark, index_path: str, centers: DataFrame,
                           max_kl=max_kl, max_inflation=max_inflation)
 
 
-def _ann_index_recover(index_path: str) -> None:
+def _load_sidecar(fs, path: str):
+    """Read a JSON sidecar through the index filesystem; ``None`` when
+    the file is absent OR unparseable (r13 ADVICE: a torn sidecar reads
+    as "promote never started" — safe because every sidecar is fully
+    written, and atomically renamed into place, BEFORE the first rename
+    it guards; with ``write_text_atomic`` a torn file can only exist on
+    filesystems without atomic file rename in the first place)."""
+    import json
+    if not fs.exists(path):
+        return None
+    try:
+        return json.loads(fs.read_text(path))
+    except Exception:
+        # unparseable JSON, a read race with recovery, or a
+        # checksum-corrupt file on a checksummed Hadoop filesystem —
+        # all read as the sidecar not (yet) existing
+        return None
+
+
+def _gc_orphans(fs, index_path: str) -> None:
+    """Purge maintenance leftovers that NO sidecar references (r14): a
+    crash during a sidecar's own atomic write leaves a fully-staged
+    sibling directory (and a ``.tmp`` file) that the recovery state
+    machine cannot reach — the sidecar that would have named it never
+    came into existence. By the time this runs, recovery has consumed
+    every live sidecar, so any remaining ``{index}__rebuild_*`` /
+    ``__compact_*`` / ``__oldgen_*`` / ``__old_*`` sibling is orphaned
+    REDUNDANT WORK, never data: the promote it belonged to had not
+    renamed anything yet (the sidecar write precedes the first rename).
+    These suffixes are the index's reserved sibling namespace — the
+    single-writer contract the maintenance loop already requires."""
+    from bda_spadochrony_spark.fs import parent_and_name
+    tmp = f"{index_path}__pending.json.tmp"
+    if fs.exists(tmp):
+        fs.remove(tmp)
+    if fs.isdir(index_path):
+        gtmp = f"{index_path}/_compact_pending.json.tmp"
+        if fs.exists(gtmp):
+            fs.remove(gtmp)
+    parent, name = parent_and_name(index_path)
+    listed = parent or "."
+    if not name or not fs.isdir(listed):
+        return
+    for entry in fs.listdir(listed):
+        if any(entry.startswith(f"{name}__{pat}")
+               for pat in ("rebuild_", "compact_", "oldgen_", "old_")):
+            p = f"{parent}/{entry}" if parent else entry
+            if fs.isdir(p):
+                fs.rmtree(p)
+
+
+def _ann_index_recover(index_path: str, fs=None) -> None:
     """Complete any crashed promote or purge a maintenance operation
     left behind (r13, closing the r12 ADVICE crash windows): every
     multi-step replace in this module records a PENDING SIDECAR before
@@ -714,74 +766,87 @@ def _ann_index_recover(index_path: str) -> None:
     Then a crashed PURGE: any directory named in the live generation's
     ``_folded.json`` manifest that still exists was already absorbed —
     remove it (strict rmtree: a failing purge must raise, never leave
-    the manifest claiming a clean state; r12 ADVICE). Mutating
-    recovery runs only from maintenance entry points (compact, rebuild,
-    drift); searches stay read-only via ``_ann_index_scan``'s manifest
-    exclusion."""
-    import json
-    import os
-    import shutil
+    the manifest claiming a clean state; r12 ADVICE). A TORN sidecar
+    (crash during its own atomic write) reads as "promote never
+    started" and is dropped; the staged sibling it would have named is
+    swept by the orphan pass (``_gc_orphans``). Mutating recovery runs
+    only from maintenance entry points (compact, rebuild, drift) and
+    from the streaming drains BEFORE any append is checkpointed (r14,
+    r13 ADVICE); searches stay read-only via ``_ann_index_scan``'s
+    manifest exclusion. All filesystem access routes through the
+    pluggable ``bda_spadochrony_spark.fs`` shim, so the same state
+    machine drives a local disk or a Hadoop filesystem (r14, VERDICT
+    r13 #1)."""
+    from bda_spadochrony_spark.fs import index_fs
+    fs = fs or index_fs(index_path)
 
     pending = f"{index_path}__pending.json"
-    if os.path.exists(pending):
-        meta = json.load(open(pending))
-        staging, old = meta.get("staging"), meta.get("old")
-        if old and os.path.isdir(old):
-            # ROLL BACK, never forward (r13 matrix finding): a crashed
-            # rebuild never returned its refit artifacts, so the staged
-            # NEW-quantizer layout is unreadable to every caller — the
-            # pre-rebuild copy is the only view consistent with the
-            # centers readers still hold. The redo is one idempotent
-            # rebuild call.
-            if os.path.isdir(index_path):
-                shutil.rmtree(index_path)
-            os.replace(old, index_path)
-        elif (not os.path.isdir(index_path) and staging
-              and os.path.isdir(staging)):
-            # no prior copy ever existed (initial bulk build): forward-
-            # complete the promote — there are no old-artifact readers
-            os.replace(staging, index_path)
-        # else: old already purged (crash between the success path's
-        # last two steps) — the new layout stands; re-run the rebuild
-        # to refit and obtain the artifacts (idempotent on these rows)
-        if staging and os.path.isdir(staging):
-            shutil.rmtree(staging)
-        os.remove(pending)
-    if not os.path.isdir(index_path):
-        return
-    gen = os.path.join(index_path, "batch_id=-1")
-    gpending = os.path.join(index_path, "_compact_pending.json")
-    if os.path.exists(gpending):
-        meta = json.load(open(gpending))
-        staging, old = meta.get("staging"), meta.get("old")
-        if not os.path.isdir(gen):
-            if staging and os.path.isdir(staging):
-                os.replace(staging, gen)
-            elif old and os.path.isdir(old):
-                os.replace(old, gen)
-        for d in (staging, old):
-            if d and os.path.isdir(d):
-                shutil.rmtree(d)
-        os.remove(gpending)
-    manifest = os.path.join(gen, "_folded.json")
-    if os.path.exists(manifest):
-        for d in json.load(open(manifest)):
-            leftover = os.path.join(index_path, d)
-            if os.path.exists(leftover):
-                shutil.rmtree(leftover)
+    if fs.exists(pending):
+        meta = _load_sidecar(fs, pending)
+        if meta is None:
+            # torn sidecar: the promote never renamed anything — the
+            # index is intact; drop the shred, GC sweeps the staging
+            fs.remove(pending)
+        else:
+            staging, old = meta.get("staging"), meta.get("old")
+            if old and fs.isdir(old):
+                # ROLL BACK, never forward (r13 matrix finding): a
+                # crashed rebuild never returned its refit artifacts, so
+                # the staged NEW-quantizer layout is unreadable to every
+                # caller — the pre-rebuild copy is the only view
+                # consistent with the centers readers still hold. The
+                # redo is one idempotent rebuild call.
+                if fs.isdir(index_path):
+                    fs.rmtree(index_path)
+                fs.replace(old, index_path)
+            elif (not fs.isdir(index_path) and staging
+                  and fs.isdir(staging)):
+                # no prior copy ever existed (initial bulk build):
+                # forward-complete the promote — there are no
+                # old-artifact readers
+                fs.replace(staging, index_path)
+            # else: old already purged (crash between the success path's
+            # last two steps) — the new layout stands; re-run the
+            # rebuild to refit and obtain the artifacts (idempotent on
+            # these rows)
+            if staging and fs.isdir(staging):
+                fs.rmtree(staging)
+            fs.remove(pending)
+    if fs.isdir(index_path):
+        gen = f"{index_path}/batch_id=-1"
+        gpending = f"{index_path}/_compact_pending.json"
+        if fs.exists(gpending):
+            meta = _load_sidecar(fs, gpending)
+            if meta is None:
+                fs.remove(gpending)
+            else:
+                staging, old = meta.get("staging"), meta.get("old")
+                if not fs.isdir(gen):
+                    if staging and fs.isdir(staging):
+                        fs.replace(staging, gen)
+                    elif old and fs.isdir(old):
+                        fs.replace(old, gen)
+                for d in (staging, old):
+                    if d and fs.isdir(d):
+                        fs.rmtree(d)
+                fs.remove(gpending)
+        manifest = f"{gen}/_folded.json"
+        folded = _load_sidecar(fs, manifest)
+        for d in folded or []:
+            leftover = f"{index_path}/{d}"
+            if fs.exists(leftover):
+                fs.rmtree(leftover)
+    _gc_orphans(fs, index_path)
 
 
-def _has_parquet(path: str) -> bool:
+def _has_parquet(path: str, fs=None) -> bool:
     """True when the directory holds at least one parquet part file —
     an EMPTY streamed epoch writes its ``batch_id=N`` directory with no
     parts (dynamic partitionBy over zero rows), and reading a
     footerless directory raises UNABLE_TO_INFER_SCHEMA; compact and
     scan skip such dirs instead (r13 zero-rows edge sweep)."""
-    import os
-    for root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+    from bda_spadochrony_spark.fs import index_fs
+    return (fs or index_fs(path)).has_parquet(path)
 
 
 def _ann_index_scan(spark, index_path: str, cols: list[str]) -> DataFrame:
@@ -798,12 +863,17 @@ def _ann_index_scan(spark, index_path: str, cols: list[str]) -> DataFrame:
     never mutate; the next maintenance call's ``_ann_index_recover``
     does the cleanup. ``cell`` stays a partition column under
     ``basePath``, so the caller's ``isin`` probe filter prunes exactly
-    as before."""
-    import json
-    import os
+    as before. Filesystem access routes through the pluggable
+    ``bda_spadochrony_spark.fs`` shim (r14), so an ``hdfs://`` or
+    ``file://`` index reads through the Hadoop FileSystem of its
+    scheme; a torn sidecar reads as "promote never started" — the
+    plain directory view, which is exactly the pre-promote state."""
+    from bda_spadochrony_spark.fs import index_fs
+    fs = index_fs(index_path, spark)
 
     pending = f"{index_path}__pending.json"
-    if os.path.exists(pending):
+    meta = _load_sidecar(fs, pending)
+    if meta is not None:
         # crashed whole-index promote (a rebuild): the caller's centers
         # are still the PRE-rebuild quantizer (the rebuild never
         # returned), so the only readable copy is the pre-rebuild one —
@@ -812,41 +882,36 @@ def _ann_index_scan(spark, index_path: str, cols: list[str]) -> DataFrame:
         # finding: serving the staged new-quantizer layout to an
         # old-centers reader silently drops neighbors). Only the
         # initial bulk build (no original ever existed) reads staging.
-        meta = json.load(open(pending))
         old, staging = meta.get("old"), meta.get("staging")
-        if old and os.path.isdir(old):
+        if old and fs.isdir(old):
             return _ann_index_scan(spark, old, cols)
-        if (not os.path.isdir(index_path) and staging
-                and os.path.isdir(staging)):
+        if (not fs.isdir(index_path) and staging
+                and fs.isdir(staging)):
             return _ann_index_scan(spark, staging, cols)
-    gen = os.path.join(index_path, "batch_id=-1")
+    gen = f"{index_path}/batch_id=-1"
     batch_dirs = sorted(
-        d for d in os.listdir(index_path)
+        d for d in fs.listdir(index_path)
         if d.startswith("batch_id=") and not d.startswith("batch_id=-"))
     folded: set = set()
     inside: list[str] = []
     outside: str | None = None
-    if os.path.isdir(gen):
+    if fs.isdir(gen):
         inside.append(gen)
-        manifest = os.path.join(gen, "_folded.json")
-        if os.path.exists(manifest):
-            folded = set(json.load(open(manifest)))
+        folded = set(_load_sidecar(fs, f"{gen}/_folded.json") or [])
     else:
-        gpending = os.path.join(index_path, "_compact_pending.json")
-        if os.path.exists(gpending):
-            meta = json.load(open(gpending))
-            staging, old = meta.get("staging"), meta.get("old")
-            if staging and os.path.isdir(staging):
+        gmeta = _load_sidecar(fs, f"{index_path}/_compact_pending.json")
+        if gmeta is not None:
+            staging, old = gmeta.get("staging"), gmeta.get("old")
+            if staging and fs.isdir(staging):
                 outside = staging
-                manifest = os.path.join(staging, "_folded.json")
-                if os.path.exists(manifest):
-                    folded = set(json.load(open(manifest)))
-            elif old and os.path.isdir(old):
+                folded = set(_load_sidecar(
+                    fs, f"{staging}/_folded.json") or [])
+            elif old and fs.isdir(old):
                 outside = old
-    inside += [os.path.join(index_path, d) for d in batch_dirs
+    inside += [f"{index_path}/{d}" for d in batch_dirs
                if d not in folded]
-    inside = [p for p in inside if _has_parquet(p)]
-    if outside and not _has_parquet(outside):
+    inside = [p for p in inside if fs.has_parquet(p)]
+    if outside and not fs.has_parquet(outside):
         outside = None
     parts: list[DataFrame] = []
     if inside:
@@ -900,11 +965,11 @@ def ann_index_rebuild(spark, index_path: str, n_cells: int | None = None,
     layout as the rebuild-capable store and derive the codes index
     from it."""
     import json
-    import os
-    import shutil
     import uuid
 
-    _ann_index_recover(index_path)
+    from bda_spadochrony_spark.fs import index_fs
+    fs = index_fs(index_path, spark)
+    _ann_index_recover(index_path, fs=fs)
     vecs = _ann_index_scan(spark, index_path, ["corpus_id", "cvec"])
     centers = kmeans_centers(vecs, "cvec", n_cells=n_cells, seed=seed) \
         .localCheckpoint()
@@ -918,11 +983,12 @@ def ann_index_rebuild(spark, index_path: str, n_cells: int | None = None,
      .parquet(f"{staging}/batch_id=-1"))
     old = f"{index_path}__old_{uuid.uuid4().hex[:8]}"
     pending = f"{index_path}__pending.json"
-    json.dump({"staging": staging, "old": old}, open(pending, "w"))
-    os.replace(index_path, old)
-    os.replace(staging, index_path)
-    shutil.rmtree(old)
-    os.remove(pending)
+    fs.write_text_atomic(pending,
+                         json.dumps({"staging": staging, "old": old}))
+    fs.replace(index_path, old)
+    fs.replace(staging, index_path)
+    fs.rmtree(old)
+    fs.remove(pending)
     reference = (spark.read.parquet(f"{index_path}/_profile")
                  .groupBy("cell")
                  .agg(F.sum("n").alias("n"),
@@ -954,11 +1020,11 @@ def ann_index_rebuild_pq(spark, index_path: str, source: DataFrame,
     also serves as the initial bulk build when ``index_path`` does not
     exist yet."""
     import json
-    import os
-    import shutil
     import uuid
 
-    _ann_index_recover(index_path)
+    from bda_spadochrony_spark.fs import index_fs
+    fs = index_fs(index_path, spark)
+    _ann_index_recover(index_path, fs=fs)
     centers = kmeans_centers(source, vec_col, n_cells=n_cells,
                              seed=seed).localCheckpoint()
     if codebooks is None:
@@ -968,14 +1034,15 @@ def ann_index_rebuild_pq(spark, index_path: str, source: DataFrame,
                         id_col, vec_col, profile=True, pack=pack)
     old = f"{index_path}__old_{uuid.uuid4().hex[:8]}"
     pending = f"{index_path}__pending.json"
-    json.dump({"staging": staging, "old": old}, open(pending, "w"))
-    if os.path.exists(index_path):
-        os.replace(index_path, old)
-        os.replace(staging, index_path)
-        shutil.rmtree(old)
+    fs.write_text_atomic(pending,
+                         json.dumps({"staging": staging, "old": old}))
+    if fs.exists(index_path):
+        fs.replace(index_path, old)
+        fs.replace(staging, index_path)
+        fs.rmtree(old)
     else:
-        os.replace(staging, index_path)
-    os.remove(pending)
+        fs.replace(staging, index_path)
+    fs.remove(pending)
     reference = (spark.read.parquet(f"{index_path}/_profile")
                  .groupBy("cell")
                  .agg(F.sum("n").alias("n"),
@@ -1232,49 +1299,51 @@ def ann_index_compact(spark, index_path: str) -> int:
     Returns the number of batch directories folded (0 = nothing to do).
     """
     import json
-    import os
-    import shutil
     import uuid
 
+    from bda_spadochrony_spark.fs import index_fs
+    fs = index_fs(index_path, spark)
     # recovery first: a crashed whole-index promote leaves nothing at
     # index_path with everything recoverable through the sidecar
-    _ann_index_recover(index_path)
-    if not os.path.isdir(index_path):
+    _ann_index_recover(index_path, fs=fs)
+    if not fs.isdir(index_path):
         return 0
-    gen = os.path.join(index_path, "batch_id=-1")
+    gen = f"{index_path}/batch_id=-1"
     batch_dirs = sorted(
-        d for d in os.listdir(index_path)
+        d for d in fs.listdir(index_path)
         if d.startswith("batch_id=") and not d.startswith("batch_id=-"))
     if not batch_dirs:
         return 0
-    srcs = [os.path.join(index_path, d) for d in batch_dirs]
-    if os.path.exists(gen):
+    srcs = [f"{index_path}/{d}" for d in batch_dirs]
+    if fs.exists(gen):
         srcs.append(gen)
     # empty streamed epochs leave footerless batch dirs (partitionBy
     # over zero rows writes no parts) — fold them by deletion alone; if
     # NOTHING is readable there is no generation to write either
-    readable = [p for p in srcs if _has_parquet(p)]
+    readable = [p for p in srcs if fs.has_parquet(p)]
     if not readable:
         for d in batch_dirs:
-            shutil.rmtree(os.path.join(index_path, d))
+            fs.rmtree(f"{index_path}/{d}")
         return len(batch_dirs)
     df = (spark.read.option("basePath", index_path).parquet(*readable)
           .drop("batch_id"))
     staging = f"{index_path}__compact_{uuid.uuid4().hex[:8]}"
     (df.repartition(F.col("cell"))
      .write.mode("overwrite").partitionBy("cell").parquet(staging))
-    json.dump(batch_dirs, open(os.path.join(staging, "_folded.json"), "w"))
+    fs.write_text_atomic(f"{staging}/_folded.json",
+                         json.dumps(batch_dirs))
     old = f"{index_path}__oldgen_{uuid.uuid4().hex[:8]}"
-    gpending = os.path.join(index_path, "_compact_pending.json")
-    json.dump({"staging": staging, "old": old}, open(gpending, "w"))
-    if os.path.exists(gen):
-        os.replace(gen, old)
-    os.replace(staging, gen)
+    gpending = f"{index_path}/_compact_pending.json"
+    fs.write_text_atomic(gpending,
+                         json.dumps({"staging": staging, "old": old}))
+    if fs.exists(gen):
+        fs.replace(gen, old)
+    fs.replace(staging, gen)
     for d in batch_dirs:
-        shutil.rmtree(os.path.join(index_path, d))
-    if os.path.isdir(old):
-        shutil.rmtree(old)
-    os.remove(gpending)
+        fs.rmtree(f"{index_path}/{d}")
+    if fs.isdir(old):
+        fs.rmtree(old)
+    fs.remove(gpending)
     return len(batch_dirs)
 
 

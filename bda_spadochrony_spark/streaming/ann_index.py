@@ -28,13 +28,13 @@ def _auto_compact(spark, index_path: str,
     each run and compacts once they reach ``compact_every``. Driver-side
     listing only (one listdir); the fold is ``ann_index_compact`` with
     its full crash-recovery contract."""
-    import os
-
+    from bda_spadochrony_spark.fs import index_fs
     from bda_spadochrony_spark.operators.similarity import (
         ann_index_compact)
-    if not compact_every or not os.path.isdir(index_path):
+    fs = index_fs(index_path, spark)
+    if not compact_every or not fs.isdir(index_path):
         return
-    n = sum(1 for d in os.listdir(index_path)
+    n = sum(1 for d in fs.listdir(index_path)
             if d.startswith("batch_id=") and not d.startswith("batch_id=-"))
     if n >= compact_every:
         ann_index_compact(spark, index_path)

@@ -1383,6 +1383,148 @@ def test_ann_index_rebuild_recovers_mid_promote(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_ann_index_hadoop_fs_branch(spark):
+    """r14 (VERDICT r13 #1): a ``file://`` index path routes every
+    maintenance promote/purge/scan through the Hadoop FileSystem of its
+    scheme (the JVM gateway — the reference's own S7 mechanism) instead
+    of the local stdlib, so the crash-proved maintenance story survives
+    off a local disk. Drives the full loop through the HadoopFS branch:
+    primitive ops, append → search → compact → crashed-purge recovery →
+    rebuild, with results equal to the same index on a plain local
+    path."""
+    import json
+
+    from bda_spadochrony_spark.fs import HadoopFS, LocalFS, index_fs
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append, ann_index_compact, ann_index_rebuild,
+        ann_index_topk)
+    from bda_spadochrony_spark.sources.readers import scan
+    base = tempfile.mkdtemp(prefix="bda_annidx_hfs_")
+    uri = f"file://{base}/index"          # HadoopFS branch
+    local = os.path.join(base, "plain")   # LocalFS control
+    try:
+        # resolution + primitive ops through the JVM gateway
+        assert isinstance(index_fs(uri, spark), HadoopFS)
+        assert isinstance(index_fs(local), LocalFS)
+        fs = index_fs(uri, spark)
+        probe = f"file://{base}/probe.json"
+        fs.write_text_atomic(probe, json.dumps({"a": 1}))
+        assert json.loads(fs.read_text(probe)) == {"a": 1}
+        assert fs.exists(probe) and not fs.isdir(probe)
+        fs.replace(probe, f"file://{base}/probe2.json")
+        assert not os.path.exists(f"{base}/probe.json")
+        assert fs.exists(f"file://{base}/probe2.json")
+        fs.remove(f"file://{base}/probe2.json")
+
+        emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+        centers = emb.where(F.col("vec_id") < 16).select(
+            F.col("vec_id").cast("int").alias("cell"),
+            F.col("embedding").alias("centroid")).localCheckpoint()
+        halves = [emb.where(F.col("vec_id") % 2 == i) for i in range(2)]
+        for path in (uri, local):
+            ann_index_append(halves[0], 0, path, centers, "vec_id",
+                             profile=True)
+            ann_index_append(halves[1], 1, path, centers, "vec_id",
+                             profile=True)
+
+        def search(path, cents):
+            return sorted((r["query_id"], r["corpus_id"],
+                           round(r["cosine"], 9)) for r in
+                          ann_index_topk(spark, path, emb, "vec_id",
+                                         centers=cents, k=3,
+                                         n_probe=4).collect())
+
+        want = search(local, centers)
+        assert search(uri, centers) == want
+        assert fs.has_parquet(f"{uri}/batch_id=0")
+        # compact through HadoopFS: promote + strict purge
+        assert ann_index_compact(spark, uri) == 2
+        assert search(uri, centers) == want
+        real = f"{base}/index"
+        dirs = sorted(d for d in os.listdir(real)
+                      if d.startswith("batch_id="))
+        assert dirs == ["batch_id=-1"], dirs
+        # crashed-purge recovery: resurrect a folded dir named by the
+        # live generation's manifest — the scan excludes it, the next
+        # maintenance call deletes it, all through HadoopFS
+        ann_index_append(halves[0], 0, local, centers, "vec_id")
+        shutil.copytree(os.path.join(local, "batch_id=0"),
+                        os.path.join(real, "batch_id=0"))
+        # write the resurrection manifest THROUGH the shim: file:// is a
+        # checksummed Hadoop filesystem, so a bare python write would
+        # leave a stale .crc behind
+        fs.write_text_atomic(f"{uri}/batch_id=-1/_folded.json",
+                             json.dumps(["batch_id=0"]))
+        assert search(uri, centers) == want
+        assert ann_index_compact(spark, uri) == 0
+        assert not os.path.exists(os.path.join(real, "batch_id=0"))
+        assert search(uri, centers) == want
+        # rebuild: the sidecar-guarded whole-index promote through
+        # HadoopFS rename/delete
+        c2, _ = ann_index_rebuild(spark, uri, n_cells=4, seed=42)
+        assert not os.path.exists(f"{real}__pending.json")
+        got = {r["corpus_id"] for r in
+               spark.read.parquet(uri).select("corpus_id").collect()}
+        assert got == {r["vec_id"] for r in
+                       emb.select("vec_id").collect()}
+        assert len(search(uri, c2)) == len(want)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_ann_index_torn_sidecar_tolerated(spark):
+    """r14 (r13 ADVICE, medium): sidecars are now written atomically
+    (temp + rename), and a TORN sidecar — only possible on filesystems
+    without atomic rename — reads as 'promote never started' instead of
+    raising on every search and every recovery. Searches over an index
+    with shredded pending/compact sidecars return the plain-view
+    results; the next maintenance call drops the shreds and sweeps any
+    orphaned staging sibling."""
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append, ann_index_compact, ann_index_topk)
+    from bda_spadochrony_spark.sources.readers import scan
+    emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    centers = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid")).localCheckpoint()
+    base = tempfile.mkdtemp(prefix="bda_annidx_torn_")
+    index = os.path.join(base, "index")
+
+    def search():
+        return sorted((r["query_id"], r["corpus_id"],
+                       round(r["cosine"], 9)) for r in
+                      ann_index_topk(spark, index, emb, "vec_id",
+                                     centers=centers, k=3,
+                                     n_probe=4).collect())
+
+    try:
+        ann_index_append(emb, 0, index, centers, "vec_id")
+        want = search()
+        # torn whole-index pending sidecar + an orphaned staging sibling
+        # (the state a crash during the sidecar write leaves behind)
+        orphan = f"{index}__rebuild_orphan"
+        shutil.copytree(index, orphan)
+        with open(f"{index}__pending.json", "w") as fh:
+            fh.write('{"staging": "' )  # torn mid-write
+        # torn compact sidecar + a stray atomic-write temp
+        with open(os.path.join(index, "_compact_pending.json"), "w") as fh:
+            fh.write("{not json")
+        with open(os.path.join(index,
+                               "_compact_pending.json.tmp"), "w") as fh:
+            fh.write("{half")
+        assert search() == want  # reads the plain pre-promote view
+        assert ann_index_compact(spark, index) == 1  # folds batch 0
+        assert not os.path.exists(f"{index}__pending.json")
+        assert not os.path.exists(
+            os.path.join(index, "_compact_pending.json"))
+        assert not os.path.exists(
+            os.path.join(index, "_compact_pending.json.tmp"))
+        assert not os.path.exists(orphan)  # GC swept the orphan
+        assert search() == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_stream_drain_recovers_crashed_rebuild_before_append(spark):
     """r14 (r13 ADVICE, high): a rebuild crash between its two renames
     followed by a DRAIN of new micro-batches must lose nothing. Before
