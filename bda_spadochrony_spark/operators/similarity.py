@@ -10,6 +10,28 @@ cosine-LSH of Charikar '02) so each query only scans matching buckets —
 candidate recall tunable by bands/bits. A full IVF (k-means coarse
 quantizer) drops in behind the same signature when pyspark.ml KMeans is
 warranted.
+
+CONCURRENCY CONTRACT of the streamed ANN index (r14, VERDICT r13 #2):
+ONE writer. All maintenance (append / compact / rebuild / drift /
+recover) assumes a single maintenance process per index path — the
+sidecar protocol serializes crash recovery, not concurrent writers.
+Readers vs maintenance: ``_ann_index_scan`` enumerates directories at
+PLAN time, so a search planned before a compaction/rebuild promote and
+executed after it FAILS LOUD with Spark's ``FAILED_READ_FILE.
+FILE_NOT_EXIST`` — it never silently returns partial or empty results
+(pinned by ``test_ann_index_search_racing_compaction_semantics``; this
+is also why the scan must NOT set ``ignoreMissingFiles``, which would
+turn the race into a silent empty answer). Full read isolation
+therefore requires a read-quiescent point around maintenance, with one
+carve-out: ``ann_index_compact(retain_folded=True)`` leaves the folded
+batch directories on disk until the NEXT maintenance call — new plans
+exclude them via the generation's ``_folded.json`` manifest, while
+already-planned searches over those batch dirs still find their files
+— a one-maintenance-interval grace period that covers searches racing
+the fold of freshly-drained batches (the common always-on pattern). A
+generation REWRITE (a second compaction's ``batch_id=-1`` swap, or any
+rebuild) moves the files a stale plan points at and cannot be retained
+away; those still need the quiescent point.
 """
 
 from __future__ import annotations
@@ -1255,7 +1277,8 @@ def ann_index_append_pq(batch_df: DataFrame, batch_id: int,
      .parquet(f"{index_path}/batch_id={batch_id}"))
 
 
-def ann_index_compact(spark, index_path: str) -> int:
+def ann_index_compact(spark, index_path: str,
+                      retain_folded: bool = False) -> int:
     """Fold a streamed IVF index's per-batch append directories into ONE
     compacted generation (r12): every drain leaves a ``batch_id=N``
     directory with per-cell files, so an always-on index accumulates
@@ -1295,6 +1318,17 @@ def ann_index_compact(spark, index_path: str) -> int:
     resetting the stream's checkpoint to REUSE an already-folded epoch
     id against a compacted index is unsupported (the monotonic-epoch
     contract ``batch_id=-1`` already relies on).
+
+    ``retain_folded=True`` (r14, VERDICT r13 #2 — the reader-grace
+    carve-out of the module-level concurrency contract): skip the
+    purge, leaving the folded batch directories (and the superseded
+    generation sibling) on disk until the NEXT maintenance call sweeps
+    them — new plans exclude them through the manifest, while a search
+    planned BEFORE this compaction still finds the batch-dir files it
+    enumerated and returns exactly its pre-compaction snapshot instead
+    of failing on vanished paths. One maintenance interval of grace for
+    readers racing the fold; generation rewrites still need a read
+    quiescent point (their files MOVE — retention cannot help).
 
     Returns the number of batch directories folded (0 = nothing to do).
     """
@@ -1339,11 +1373,14 @@ def ann_index_compact(spark, index_path: str) -> int:
     if fs.exists(gen):
         fs.replace(gen, old)
     fs.replace(staging, gen)
-    for d in batch_dirs:
-        fs.rmtree(f"{index_path}/{d}")
-    if fs.isdir(old):
-        fs.rmtree(old)
+    if not retain_folded:
+        for d in batch_dirs:
+            fs.rmtree(f"{index_path}/{d}")
+        if fs.isdir(old):
+            fs.rmtree(old)
     fs.remove(gpending)
+    # retain_folded: the manifest purge + orphan sweep of the NEXT
+    # maintenance call's _ann_index_recover reclaims what was kept
     return len(batch_dirs)
 
 

