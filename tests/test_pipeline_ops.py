@@ -2253,6 +2253,62 @@ def test_bpe_train_matches_reference(spark):
     assert bpe_train(tiny, "text", n_merges=5).count() == 0
 
 
+def test_bpe_artifact_roundtrip(spark):
+    """r14 (VERDICT r13 #4): the trained tokenizer is a persistable
+    artifact — train → save → load → encode equals direct-encode, for
+    both alphabets, with reserved tokens and the vocab preserved; a
+    crashed save (no meta.json commit marker) refuses to load."""
+    import os
+    import shutil
+    import tempfile
+
+    from bda_spadochrony_spark.operators.corpus import (
+        bpe_encode, bpe_load, bpe_save, bpe_train, build_vocab)
+    texts = [(1, "low low low lower lowest <|doc|>"),
+             (2, "new newer newest news <|doc|>"),
+             (3, "üü banana bandana 🚀🚀"),
+             (4, "low newer banana low")]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    base = tempfile.mkdtemp(prefix="bda_bpe_artifact_")
+    try:
+        for alphabet in ("chars", "bytes"):
+            reserved = ["<|doc|>"]
+            trained = bpe_train(df, "text", n_merges=8,
+                                alphabet=alphabet, reserved=reserved)
+            vocab = build_vocab(df, "text", size=50)
+            path = os.path.join(base, alphabet)
+            bpe_save(trained, path, alphabet=alphabet,
+                     reserved=reserved, vocab=vocab)
+            tok = bpe_load(spark, path)
+            assert tok.alphabet == alphabet
+            assert tok.reserved == reserved
+            assert tok.merges == [(r["a"], r["b"]) for r in
+                                  trained.orderBy("rank").collect()]
+            direct = bpe_encode(df, "doc_id", "text", tok.merges,
+                                reserved=reserved, alphabet=alphabet)
+            want = sorted((r["doc_id"], tuple(r["symbols"]))
+                          for r in direct.collect())
+            got = sorted((r["doc_id"], tuple(r["symbols"]))
+                         for r in tok.encode(df, "doc_id",
+                                             "text").collect())
+            assert got == want
+            assert sorted(r["token"] for r in tok.vocab.collect()) == \
+                sorted(r["token"] for r in vocab.collect())
+        # overwrite-save on the same path keeps the artifact loadable
+        short = bpe_train(df, "text", n_merges=2)
+        bpe_save(short, os.path.join(base, "chars"))
+        re = bpe_load(spark, os.path.join(base, "chars"))
+        assert len(re.merges) <= 2 and re.vocab is None
+        # a crashed save = parts without the commit marker: refuse
+        crashed = os.path.join(base, "crashed")
+        bpe_save(short, crashed)
+        os.remove(os.path.join(crashed, "meta.json"))
+        with pytest.raises(FileNotFoundError, match="meta.json"):
+            bpe_load(spark, crashed)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_hashed_doc_vectors_known_values_and_feed_cosine_family(spark):
     """r9: feature-hashed document vectors — known-value buckets/signs
     against a pure-Python md5 reference, identical docs get identical

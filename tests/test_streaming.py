@@ -1383,6 +1383,50 @@ def test_ann_index_rebuild_recovers_mid_promote(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_stream_encode_with_loaded_tokenizer_artifact(spark):
+    """r14 (VERDICT r13 #4): a streaming encode drain using a LOADED
+    tokenizer artifact — train once, save, load, then foreachBatch-
+    encode micro-batches arriving as files, with the drained output
+    equal to the one-shot batch encode. This is the production shape:
+    the trainer runs rarely, the artifact is what the always-on encode
+    stream holds."""
+    from bda_spadochrony_spark.operators.corpus import (
+        bpe_encode, bpe_load, bpe_save, bpe_train)
+    from bda_spadochrony_spark.streaming.runner import run_foreach_batch
+    from bda_spadochrony_spark.streaming.sources import file_stream
+    texts = [(i, t) for i, t in enumerate(
+        ["low low low lower lowest", "new newer newest news",
+         "aaa banana bandana", "low newer banana low",
+         "üü rocket 🚀 banana", "newest lowest news low"])]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    base = tempfile.mkdtemp(prefix="bda_bpe_stream_")
+    art, in_dir, out, ckpt = (f"{base}/tok", f"{base}/in",
+                              f"{base}/out", f"{base}/ckpt")
+    try:
+        trained = bpe_train(df, "text", n_merges=8, alphabet="bytes")
+        bpe_save(trained, art, alphabet="bytes")
+        tok = bpe_load(spark, art)
+        want = sorted((r["doc_id"], tuple(r["symbols"])) for r in
+                      bpe_encode(df, "doc_id", "text", tok.merges,
+                                 alphabet="bytes").collect())
+        # two staged epochs drained with the SAME loaded artifact
+        for i, half in enumerate(
+                [df.where(F.col("doc_id") % 2 == 0),
+                 df.where(F.col("doc_id") % 2 == 1)]):
+            half.write.parquet(f"{in_dir}/b{i}")
+            q = run_foreach_batch(
+                file_stream(spark, f"{in_dir}/*/*.parquet", df.schema),
+                lambda b, bid: tok.encode(b, "doc_id", "text")
+                .write.mode("append").parquet(out),
+                available_now=True, checkpoint=ckpt)
+            assert q.awaitTermination(120)
+        got = sorted((r["doc_id"], tuple(r["symbols"]))
+                     for r in spark.read.parquet(out).collect())
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_ann_index_hadoop_fs_branch(spark):
     """r14 (VERDICT r13 #1): a ``file://`` index path routes every
     maintenance promote/purge/scan through the Hadoop FileSystem of its
