@@ -378,7 +378,14 @@ def kmeans_centers(df: DataFrame, vec_col: str = "embedding",
     from pyspark.ml.functions import array_to_vector
 
     cv = base.withColumn("features", array_to_vector("v"))
-    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(cv)
+    # initSteps/tol pinned to today's MLlib defaults (r14, VERDICT r13
+    # #5): the fit's WORK is then fixed by (data, seed, k, maxIter)
+    # alone — a library-default drift can never silently change the
+    # artifact or its cost; the remaining run-to-run spread of the
+    # kmeans-backed bench row is scheduling, not fit variance
+    # (measured ±6% over 3 fresh-JVM runs, SCALE.md r14)
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter,
+                initSteps=2, tol=1e-4).fit(cv)
     return spark.createDataFrame(
         [(i, [float(x) for x in c])
          for i, c in enumerate(km.clusterCenters())], schema)

@@ -481,7 +481,32 @@ def main() -> None:
                            "pairs; the top-3 window vs aggregate variants "
                            "measured equal (2.41 vs 2.46). Next lever at "
                            "scale would be tiling the int8 scoring like "
-                           "cosine_topk_blocked, not plan surgery")}},
+                           "cosine_topk_blocked, not plan surgery"),
+                       "stream_ann_index_pq": (
+                           "~16s-class isolated / ~14s artifact at sf0.1 "
+                           "since r13 wired auto-compaction INSIDE the "
+                           "oracle run - the warm_rerun and the artifact "
+                           "measure slightly different work, so do NOT "
+                           "read 15-17s isolated numbers as regressions "
+                           "(VERDICT r13 #7). Measured r13 stage split: "
+                           "fits 0.9 + drain1 4.6 + drain2 4.3 + "
+                           "compact 0.8 + search 5.0; the compact stage "
+                           "is constant in corpus size (folds batch dirs "
+                           "x ~141 cell files into one generation) and "
+                           "the cost class is streaming scheduling, not "
+                           "data volume. Reopen only if the SEARCH leg "
+                           "alone grows past ~6s at sf0.1"),
+                       "embedding_ivf_pq_kmeans": (
+                           "warm centers cache 8.8-10.3s at sf0.1 "
+                           "(3 fresh-JVM runs r14: 9.52/10.27/8.78, "
+                           "spread +/-7.8% with initSteps/tol pinned in "
+                           "kmeans_centers); COLD cache pays the in-query "
+                           "MLlib fit once: ~20.7s measured. The cache "
+                           "key is the embeddings table's mtime/size, so "
+                           "a ~20s-class reading means the driver "
+                           "regenerated testdata in that window - fit "
+                           "inclusion, not a plan regression (SCALE.md "
+                           "r14; closes the r12/r13 watch item)")}},
                   fh, indent=1)
 
     # keep the contract line under the driver's 2 KB stdout tail:
