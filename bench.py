@@ -200,6 +200,10 @@ HEADLINE = [
     ("bpe_train_bytes", "collect"),
     ("pricing_decimal_avg", "collect"),
     ("tokenizer_bytes_trained", "count"),
+    # r14: train->save->load->encode through the persisted tokenizer
+    # artifact (the production loop; ~tokenizer_bytes_trained + the
+    # artifact round-trip)
+    ("bpe_artifact_encode", "count"),
 ]
 
 N_SHARDS = 3

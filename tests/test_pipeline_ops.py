@@ -2305,6 +2305,13 @@ def test_bpe_artifact_roundtrip(spark):
         os.remove(os.path.join(crashed, "meta.json"))
         with pytest.raises(FileNotFoundError, match="meta.json"):
             bpe_load(spark, crashed)
+        # the artifact rides the same fs shim as the ANN index: a
+        # file:// path round-trips through the Hadoop FileSystem branch
+        uri = f"file://{base}/hfs_tok"
+        bpe_save(short, uri, alphabet="chars")
+        tok_h = bpe_load(spark, uri)
+        assert tok_h.merges == [(r["a"], r["b"]) for r in
+                                short.orderBy("rank").collect()]
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
