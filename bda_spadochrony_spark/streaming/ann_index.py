@@ -188,3 +188,56 @@ def stream_ann_index_maintain(stream_vecs: DataFrame, index_path: str,
     centers2, reference2 = ann_index_rebuild(spark, index_path,
                                              n_cells=n_cells, seed=seed)
     return centers2.localCheckpoint(), reference2, True
+
+
+def stream_ann_index_maintain_pq(stream_vecs: DataFrame, index_path: str,
+                                 centers: DataFrame, codebooks: list,
+                                 reference: DataFrame, source: DataFrame,
+                                 id_col: str, vec_col: str = "embedding",
+                                 checkpoint: str | None = None,
+                                 timeout_s: int = 300,
+                                 compact_every: int | None = 8,
+                                 max_kl: float = 0.1,
+                                 max_inflation: float = 1.5,
+                                 n_cells: int | None = None,
+                                 seed: int = 42,
+                                 pack: bool = False,
+                                 retain_folded: bool = False) -> tuple:
+    """The CODES-ONLY layout's one-call maintenance loop (r14 — closing
+    the asymmetry left by r13: `stream_ann_index_maintain` served only
+    the raw layout, but the codes layout is the one a 100 TB index
+    actually holds at rest, measured ~18× smaller). Drain → auto-compact
+    → drift-check → rebuild-if-fired, with ONE structural difference
+    from the raw loop: PQ codes are lossy, so the rebuild cannot refit
+    from the index's own rows — it refits quantizer AND codebooks from
+    ``source``, the (id, vector) corpus side table the PQ search
+    (`ann_index_pq_topk`) already requires for its exact rerank. The
+    caller keeps that table current (it is the corpus of record); at
+    100 TB it is the row store the index is an accelerator FOR, so no
+    extra copy is introduced.
+
+    Returns ``(centers, codebooks, reference, rebuilt)`` — feed all
+    three artifacts to the next call (they only change when ``rebuilt``
+    is True). Same durability story as the raw loop: recovery before
+    the drain (a crashed rebuild rolls back before any append is
+    checkpointed), replay-idempotent ``batch_id=N`` appends,
+    sidecar-guarded promotes, manifest-aware reads; the stream
+    checkpoint is never touched by compaction or rebuild."""
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_drift, ann_index_rebuild_pq)
+
+    spark = stream_vecs.sparkSession
+    stream_ann_index_build_pq(stream_vecs, index_path, centers, codebooks,
+                              id_col, vec_col, checkpoint=checkpoint,
+                              timeout_s=timeout_s, profile=True,
+                              compact_every=compact_every, pack=pack,
+                              retain_folded=retain_folded)
+    decision = ann_index_drift(spark, index_path, centers, reference,
+                               max_kl=max_kl,
+                               max_inflation=max_inflation).collect()[0]
+    if not decision["rebuild"]:
+        return centers, codebooks, reference, False
+    centers2, codebooks2, reference2 = ann_index_rebuild_pq(
+        spark, index_path, source, id_col, vec_col=vec_col,
+        n_cells=n_cells, seed=seed, pack=pack)
+    return centers2.localCheckpoint(), codebooks2, reference2, True

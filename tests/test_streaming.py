@@ -2014,6 +2014,85 @@ def test_stream_ann_index_maintain_full_loop(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_stream_ann_index_maintain_pq_full_loop(spark):
+    """r14: the codes-only layout's one-call maintenance loop — the
+    structural twin of test_stream_ann_index_maintain_full_loop with
+    the PQ difference pinned: the rebuild refits quantizer AND
+    codebooks from the corpus SOURCE table (codes are lossy; the index
+    cannot refit from itself). Call 1: quiet, compacted, artifacts
+    unchanged. Call 2 (drifted batch): fires, rebuilds from source,
+    and the rebuilt index's ADC search equals the one-shot ivf_pq_topk
+    under the returned artifacts. Call 3: quiet again under the new
+    artifacts; checkpoint survives the whole loop."""
+    import numpy as np
+
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_pq_topk, ivf_pq_topk, kmeans_centers, pq_codebooks,
+        quantizer_profile)
+    from bda_spadochrony_spark.streaming.ann_index import (
+        stream_ann_index_maintain_pq)
+    from bda_spadochrony_spark.streaming.sources import file_stream
+    rng = np.random.RandomState(31)
+    fit = spark.createDataFrame(
+        [(i, (rng.randn(64) * 0.3 + (i % 4) * 5.0).tolist())
+         for i in range(120)], "vec_id: long, embedding: array<double>")
+    drifted = spark.createDataFrame(
+        [(1000 + i, (rng.randn(64) * 0.3 + (i % 2) * 11.0 + 2.5)
+          .tolist()) for i in range(240)],
+        "vec_id: long, embedding: array<double>")
+    centers = kmeans_centers(fit, "embedding", n_cells=4, seed=42) \
+        .localCheckpoint()
+    cbs = pq_codebooks(fit, "vec_id")
+    ref = quantizer_profile(fit, centers, "vec_id").localCheckpoint()
+    base = tempfile.mkdtemp(prefix="bda_annidx_maintpq_")
+    in_dir, index, ckpt = f"{base}/in", f"{base}/index", f"{base}/ckpt"
+    schema = fit.schema
+    try:
+        fit.where(F.col("vec_id") % 2 == 0).write.parquet(f"{in_dir}/b0")
+        fit.where(F.col("vec_id") % 2 == 1).write.parquet(f"{in_dir}/b1")
+        c1, cb1, r1, rebuilt1 = stream_ann_index_maintain_pq(
+            file_stream(spark, f"{in_dir}/*/*.parquet", schema),
+            index, centers, cbs, ref, fit, "vec_id", checkpoint=ckpt,
+            compact_every=1, n_cells=4, seed=42)
+        assert not rebuilt1
+        assert c1 is centers and cb1 is cbs and r1 is ref
+        dirs = sorted(d for d in os.listdir(index)
+                      if d.startswith("batch_id="))
+        assert dirs == ["batch_id=-1"], dirs   # compacted at threshold
+        # codes-only at rest: no vector column in the index
+        assert "cvec" not in spark.read.parquet(index).columns
+        union = fit.unionByName(drifted).localCheckpoint()
+        drifted.write.parquet(f"{in_dir}/b2")
+        c2, cb2, r2, rebuilt2 = stream_ann_index_maintain_pq(
+            file_stream(spark, f"{in_dir}/*/*.parquet", schema),
+            index, c1, cb1, r1, union, "vec_id", checkpoint=ckpt,
+            compact_every=1, n_cells=4, seed=42)
+        assert rebuilt2
+        got = sorted((r["query_id"], r["corpus_id"],
+                      round(r["cosine"], 9)) for r in
+                     ann_index_pq_topk(spark, index, union, "vec_id",
+                                       vectors=union, centers=c2,
+                                       codebooks=cb2, k=2,
+                                       n_candidates=8,
+                                       n_probe=2).collect())
+        # ivf_pq_topk refits its own codebooks internally with the same
+        # deterministic-subset convention rebuild_pq used over the same
+        # source rows, so cb2 and the one-shot fit coincide
+        want = sorted((r["query_id"], r["corpus_id"],
+                       round(r["cosine"], 9)) for r in
+                      ivf_pq_topk(union, "vec_id", k=2, n_probe=2,
+                                  centers=c2,
+                                  n_candidates=8).collect())
+        assert got == want
+        c3, cb3, r3, rebuilt3 = stream_ann_index_maintain_pq(
+            file_stream(spark, f"{in_dir}/*/*.parquet", schema),
+            index, c2, cb2, r2, union, "vec_id", checkpoint=ckpt,
+            compact_every=1, n_cells=4, seed=42)
+        assert not rebuilt3                    # nothing new, no drift
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_ann_index_initial_build_crash_promotes_forward(spark):
     """r13: the one whole-index promote that stands FORWARD — the
     initial bulk build (ann_index_rebuild_pq with no pre-existing
