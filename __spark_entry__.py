@@ -1105,8 +1105,11 @@ def q_embedding_ivf_pq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     centers_dir = _roundtrip_cache_dir(
         "kmc_s42", sf_dir,
+        # repartition(1), not coalesce(1): coalescing a LocalTableScan
+        # (the centers are a createDataFrame'd list) measured ~5 s of
+        # scheduling stall per write at local[32] (r14, bpe_save A/B)
         lambda staging: kmeans_centers(emb, "embedding", seed=42)
-        .coalesce(1).write.mode("overwrite").parquet(staging),
+        .repartition(1).write.mode("overwrite").parquet(staging),
         src_name="embeddings.parquet")
     centers = spark.read.parquet(centers_dir)
     out = ivf_pq_topk(emb, "vec_id", k=3, n_probe=2, centers=centers)
