@@ -62,33 +62,66 @@ def main() -> None:
     emb.where(F.col("vec_id") % 2 == 1).write.parquet(f"{in_dir}/b1")
     schema = emb.schema
 
+    only_pq = os.environ.get("ONLY_PQ") == "1"
     # stage split, the maintain loop's own order
-    clock("drain_2_epochs", lambda: stream_ann_index_build(
+    only_pq or clock("drain_2_epochs", lambda: stream_ann_index_build(
         file_stream(spark, f"{in_dir}/*/*.parquet", schema),
         index, centers, "vec_id", checkpoint=ckpt, profile=True))
-    clock("compact", lambda: ann_index_compact(spark, index))
-    reference = (spark.read.parquet(f"{index}/_profile")
-                 .groupBy("cell")
-                 .agg(F.sum("n").alias("n"),
-                      (F.sum("sum_d2") / F.sum("n")).alias("mean_d2")))
-    reference = (centers.select("cell").join(reference, "cell", "left")
-                 .select("cell", F.coalesce("n", F.lit(0)).alias("n"),
-                         "mean_d2").localCheckpoint())
-    clock("drift_check", lambda: ann_index_drift(
-        spark, index, centers, reference).collect())
-    # the expensive leg: rebuild = refit kmeans on the index's own rows
-    # + one full re-layout write (a compaction under new centers)
-    clock("rebuild", lambda: ann_index_rebuild(spark, index, seed=43))
+    if not only_pq:
+        clock("compact", lambda: ann_index_compact(spark, index))
+    if only_pq:
+        # true fit-time census (one corpus pass) so the quiet pass
+        # really is quiet when the raw index was never built
+        from bda_spadochrony_spark.operators.similarity import (
+            quantizer_profile)
+        reference = quantizer_profile(emb, centers, "vec_id") \
+            .localCheckpoint()
+    else:
+        reference = (spark.read.parquet(f"{index}/_profile")
+                     .groupBy("cell")
+                     .agg(F.sum("n").alias("n"),
+                          (F.sum("sum_d2") / F.sum("n"))
+                          .alias("mean_d2")))
+        reference = (centers.select("cell")
+                     .join(reference, "cell", "left")
+                     .select("cell",
+                             F.coalesce("n", F.lit(0)).alias("n"),
+                             "mean_d2").localCheckpoint())
+        clock("drift_check", lambda: ann_index_drift(
+            spark, index, centers, reference).collect())
+        # the expensive leg: rebuild = refit kmeans on the index's own
+        # rows + one full re-layout write (a compaction under new
+        # centers)
+        clock("rebuild", lambda: ann_index_rebuild(spark, index,
+                                                   seed=43))
 
-    # one-call composition, fresh index/checkpoint: quiet pass (drift
-    # does not fire) and forced-rebuild pass (max_kl=-1)
-    for tag, kl in (("maintain_quiet", 0.1), ("maintain_rebuild", -1.0)):
+        # one-call composition, fresh index/checkpoint: quiet pass
+        # (drift does not fire) and forced-rebuild pass (max_kl=-1)
+        for tag, kl in (("maintain_quiet", 0.1),
+                        ("maintain_rebuild", -1.0)):
+            idx2, ck2 = f"{base}/{tag}", f"{base}/{tag}_ck"
+            clock(tag, lambda idx2=idx2, ck2=ck2, kl=kl:
+                  stream_ann_index_maintain(
+                      file_stream(spark, f"{in_dir}/*/*.parquet",
+                                  schema),
+                      idx2, centers, reference, "vec_id",
+                      checkpoint=ck2, compact_every=2, max_kl=kl))
+
+    # codes-layout loop (r14): the PQ rebuild refits quantizer AND
+    # codebooks from the corpus source and re-encodes everything —
+    # budget it as fit + full re-encode, the costliest maintenance leg
+    from bda_spadochrony_spark.operators.similarity import pq_codebooks
+    from bda_spadochrony_spark.streaming.ann_index import (
+        stream_ann_index_maintain_pq)
+    cbs = clock("fit_codebooks", lambda: pq_codebooks(emb, "vec_id"))
+    for tag, kl in (("maintain_pq_quiet", 0.1),
+                    ("maintain_pq_rebuild", -1.0)):
         idx2, ck2 = f"{base}/{tag}", f"{base}/{tag}_ck"
         clock(tag, lambda idx2=idx2, ck2=ck2, kl=kl:
-              stream_ann_index_maintain(
+              stream_ann_index_maintain_pq(
                   file_stream(spark, f"{in_dir}/*/*.parquet", schema),
-                  idx2, centers, reference, "vec_id", checkpoint=ck2,
-                  compact_every=2, max_kl=kl))
+                  idx2, centers, cbs, reference, emb, "vec_id",
+                  checkpoint=ck2, compact_every=2, max_kl=kl))
     print(json.dumps({"sf_dir": sf_dir, "rows": emb.count(),
                       "stages_sec": t}))
 
