@@ -219,7 +219,16 @@ CANARY_REF = {
     "hourly_agg": 0.33,        # report-only
     "minhash_near_dup": 3.42,  # gating — CLOSED shuffle-bound floor
     "pca_invariants": 3.53,    # gating — untouched-path marker of r10
+    # report-only streaming-temperature sensor (r14): the batch canaries
+    # cannot see streaming-scheduler warmth — the r14 mover analysis
+    # proved a window where batch gates read 0.76-0.97 while UNCHANGED
+    # streaming queries ran ~1.3x their r13 ledger (same-window r13-code
+    # A/B in SCALE.md). Ref = the r13-certified cool-window floor, so
+    # the recorded ratio reads streaming temperature directly; NEVER
+    # gates (streaming swings would thrash the retry loop).
+    "stream_near_dup": 7.13,
 }
+CANARY_REPORT_ONLY = {"hourly_agg", "stream_near_dup"}
 CANARY_GATE_MIN_REF = 1.0      # refs below this report but never gate
 CANARY_MAX_RATIO = 1.4
 CANARY_SOFT_RATIO = 1.2        # accepted-but-hot (r13, VERDICT r12 #7):
@@ -289,6 +298,7 @@ def run_shard(shard: int, final: bool = True) -> None:
               for n in CANARY_REF}
     gate = max((ratios[n] for n in CANARY_REF
                 if CANARY_REF[n] >= CANARY_GATE_MIN_REF
+                and n not in CANARY_REPORT_ONLY
                 and ratios[n] is not None), default=None)
     if not final and gate is not None and gate > CANARY_MAX_RATIO:
         print(json.dumps({"canary_degraded": True, "canary": canary,

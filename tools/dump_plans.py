@@ -100,6 +100,10 @@ QUERIES = [
     # exact decimal avg/ratio surface (map + one combined shuffle), and
     # the train->encode loop with a data-dependent merge table
     "bpe_train_bytes", "pricing_decimal_avg", "tokenizer_bytes_trained",
+    # round 14: train->save->load->encode through the persisted
+    # tokenizer artifact (plan = the trained encode over literal merges
+    # collected from the artifact; the save/load IO is pre-plan)
+    "bpe_artifact_encode",
 ]
 
 
