@@ -140,10 +140,21 @@ class HadoopFS:
             raise OSError(f"delete failed: {path}")
 
     def read_text(self, path: str) -> str:
+        # dependency-free read through java.io only (r14): sidecar
+        # reads must not hinge on commons-io being on the classpath —
+        # a missing helper class would make EVERY sidecar unreadable,
+        # and recovery must never mistake an environment problem for a
+        # torn sidecar (see _load_sidecar's narrow torn-detection)
         stream = self._fs.open(self._p(path))
         try:
-            return self._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8")
+            reader = self._jvm.java.io.BufferedReader(
+                self._jvm.java.io.InputStreamReader(stream, "UTF-8"))
+            parts = []
+            line = reader.readLine()
+            while line is not None:
+                parts.append(line)
+                line = reader.readLine()
+            return "\n".join(parts)
         finally:
             stream.close()
 

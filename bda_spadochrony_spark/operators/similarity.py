@@ -732,12 +732,26 @@ def _load_sidecar(fs, path: str):
     if not fs.exists(path):
         return None
     try:
-        return json.loads(fs.read_text(path))
-    except Exception:
-        # unparseable JSON, a read race with recovery, or a
-        # checksum-corrupt file on a checksummed Hadoop filesystem —
-        # all read as the sidecar not (yet) existing
-        return None
+        text = fs.read_text(path)
+    except FileNotFoundError:
+        return None                 # read race with recovery's cleanup
+    except Exception as ex:
+        # Only TORN-WRITE evidence may read as "promote never started":
+        # a checksum mismatch (checksummed Hadoop FS caught a partial
+        # write) or a vanished file. Any OTHER read failure — permission,
+        # network, missing class, quota — must RAISE: treating an
+        # environment problem as a missing sidecar would let recovery
+        # drop the sidecar and the orphan sweep delete the moved-aside
+        # copy it still names (r14 — the narrow-except rule).
+        msg = str(ex)
+        if ("ChecksumException" in msg or "Checksum error" in msg
+                or "FileNotFoundException" in msg):
+            return None
+        raise
+    try:
+        return json.loads(text)
+    except ValueError:
+        return None                 # torn mid-write: not yet valid JSON
 
 
 def _gc_orphans(fs, index_path: str) -> None:
@@ -764,9 +778,19 @@ def _gc_orphans(fs, index_path: str) -> None:
     listed = parent or "."
     if not name or not fs.isdir(listed):
         return
+    # staging-type siblings (rebuild_/compact_) are always redundant
+    # copies of work not yet promoted; moved-ASIDE siblings (old_/
+    # oldgen_) are only redundant when the thing they would restore is
+    # alive — if the live target is missing, the "orphan" may be the
+    # only surviving copy (defense in depth, r14: reachable only
+    # through a bug or manual surgery, and data beats cleanliness)
+    pats = ["rebuild_", "compact_"]
+    if fs.isdir(index_path):
+        pats.append("old_")
+        if fs.isdir(f"{index_path}/batch_id=-1"):
+            pats.append("oldgen_")
     for entry in fs.listdir(listed):
-        if any(entry.startswith(f"{name}__{pat}")
-               for pat in ("rebuild_", "compact_", "oldgen_", "old_")):
+        if any(entry.startswith(f"{name}__{pat}") for pat in pats):
             p = f"{parent}/{entry}" if parent else entry
             if fs.isdir(p):
                 fs.rmtree(p)

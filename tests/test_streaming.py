@@ -1582,6 +1582,73 @@ def test_ann_index_search_racing_compaction_semantics(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_sidecar_read_errors_are_not_torn_writes():
+    """r14 (narrow-except rule): only torn-WRITE evidence — invalid
+    JSON, a checksum mismatch, a vanished file — may read as 'promote
+    never started'. Any other read failure (permission, network,
+    missing class) must RAISE: if an environment problem were treated
+    as a missing sidecar, recovery would drop the sidecar and the
+    orphan sweep could delete the moved-aside copy it still names."""
+    from bda_spadochrony_spark.operators.similarity import _load_sidecar
+
+    class FakeFS:
+        def __init__(self, exc=None, text=None):
+            self.exc, self.text = exc, text
+
+        def exists(self, p):
+            return True
+
+        def read_text(self, p):
+            if self.exc:
+                raise self.exc
+            return self.text
+
+    assert _load_sidecar(FakeFS(text='{"a": 1}'), "x") == {"a": 1}
+    assert _load_sidecar(FakeFS(text='{"a": '), "x") is None   # torn
+    assert _load_sidecar(
+        FakeFS(exc=RuntimeError("ChecksumException: at 0")), "x") is None
+    assert _load_sidecar(FakeFS(exc=FileNotFoundError()), "x") is None
+    with pytest.raises(PermissionError):
+        _load_sidecar(FakeFS(exc=PermissionError("denied")), "x")
+    with pytest.raises(RuntimeError, match="quota"):
+        _load_sidecar(FakeFS(exc=RuntimeError("quota exceeded")), "x")
+
+
+def test_gc_orphans_never_deletes_sole_surviving_copy():
+    """r14 (defense in depth): the orphan sweep deletes staging-type
+    siblings unconditionally (they are never data), but a moved-ASIDE
+    sibling (__old_/__oldgen_) is only swept when the live target it
+    would restore exists — if the index (or its generation) is missing,
+    the 'orphan' may be the only surviving copy and must be kept."""
+    import json
+
+    from bda_spadochrony_spark.fs import LocalFS
+    from bda_spadochrony_spark.operators.similarity import _gc_orphans
+    fs = LocalFS()
+    base = tempfile.mkdtemp(prefix="bda_gc_guard_")
+    index = os.path.join(base, "idx")
+    try:
+        # index MISSING: old/oldgen kept, staging-type still swept
+        os.makedirs(f"{index}__old_x")
+        os.makedirs(f"{index}__oldgen_y")
+        os.makedirs(f"{index}__rebuild_z")
+        _gc_orphans(fs, index)
+        assert os.path.isdir(f"{index}__old_x")
+        assert os.path.isdir(f"{index}__oldgen_y")
+        assert not os.path.exists(f"{index}__rebuild_z")
+        # index present but NO generation: old swept, oldgen kept
+        os.makedirs(index)
+        _gc_orphans(fs, index)
+        assert not os.path.exists(f"{index}__old_x")
+        assert os.path.isdir(f"{index}__oldgen_y")
+        # generation present too: everything reclaimable
+        os.makedirs(os.path.join(index, "batch_id=-1"))
+        _gc_orphans(fs, index)
+        assert not os.path.exists(f"{index}__oldgen_y")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_ann_index_torn_sidecar_tolerated(spark):
     """r14 (r13 ADVICE, medium): sidecars are now written atomically
     (temp + rename), and a TORN sidecar — only possible on filesystems
