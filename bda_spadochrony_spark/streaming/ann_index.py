@@ -150,7 +150,8 @@ def stream_ann_index_maintain(stream_vecs: DataFrame, index_path: str,
                               max_kl: float = 0.1,
                               max_inflation: float = 1.5,
                               n_cells: int | None = None,
-                              seed: int = 42) -> tuple:
+                              seed: int = 42,
+                              retain_folded: bool = False) -> tuple:
     """The WHOLE maintenance loop as one call (r13 — the function a
     production operator actually schedules): drain the available
     micro-batches into the raw-layout index (`stream_ann_index_build`,
@@ -179,7 +180,8 @@ def stream_ann_index_maintain(stream_vecs: DataFrame, index_path: str,
     stream_ann_index_build(stream_vecs, index_path, centers, id_col,
                            vec_col, checkpoint=checkpoint,
                            timeout_s=timeout_s, profile=True,
-                           compact_every=compact_every)
+                           compact_every=compact_every,
+                           retain_folded=retain_folded)
     decision = ann_index_drift(spark, index_path, centers, reference,
                                max_kl=max_kl,
                                max_inflation=max_inflation).collect()[0]
