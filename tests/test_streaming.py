@@ -1427,6 +1427,111 @@ def test_ann_index_rebuild_crash_matrix(spark, monkeypatch):
     real_rmtree(base, ignore_errors=True)
 
 
+def test_ann_index_rebuild_crash_matrix_hadoop_fs(spark, monkeypatch):
+    """r14: the rebuild crash matrix through the Hadoop-FS branch —
+    fault-inject every HadoopFS mutation of a file:// index's
+    whole-index promote (sidecar write rename, the two promote renames,
+    the old purge, the sidecar remove) and pin the same ROLLBACK policy
+    the local matrix proves: wherever the pre-rebuild copy survives,
+    old-centers reads stay exactly correct and recovery restores the
+    original; a (re-)run rebuild then converges."""
+    import json
+
+    from bda_spadochrony_spark import fs as fsmod
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append, ann_index_compact, ann_index_rebuild,
+        ann_index_topk, ivf_topk, kmeans_centers)
+    from bda_spadochrony_spark.sources.readers import scan
+    emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    centers_old = kmeans_centers(emb, "embedding", n_cells=4, seed=7) \
+        .localCheckpoint()
+    base = tempfile.mkdtemp(prefix="bda_annidx_hrebmx_")
+    proto = os.path.join(base, "proto")
+    ann_index_append(emb, 0, proto, centers_old, "vec_id", profile=True)
+
+    def search(idx, cents):
+        return sorted((r["query_id"], r["corpus_id"],
+                       round(r["cosine"], 9)) for r in
+                      ann_index_topk(spark, idx, emb, "vec_id",
+                                     centers=cents, k=2,
+                                     n_probe=2).collect())
+
+    want_old = search(proto, centers_old)
+
+    state = {"budget": None, "count": 0}
+
+    def spend(path):
+        if state["budget"] is not None and "annidx_hrebmx" in str(path):
+            if state["count"] >= state["budget"]:
+                raise RuntimeError("injected crash")
+            state["count"] += 1
+
+    real_replace = fsmod.HadoopFS.replace
+    real_rmtree = fsmod.HadoopFS.rmtree
+    real_remove = fsmod.HadoopFS.remove
+    monkeypatch.setattr(
+        fsmod.HadoopFS, "replace",
+        lambda self, s, d: (spend(s), real_replace(self, s, d))[1])
+    monkeypatch.setattr(
+        fsmod.HadoopFS, "rmtree",
+        lambda self, p: (spend(p), real_rmtree(self, p))[1])
+    monkeypatch.setattr(
+        fsmod.HadoopFS, "remove",
+        lambda self, p: (spend(p) if str(p).endswith(".json") else None,
+                         real_remove(self, p))[1])
+
+    clean_seen = False
+    for k in range(0, 10):
+        real = os.path.join(base, f"run{k}")
+        uri = f"file://{real}"
+        state["budget"] = None
+        shutil.rmtree(real, ignore_errors=True)
+        shutil.copytree(proto, real)
+        state["budget"], state["count"] = k, 0
+        try:
+            ann_index_rebuild(spark, uri, n_cells=4, seed=42)
+            crashed = False
+        except RuntimeError:
+            crashed = True
+        state["budget"] = None
+        pending = f"{real}__pending.json"
+        old_dir = None
+        if os.path.exists(pending):
+            try:
+                meta = json.load(open(pending))
+                od = meta.get("old")
+                # sidecar paths are file:// URIs here
+                od_real = od.replace("file://", "") if od else None
+                old_dir = od_real if od_real and os.path.isdir(od_real) \
+                    else None
+            except ValueError:
+                pass
+        rolled_back = old_dir is not None
+        if crashed and rolled_back:
+            assert search(uri, centers_old) == want_old, \
+                f"hfs crash point {k}: old-centers read diverged"
+        ann_index_compact(spark, uri)
+        assert os.path.isdir(real), k
+        assert not os.path.exists(pending), k
+        assert not [d for d in os.listdir(base)
+                    if d.startswith(f"run{k}__")], k
+        if crashed and rolled_back:
+            assert search(uri, centers_old) == want_old, k
+        c2, _ = ann_index_rebuild(spark, uri, n_cells=4, seed=42)
+        got = search(uri, c2)
+        want_new = sorted((r["query_id"], r["corpus_id"],
+                           round(r["cosine"], 9)) for r in
+                          ivf_topk(emb, emb, "vec_id", "vec_id", k=2,
+                                   n_lists=4, n_probe=2,
+                                   centers=c2).collect())
+        assert got == want_new, f"hfs crash point {k}: redo diverged"
+        if not crashed:
+            clean_seen = True
+            break
+    assert clean_seen, "fault budget never exceeded the mutation count"
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_ann_index_rebuild_recovers_mid_promote(spark):
     """r13 (r12 ADVICE): a crash between ann_index_rebuild's two
     renames (index moved aside, staging not yet promoted) leaves NO
