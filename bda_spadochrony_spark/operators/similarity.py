@@ -707,9 +707,13 @@ def ann_index_drift(spark, index_path: str, centers: DataFrame,
     from bda_spadochrony_spark.operators.similarity import (  # noqa: F401
         drift_decision, quantizer_drift)
     # a maintenance entry point: complete any crashed promote first so
-    # the _profile sidecars read from the live index, not a stranded one
+    # the _profile sidecars read from the live index, not a stranded
+    # one. purge_folded=False: the monitor reads no batch data, and a
+    # retain_folded fold's reader-grace dirs must survive the drift
+    # check that runs in the same maintain call (r14)
     from bda_spadochrony_spark.fs import index_fs
-    _ann_index_recover(index_path, fs=index_fs(index_path, spark))
+    _ann_index_recover(index_path, fs=index_fs(index_path, spark),
+                       purge_folded=False)
     prof = (spark.read.parquet(f"{index_path}/_profile")
             .groupBy("cell")
             .agg(F.sum("n").alias("n"),
@@ -796,7 +800,8 @@ def _gc_orphans(fs, index_path: str) -> None:
                 fs.rmtree(p)
 
 
-def _ann_index_recover(index_path: str, fs=None) -> None:
+def _ann_index_recover(index_path: str, fs=None,
+                       purge_folded: bool = True) -> None:
     """Complete any crashed promote or purge a maintenance operation
     left behind (r13, closing the r12 ADVICE crash windows): every
     multi-step replace in this module records a PENDING SIDECAR before
@@ -883,12 +888,17 @@ def _ann_index_recover(index_path: str, fs=None) -> None:
                     if d and fs.isdir(d):
                         fs.rmtree(d)
                 fs.remove(gpending)
-        manifest = f"{gen}/_folded.json"
-        folded = _load_sidecar(fs, manifest)
-        for d in folded or []:
-            leftover = f"{index_path}/{d}"
-            if fs.exists(leftover):
-                fs.rmtree(leftover)
+        # purge_folded=False (r14): the drift check opts out — it reads
+        # only the _profile sidecars, and sweeping retain_folded's
+        # grace dirs from inside the same maintain call would cancel
+        # the one-maintenance-interval reader grace the fold granted
+        if purge_folded:
+            manifest = f"{gen}/_folded.json"
+            folded = _load_sidecar(fs, manifest)
+            for d in folded or []:
+                leftover = f"{index_path}/{d}"
+                if fs.exists(leftover):
+                    fs.rmtree(leftover)
     _gc_orphans(fs, index_path)
 
 

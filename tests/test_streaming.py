@@ -1736,10 +1736,12 @@ def test_ann_index_search_racing_compaction_semantics(spark):
     base = tempfile.mkdtemp(prefix="bda_annidx_race_")
 
     def build(idx):
+        # profile=True so the drift-check leg of the grace test below
+        # has its _profile sidecars
         ann_index_append(emb.where(F.col("vec_id") % 2 == 0), 0, idx,
-                         centers, "vec_id")
+                         centers, "vec_id", profile=True)
         ann_index_append(emb.where(F.col("vec_id") % 2 == 1), 1, idx,
-                         centers, "vec_id")
+                         centers, "vec_id", profile=True)
 
     def rows(df):
         return sorted((r["query_id"], r["corpus_id"],
@@ -1769,6 +1771,18 @@ def test_ann_index_search_racing_compaction_semantics(spark):
         kept = sorted(d for d in os.listdir(idx2)
                       if d.startswith("batch_id="))
         assert kept == ["batch_id=-1", "batch_id=0", "batch_id=1"], kept
+        # the drift check runs inside the same maintain call as the
+        # fold and reads only _profile sidecars — it must NOT sweep the
+        # grace dirs (purge_folded=False, r14), or retain_folded would
+        # be cancelled milliseconds after it was granted
+        from bda_spadochrony_spark.operators.similarity import (
+            ann_index_drift, quantizer_profile)
+        ref = quantizer_profile(emb, centers, "vec_id").localCheckpoint()
+        ann_index_drift(spark, idx2, centers, ref).collect()
+        still = sorted(d for d in os.listdir(idx2)
+                       if d.startswith("batch_id="))
+        assert still == ["batch_id=-1", "batch_id=0", "batch_id=1"], still
+        assert rows(stale2) == want           # grace survives the check
         # the NEXT maintenance call sweeps the retained dirs (recovery's
         # manifest purge — also what makes an immediate re-compact safe
         # from double-folding them)
