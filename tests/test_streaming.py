@@ -1226,6 +1226,110 @@ def test_ann_index_compact_crash_matrix(spark, monkeypatch):
     real_rmtree(base, ignore_errors=True)
 
 
+def test_ann_index_double_crash_matrix(spark, monkeypatch):
+    """r14 — one proof level up from the r13 single-crash matrices:
+    RECOVERY ITSELF is a sequence of filesystem mutations, so a crash
+    during recovery of a crashed compaction leaves a second-order
+    state. For EVERY compaction crash point k1 × every recovery crash
+    point k2: crash the compact at k1, crash the recovering compact at
+    k2, then run one unfaulted maintenance call — the index must
+    converge to exactly one clean generation with unchanged search
+    results. This pins that recovery is IDEMPOTENT under partial
+    execution (each step re-derives from on-disk state, never from
+    memory of prior steps)."""
+    import os as os_mod
+    import shutil as shutil_mod
+
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append, ann_index_compact, ann_index_topk)
+    from bda_spadochrony_spark.sources.readers import scan
+    emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    centers = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid")).localCheckpoint()
+    base = tempfile.mkdtemp(prefix="bda_annidx_dmatrix_")
+
+    proto = os.path.join(base, "proto")
+    ann_index_append(emb.where(F.col("vec_id") % 3 == 0), 0, proto,
+                     centers, "vec_id")
+    ann_index_append(emb.where(F.col("vec_id") % 3 != 0), 1, proto,
+                     centers, "vec_id")
+
+    def search(idx):
+        return sorted((r["query_id"], r["corpus_id"],
+                       round(r["cosine"], 9)) for r in
+                      ann_index_topk(spark, idx, emb, "vec_id",
+                                     centers=centers, k=3,
+                                     n_probe=4).collect())
+
+    want = search(proto)
+
+    real_replace = os_mod.replace
+    real_rmtree = shutil_mod.rmtree
+    real_remove = os_mod.remove
+    state = {"budget": None, "count": 0}
+
+    def spend(path):
+        if state["budget"] is not None and "annidx_dmatrix" in str(path):
+            if state["count"] >= state["budget"]:
+                raise RuntimeError("injected crash")
+            state["count"] += 1
+
+    monkeypatch.setattr(os_mod, "replace",
+                        lambda s, d: (spend(s), real_replace(s, d))[1])
+    monkeypatch.setattr(shutil_mod, "rmtree",
+                        lambda p, *a, **kw: (spend(p),
+                                             real_rmtree(p, *a, **kw))[1])
+    monkeypatch.setattr(
+        os_mod, "remove",
+        lambda p: (spend(p) if str(p).endswith(".json") else None,
+                   real_remove(p))[1])
+
+    covered = 0
+    for k1 in range(0, 10):
+        k2_crashed_any = False
+        for k2 in range(0, 10):
+            idx = os.path.join(base, f"run{k1}_{k2}")
+            state["budget"] = None
+            real_rmtree(idx, ignore_errors=True)
+            shutil_mod.copytree(proto, idx)
+            # first-order crash: the compaction dies at point k1
+            state["budget"], state["count"] = k1, 0
+            try:
+                ann_index_compact(spark, idx)
+                crashed1 = False
+            except RuntimeError:
+                crashed1 = True
+            # second-order crash: the RECOVERING call dies at point k2
+            state["budget"], state["count"] = k2, 0
+            try:
+                ann_index_compact(spark, idx)
+                crashed2 = False
+            except RuntimeError:
+                crashed2 = True
+            state["budget"] = None
+            # read isolation even in the second-order state
+            assert search(idx) == want, f"({k1},{k2}): search diverged"
+            # one unfaulted call converges from ANY double-crash state
+            ann_index_compact(spark, idx)
+            dirs = sorted(d for d in os.listdir(idx)
+                          if d.startswith("batch_id="))
+            assert dirs == ["batch_id=-1"], (k1, k2, dirs)
+            assert not os.path.exists(
+                os.path.join(idx, "_compact_pending.json"))
+            assert not [d for d in os.listdir(base)
+                        if d.startswith(f"run{k1}_{k2}__")], (k1, k2)
+            assert search(idx) == want, f"({k1},{k2}): post-recovery"
+            covered += 1
+            k2_crashed_any = k2_crashed_any or crashed2
+            if not crashed2:
+                break          # k2 beyond this recovery's mutation count
+        if not crashed1:
+            break              # k1 beyond the compaction's mutation count
+    assert covered >= 12, f"matrix too small to mean anything: {covered}"
+    real_rmtree(base, ignore_errors=True)
+
+
 def test_ann_index_compact_crash_matrix_hadoop_fs(spark, monkeypatch):
     """r14 (VERDICT r13 #1, the stronger form): the compact crash
     matrix re-proved THROUGH THE HADOOP-FS BRANCH — fault-inject every
