@@ -31,7 +31,8 @@ def canon(rows, cols):
     return sorted([tuple(norm(r[i]) for i in order) for r in rows],
                   key=lambda t: tuple((v is None, str(v)) for v in t))
 qs, osql, fails = e.queries(), e.oracle_sql(), 0
-lo, hi = int(sys.argv[1]), int(sys.argv[2])
+lo = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+hi = int(sys.argv[2]) if len(sys.argv) > 2 else 50
 for name in list(qs)[lo:hi]:
     try:
         sdf = qs[name](spark, sf)
