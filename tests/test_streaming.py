@@ -2085,6 +2085,55 @@ def test_stream_drain_recovers_crashed_rebuild_before_append(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_stream_pq_drain_recovers_crashed_rebuild_before_append(spark):
+    """r14: the PQ drain's twin of the recovery-before-drain data-loss
+    pin — stream_ann_index_build_pq has its own recovery call, so a
+    regression there would not be caught by the raw drain's test. Same
+    scenario: crashed rebuild state, then a checkpointed PQ drain of
+    new rows, then maintenance — every checkpointed row must survive."""
+    import json
+
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append_pq, ann_index_compact, pq_codebooks)
+    from bda_spadochrony_spark.sources.readers import scan
+    from bda_spadochrony_spark.streaming.ann_index import (
+        stream_ann_index_build_pq)
+    from bda_spadochrony_spark.streaming.sources import file_stream
+    emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    centers = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid")).localCheckpoint()
+    cbs = pq_codebooks(emb, "vec_id")
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    base = tempfile.mkdtemp(prefix="bda_annidx_pqdrainrec_")
+    in_dir, index, ckpt = f"{base}/in", f"{base}/index", f"{base}/ckpt"
+    staged = emb.select("vec_id", "embedding")
+    schema = staged.schema
+    try:
+        staged.where(F.col("vec_id") % 2 == 0).write.parquet(f"{in_dir}/b0")
+        stream_ann_index_build_pq(
+            file_stream(spark, f"{in_dir}/*/*.parquet", schema),
+            index, centers, cbs, "vec_id", checkpoint=ckpt)
+        staging = f"{index}__rebuild_stage"
+        old = f"{index}__old_crashed"
+        shutil.copytree(index, staging)
+        os.replace(index, old)
+        json.dump({"staging": staging, "old": old},
+                  open(f"{index}__pending.json", "w"))
+        staged.where(F.col("vec_id") % 2 == 1).write.parquet(f"{in_dir}/b1")
+        stream_ann_index_build_pq(
+            file_stream(spark, f"{in_dir}/*/*.parquet", schema),
+            index, centers, cbs, "vec_id", checkpoint=ckpt)
+        ann_index_compact(spark, index)
+        got = {r["corpus_id"] for r in
+               spark.read.parquet(index).select("corpus_id").collect()}
+        assert got == all_ids, (
+            f"lost {len(all_ids - got)} checkpointed rows")
+        assert not os.path.exists(f"{index}__pending.json")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_stream_ann_index_auto_compacts(spark):
     """r13 (VERDICT r12 #5): compact_every=N wired into the drain loop
     — three drains with compact_every=2 leave exactly one compacted
