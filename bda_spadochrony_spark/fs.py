@@ -89,6 +89,17 @@ class LocalFS:
                 return True
         return False
 
+    def create_exclusive(self, path: str, text: str) -> None:
+        """Create-if-absent, atomically: raises FileExistsError when the
+        path already exists — the primitive an advisory lease needs."""
+        import os
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, text.encode("utf-8"))
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
 
 class HadoopFS:
     """Hadoop FileSystem through the Spark JVM gateway — works for any
@@ -173,6 +184,22 @@ class HadoopFS:
             if it.next().getPath().getName().endswith(".parquet"):
                 return True
         return False
+
+    def create_exclusive(self, path: str, text: str) -> None:
+        """Create-if-absent via Hadoop's non-overwrite create (atomic on
+        HDFS; object stores weaken this — see the module caveat). Raises
+        FileExistsError when the path already exists."""
+        try:
+            out = self._fs.create(self._p(path), False)
+        except Exception as ex:
+            if ("AlreadyExists" in str(ex)
+                    or "already exists" in str(ex)):
+                raise FileExistsError(path) from None
+            raise
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
 
 
 def index_fs(path: str, spark=None):

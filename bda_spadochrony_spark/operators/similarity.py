@@ -15,6 +15,10 @@ CONCURRENCY CONTRACT of the streamed ANN index (r14, VERDICT r13 #2):
 ONE writer. All maintenance (append / compact / rebuild / drift /
 recover) assumes a single maintenance process per index path — the
 sidecar protocol serializes crash recovery, not concurrent writers.
+Opt-in enforcement: ``ann_index_lease`` (an advisory exclusive-create
+lease with torn/dead-pid/TTL staleness rules) wraps a maintenance
+sequence, and the one-call maintain loops take ``lease_ttl_s=`` to
+hold it for you.
 Readers vs maintenance: ``_ann_index_scan`` enumerates directories at
 PLAN time, so a search planned before a compaction/rebuild promote and
 executed after it FAILS LOUD with Spark's ``FAILED_READ_FILE.
@@ -798,6 +802,90 @@ def _gc_orphans(fs, index_path: str) -> None:
             p = f"{parent}/{entry}" if parent else entry
             if fs.isdir(p):
                 fs.rmtree(p)
+
+
+class MaintenanceLeaseHeld(RuntimeError):
+    """Another maintenance process holds the index's advisory lease."""
+
+
+def ann_index_lease(index_path: str, fs=None, ttl_s: float = 1800.0):
+    """Opt-in ENFORCEMENT of the single-writer contract (r14): an
+    advisory lease file (``{index}__lease.json``, created atomically
+    via exclusive-create) that a maintenance process holds for the
+    duration of its work. The module-level concurrency contract is
+    otherwise documentation-only — two maintainers racing the same
+    index would interleave promotes the sidecar protocol cannot
+    serialize. Use as a context manager around any maintenance
+    sequence (``stream_ann_index_maintain`` takes ``lease_ttl_s=`` to
+    do it for you).
+
+    Staleness rules, in order: a TORN lease (crash during its own
+    write) is stale; a lease held by a dead process ON THIS HOST is
+    stale (pid probe — the cross-host case cannot probe); otherwise a
+    lease older than ``ttl_s`` is stale. A stale lease is broken and
+    re-acquired once; a live one raises ``MaintenanceLeaseHeld``. A
+    crash WHILE HOLDING the lease therefore delays the next maintainer
+    by at most ``ttl_s`` (or not at all, same-host) — the documented
+    trade of the opt-in: availability for mutual exclusion. Release
+    always deletes the file, tolerating a concurrent break."""
+    import contextlib
+    import json
+    import os
+    import socket
+    import time
+    import uuid
+
+    from bda_spadochrony_spark.fs import index_fs
+    fs = fs or index_fs(index_path)
+    path = f"{index_path}__lease.json"
+
+    def _pid_alive(pid) -> bool:
+        try:
+            os.kill(int(pid), 0)
+            return True
+        except (ProcessLookupError, TypeError, ValueError):
+            return False
+        except PermissionError:
+            return True
+
+    @contextlib.contextmanager
+    def _ctx():
+        payload = json.dumps({
+            "pid": os.getpid(), "host": socket.gethostname(),
+            "acquired_at": time.time(), "token": uuid.uuid4().hex})
+        for attempt in (0, 1):
+            try:
+                fs.create_exclusive(path, payload)
+                break
+            except FileExistsError:
+                cur = _load_sidecar(fs, path)
+                if cur is None:
+                    stale = True            # torn mid-write
+                else:
+                    age = time.time() - float(cur.get("acquired_at", 0))
+                    same_host_dead = (
+                        cur.get("host") == socket.gethostname()
+                        and not _pid_alive(cur.get("pid")))
+                    stale = same_host_dead or age > ttl_s
+                if stale and attempt == 0:
+                    try:
+                        fs.remove(path)
+                    except (FileNotFoundError, OSError):
+                        pass                # raced another breaker
+                    continue
+                raise MaintenanceLeaseHeld(
+                    f"index {index_path} maintenance lease held by "
+                    f"{cur and cur.get('host')}:{cur and cur.get('pid')} "
+                    f"(ttl {ttl_s}s)")
+        try:
+            yield
+        finally:
+            try:
+                fs.remove(path)
+            except (FileNotFoundError, OSError):
+                pass                        # broken as stale meanwhile
+
+    return _ctx()
 
 
 def _ann_index_recover(index_path: str, fs=None,

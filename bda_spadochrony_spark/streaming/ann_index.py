@@ -151,7 +151,8 @@ def stream_ann_index_maintain(stream_vecs: DataFrame, index_path: str,
                               max_inflation: float = 1.5,
                               n_cells: int | None = None,
                               seed: int = 42,
-                              retain_folded: bool = False) -> tuple:
+                              retain_folded: bool = False,
+                              lease_ttl_s: float | None = None) -> tuple:
     """The WHOLE maintenance loop as one call (r13 — the function a
     production operator actually schedules): drain the available
     micro-batches into the raw-layout index (`stream_ann_index_build`,
@@ -173,23 +174,34 @@ def stream_ann_index_maintain(stream_vecs: DataFrame, index_path: str,
     durability contract end to end. The stream checkpoint is never
     touched by compaction or rebuild: already-indexed input stays
     indexed, future epochs keep monotonic ids."""
+    import contextlib
+
     from bda_spadochrony_spark.operators.similarity import (
-        ann_index_drift, ann_index_rebuild)
+        ann_index_drift, ann_index_lease, ann_index_rebuild)
 
     spark = stream_vecs.sparkSession
-    stream_ann_index_build(stream_vecs, index_path, centers, id_col,
-                           vec_col, checkpoint=checkpoint,
-                           timeout_s=timeout_s, profile=True,
-                           compact_every=compact_every,
-                           retain_folded=retain_folded)
-    decision = ann_index_drift(spark, index_path, centers, reference,
-                               max_kl=max_kl,
-                               max_inflation=max_inflation).collect()[0]
-    if not decision["rebuild"]:
-        return centers, reference, False
-    centers2, reference2 = ann_index_rebuild(spark, index_path,
-                                             n_cells=n_cells, seed=seed)
-    return centers2.localCheckpoint(), reference2, True
+    # lease_ttl_s (r14): opt-in enforcement of the single-writer
+    # contract — the whole drain→compact→drift→rebuild sequence runs
+    # under the index's advisory lease (ann_index_lease docstring has
+    # the staleness/availability trade)
+    guard = (ann_index_lease(index_path, ttl_s=lease_ttl_s)
+             if lease_ttl_s is not None else contextlib.nullcontext())
+    with guard:
+        stream_ann_index_build(stream_vecs, index_path, centers, id_col,
+                               vec_col, checkpoint=checkpoint,
+                               timeout_s=timeout_s, profile=True,
+                               compact_every=compact_every,
+                               retain_folded=retain_folded)
+        decision = ann_index_drift(spark, index_path, centers, reference,
+                                   max_kl=max_kl,
+                                   max_inflation=max_inflation
+                                   ).collect()[0]
+        if not decision["rebuild"]:
+            return centers, reference, False
+        centers2, reference2 = ann_index_rebuild(spark, index_path,
+                                                 n_cells=n_cells,
+                                                 seed=seed)
+        return centers2.localCheckpoint(), reference2, True
 
 
 def stream_ann_index_maintain_pq(stream_vecs: DataFrame, index_path: str,
@@ -204,7 +216,9 @@ def stream_ann_index_maintain_pq(stream_vecs: DataFrame, index_path: str,
                                  n_cells: int | None = None,
                                  seed: int = 42,
                                  pack: bool = False,
-                                 retain_folded: bool = False) -> tuple:
+                                 retain_folded: bool = False,
+                                 lease_ttl_s: float | None = None
+                                 ) -> tuple:
     """The CODES-ONLY layout's one-call maintenance loop (r14 — closing
     the asymmetry left by r13: `stream_ann_index_maintain` served only
     the raw layout, but the codes layout is the one a 100 TB index
@@ -225,21 +239,28 @@ def stream_ann_index_maintain_pq(stream_vecs: DataFrame, index_path: str,
     checkpointed), replay-idempotent ``batch_id=N`` appends,
     sidecar-guarded promotes, manifest-aware reads; the stream
     checkpoint is never touched by compaction or rebuild."""
+    import contextlib
+
     from bda_spadochrony_spark.operators.similarity import (
-        ann_index_drift, ann_index_rebuild_pq)
+        ann_index_drift, ann_index_lease, ann_index_rebuild_pq)
 
     spark = stream_vecs.sparkSession
-    stream_ann_index_build_pq(stream_vecs, index_path, centers, codebooks,
-                              id_col, vec_col, checkpoint=checkpoint,
-                              timeout_s=timeout_s, profile=True,
-                              compact_every=compact_every, pack=pack,
-                              retain_folded=retain_folded)
-    decision = ann_index_drift(spark, index_path, centers, reference,
-                               max_kl=max_kl,
-                               max_inflation=max_inflation).collect()[0]
-    if not decision["rebuild"]:
-        return centers, codebooks, reference, False
-    centers2, codebooks2, reference2 = ann_index_rebuild_pq(
-        spark, index_path, source, id_col, vec_col=vec_col,
-        n_cells=n_cells, seed=seed, pack=pack)
-    return centers2.localCheckpoint(), codebooks2, reference2, True
+    guard = (ann_index_lease(index_path, ttl_s=lease_ttl_s)
+             if lease_ttl_s is not None else contextlib.nullcontext())
+    with guard:
+        stream_ann_index_build_pq(stream_vecs, index_path, centers,
+                                  codebooks, id_col, vec_col,
+                                  checkpoint=checkpoint,
+                                  timeout_s=timeout_s, profile=True,
+                                  compact_every=compact_every, pack=pack,
+                                  retain_folded=retain_folded)
+        decision = ann_index_drift(spark, index_path, centers, reference,
+                                   max_kl=max_kl,
+                                   max_inflation=max_inflation
+                                   ).collect()[0]
+        if not decision["rebuild"]:
+            return centers, codebooks, reference, False
+        centers2, codebooks2, reference2 = ann_index_rebuild_pq(
+            spark, index_path, source, id_col, vec_col=vec_col,
+            n_cells=n_cells, seed=seed, pack=pack)
+        return centers2.localCheckpoint(), codebooks2, reference2, True

@@ -1899,6 +1899,86 @@ def test_ann_index_search_racing_compaction_semantics(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_ann_index_maintenance_lease(spark):
+    """r14: opt-in enforcement of the single-writer contract — the
+    advisory lease acquires via exclusive-create, blocks a live
+    second maintainer, breaks stale leases (torn / dead same-host pid /
+    past TTL), always releases, and plumbs through the one-call
+    maintain loop via lease_ttl_s."""
+    import json
+    import time
+
+    import numpy as np
+
+    from bda_spadochrony_spark.fs import LocalFS, index_fs
+    from bda_spadochrony_spark.operators.similarity import (
+        MaintenanceLeaseHeld, ann_index_lease, kmeans_centers,
+        quantizer_profile)
+    base = tempfile.mkdtemp(prefix="bda_lease_")
+    idx = os.path.join(base, "idx")
+    lease = f"{idx}__lease.json"
+    try:
+        # acquire / contention / release
+        with ann_index_lease(idx):
+            assert os.path.exists(lease)
+            with pytest.raises(MaintenanceLeaseHeld):
+                with ann_index_lease(idx):
+                    pass
+        assert not os.path.exists(lease)
+        # torn lease breaks
+        with open(lease, "w") as fh:
+            fh.write('{"pid": ')
+        with ann_index_lease(idx):
+            assert json.load(open(lease))["pid"] == os.getpid()
+        # dead same-host pid breaks immediately (TTL not yet expired)
+        import socket
+        json.dump({"pid": 2 ** 22 + 77, "host": socket.gethostname(),
+                   "acquired_at": time.time()}, open(lease, "w"))
+        with ann_index_lease(idx, ttl_s=3600):
+            pass
+        # live FOREIGN lease inside TTL blocks
+        json.dump({"pid": os.getpid(), "host": "another-host",
+                   "acquired_at": time.time()}, open(lease, "w"))
+        with pytest.raises(MaintenanceLeaseHeld):
+            with ann_index_lease(idx, ttl_s=3600):
+                pass
+        # ...but breaks once past TTL
+        json.dump({"pid": os.getpid(), "host": "another-host",
+                   "acquired_at": time.time() - 120}, open(lease, "w"))
+        with ann_index_lease(idx, ttl_s=60):
+            pass
+        assert not os.path.exists(lease)
+        # exclusive-create through the HadoopFS branch (file://)
+        hfs = index_fs(f"file://{base}/h.json", spark)
+        hfs.create_exclusive(f"file://{base}/h.json", "x")
+        with pytest.raises(FileExistsError):
+            hfs.create_exclusive(f"file://{base}/h.json", "y")
+        assert isinstance(index_fs(idx), LocalFS)
+        # plumbing: the one-call maintain loop under a lease (quiet
+        # path) acquires, runs, releases
+        from bda_spadochrony_spark.streaming.ann_index import (
+            stream_ann_index_maintain)
+        from bda_spadochrony_spark.streaming.sources import file_stream
+        rng = np.random.RandomState(5)
+        fit = spark.createDataFrame(
+            [(i, (rng.randn(8) + (i % 2) * 4.0).tolist())
+             for i in range(40)], "vec_id: long, embedding: array<double>")
+        centers = kmeans_centers(fit, "embedding", n_cells=2, seed=1) \
+            .localCheckpoint()
+        ref = quantizer_profile(fit, centers, "vec_id").localCheckpoint()
+        in_dir, index2, ckpt = (f"{base}/in", f"{base}/index2",
+                                f"{base}/ck")
+        fit.write.parquet(f"{in_dir}/b0")
+        c, r, rebuilt = stream_ann_index_maintain(
+            file_stream(spark, f"{in_dir}/*/*.parquet", fit.schema),
+            index2, centers, ref, "vec_id", checkpoint=ckpt,
+            lease_ttl_s=300.0)
+        assert not rebuilt
+        assert not os.path.exists(f"{index2}__lease.json")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_sidecar_read_errors_are_not_torn_writes():
     """r14 (narrow-except rule): only torn-WRITE evidence — invalid
     JSON, a checksum mismatch, a vanished file — may read as 'promote
