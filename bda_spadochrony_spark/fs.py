@@ -39,6 +39,29 @@ Durability fine print, stated once and loudly:
 from __future__ import annotations
 
 
+def java_exception_classes(ex) -> list:
+    """Simple names of the Java exception classes in a py4j error's
+    cause chain (empty for non-py4j exceptions). Exception MAPPING must
+    key on these, not on message substrings (r15, ADVICE r14 /
+    VERDICT r14 #7): py4j message formats vary across Hadoop versions,
+    stores, and locales, so a substring miss would turn a benign
+    already-exists into a generic raise (breaking lease acquisition) or
+    a checksum tear into a hard failure. Callers keep the substring
+    test as a FALLBACK only — a py4j shape this helper cannot walk
+    still maps correctly on stock Hadoop."""
+    names = []
+    je = getattr(ex, "java_exception", None)
+    for _ in range(8):                  # bounded: cause chains can loop
+        if je is None:
+            break
+        try:
+            names.append(str(je.getClass().getName()).rsplit(".", 1)[-1])
+            je = je.getCause()
+        except Exception:
+            break
+    return names
+
+
 class LocalFS:
     """Default implementation over the stdlib — looks up ``os.replace``
     / ``shutil.rmtree`` / ``os.remove`` at CALL time, so the crash
@@ -188,11 +211,16 @@ class HadoopFS:
     def create_exclusive(self, path: str, text: str) -> None:
         """Create-if-absent via Hadoop's non-overwrite create (atomic on
         HDFS; object stores weaken this — see the module caveat). Raises
-        FileExistsError when the path already exists."""
+        FileExistsError when the path already exists — mapped by Java
+        exception CLASS first (``FileAlreadyExistsException``, either
+        the Hadoop or the java.nio flavor), message substring only as
+        fallback (``java_exception_classes`` docstring has the why)."""
         try:
             out = self._fs.create(self._p(path), False)
         except Exception as ex:
-            if ("AlreadyExists" in str(ex)
+            classes = java_exception_classes(ex)
+            if ("FileAlreadyExistsException" in classes
+                    or "AlreadyExists" in str(ex)
                     or "already exists" in str(ex)):
                 raise FileExistsError(path) from None
             raise

@@ -750,9 +750,16 @@ def _load_sidecar(fs, path: str):
         # network, missing class, quota — must RAISE: treating an
         # environment problem as a missing sidecar would let recovery
         # drop the sidecar and the orphan sweep delete the moved-aside
-        # copy it still names (r14 — the narrow-except rule).
+        # copy it still names (r14 — the narrow-except rule). Mapped by
+        # Java exception CLASS first, message substring as fallback
+        # (r15, ADVICE r14: py4j message formats vary across Hadoop
+        # versions/stores — see fs.java_exception_classes).
+        from bda_spadochrony_spark.fs import java_exception_classes
         msg = str(ex)
-        if ("ChecksumException" in msg or "Checksum error" in msg
+        classes = java_exception_classes(ex)
+        if ("ChecksumException" in classes
+                or "FileNotFoundException" in classes
+                or "ChecksumException" in msg or "Checksum error" in msg
                 or "FileNotFoundException" in msg):
             return None
         raise
@@ -762,7 +769,7 @@ def _load_sidecar(fs, path: str):
         return None                 # torn mid-write: not yet valid JSON
 
 
-def _gc_orphans(fs, index_path: str) -> None:
+def _gc_orphans(fs, index_path: str, keep_oldgen: bool = False) -> None:
     """Purge maintenance leftovers that NO sidecar references (r14): a
     crash during a sidecar's own atomic write leaves a fully-staged
     sibling directory (and a ``.tmp`` file) that the recovery state
@@ -795,7 +802,13 @@ def _gc_orphans(fs, index_path: str) -> None:
     pats = ["rebuild_", "compact_"]
     if fs.isdir(index_path):
         pats.append("old_")
-        if fs.isdir(f"{index_path}/batch_id=-1"):
+        # keep_oldgen (r15, ADVICE r14): a retain_folded fold leaves the
+        # superseded generation as an __oldgen_ sibling for one
+        # maintenance interval of reader grace — the drift check's
+        # recover (purge_folded=False) runs in the SAME maintain call
+        # and must not sweep it, or the compact docstring's retention
+        # contract would be one recover shorter than documented
+        if not keep_oldgen and fs.isdir(f"{index_path}/batch_id=-1"):
             pats.append("oldgen_")
     for entry in fs.listdir(listed):
         if any(entry.startswith(f"{name}__{pat}") for pat in pats):
@@ -827,7 +840,24 @@ def ann_index_lease(index_path: str, fs=None, ttl_s: float = 1800.0):
     crash WHILE HOLDING the lease therefore delays the next maintainer
     by at most ``ttl_s`` (or not at all, same-host) — the documented
     trade of the opt-in: availability for mutual exclusion. Release
-    always deletes the file, tolerating a concurrent break."""
+    always deletes the file, tolerating a concurrent break.
+
+    Breaking is BY RENAME, never by delete (r15, ADVICE r14): two
+    breakers that both judged the same lease stale used to race so that
+    one's ``remove`` could delete the FRESH lease the other had already
+    re-created — both would then acquire. Renaming the stale file to a
+    breaker-unique sibling lets the filesystem arbitrate (exactly one
+    rename of a given path succeeds; the loser sees it vanish and falls
+    back to the create race), and the winner RE-JUDGES the payload it
+    now holds exclusively: if the moved file turns out to be a LIVE
+    lease (a rival broke-and-reacquired between this breaker's read and
+    its rename), it is restored via exclusive-create and the breaker
+    defers. A torn read of the moved file gets one short grace re-read
+    before it is judged, so a rival's lease caught mid-write is not
+    mistaken for a crashed one. The one window plain filesystems cannot
+    close: between a mis-rename and its restore, a THIRD contender's
+    create can succeed — microseconds wide, needs a three-way race on
+    top of a two-way race, and still advisory by contract."""
     import contextlib
     import json
     import os
@@ -848,31 +878,60 @@ def ann_index_lease(index_path: str, fs=None, ttl_s: float = 1800.0):
         except PermissionError:
             return True
 
+    def _judge_stale(cur) -> bool:
+        if cur is None:
+            return True                     # torn mid-write
+        age = time.time() - float(cur.get("acquired_at", 0))
+        same_host_dead = (cur.get("host") == socket.gethostname()
+                          and not _pid_alive(cur.get("pid")))
+        return same_host_dead or age > ttl_s
+
     @contextlib.contextmanager
     def _ctx():
+        token = uuid.uuid4().hex
         payload = json.dumps({
             "pid": os.getpid(), "host": socket.gethostname(),
-            "acquired_at": time.time(), "token": uuid.uuid4().hex})
+            "acquired_at": time.time(), "token": token})
         for attempt in (0, 1):
             try:
                 fs.create_exclusive(path, payload)
                 break
             except FileExistsError:
                 cur = _load_sidecar(fs, path)
-                if cur is None:
-                    stale = True            # torn mid-write
-                else:
-                    age = time.time() - float(cur.get("acquired_at", 0))
-                    same_host_dead = (
-                        cur.get("host") == socket.gethostname()
-                        and not _pid_alive(cur.get("pid")))
-                    stale = same_host_dead or age > ttl_s
-                if stale and attempt == 0:
+                if _judge_stale(cur) and attempt == 0:
+                    # break by RENAME to a breaker-unique sibling, then
+                    # re-judge what we actually moved (docstring, r15):
+                    # delete-then-create let two raced breakers both in
+                    moved = f"{path}.break.{token}"
                     try:
-                        fs.remove(path)
+                        fs.replace(path, moved)
                     except (FileNotFoundError, OSError):
-                        pass                # raced another breaker
-                    continue
+                        continue            # raced another breaker —
+                    #                         fall back to the create race
+                    held = _load_sidecar(fs, moved)
+                    if held is None:
+                        # possibly a rival caught MID-write, not crashed:
+                        # one grace re-read before judging it torn
+                        time.sleep(0.05)
+                        held = _load_sidecar(fs, moved)
+                    if not _judge_stale(held):
+                        # we renamed a FRESH lease a rival created after
+                        # our read — restore it and defer
+                        try:
+                            fs.create_exclusive(path, json.dumps(held))
+                        except FileExistsError:
+                            pass            # a third acquirer got there
+                        try:
+                            fs.remove(moved)
+                        except (FileNotFoundError, OSError):
+                            pass
+                        cur = held
+                    else:
+                        try:
+                            fs.remove(moved)
+                        except (FileNotFoundError, OSError):
+                            pass
+                        continue            # stale confirmed — retry create
                 raise MaintenanceLeaseHeld(
                     f"index {index_path} maintenance lease held by "
                     f"{cur and cur.get('host')}:{cur and cur.get('pid')} "
@@ -987,7 +1046,7 @@ def _ann_index_recover(index_path: str, fs=None,
                 leftover = f"{index_path}/{d}"
                 if fs.exists(leftover):
                     fs.rmtree(leftover)
-    _gc_orphans(fs, index_path)
+    _gc_orphans(fs, index_path, keep_oldgen=not purge_folded)
 
 
 def _has_parquet(path: str, fs=None) -> bool:

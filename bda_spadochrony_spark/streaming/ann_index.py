@@ -71,11 +71,17 @@ def stream_ann_index_build(stream_vecs: DataFrame, index_path: str,
     checkpoint will never replay. Rolling the crashed promote back
     first makes the drain land on the restored index, so every
     checkpointed batch survives every crash point."""
+    from bda_spadochrony_spark.fs import index_fs
     from bda_spadochrony_spark.operators.similarity import (
         _ann_index_recover, ann_index_append)
     from bda_spadochrony_spark.streaming.runner import run_foreach_batch
 
-    _ann_index_recover(index_path)
+    # fs resolved from the session IN HAND (r15, ADVICE r14): the
+    # default would re-resolve via getActiveSession(), which can be
+    # None on worker threads / unusual driver setups even though the
+    # stream's own session is right here
+    _ann_index_recover(index_path,
+                       fs=index_fs(index_path, stream_vecs.sparkSession))
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         ann_index_append(batch_df, batch_id, index_path, centers,
@@ -119,11 +125,14 @@ def stream_ann_index_build_pq(stream_vecs: DataFrame, index_path: str,
     BEFORE any micro-batch is appended and checkpointed (r14 — see
     ``stream_ann_index_build``): rollback-after-drain would delete
     batches the checkpoint considers done."""
+    from bda_spadochrony_spark.fs import index_fs
     from bda_spadochrony_spark.operators.similarity import (
         _ann_index_recover, ann_index_append_pq)
     from bda_spadochrony_spark.streaming.runner import run_foreach_batch
 
-    _ann_index_recover(index_path)
+    # session-in-hand fs resolution (r15, ADVICE r14 — see the raw drain)
+    _ann_index_recover(index_path,
+                       fs=index_fs(index_path, stream_vecs.sparkSession))
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         ann_index_append_pq(batch_df, batch_id, index_path, centers,
@@ -176,6 +185,7 @@ def stream_ann_index_maintain(stream_vecs: DataFrame, index_path: str,
     indexed, future epochs keep monotonic ids."""
     import contextlib
 
+    from bda_spadochrony_spark.fs import index_fs
     from bda_spadochrony_spark.operators.similarity import (
         ann_index_drift, ann_index_lease, ann_index_rebuild)
 
@@ -183,8 +193,10 @@ def stream_ann_index_maintain(stream_vecs: DataFrame, index_path: str,
     # lease_ttl_s (r14): opt-in enforcement of the single-writer
     # contract — the whole drain→compact→drift→rebuild sequence runs
     # under the index's advisory lease (ann_index_lease docstring has
-    # the staleness/availability trade)
-    guard = (ann_index_lease(index_path, ttl_s=lease_ttl_s)
+    # the staleness/availability trade); fs from the session in hand
+    # (r15, ADVICE r14)
+    guard = (ann_index_lease(index_path, fs=index_fs(index_path, spark),
+                             ttl_s=lease_ttl_s)
              if lease_ttl_s is not None else contextlib.nullcontext())
     with guard:
         stream_ann_index_build(stream_vecs, index_path, centers, id_col,
@@ -241,11 +253,13 @@ def stream_ann_index_maintain_pq(stream_vecs: DataFrame, index_path: str,
     checkpoint is never touched by compaction or rebuild."""
     import contextlib
 
+    from bda_spadochrony_spark.fs import index_fs
     from bda_spadochrony_spark.operators.similarity import (
         ann_index_drift, ann_index_lease, ann_index_rebuild_pq)
 
     spark = stream_vecs.sparkSession
-    guard = (ann_index_lease(index_path, ttl_s=lease_ttl_s)
+    guard = (ann_index_lease(index_path, fs=index_fs(index_path, spark),
+                             ttl_s=lease_ttl_s)
              if lease_ttl_s is not None else contextlib.nullcontext())
     with guard:
         stream_ann_index_build_pq(stream_vecs, index_path, centers,

@@ -2703,3 +2703,228 @@ def test_stream_ann_index_rebuild_pq_from_source(spark):
         assert got == want
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_lease_break_by_rename_closes_breaker_race():
+    """r15 (ADVICE r14, medium): breaking a stale lease is by RENAME to
+    a breaker-unique sibling, never by delete — delete-then-create let
+    two maintainers that both judged the same lease stale interleave so
+    one's remove destroyed the FRESH lease the other had already
+    re-created, after which BOTH acquired. With rename arbitration the
+    loser of the race restores the fresh lease it mis-grabbed and
+    defers; a breaker whose target vanished first falls back to the
+    create race."""
+    import json
+    import time
+
+    from bda_spadochrony_spark.fs import LocalFS
+    from bda_spadochrony_spark.operators.similarity import (
+        MaintenanceLeaseHeld, ann_index_lease)
+
+    base = tempfile.mkdtemp(prefix="bda_lease_race_")
+    idx = os.path.join(base, "idx")
+    lease = f"{idx}__lease.json"
+
+    def write_lease(payload):
+        with open(lease, "w") as fh:
+            json.dump(payload, fh)
+
+    stale = {"pid": os.getpid(), "host": "another-host",
+             "acquired_at": time.time() - 9999, "token": "stale"}
+
+    class RivalWinsFS(LocalFS):
+        """Between this breaker's read and its rename, a rival breaks
+        the stale lease and re-acquires — the exact interleaving the
+        delete-based break lost."""
+
+        def replace(self, src, dst):
+            if src == lease:
+                write_lease({"pid": 12345, "host": "rival-host",
+                             "acquired_at": time.time(),
+                             "token": "fresh"})
+            super().replace(src, dst)
+
+    try:
+        # (a) parseable stale lease: the raced breaker must DEFER and
+        # restore the rival's fresh lease, leaving no break sibling
+        write_lease(stale)
+        with pytest.raises(MaintenanceLeaseHeld):
+            with ann_index_lease(idx, fs=RivalWinsFS(), ttl_s=60):
+                pass
+        assert json.load(open(lease))["token"] == "fresh"
+        assert [f for f in os.listdir(base) if ".break." in f] == []
+        os.remove(lease)
+        # (b) torn stale lease, same race: same outcome
+        with open(lease, "w") as fh:
+            fh.write('{"pid": ')
+        with pytest.raises(MaintenanceLeaseHeld):
+            with ann_index_lease(idx, fs=RivalWinsFS(), ttl_s=60):
+                pass
+        assert json.load(open(lease))["token"] == "fresh"
+        os.remove(lease)
+
+        # (c) the stale lease vanishes before our rename (the rival
+        # broke it first and has not yet re-created): fall back to the
+        # create race and win it
+        class VanishFS(LocalFS):
+            def replace(self, src, dst):
+                if src == lease and os.path.exists(lease):
+                    os.remove(lease)
+                super().replace(src, dst)
+
+        write_lease(stale)
+        with ann_index_lease(idx, fs=VanishFS(), ttl_s=60):
+            assert json.load(open(lease))["pid"] == os.getpid()
+        assert not os.path.exists(lease)
+
+        # (d) no race at all: stale lease is broken and re-acquired,
+        # and the break sibling is cleaned up
+        write_lease(stale)
+        with ann_index_lease(idx, ttl_s=60):
+            assert json.load(open(lease))["pid"] == os.getpid()
+        assert [f for f in os.listdir(base) if ".break." in f] == []
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+class _JClass:
+    def __init__(self, name):
+        self._name = name
+
+    def getName(self):
+        return self._name
+
+
+class _JEx:
+    """Shape of a py4j java_exception: getClass().getName() + a cause
+    chain."""
+
+    def __init__(self, name, cause=None):
+        self._cls, self._cause = _JClass(name), cause
+
+    def getClass(self):
+        return self._cls
+
+    def getCause(self):
+        return self._cause
+
+
+class _PyJErr(Exception):
+    def __init__(self, je, msg="opaque localized message"):
+        super().__init__(msg)
+        self.java_exception = je
+
+
+def test_hadoop_exception_mapping_by_class_name():
+    """r15 (VERDICT r14 #7 / ADVICE r14): Hadoop exception mapping keys
+    on the Java exception CLASS (walked through the py4j cause chain),
+    with the message substring only as fallback — py4j message formats
+    vary across Hadoop versions, stores, and locales."""
+    from bda_spadochrony_spark.fs import HadoopFS, java_exception_classes
+    from bda_spadochrony_spark.operators.similarity import _load_sidecar
+
+    assert java_exception_classes(_PyJErr(_JEx(
+        "org.apache.hadoop.fs.FileAlreadyExistsException"))) == \
+        ["FileAlreadyExistsException"]
+    assert java_exception_classes(_PyJErr(_JEx(
+        "java.io.IOException",
+        _JEx("org.apache.hadoop.fs.ChecksumException")))) == \
+        ["IOException", "ChecksumException"]
+    assert java_exception_classes(RuntimeError("plain")) == []
+
+    class _FakeJFS:
+        def __init__(self, ex):
+            self._ex = ex
+
+        def create(self, p, overwrite):
+            raise self._ex
+
+    def hfs(ex):
+        h = object.__new__(HadoopFS)
+        h._fs = _FakeJFS(ex)
+        h._p = lambda p: p
+        return h
+
+    # class-name match with a message no substring test would catch
+    with pytest.raises(FileExistsError):
+        hfs(_PyJErr(_JEx("org.apache.hadoop.fs.FileAlreadyExistsException"),
+                    msg="Datei existiert bereits")).create_exclusive("x", "t")
+    # ...including the java.nio flavor, nested as a cause? No — only the
+    # direct class or the substring; the nio flavor surfaces directly
+    with pytest.raises(FileExistsError):
+        hfs(_PyJErr(_JEx("java.nio.file.FileAlreadyExistsException"),
+                    msg="localized")).create_exclusive("x", "t")
+    # substring fallback for shapes the walker cannot reach
+    with pytest.raises(FileExistsError):
+        hfs(RuntimeError("path already exists")).create_exclusive("x", "t")
+    # unrelated failures still raise as themselves
+    with pytest.raises(_PyJErr, match="disk full"):
+        hfs(_PyJErr(_JEx("java.io.IOException"),
+                    msg="disk full")).create_exclusive("x", "t")
+
+    # _load_sidecar's torn-write evidence: class-name first, substring
+    # fallback, everything else raises (the narrow-except rule)
+    class _FakeFS:
+        def __init__(self, exc):
+            self._exc = exc
+
+        def exists(self, p):
+            return True
+
+        def read_text(self, p):
+            raise self._exc
+
+    assert _load_sidecar(_FakeFS(_PyJErr(_JEx(
+        "org.apache.hadoop.fs.ChecksumException"),
+        msg="localized checksum text")), "x") is None
+    assert _load_sidecar(_FakeFS(_PyJErr(_JEx(
+        "java.io.FileNotFoundException"), msg="localized")), "x") is None
+    with pytest.raises(_PyJErr, match="quota"):
+        _load_sidecar(_FakeFS(_PyJErr(_JEx("java.io.IOException"),
+                                      msg="quota exceeded")), "x")
+
+
+def test_retain_folded_keeps_oldgen_through_drift(spark):
+    """r15 (ADVICE r14): ann_index_compact(retain_folded=True) documents
+    that the superseded generation sibling (__oldgen_*) survives until
+    the NEXT maintenance call — but the drift check runs _ann_index_recover
+    (purge_folded=False) inside the SAME maintain call, and its orphan
+    sweep used to delete the sibling immediately. The sweep now keeps
+    __oldgen_* when purge_folded=False, so behavior matches the
+    documented one-maintenance-interval retention; the next FULL
+    recover (purge_folded=True) still reclaims it."""
+    from bda_spadochrony_spark.operators.similarity import (
+        ann_index_append, ann_index_compact, ann_index_drift,
+        quantizer_profile)
+    from bda_spadochrony_spark.sources.readers import scan
+
+    emb = scan(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    centers = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid")).localCheckpoint()
+    base = tempfile.mkdtemp(prefix="bda_oldgen_grace_")
+    idx = os.path.join(base, "idx")
+
+    def oldgens():
+        return [d for d in os.listdir(base) if "__oldgen_" in d]
+
+    try:
+        ann_index_append(emb.where(F.col("vec_id") % 2 == 0), 0, idx,
+                         centers, "vec_id", profile=True)
+        assert ann_index_compact(spark, idx) == 1   # generation exists now
+        ann_index_append(emb.where(F.col("vec_id") % 2 == 1), 1, idx,
+                         centers, "vec_id", profile=True)
+        assert ann_index_compact(spark, idx, retain_folded=True) == 1
+        assert len(oldgens()) == 1, oldgens()       # grace granted
+        ref = quantizer_profile(emb, centers, "vec_id").localCheckpoint()
+        ann_index_drift(spark, idx, centers, ref).collect()
+        assert len(oldgens()) == 1, oldgens()       # grace SURVIVES drift
+        # next full maintenance call reclaims both the folded batch dir
+        # and the generation sibling
+        assert ann_index_compact(spark, idx) == 0
+        assert oldgens() == []
+        left = sorted(d for d in os.listdir(idx)
+                      if d.startswith("batch_id="))
+        assert left == ["batch_id=-1"], left
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
