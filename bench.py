@@ -43,8 +43,11 @@ measured 1.04-1.21x. The official artifact must never again silently
 encode a host window, so each shard now times two pinned CANARY
 queries (stable, formally-CLOSED paths) right after its warmup and
 compares against reference floors from the committed healthy ledger
-(git 9d79b13, the mid-r10 fresh-JVM 3-shard run). If a shard's canary
-ratio exceeds CANARY_MAX_RATIO the shard aborts BEFORE its timed pass,
+(git 9d79b13, the mid-r10 fresh-JVM 3-shard run). Since r15 (VERDICT r14
+#2) the gate is the MAX ratio per canary CLASS — batch and streaming —
+so a cool batch window cannot mask a hot streaming scheduler (the r14
+final ledger was certified from exactly such a window). If a shard's
+gate ratio exceeds CANARY_MAX_RATIO the shard aborts BEFORE its timed pass,
 the parent backs off and retries (fresh JVM, new window); the final
 attempt proceeds regardless. The emitted JSON always carries the
 per-shard canary ratios, so the artifact self-documents the window it
@@ -217,18 +220,28 @@ N_SHARDS = 3
 # queries gate.
 CANARY_REF = {
     "hourly_agg": 0.33,        # report-only
-    "minhash_near_dup": 3.42,  # gating — CLOSED shuffle-bound floor
-    "pca_invariants": 3.53,    # gating — untouched-path marker of r10
-    # report-only streaming-temperature sensor (r14): the batch canaries
-    # cannot see streaming-scheduler warmth — the r14 mover analysis
-    # proved a window where batch gates read 0.76-0.97 while UNCHANGED
-    # streaming queries ran ~1.3x their r13 ledger (same-window r13-code
-    # A/B in SCALE.md). Ref = the r13-certified cool-window floor, so
-    # the recorded ratio reads streaming temperature directly; NEVER
-    # gates (streaming swings would thrash the retry loop).
+    "minhash_near_dup": 3.42,  # gating (batch) — CLOSED shuffle-bound floor
+    "pca_invariants": 3.53,    # gating (batch) — untouched-path marker of r10
+    # streaming-temperature sensor (r14), GATING since r15 (VERDICT r14
+    # #2): the batch canaries cannot see streaming-scheduler warmth —
+    # r14's final ledger certified from a window where the batch gates
+    # read 0.98-1.04 while this UNCHANGED streaming ref ran 1.22-1.26x
+    # in every shard, exactly the window it was added to catch. Ref =
+    # the r13-certified cool-window floor.
     "stream_near_dup": 7.13,
 }
-CANARY_REPORT_ONLY = {"hourly_agg", "stream_near_dup"}
+CANARY_REPORT_ONLY = {"hourly_agg"}
+# Per-CLASS gating on MAX (r15, VERDICT r14 #2): a shard's window is
+# judged by the max ratio within each canary class — batch and
+# streaming warm up independently (JIT/shuffle vs streaming scheduler
+# state), so a median or cross-class mix lets one cool class mask a hot
+# one. With shared thresholds, max-per-class == max-over-all-gating;
+# the classes are still recorded separately in the artifact so a hot
+# acceptance is attributable to the class that was hot.
+CANARY_CLASSES = {
+    "batch": ("minhash_near_dup", "pca_invariants"),
+    "streaming": ("stream_near_dup",),
+}
 CANARY_GATE_MIN_REF = 1.0      # refs below this report but never gate
 CANARY_MAX_RATIO = 1.4
 CANARY_SOFT_RATIO = 1.2        # accepted-but-hot (r13, VERDICT r12 #7):
@@ -237,8 +250,10 @@ CANARY_SOFT_RATIO = 1.2        # accepted-but-hot (r13, VERDICT r12 #7):
 #   pass lands with gate ratio in (1.2, 1.4] now spends a remaining
 #   retry looking for a cooler window and ships the BEST attempt; the
 #   artifact records soft_retries + the accepted ratio so the choice
-#   is auditable.
-CANARY_RETRIES = 2             # extra attempts per shard on a bad window
+#   is auditable. Since r15 this applies to the STREAMING class too —
+#   a shard whose streaming canary reads >1.2 retries even when the
+#   batch refs are cool.
+CANARY_RETRIES = 3             # extra attempts per shard on a bad window
 CANARY_BACKOFF_S = 60.0
 
 
@@ -296,13 +311,21 @@ def run_shard(shard: int, final: bool = True) -> None:
     ratios = {n: (round(canary[n] / CANARY_REF[n], 2)
                   if canary_sf_ok and canary[n] is not None else None)
               for n in CANARY_REF}
-    gate = max((ratios[n] for n in CANARY_REF
-                if CANARY_REF[n] >= CANARY_GATE_MIN_REF
-                and n not in CANARY_REPORT_ONLY
-                and ratios[n] is not None), default=None)
+    # per-class max (r15, VERDICT r14 #2): each class's hottest ref
+    # speaks for the class; the shard gate is the hottest class
+    class_ratios = {
+        cls: max((ratios[n] for n in names
+                  if CANARY_REF[n] >= CANARY_GATE_MIN_REF
+                  and n not in CANARY_REPORT_ONLY
+                  and ratios[n] is not None), default=None)
+        for cls, names in CANARY_CLASSES.items()}
+    gate = max((r for r in class_ratios.values() if r is not None),
+               default=None)
     if not final and gate is not None and gate > CANARY_MAX_RATIO:
         print(json.dumps({"canary_degraded": True, "canary": canary,
-                          "canary_ratios": ratios, "gate_ratio": gate}))
+                          "canary_ratios": ratios,
+                          "class_ratios": class_ratios,
+                          "gate_ratio": gate}))
         return
 
     timings, build, execute = {}, {}, {}
@@ -330,6 +353,7 @@ def run_shard(shard: int, final: bool = True) -> None:
     print(json.dumps({"timings": timings, "build": build,
                       "exec": execute, "warm_rerun": warm,
                       "canary": canary, "canary_ratios": ratios,
+                      "class_ratios": class_ratios,
                       "gate_ratio": gate}))
 
 
@@ -388,6 +412,7 @@ def main() -> None:
         payload = best if best is not None else payload
         shard_canary[str(shard)] = {
             "ratios": payload["canary_ratios"],
+            "class_ratios": payload.get("class_ratios"),
             "gate_ratio": payload["gate_ratio"],
             "attempts": attempt + 1,
             "soft_retries": soft_retries}
