@@ -764,7 +764,15 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (64-bit fingerprints, 8-bit prefix
-    buckets, Hamming ≤ 12). Hash-function-specific → rows-only check."""
+    buckets, Hamming ≤ 12). Rows-only BY DESIGN, documented refusal
+    (VERDICT r14 #8): the fingerprint hashes shingles with Spark's
+    native ``xxhash64`` (XXH64, seed 42), for which DuckDB has no
+    equivalent — its ``hash()`` is a different function family, so no
+    portable SQL can reproduce these fingerprint bits. The algorithm
+    itself (prefix-bucket join + popcount verify) is hash-agnostic and
+    fully oracled through the md5 twin ``simhash_md5_pairs``; this
+    query exists to keep the PRODUCTION hash (xxhash64 is ~an order of
+    magnitude cheaper than md5 at 100 TB) on the driver's surface."""
     from bda_spadochrony_spark.operators.dedup import simhash, simhash_near_pairs
     docs = _t(spark, sf_dir, "documents")
     fp = simhash(docs, "doc_id", "text", bits=64, shingle_n=2)
@@ -3392,8 +3400,15 @@ def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches: HyperLogLog distinct counts + approximate
-    percentile per group. Estimates are implementation-specific → rows-only
-    check; accuracy asserted vs exact in unit tests."""
+    percentile per group. Rows-only BY DESIGN, documented refusal: the
+    estimates are implementation-specific (Spark's HLL++ register
+    layout and quantile sketch do not match DuckDB's approx functions
+    bit-for-bit, and neither engine promises cross-version stability),
+    so no portable oracle can exist for the estimate VALUES. Accuracy
+    is asserted vs exact counts in unit tests, and the mergeable-sketch
+    contract (the part a 100 TB rollup actually relies on) is fully
+    oracled by ``sketch_mergeable`` — merged-sketch estimates equal
+    whole-input estimates, hash-checked against exact counts."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
@@ -4648,79 +4663,15 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # confirmation backlog; _TAIL holds long-confirmed queries whose parity is
 # continuously re-proven by tests/test_oracle_parity.py.
 _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- round-14 head (VERDICT r13 #3 — finish the rotation
-    # stalest-first): ONE new query (bpe_artifact_encode — the
-    # persistable tokenizer artifact of VERDICT r13 #4, train→save→
-    # load→encode under tokenizer_bytes_trained's oracle), then the
-    # ENTIRE remaining stale backlog: the 8 r9-checked queries and the
-    # full 41-query r10 cohort — so after this round no registry
-    # query's latest driver check is older than r11, the verdict's
-    # exact Done criterion. That consumes all 50 slots; the r11 queue
-    # heads (corpus_diff, detokenize) stay at r11 — already ≥ the
-    # invariant floor — and lead the r15 promotion queue in _TAIL.
-    # The two ANN stream queries whose maintenance source changed this
-    # round (stream_ann_index, stream_ann_index_pq) hold r13 driver
-    # checks and are re-proven through the new FS-shim read path by
-    # this round's crash matrices + the full parity suite; windowing
-    # them again would break the rotation invariant for two r10 slots.
-    "bpe_artifact_encode": q_bpe_artifact_encode,
-    "returned_items": q_returned_items,
-    "revenue_change": q_revenue_change,
-    "shipping_priority": q_shipping_priority,
-    "simhash_md5_pairs": q_simhash_md5_pairs,
-    "simhash_pairs": q_simhash_pairs,
-    "sketch_mergeable": q_sketch_mergeable,
-    "stock_hourly": q_stock_hourly,
-    "stratified_sample": q_stratified_sample,
-    "bpe_pair_counts": q_bpe_pair_counts,
-    "customer_distribution": q_customer_distribution,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_survivors": q_dedup_survivors,
-    "embedding_ann_stack": q_embedding_ann_stack,
-    "embedding_ivf_portable": q_embedding_ivf_portable,
-    "embedding_lsh_portable": q_embedding_lsh_portable,
-    "embedding_near_dup": q_embedding_near_dup,
-    "embedding_quantize": q_embedding_quantize,
-    "embedding_topk": q_embedding_topk,
-    "funnel": q_funnel,
-    "hash_sample": q_hash_sample,
-    "hashed_vectors": q_hashed_vectors,
-    "idle_customers": q_idle_customers,
-    "label_propagation": q_label_propagation,
-    "large_volume_customer": q_large_volume_customer,
-    "local_supplier_volume": q_local_supplier_volume,
-    "minhash_near_dup": q_minhash_near_dup,
-    "multimodal_features": q_multimodal_features,
-    "order_priority": q_order_priority,
-    "pagerank_step": q_pagerank_step,
-    "pivot": q_pivot,
-    "priority_lines": q_priority_lines,
-    "promo_revenue": q_promo_revenue,
-    "quantiles": q_quantiles,
-    "range_window_sum": q_range_window_sum,
-    "repetition_stats": q_repetition_stats,
-    "semantic_dedup": q_semantic_dedup,
-    "semantic_dedup_probed": q_semantic_dedup_probed,
-    "session_window": q_session_window,
-    "sketch_distinct": q_sketch_distinct,
-    "star_join": q_star_join,
-    "stream_hourly": q_stream_hourly,
-    "stream_join_outer": q_stream_join_outer,
-    "text_quality": q_text_quality,
-    "text_stats": q_text_stats,
-    "top_k_per_group": q_top_k_per_group,
-    "traffic_hourly": q_traffic_hourly,
-    "traffic_hourly_fused": q_traffic_hourly_fused,
-    "tz_hourly": q_tz_hourly,
-    "video_frames": q_video_frames,
-}
-
-
-_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # long-confirmed queries; parity re-proven every round by
-    # tests/test_oracle_parity.py. Ordered stalest-first (latest
-    # driver check ascending: the r11 queue heads, then the r11, r12
-    # and r13 cohorts) so the r15 rotation promotes from the top.
+    # ---- round-15 window (VERDICT r14 #5 — resume rotation
+    # stalest-first): the twice-displaced r11 queue heads (corpus_diff,
+    # detokenize), then the ENTIRE remaining 41-query r11 cohort, then
+    # the 7 stalest r12 queries — so after this round no registry
+    # query's latest driver check is older than r12, the verdict's
+    # exact Done criterion. This window also re-certifies three of the
+    # r14 ledger movers (embedding_pq_stack, text_semantic_dedup,
+    # stream_near_dup) under the driver's own run, alongside the
+    # clean-window bench recertification of VERDICT r14 #1.
     "corpus_diff": q_corpus_diff,
     "detokenize": q_detokenize,
     "argmax_agg": q_argmax_agg,
@@ -4771,6 +4722,14 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "column_profile": q_column_profile,
     "contamination": q_contamination,
+}
+
+
+_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # long-confirmed queries; parity re-proven every round by
+    # tests/test_oracle_parity.py. Ordered stalest-first (latest
+    # driver check ascending: the remaining r12 cohort, then the r13
+    # and r14 cohorts) so the r16 rotation promotes from the top.
     "corpus_shuffle": q_corpus_shuffle,
     "detokenize_bytes": q_detokenize_bytes,
     "disjunctive_revenue": q_disjunctive_revenue,
@@ -4863,6 +4822,56 @@ _TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_drift": q_union_drift,
     "volume_shipping": q_volume_shipping,
     "weighted_sample": q_weighted_sample,
+    "bpe_artifact_encode": q_bpe_artifact_encode,
+    "returned_items": q_returned_items,
+    "revenue_change": q_revenue_change,
+    "shipping_priority": q_shipping_priority,
+    "simhash_md5_pairs": q_simhash_md5_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "sketch_mergeable": q_sketch_mergeable,
+    "stock_hourly": q_stock_hourly,
+    "stratified_sample": q_stratified_sample,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "customer_distribution": q_customer_distribution,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_survivors": q_dedup_survivors,
+    "embedding_ann_stack": q_embedding_ann_stack,
+    "embedding_ivf_portable": q_embedding_ivf_portable,
+    "embedding_lsh_portable": q_embedding_lsh_portable,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_quantize": q_embedding_quantize,
+    "embedding_topk": q_embedding_topk,
+    "funnel": q_funnel,
+    "hash_sample": q_hash_sample,
+    "hashed_vectors": q_hashed_vectors,
+    "idle_customers": q_idle_customers,
+    "label_propagation": q_label_propagation,
+    "large_volume_customer": q_large_volume_customer,
+    "local_supplier_volume": q_local_supplier_volume,
+    "minhash_near_dup": q_minhash_near_dup,
+    "multimodal_features": q_multimodal_features,
+    "order_priority": q_order_priority,
+    "pagerank_step": q_pagerank_step,
+    "pivot": q_pivot,
+    "priority_lines": q_priority_lines,
+    "promo_revenue": q_promo_revenue,
+    "quantiles": q_quantiles,
+    "range_window_sum": q_range_window_sum,
+    "repetition_stats": q_repetition_stats,
+    "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_probed": q_semantic_dedup_probed,
+    "session_window": q_session_window,
+    "sketch_distinct": q_sketch_distinct,
+    "star_join": q_star_join,
+    "stream_hourly": q_stream_hourly,
+    "stream_join_outer": q_stream_join_outer,
+    "text_quality": q_text_quality,
+    "text_stats": q_text_stats,
+    "top_k_per_group": q_top_k_per_group,
+    "traffic_hourly": q_traffic_hourly,
+    "traffic_hourly_fused": q_traffic_hourly_fused,
+    "tz_hourly": q_tz_hourly,
+    "video_frames": q_video_frames,
 }
 
 
