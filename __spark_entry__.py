@@ -940,8 +940,8 @@ def q_embedding_pq_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes, subset codebooks, reconstruction (flattened per-subspace
     centroid slices), and both rank stages restate exactly."""
     from bda_spadochrony_spark.operators.similarity import (
-        deterministic_planes, planes_for, pq_codebooks, pq_encode,
-        pq_reconstruct, valid_vectors, with_hyperplane_bucket)
+        _pq_corpus_cols, deterministic_planes, planes_for, pq_codebooks,
+        valid_vectors, with_hyperplane_bucket)
     from pyspark.sql import Window
     emb = _t(spark, sf_dir, "embeddings")
     pm = deterministic_planes(planes_for(emb.count()), 64)
@@ -949,13 +949,15 @@ def q_embedding_pq_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = valid_vectors(emb, "embedding").select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v"))
     base = with_hyperplane_bucket(base, "v", pm)
-    codes = pq_encode(emb, "vec_id", codebooks=cbs)
     nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0),
                                        lambda acc, x: acc + x * x))
-    d = (base.join(codes, "vec_id")
-         .withColumn("r", pq_reconstruct("codes", cbs))
-         .withColumn("rnm", nrm(F.col("r")))
-         .withColumn("qn", nrm(F.col("v"))))
+    # encode + reconstruction + both norms through ONE fused map-only
+    # kernel (r15 — values pinned bit-identical to the expression twins;
+    # the literal trees billed ~3 s of per-call Catalyst analysis and
+    # the separate encode frame forced a join-shuffle,
+    # tools/bench_ivfpq_split.py / OPTIMIZATION_r15.md)
+    d = _pq_corpus_cols(base, "v", cbs, keep=["vec_id", "v", "bucket"],
+                        want_r=True, want_rnm=True, want_qn=True)
     # checkpoint before the bucket self-join (the ann_stack rule: AQE
     # never cross-stage-reuses, so both sides would re-encode otherwise)
     d = d.localCheckpoint(eager=False)

@@ -1422,8 +1422,6 @@ def ann_index_append_pq(batch_df: DataFrame, batch_id: int,
     ``pq_reconstruct`` norm fold), so a search over the streamed
     index is value-identical to the one-shot operator — and to its
     SQL oracle."""
-    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0),
-                                       lambda acc, x: acc + x * x))
     # opt-in bit-packing (docstring): each sub-code takes ceil(log2 k)
     # bits; packing engages only when the m sub-codes fit one int64
     m_sub = len(codebooks) if codebooks else 0
@@ -1449,10 +1447,13 @@ def ann_index_append_pq(batch_df: DataFrame, batch_id: int,
     if profile:
         _write_batch_profile(assigned, index_path, batch_id)
         assigned = assigned.drop("dist2")
-    codes = pq_encode(assigned, "corpus_id", "cvec", codebooks)
-    out = (assigned.select("corpus_id", "cell")
-           .join(codes, "corpus_id")
-           .withColumn("rnm", nrm(pq_reconstruct("codes", codebooks))))
+    # ONE fused kernel for encode + reconstruction norm (r15): the
+    # assign→encode-join chain re-shuffled the kernel outputs (fresh
+    # attribute ids hide the co-partitioning); the fusion is a single
+    # Python pass over the already-assigned rows, zero joins
+    out = _pq_corpus_cols(assigned.select("corpus_id", "cell", "cvec"),
+                          "cvec", codebooks, keep=["corpus_id", "cell"],
+                          want_codes=True, want_rnm=True)
     if pack:
         packed = reduce(
             lambda a, b: a + b,
@@ -1649,9 +1650,8 @@ def ann_index_pq_topk(spark, index_path: str, queries: DataFrame,
     # spread the assignment/LUT folds (the same few-file-input rule as
     # the append above — measured 24.6 s on 1-2 scan partitions at sf1)
     q = q.repartition(F.col("id"))
-    probes = (_assign_cells(q, center_rows, cell_type, n_probe=n_probe)
-              .withColumn("qn", nrm(F.col("v")))
-              .withColumn("lut", _pq_lut_expr("v", codebooks))
+    probes = (_pq_probe_cols(q, "v", codebooks, center_rows,
+                             cell_type=cell_type, n_probe=n_probe)
               .select(F.col("id").alias("query_id"),
                       F.col("cell").alias("pcell"), "qn", "lut")
               .localCheckpoint(eager=False))
@@ -1784,8 +1784,12 @@ def with_hyperplane_bucket(df: DataFrame, vec_col: str,
     + exact rerank) instead of going through ``lsh_bucket_topk``."""
     bits = []
     for row in plane_matrix:
+        # one nested-array literal per plane (r15): a single Literal
+        # node instead of dim F.lit nodes — same doubles, same fold,
+        # identical values; only the Catalyst tree (analyzed eagerly
+        # per call) shrinks
         proj = F.aggregate(
-            F.zip_with(F.col(vec_col), F.array(*[F.lit(c) for c in row]),
+            F.zip_with(F.col(vec_col), F.lit([float(c) for c in row]),
                        lambda x, h: x * h),
             F.lit(0.0), lambda acc, v: acc + v)
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
@@ -1903,25 +1907,23 @@ def pq_codebooks(df: DataFrame, id_col: str, vec_col: str = "embedding",
             for s in range(m)]
 
 
-def pq_encode(df: DataFrame, id_col: str, vec_col: str = "embedding",
-              codebooks: list | None = None, m: int = 8,
-              k: int = 16) -> DataFrame:
-    """PQ-encode every vector: per subspace, the code is the argmin
-    squared-euclidean centroid (ties → lowest code, the ``_assign_cells``
-    rule). MAP-ONLY — each subspace's codebook inlines as ONE literal
-    array-of-arrays folded with the ``transform``/``aggregate(zip_with)``
-    distance (the `_assign_cells` pattern; identical float arithmetic to
-    the unrolled form), and ``array_position(array_min)`` picks the
-    first minimal entry bit-exactly. An earlier fully-UNROLLED variant
-    (m·k expanded sum expressions, ~80k expression nodes) was measured
-    ~10 s of CATALYST ANALYSIS per call with 0.1 s of execution — the
-    tree, not the data, was the cost; the fold form is ~60× smaller.
-    Returns ``(id, codes array<int>)`` — the column a 100 TB candidate
-    scan reads INSTEAD of the embeddings."""
+def _pq_encode_expr(df: DataFrame, id_col: str, vec_col: str = "embedding",
+                    codebooks: list | None = None, m: int = 8,
+                    k: int = 16) -> DataFrame:
+    """The r10 LITERAL-FOLD form of the PQ encoder — kept as the
+    semantic REFERENCE the r15 Arrow kernel is equality-tested against
+    (``test_pq_encode_kernel_matches_literal_fold``): per subspace the
+    codebook inlines as one literal array-of-arrays folded with the
+    ``transform``/``aggregate(zip_with)`` distance, and
+    ``array_position(array_min)`` picks the first minimal entry. An
+    earlier fully-UNROLLED variant (~80k expression nodes) was measured
+    ~10 s of CATALYST ANALYSIS per call; this fold form is ~60× smaller
+    but still measured ~1.9 s of per-call analysis at the sf0.1
+    codebooks (tools/bench_ivfpq_split.py r15) — why the kernel
+    replaced it on every production path."""
     if codebooks is None:
         codebooks = pq_codebooks(df, id_col, vec_col, m, k)
     if not codebooks:
-        # empty codebook (empty/corrupt corpus): the empty codes frame
         return valid_vectors(df, vec_col).select(
             F.col(id_col),
             F.array().cast("array<int>").alias("codes"))
@@ -1944,13 +1946,452 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str = "embedding",
     return out.select(F.col(id_col), codes.alias("codes"))
 
 
+def pq_encode(df: DataFrame, id_col: str, vec_col: str = "embedding",
+              codebooks: list | None = None, m: int = 8,
+              k: int = 16) -> DataFrame:
+    """PQ-encode every vector: per subspace, the code is the argmin
+    squared-euclidean centroid (ties → lowest code, the ``_assign_cells``
+    rule). MAP-ONLY vectorized Arrow kernel (r15): the codebooks ship in
+    the task closure, ``_np_fold_sq_dists`` reproduces the engine
+    fold's summation order bit-for-bit, and ``np.argmin`` is the same
+    first-minimum tie-break as ``array_position(array_min)`` — values
+    equality-pinned against the r10 literal-fold form
+    (``_pq_encode_expr``) in tests/test_pipeline_ops.py, oracle hashes
+    unchanged. The kernel replaced the fold expression because eager
+    Catalyst analysis of the m·k·(d/m) literal tree billed ~1.9 s of
+    DRIVER time per call at the sf0.1 codebooks — per-CALL cost that
+    never amortizes (the r10 floors note's own warning, one rung
+    further: the tree was the cost, so remove the tree).
+
+    Length contract (inherited from the fold's NULL-padding zip_with,
+    pinned by the same equality test): a vector shorter than
+    ``(s+1)·(d/m)`` gets ``code[s] = NULL``; extra trailing dims are
+    ignored. Returns ``(id, codes array<int>)`` — the column a 100 TB
+    candidate scan reads INSTEAD of the embeddings."""
+    import numpy as np
+
+    from pyspark.sql.types import (ArrayType, IntegerType, StructField,
+                                   StructType)
+
+    if codebooks is None:
+        codebooks = pq_codebooks(df, id_col, vec_col, m, k)
+    if not codebooks:
+        # empty codebook (empty/corrupt corpus): the empty codes frame
+        return valid_vectors(df, vec_col).select(
+            F.col(id_col),
+            F.array().cast("array<int>").alias("codes"))
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    CBS = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    out = valid_vectors(df, vec_col).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"))
+    schema = StructType([
+        StructField(id_col, out.schema[id_col].dataType),
+        StructField("codes", ArrayType(IntegerType()))])
+
+    def encode(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            lens = pdf["v"].map(len).to_numpy()
+            groups = ([pdf] if (lens == lens[0]).all() else
+                      [g for _, g in pdf.groupby(lens, sort=False)])
+            for g in groups:
+                L = len(g["v"].iloc[0])
+                V = np.stack(g["v"].to_numpy()) if L else \
+                    np.zeros((len(g), 0))
+                cols = []
+                for s in range(m):
+                    if L >= (s + 1) * ds:
+                        d2 = _np_fold_sq_dists(V[:, s * ds:(s + 1) * ds],
+                                               CBS[s])
+                        cols.append(np.argmin(d2, axis=1).astype(object))
+                    else:
+                        # uncovered subspace: the fold's padded NULLs
+                        cols.append(np.full(len(g), None, dtype=object))
+                codes_m = np.stack(cols, axis=1)
+                res = g[[id_col]].copy()
+                res["codes"] = list(codes_m)
+                yield res
+
+    return out.mapInPandas(encode, schema=schema)
+
+
+def _with_pq_lut(df: DataFrame, vcol: str, codebooks: list,
+                 out_col: str = "lut") -> DataFrame:
+    """Append the per-query ADC lookup table ``lut[s][j] = <q_s, c_{s,j}>``
+    (Jégou et al. 2011 §IV) as a MAP-ONLY Arrow kernel (r15) — values
+    bit-identical to the ``_pq_lut_expr`` literal-fold column
+    (equality-pinned in tests/test_pipeline_ops.py): ``_np_fold_dots``
+    reproduces the per-subspace dot fold's summation order exactly, and
+    a subspace the vector does not fully cover yields the fold's padded
+    NULLs (``[NULL]*k``). Replaces the literal expression on the search
+    paths because its eager Catalyst analysis billed ~1.0 s of driver
+    time per call at the sf0.1 codebooks (tools/bench_ivfpq_split.py);
+    the downstream ADC tile (``_adc_cell_candidates``) is unchanged."""
+    import numpy as np
+
+    from pyspark.sql.types import (ArrayType, DoubleType, StructField,
+                                   StructType)
+
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    kk = len(codebooks[0])
+    CBS = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    cols = df.columns
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(ArrayType(DoubleType())))])
+
+    def lut(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            lens = pdf[vcol].map(len).to_numpy()
+            groups = ([pdf] if (lens == lens[0]).all() else
+                      [g for _, g in pdf.groupby(lens, sort=False)])
+            for g in groups:
+                L = len(g[vcol].iloc[0])
+                V = np.stack(g[vcol].to_numpy()) if L else \
+                    np.zeros((len(g), 0))
+                per_s = []
+                for s in range(m):
+                    if L >= (s + 1) * ds:
+                        acc = _np_fold_dots(V[:, s * ds:(s + 1) * ds],
+                                            CBS[s])
+                        per_s.append([row.tolist() for row in acc])
+                    else:
+                        # uncovered subspace: the fold's padded NULLs
+                        per_s.append([[None] * kk] * len(g))
+                res = g[cols].copy()
+                res[out_col] = [[per_s[s][i] for s in range(m)]
+                                for i in range(len(g))]
+                yield res
+
+    return df.mapInPandas(lut, schema=schema)
+
+
+def _with_pq_recon(df: DataFrame, codes_col: str, codebooks: list,
+                   r_col: str | None = None,
+                   rnm_col: str | None = None) -> DataFrame:
+    """Append the PQ reconstruction (centroid concatenation) and/or its
+    L2 norm as a MAP-ONLY Arrow kernel (r15) — values bit-identical to
+    ``pq_reconstruct`` / the ``sqrt(aggregate(r, 0.0, acc + x*x))``
+    norm fold (equality-pinned in tests/test_pipeline_ops.py): the
+    gather copies centroid doubles verbatim in the same s-major order
+    ``flatten`` produced, the norm accumulates left-to-right in element
+    order, and a row with any NULL sub-code yields NULL for both (the
+    ``flatten``-of-NULL poisoning the expression form had). Replaces
+    the literal reconstruction expression because its eager Catalyst
+    analysis billed ~1.0 s of driver time per call at the sf0.1
+    codebooks (tools/bench_ivfpq_split.py)."""
+    import numpy as np
+
+    from pyspark.sql.types import (ArrayType, DoubleType, StructField,
+                                   StructType)
+
+    m = len(codebooks)
+    CBS = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    cols = df.columns
+    fields = list(df.schema.fields)
+    if r_col is not None:
+        fields.append(StructField(r_col, ArrayType(DoubleType())))
+    if rnm_col is not None:
+        fields.append(StructField(rnm_col, DoubleType()))
+    schema = StructType(fields)
+
+    def recon(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            raw = list(pdf[codes_col])
+
+            def _null(x):    # Arrow may surface an int-list NULL as NaN
+                return x is None or (isinstance(x, float) and x != x)
+
+            ok = np.array([c is not None and len(c) == m
+                           and not any(_null(x) for x in c)
+                           for c in raw])
+            res = pdf[cols].copy()
+            n = len(pdf)
+            r_vals = np.full(n, None, dtype=object)
+            rnm_vals = np.full(n, None, dtype=object)
+            if ok.any():
+                idx = np.flatnonzero(ok)
+                codes_int = np.array(
+                    [[int(x) for x in raw[i]] for i in idx])
+                R = np.concatenate(
+                    [CBS[s][codes_int[:, s]] for s in range(m)], axis=1)
+                if r_col is not None:
+                    for j, i in enumerate(idx):
+                        r_vals[i] = R[j].tolist()
+                if rnm_col is not None:
+                    acc = np.zeros(len(idx))
+                    for i in range(R.shape[1]):
+                        acc = acc + R[:, i] * R[:, i]
+                    rv = np.sqrt(acc)
+                    for j, i in enumerate(idx):
+                        rnm_vals[i] = float(rv[j])
+            if r_col is not None:
+                res[r_col] = r_vals
+            if rnm_col is not None:
+                res[rnm_col] = rnm_vals
+            yield res
+
+    return df.mapInPandas(recon, schema=schema)
+
+
+def _np_group_codes(V, L, CBS, ds):
+    """PQ codes for ONE uniform-length group as a (B, m) object matrix
+    (ints / None): per covered subspace the exact-order argmin
+    (``_np_fold_sq_dists`` + ``np.argmin`` first-minimum), per
+    uncovered subspace the fold's padded NULL."""
+    import numpy as np
+    cols = []
+    for s, CB in enumerate(CBS):
+        if L >= (s + 1) * ds:
+            d2 = _np_fold_sq_dists(V[:, s * ds:(s + 1) * ds], CB)
+            cols.append(np.argmin(d2, axis=1).astype(object))
+        else:
+            cols.append(np.full(V.shape[0], None, dtype=object))
+    return np.stack(cols, axis=1)
+
+
+def _np_group_lut(V, L, CBS, ds, kk):
+    """Per-row ADC lookup tables for ONE uniform-length group: a list
+    over s of (B, k) float matrices (covered) or None (uncovered —
+    reads back as the fold's ``[NULL]*k``)."""
+    per_s = []
+    for s, CB in enumerate(CBS):
+        if L >= (s + 1) * ds:
+            per_s.append(_np_fold_dots(V[:, s * ds:(s + 1) * ds], CB))
+        else:
+            per_s.append(None)
+    return per_s
+
+
+def _np_group_qn(V):
+    """L2 norms of a (B, d) group with the engine fold's summation
+    order (acc + x*x left-to-right from 0.0, then sqrt) — bit-identical
+    to ``sqrt(aggregate(v, 0.0, acc + x*x))``."""
+    import numpy as np
+    acc = np.zeros(V.shape[0])
+    for i in range(V.shape[1]):
+        acc = acc + V[:, i] * V[:, i]
+    return np.sqrt(acc)
+
+
+def _np_rnm_from_codes(codes_m, CBS):
+    """Reconstruction (centroid concatenation, s-major) and its L2 norm
+    from a (B, m) object code matrix: rows with any NULL sub-code get
+    (None, None) — the ``flatten``-of-NULL poisoning of the expression
+    form. Returns (R rows as object array of lists-or-None, rnm object
+    array). The norm accumulates left-to-right over the concatenated
+    element order, bit-identical to the expression fold."""
+    import numpy as np
+    B, m = codes_m.shape
+    ok = np.array([not any(x is None for x in row) for row in codes_m])
+    r_vals = np.full(B, None, dtype=object)
+    rnm_vals = np.full(B, None, dtype=object)
+    if ok.any():
+        idx = np.flatnonzero(ok)
+        ci = codes_m[idx].astype(np.int64)
+        R = np.concatenate([CBS[s][ci[:, s]] for s in range(m)], axis=1)
+        acc = np.zeros(len(idx))
+        for i in range(R.shape[1]):
+            acc = acc + R[:, i] * R[:, i]
+        rv = np.sqrt(acc)
+        for j, i in enumerate(idx):
+            r_vals[i] = R[j].tolist()
+            rnm_vals[i] = float(rv[j])
+    return r_vals, rnm_vals
+
+
+def _pq_corpus_cols(df: DataFrame, vcol: str, codebooks: list,
+                    keep: list, center_rows: list | None = None,
+                    cell_type: str = "long", want_codes: bool = False,
+                    want_r: bool = False, want_rnm: bool = False,
+                    want_qn: bool = False) -> DataFrame:
+    """ONE fused map-only Arrow kernel for the PQ corpus side (r15):
+    coarse-cell assignment (when ``center_rows`` is given), PQ encode,
+    reconstruction (+norm), and the query-side norm, all computed in a
+    single Python pass over each batch — replacing an
+    assign-kernel → encode-kernel → JOIN-on-id → norm chain whose join
+    re-shuffled both kernel outputs (MapInPandas emits fresh attribute
+    ids, so the upstream co-partitioning is invisible to the planner).
+    Each component reproduces its expression twin bit-for-bit
+    (``_np_fold_sq_dists`` / ``_np_group_codes`` / ``_np_rnm_from_codes``
+    / ``_np_group_qn``; equality-pinned in tests/test_pipeline_ops.py),
+    so the fusion is a plan change only: one Python stage, zero joins,
+    zero exchanges where there were two.
+
+    Output = ``keep`` columns (passed through), then ``cell`` (if
+    assigning), ``codes``, ``r``, ``rnm``, ``qn`` as requested.
+    Length-mismatch rules are the components' own: cell NULL when
+    len(v) ≠ centroid dim; codes[s] NULL when the subspace is not fully
+    covered; r/rnm NULL when any sub-code is NULL; qn is always
+    computed (the norm fold has no length constraint)."""
+    import numpy as np
+
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   StructField, StructType)
+
+    m = len(codebooks)
+    # empty codebooks (empty/fully-corrupt corpus): mirror the
+    # expression forms — codes/r empty arrays, rnm the empty fold's 0.0
+    ds = len(codebooks[0][0]) if codebooks else 0
+    CBS = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    if center_rows is not None:
+        C = np.array([c for _, c in center_rows], dtype=np.float64)
+        d_c = C.shape[1]
+        cells_arr = np.asarray([cell for cell, _ in center_rows])
+    fields = [StructField(c, df.schema[c].dataType) for c in keep]
+    if center_rows is not None:
+        fields.append(StructField("cell", _cell_field_type(cell_type)))
+    if want_codes:
+        fields.append(StructField("codes", ArrayType(IntegerType())))
+    if want_r:
+        fields.append(StructField("r", ArrayType(DoubleType())))
+    if want_rnm:
+        fields.append(StructField("rnm", DoubleType()))
+    if want_qn:
+        fields.append(StructField("qn", DoubleType()))
+    schema = StructType(fields)
+
+    def fused(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            lens = pdf[vcol].map(len).to_numpy()
+            groups = ([pdf] if (lens == lens[0]).all() else
+                      [g for _, g in pdf.groupby(lens, sort=False)])
+            for g in groups:
+                L = len(g[vcol].iloc[0])
+                V = np.stack(g[vcol].to_numpy()) if L else \
+                    np.zeros((len(g), 0))
+                res = g[keep].copy()
+                if center_rows is not None:
+                    if L == d_c:
+                        d2 = _np_fold_sq_dists(V, C)
+                        res["cell"] = cells_arr[np.argmin(d2, axis=1)]
+                    else:
+                        res["cell"] = None
+                if m == 0:
+                    if want_codes:
+                        res["codes"] = [[]] * len(g)
+                    if want_r:
+                        res["r"] = [[]] * len(g)
+                    if want_rnm:
+                        res["rnm"] = 0.0
+                else:
+                    codes_m = None
+                    if want_codes or want_r or want_rnm:
+                        codes_m = _np_group_codes(V, L, CBS, ds)
+                    if want_codes:
+                        res["codes"] = list(codes_m)
+                    if want_r or want_rnm:
+                        r_vals, rnm_vals = _np_rnm_from_codes(codes_m,
+                                                              CBS)
+                        if want_r:
+                            res["r"] = r_vals
+                        if want_rnm:
+                            res["rnm"] = rnm_vals
+                if want_qn:
+                    res["qn"] = _np_group_qn(V)
+                yield res
+
+    return df.mapInPandas(fused, schema=schema)
+
+
+def _pq_probe_cols(df: DataFrame, vcol: str, codebooks: list,
+                   center_rows: list, cell_type: str = "long",
+                   n_probe: int = 2, id_col: str = "id") -> DataFrame:
+    """ONE fused map-only Arrow kernel for the PQ probe side (r15):
+    ranked n_probe cell assignment + query norm + ADC lookup table in a
+    single Python pass, emitting ``(id, cell, qn, lut)`` — replacing
+    the assign-kernel → norm column → LUT-kernel chain (each component
+    bit-identical to its expression twin; see ``_pq_corpus_cols``).
+    Mismatched-length rows keep the components' rules: the first
+    ``n_probe`` cells in cell-ascending order (the all-NULL-dist2 tie),
+    a computed qn, and per-subspace-coverage NULLs in the lut."""
+    import numpy as np
+
+    from pyspark.sql.types import (ArrayType, DoubleType, StructField,
+                                   StructType)
+
+    m = len(codebooks)
+    # callers guard empty codebooks (the empty-in → empty-out early
+    # returns); the empty-list defaults keep a zero-rows pass harmless
+    ds = len(codebooks[0][0]) if codebooks else 0
+    kk = len(codebooks[0]) if codebooks else 0
+    CBS = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    C = np.array([c for _, c in center_rows], dtype=np.float64)
+    d_c = C.shape[1]
+    cells_arr = np.asarray([cell for cell, _ in center_rows])
+    mm_cells = sorted(cell for cell, _ in center_rows)[:n_probe]
+    take = min(n_probe, len(center_rows))
+    schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType),
+        StructField("cell", _cell_field_type(cell_type)),
+        StructField("qn", DoubleType()),
+        StructField("lut", ArrayType(ArrayType(DoubleType())))])
+
+    def probe(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            lens = pdf[vcol].map(len).to_numpy()
+            groups = ([pdf] if (lens == lens[0]).all() else
+                      [g for _, g in pdf.groupby(lens, sort=False)])
+            for g in groups:
+                L = len(g[vcol].iloc[0])
+                V = np.stack(g[vcol].to_numpy()) if L else \
+                    np.zeros((len(g), 0))
+                qn = _np_group_qn(V)
+                per_s = _np_group_lut(V, L, CBS, ds, kk)
+                luts = [[(per_s[s][i].tolist() if per_s[s] is not None
+                          else [None] * kk) for s in range(m)]
+                        for i in range(len(g))]
+                if L == d_c:
+                    d2 = _np_fold_sq_dists(V, C)
+                    idx = np.lexsort(
+                        (np.broadcast_to(cells_arr, d2.shape), d2),
+                        axis=1)[:, :take]
+                    cells = cells_arr[idx]
+                    nrep = take
+                else:
+                    cells = np.broadcast_to(
+                        np.asarray(mm_cells, dtype=object),
+                        (len(g), len(mm_cells)))
+                    nrep = len(mm_cells)
+                out = g.loc[g.index.repeat(nrep), [id_col]].copy()
+                out["cell"] = cells.ravel()
+                out["qn"] = np.repeat(qn, nrep)
+                out["lut"] = [luts[i] for i in range(len(g))
+                              for _ in range(nrep)]
+                yield out
+
+    return df.select(id_col, vcol).mapInPandas(probe, schema=schema)
+
+
 def pq_reconstruct(codes_col, codebooks: list):
     """The decoded (centroid-concatenation) vector for a code array — the
     asymmetric-distance form: scoring a full-precision query against
     ``pq_reconstruct(codes)`` IS ADC (the query side stays exact, the
     corpus side is its quantization). Pure column expression over literal
     codebooks; at scale the scan reads codes only and reconstruction is
-    map-side arithmetic, never an embedding-column read."""
+    map-side arithmetic, never an embedding-column read.
+
+    CAUTION (r15): Spark 4.1's generated code for
+    ``element_at(<literal array>, <nullable index>)`` can return a
+    wrong ELEMENT instead of NULL when the index is NULL (observed
+    nondeterministically by codegen context; minimal repro in
+    OPTIMIZATION_r15.md) — so this expression misreads NULL sub-codes
+    (length-mismatched vectors) in some plans. The production paths use
+    the ``_np_rnm_from_codes`` kernel, which implements the documented
+    NULL-poisoning deterministically; this expression remains for
+    uniform-length use and as the semantic reference."""
     if not codebooks:
         return F.array().cast("array<double>")
     col = F.col(codes_col) if isinstance(codes_col, str) else codes_col
@@ -2027,16 +2468,14 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str = "embedding",
     else:
         center_rows = list(enumerate(r["v"] for r in rows))
     codebooks = pq_codebooks(df, id_col, vec_col, m, codebook_k)
-    codes = pq_encode(df, id_col, vec_col, codebooks) \
-        .select(F.col(id_col).alias("id"), "codes")
     nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0),
                                        lambda acc, x: acc + x * x))
     # the full-precision vectors are touched exactly twice: the LUT
     # build on the probe side, and the bounded rerank JOIN-BACK below
     vecs = base.localCheckpoint(eager=False)
-    corpus = (_assign_cells(base, center_rows, "long")
-              .join(codes, "id")
-              .withColumn("rnm", nrm(pq_reconstruct("codes", codebooks)))
+    corpus = (_pq_corpus_cols(base, "v", codebooks, keep=["id"],
+                              center_rows=center_rows, cell_type="long",
+                              want_codes=True, want_rnm=True)
               .select(F.col("id").alias("corpus_id"), "cell", "codes",
                       "rnm")
               .localCheckpoint(eager=False))
@@ -2050,9 +2489,8 @@ def ivf_pq_topk(df: DataFrame, id_col: str, vec_col: str = "embedding",
     # is bit-identical to the oracle's Σ_s list_dot_product(slices)
     dot = lambda x, y: F.aggregate(F.zip_with(x, y, lambda p, q: p * q),
                                    F.lit(0.0), lambda acc, t: acc + t)
-    probes = (_assign_cells(base, center_rows, "long", n_probe=n_probe)
-              .withColumn("qn", nrm(F.col("v")))
-              .withColumn("lut", _pq_lut_expr("v", codebooks))
+    probes = (_pq_probe_cols(base, "v", codebooks, center_rows,
+                             cell_type="long", n_probe=n_probe)
               .select(F.col("id").alias("query_id"), "cell", "qn", "lut")
               .localCheckpoint(eager=False))
     # ADC scoring as a cogrouped PER-CELL TILE (r11, the _blas_cell_topk
@@ -2390,43 +2828,56 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str = "embedding",
 _ASSIGN_LITERAL_BUDGET = 262_144
 
 
-def _assign_cells(base: DataFrame, center_rows: list,
-                  cell_type: str = "long", n_probe: int = 1) -> DataFrame:
-    """Nearest-center cell assignment (squared euclidean; ties → lowest
-    cell), the rule ``ivf_topk`` documents, as a MAP-ONLY projection:
-    distances to every centroid are computed per row with the same
-    ``aggregate(zip_with(...))`` fold the window variant used (identical
-    float arithmetic, so identical assignment bit-for-bit — measured
-    0.41s vs 19.9s at 20k×128 with diff 0), and ``array_position`` of
-    the array minimum picks the FIRST minimal entry — centers are in
-    cell order, so first == lowest cell, the same tie-break the window's
-    ``ORDER BY dist2, cell`` applied. No crossJoin row explosion
-    (n·k rows), no per-id window shuffle: the quantizer rides the scan.
+def _np_fold_sq_dists(V, C):
+    """Squared-euclidean distances of every row of ``V`` (B×d) to every
+    row of ``C`` (k×d) with the EXACT summation order of the engine's
+    ``aggregate(zip_with(v, c, (a,b) -> (a-b)*(a-b)), 0.0, acc+x)``
+    fold: per element-pair the difference is squared, then partial sums
+    accumulate left-to-right in dimension order, starting from 0.0.
+    Every numpy op here is one IEEE-754 double op per element in that
+    same order, so the result is bit-identical to the column fold (the
+    ``_adc_cell_candidates`` s-order precedent). NaN cannot arise from
+    finite inputs (squares are in [0, +inf], +inf absorbs) and every
+    caller sits behind ``valid_vectors``."""
+    import numpy as np
+    acc = np.zeros((V.shape[0], C.shape[0]))
+    for i in range(C.shape[1]):
+        t = V[:, i, None] - C[None, :, i]
+        acc = acc + t * t
+    return acc
 
-    ``n_probe > 1`` (round 9) returns the ``n_probe`` NEAREST cells per
-    row as ``(id, v, rn, cell)`` with rn ∈ [1, n_probe] — still
-    map-only: the distance array is zipped with the cell ids into
-    structs, ``array_sort`` orders them lexicographically (dist2 asc,
-    cell asc — the identical tie-break), and a ``posexplode`` of the
-    head slice emits the ranked probes (n·n_probe rows, never n·k)."""
-    k_lits = len(center_rows) * (len(center_rows[0][1]) if center_rows else 0)
-    if k_lits > _ASSIGN_LITERAL_BUDGET:
-        cent = F.broadcast(base.sparkSession.createDataFrame(
-            center_rows, ["cell", "centroid"]).select(
-                "cell", F.col("centroid").cast("array<double>").alias("centroid")))
-        cc = (base.crossJoin(cent)
-              .withColumn("dist2", F.aggregate(
-                  F.zip_with("v", "centroid", lambda a, b: (a - b) * (a - b)),
-                  F.lit(0.0), lambda acc, x: acc + x)))
-        wc = Window.partitionBy("id").orderBy(F.col("dist2").asc(),
-                                              F.col("cell").asc())
-        ranked = cc.withColumn("rn", F.row_number().over(wc))
-        if n_probe > 1:
-            return (ranked.where(F.col("rn") <= n_probe)
-                    .select("id", "v", "rn",
-                            F.col("cell").cast(cell_type).alias("cell")))
-        return (ranked.where(F.col("rn") == 1)
-                .select("id", "v", F.col("cell").cast(cell_type).alias("cell")))
+
+def _np_fold_dots(V, C):
+    """Dot products of every row of ``V`` (B×d) with every row of ``C``
+    (k×d) in the engine fold's order (products first, partial sums
+    left-to-right in dimension order from 0.0) — bit-identical to
+    ``aggregate(zip_with(v, c, (a,b) -> a*b), 0.0, acc+x)``."""
+    import numpy as np
+    acc = np.zeros((V.shape[0], C.shape[0]))
+    for i in range(C.shape[1]):
+        acc = acc + V[:, i, None] * C[None, :, i]
+    return acc
+
+
+def _cell_field_type(cell_type: str):
+    from pyspark.sql.types import _parse_datatype_string
+    return _parse_datatype_string(cell_type)
+
+
+def _assign_cells_expr(base: DataFrame, center_rows: list,
+                       cell_type: str = "long",
+                       n_probe: int = 1) -> DataFrame:
+    """The r9 LITERAL-FOLD form of the map-only assignment — kept as the
+    semantic REFERENCE the r15 Arrow kernel is equality-tested against
+    (``test_assign_cells_kernel_matches_literal_fold``), and as the
+    documentation of the exact rule: distances to every centroid via the
+    ``aggregate(zip_with)`` fold, ``array_position(array_min)`` first
+    minimum (ties → lowest cell), and for ``n_probe > 1`` an
+    ``array_sort`` of (dist2, cell) structs with a ``posexplode`` of the
+    head slice. Not on any production path since r15: eager Catalyst
+    analysis of the k·d literal tree measured ~1.3 s PER CALL at the
+    sf0.1 quantizer (tools/bench_ivfpq_split.py) — pure driver time the
+    kernel does not pay."""
     cmat = F.array(*[F.array(*[F.lit(float(x)) for x in c])
                      for _, c in center_rows])
     cells = F.array(*[F.lit(cell) for cell, _ in center_rows]) \
@@ -2448,6 +2899,116 @@ def _assign_cells(base: DataFrame, center_rows: list,
                 cells, F.array_position(F.col("__d"),
                                         F.array_min(F.col("__d"))).cast("int")))
             .drop("__d"))
+
+
+def _assign_cells(base: DataFrame, center_rows: list,
+                  cell_type: str = "long", n_probe: int = 1) -> DataFrame:
+    """Nearest-center cell assignment (squared euclidean; ties → lowest
+    cell), the rule ``ivf_topk`` documents, as a MAP-ONLY vectorized
+    Arrow kernel (r15): no crossJoin row explosion (n·k rows), no
+    per-id window shuffle — the quantizer ships in the task closure and
+    the assignment rides the scan. Values are bit-identical to the r9
+    literal-fold form (``_assign_cells_expr``): ``_np_fold_sq_dists``
+    reproduces the fold's summation order exactly, ``np.argmin`` is the
+    same first-minimum tie-break as ``array_position(array_min)``, and
+    ``np.lexsort`` the same (dist2 asc, cell asc) probe ranking —
+    equality-pinned in tests/test_pipeline_ops.py. The kernel replaced
+    the literal expression because eager Catalyst analysis of the k·d
+    literal tree billed ~1.3 s of DRIVER time per call at the sf0.1
+    quantizer (tools/bench_ivfpq_split.py r15 split) — per-CALL cost, so
+    it never amortized at any data size; the kernel's plan is one
+    MapInPandas node.
+
+    Length-mismatch contract (inherited from the fold's NULL-padding
+    ``zip_with``, pinned by the same equality test): a vector whose
+    length differs from the centroid dimension gets ``cell = NULL`` at
+    ``n_probe = 1``, and the first ``n_probe`` cells in cell-ascending
+    order at ``n_probe > 1`` (all-NULL dist2 ties → cell asc).
+
+    ``n_probe > 1`` (round 9) returns the ``n_probe`` NEAREST cells per
+    row as ``(id, v, rn, cell)`` with rn ∈ [1, n_probe] (n·n_probe
+    rows, never n·k)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   StructField, StructType)
+
+    k_lits = len(center_rows) * (len(center_rows[0][1]) if center_rows else 0)
+    if k_lits > _ASSIGN_LITERAL_BUDGET:
+        # huge quantizers: the broadcast crossJoin + window form (same
+        # semantics for same-dimension vectors; a corpus big enough to
+        # hit this passes persisted KMeans centers anyway)
+        cent = F.broadcast(base.sparkSession.createDataFrame(
+            center_rows, ["cell", "centroid"]).select(
+                "cell", F.col("centroid").cast("array<double>").alias("centroid")))
+        cc = (base.crossJoin(cent)
+              .withColumn("dist2", F.aggregate(
+                  F.zip_with("v", "centroid", lambda a, b: (a - b) * (a - b)),
+                  F.lit(0.0), lambda acc, x: acc + x)))
+        wc = Window.partitionBy("id").orderBy(F.col("dist2").asc(),
+                                              F.col("cell").asc())
+        ranked = cc.withColumn("rn", F.row_number().over(wc))
+        if n_probe > 1:
+            return (ranked.where(F.col("rn") <= n_probe)
+                    .select("id", "v", "rn",
+                            F.col("cell").cast(cell_type).alias("cell")))
+        return (ranked.where(F.col("rn") == 1)
+                .select("id", "v", F.col("cell").cast(cell_type).alias("cell")))
+
+    cells_in_order = [cell for cell, _ in center_rows]
+    C = np.array([c for _, c in center_rows], dtype=np.float64)
+    d_c = C.shape[1]
+    cells_arr = np.asarray(cells_in_order)
+    # mismatched-length rows rank cells ascending (NULL-dist2 tie rule)
+    mm_cells = sorted(cells_in_order)[:n_probe]
+    fields = [StructField("id", base.schema["id"].dataType),
+              StructField("v", ArrayType(DoubleType()))]
+    if n_probe > 1:
+        fields.append(StructField("rn", IntegerType()))
+    fields.append(StructField("cell", _cell_field_type(cell_type)))
+    schema = StructType(fields)
+    take = min(n_probe, len(cells_in_order))
+
+    def assign(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            lens = pdf["v"].map(len).to_numpy()
+            groups = ([pdf] if (lens == lens[0]).all() else
+                      [g for _, g in pdf.groupby(lens, sort=False)])
+            for g in groups:
+                L = len(g["v"].iloc[0])
+                if L != d_c:
+                    if n_probe > 1:
+                        out = g.loc[g.index.repeat(len(mm_cells)),
+                                    ["id", "v"]].copy()
+                        out["rn"] = np.tile(
+                            np.arange(1, len(mm_cells) + 1), len(g))
+                        out["cell"] = np.tile(np.asarray(mm_cells, dtype=object),
+                                              len(g))
+                        yield out
+                    else:
+                        out = g[["id", "v"]].copy()
+                        out["cell"] = None
+                        yield out
+                    continue
+                V = np.stack(g["v"].to_numpy())
+                d2 = _np_fold_sq_dists(V, C)
+                if n_probe > 1:
+                    idx = np.lexsort(
+                        (np.broadcast_to(cells_arr, d2.shape), d2),
+                        axis=1)[:, :take]
+                    out = g.loc[g.index.repeat(take), ["id", "v"]].copy()
+                    out["rn"] = np.tile(np.arange(1, take + 1), len(g))
+                    out["cell"] = cells_arr[idx].ravel()
+                    yield out
+                else:
+                    out = g[["id", "v"]].copy()
+                    out["cell"] = cells_arr[np.argmin(d2, axis=1)]
+                    yield out
+
+    return base.select("id", "v").mapInPandas(assign, schema=schema)
 
 
 def _cell_pairs_exact(assigned: DataFrame, min_cosine: float) -> DataFrame:

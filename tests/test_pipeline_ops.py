@@ -2718,3 +2718,128 @@ def test_tokens_to_ids_bytes_contract(spark):
     assert dec[1] == "<|doc|> aa bb"
     assert dec[2] == "<|doc|> aa 🚀"
     assert dec[3] == ""
+
+
+# ---------------------------------------------------------------- r15 ------
+# The PQ/IVF Arrow kernels (r15 optimization round): every kernel must be
+# bit-identical to the literal-fold expression it replaced — same IEEE
+# summation order, same first-minimum tie-breaks, same length-mismatch
+# NULL rules. The expressions are kept as references (_assign_cells_expr,
+# _pq_encode_expr, _pq_lut_expr) precisely so these tests can pin the
+# equivalence on every future change.
+
+def _r15_fixture(spark):
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-3, 3) for _ in range(64)])
+            for i in range(300)]
+    rows += [(900, [1.0] * 32),          # short: uncovered subspaces
+             (901, [2.0] * 80),          # long: trailing dims ignored
+             (902, [1e30] * 64),         # huge-but-finite (d2 overflows)
+             (903, [1e-160] * 64)]       # tiny-but-valid norm
+    rows += [(950 + j, rows[j][1][:]) for j in range(6)]   # exact ties
+    return spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>")
+
+
+def test_assign_cells_kernel_matches_literal_fold(spark):
+    """The r15 mapInPandas assignment must equal the r9 literal fold on
+    every row class — including the length-mismatch NULL rule (primary:
+    cell NULL; probed: first n_probe cells ascending) and exact-tie
+    first-minimum ordering."""
+    df = _r15_fixture(spark)
+    base = df.select(F.col("vec_id").alias("id"),
+                     F.col("embedding").cast("array<double>").alias("v"))
+    base = S.valid_vectors(base, "v")
+    centers = list(enumerate(r["v"] for r in
+                             base.orderBy("id").limit(7).collect()))
+    k1 = {(r["id"], r["cell"]) for r in
+          S._assign_cells(base, centers).select("id", "cell").collect()}
+    e1 = {(r["id"], r["cell"]) for r in
+          S._assign_cells_expr(base, centers).select("id",
+                                                     "cell").collect()}
+    assert k1 == e1
+    k2 = {(r["id"], r["rn"], r["cell"]) for r in
+          S._assign_cells(base, centers, n_probe=3).collect()}
+    e2 = {(r["id"], r["rn"], r["cell"]) for r in
+          S._assign_cells_expr(base, centers, n_probe=3).collect()}
+    assert k2 == e2
+    # the mismatch rule, pinned explicitly (not only via the reference)
+    d1 = dict(k1)
+    assert d1[900] is None and d1[901] is None
+    probed = {(r[0], r[1]): r[2] for r in k2}
+    assert probed[(900, 1)] == 0 and probed[(900, 2)] == 1
+
+
+def test_pq_encode_kernel_matches_literal_fold(spark):
+    """The r15 mapInPandas encoder must equal the r10 literal fold —
+    including per-subspace coverage NULLs for short vectors and the
+    argmin tie-break on duplicated rows."""
+    df = _r15_fixture(spark)
+    cbs = S.pq_codebooks(df, "vec_id", m=8, k=16)
+    k = {r["vec_id"]: tuple(r["codes"]) for r in
+         S.pq_encode(df, "vec_id", codebooks=cbs).collect()}
+    e = {r["vec_id"]: tuple(r["codes"]) for r in
+         S._pq_encode_expr(df, "vec_id", codebooks=cbs).collect()}
+    assert k == e
+    # coverage rule pinned explicitly: 32-dim vector covers 4 of the
+    # 8 subspaces, the rest are NULL; 80-dim covers all 8
+    assert k[900][4:] == (None,) * 4 and None not in k[900][:4]
+    assert None not in k[901]
+
+
+def test_pq_fused_kernels_match_components(spark):
+    """The fused corpus/probe kernels (one Python pass, no joins) must
+    equal the component chain they replaced: assignment + encode +
+    reconstruction-norm on the corpus side; ranked probes + query norm
+    + ADC lookup table on the probe side (lut vs the _pq_lut_expr
+    literal fold). A NULL sub-code must NULL-poison rnm — the
+    deterministic form of the expression path's flatten-of-NULL rule
+    (the expression itself misreads NULL indexes under Spark 4.1
+    codegen in some plans; see pq_reconstruct's r15 caution)."""
+    df = _r15_fixture(spark)
+    cbs = S.pq_codebooks(df, "vec_id", m=8, k=16)
+    base = S.valid_vectors(df, "embedding").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"))
+    centers = list(enumerate(r["v"] for r in
+                             base.orderBy("id").limit(7).collect()))
+    fused = {r["id"]: (r["cell"], tuple(r["codes"]), r["rnm"]) for r in
+             S._pq_corpus_cols(base, "v", cbs, keep=["id"],
+                               center_rows=centers, want_codes=True,
+                               want_rnm=True).collect()}
+    asg = {r["id"]: r["cell"] for r in
+           S._assign_cells_expr(base, centers).select("id",
+                                                      "cell").collect()}
+    codes = {r["vec_id"]: tuple(r["codes"]) for r in
+             S._pq_encode_expr(df, "vec_id", codebooks=cbs).collect()}
+    assert {i: c for i, (c, _, _) in fused.items()} == asg
+    assert {i: cd for i, (_, cd, _) in fused.items()} == codes
+    # rnm: NULL-poisoned on the short row, computed elsewhere, and for
+    # uniform rows equal to the expression fold over pq_reconstruct
+    assert fused[900][2] is None and fused[901][2] is not None
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0),
+                                       lambda acc, x: acc + x * x))
+    uni = df.where(F.size("embedding") == 64)
+    ref = (S._pq_encode_expr(uni, "vec_id", codebooks=cbs)
+           .withColumn("r", S.pq_reconstruct("codes", cbs))
+           .withColumn("rnm", nrm(F.col("r"))))
+    ref_rnm = {r["vec_id"]: r["rnm"] for r in
+               ref.select("vec_id", "rnm").collect()}
+    for i, (_, _, rnm_v) in fused.items():
+        if i in ref_rnm:
+            assert rnm_v == ref_rnm[i]
+    # probe side vs components (kernel assignment already pinned above)
+    probes = sorted(
+        ((r["id"], r["cell"], r["qn"],
+          tuple(tuple(s) for s in r["lut"])) for r in
+         S._pq_probe_cols(base, "v", cbs, centers,
+                          n_probe=3).collect()), key=str)
+    ref_p = (S._assign_cells_expr(base, centers, n_probe=3)
+             .withColumn("qn", nrm(F.col("v")))
+             .withColumn("lut", S._pq_lut_expr("v", cbs)))
+    ref_probes = sorted(
+        ((r["id"], r["cell"], r["qn"],
+          tuple(tuple(s) for s in r["lut"])) for r in
+         ref_p.select("id", "cell", "qn", "lut").collect()), key=str)
+    assert probes == ref_probes
