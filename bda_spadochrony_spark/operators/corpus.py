@@ -446,6 +446,66 @@ def bpe_pair_counts(df: DataFrame, text_col: str, top_n: int = 50,
             .select("rank", "a", "b", "n"))
 
 
+def _apply_merges_pandas(df: DataFrame, merges: list,
+                         syms_col: str = "syms",
+                         keep: list | None = None) -> DataFrame:
+    """Apply a BPE merge list to a symbol-array column as ONE map-only
+    Arrow kernel (r15) — the exact ``merge_fold`` algorithm (greedy
+    left-to-right non-overlapping, merges in rank order) in Python,
+    value-identical by construction: pure string equality and
+    concatenation, no floating point anywhere. Replaces a chain of k
+    interpreted ``aggregate`` struct-folds whose eager Catalyst
+    analysis and per-element interpretation grew with the merge count
+    (bpe_encode measured ~2 s of build + the interpreted fold exec at
+    sf0.1 for k=6; the kernel's plan is one MapInPandas node).
+    Equality with ``merge_fold`` is pinned in
+    tests/test_pipeline_ops.py. The ``a in s and b in s`` gate mirrors
+    the fold's ``array_contains`` gate — a behavioral no-op (a fold
+    without both symbols rebuilds the array unchanged), kept for the
+    same skip-fast reason."""
+    from pyspark.sql.types import (ArrayType, StringType, StructField,
+                                   StructType)
+
+    keep = list(keep or [])
+    fields = [StructField(c, df.schema[c].dataType) for c in keep
+              if c != syms_col]
+    fields.append(StructField(syms_col, ArrayType(StringType())))
+    schema = StructType(fields)
+    pass_cols = [c for c in keep if c != syms_col]
+    mlist = [(str(a), str(b)) for a, b in merges]
+
+    def apply_(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            out_col = []
+            for syms in pdf[syms_col]:
+                s = list(syms)
+                for a, b in mlist:
+                    if a not in s or b not in s:
+                        continue
+                    out, pend = [], None
+                    for x in s:
+                        if pend is None:
+                            pend = x
+                        elif pend == a and x == b:
+                            out.append(a + b)
+                            pend = None
+                        else:
+                            out.append(pend)
+                            pend = x
+                    if pend is not None:
+                        out.append(pend)
+                    s = out
+                out_col.append(s)
+            res = pdf[pass_cols].copy()
+            res[syms_col] = out_col
+            yield res
+
+    return df.select(*pass_cols, syms_col).mapInPandas(apply_,
+                                                       schema=schema)
+
+
 def merge_fold(syms_col, a: str, b: str):
     """ONE BPE merge applied to a symbol array, greedy left-to-right
     non-overlapping (the classic application order): fold the array with
@@ -530,15 +590,15 @@ def bpe_encode(df: DataFrame, id_col: str, text_col: str,
     else:
         split0 = base_split
     enc = words.select("w", split0.alias("syms"))
-    for a, b in merges:
-        # same fold gate as the trainer's apply_merge: words without
-        # both symbols pass through untouched at codegen speed
-        hit = F.array_contains("syms", a) & F.array_contains("syms", b)
-        enc = enc.select("w", F.when(hit, merge_fold("syms", a, b))
-                         .otherwise(F.col("syms")).alias("syms"))
-    # plan depth grows with the merge count: checkpoint the (tiny,
-    # vocab-sized) encoded table once instead of codegen'ing a k-deep
-    # fold into the corpus-sized reassembly join
+    # the k-merge application as ONE Arrow kernel over the vocab-sized
+    # word table (r15): value-identical to the chained merge_fold
+    # expressions by construction (pure string algorithm; equality
+    # pinned in tests), without the k-deep fold's per-call analysis or
+    # interpreted execution
+    if merges:
+        enc = _apply_merges_pandas(enc, merges, keep=["w"])
+    # checkpoint the (tiny, vocab-sized) encoded table once instead of
+    # feeding the kernel stage into the corpus-sized reassembly join
     enc = enc.localCheckpoint(eager=False)
     tok = df.select(F.col(id_col),
                     F.posexplode(tokens(text_col)).alias("pos", "w")) \
@@ -646,6 +706,13 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 10,
         # necessary-not-sufficient superset: adjacency is the fold's
         # job). Measured at the 10× byte fixture (60k words, 8 rounds):
         # 35 s ungated vs 12.5–14 s gated, identical merge tables.
+        # r15 NOTE: a per-round _apply_merges_pandas kernel here
+        # measured SLOWER (bpe_train 2.5 s -> 4.5 s at sf0.1): each
+        # round's pair-count job re-evaluates the whole chained lineage,
+        # so r rounds pay r Python-stage passes where the fold chain
+        # stays inside one codegen pipeline — the kernel only wins on
+        # the ENCODE side, where the merge list is applied once
+        # (bpe_encode).
         hit = F.array_contains("syms", a) & F.array_contains("syms", b)
         return syms_df.select(
             F.when(hit, merge_fold("syms", a, b))

@@ -1442,18 +1442,40 @@ def ann_index_append_pq(batch_df: DataFrame, batch_id: int,
     # errors inside foreachBatch; the recomputed branch is a cheap
     # broadcast crossJoin and the checkpoint's materialization of the
     # vector column cost more than it saved
-    assigned = _assign_primary_cells(vecs, centers, "corpus_id",
-                                     keep_dist2=profile)
-    if profile:
-        _write_batch_profile(assigned, index_path, batch_id)
-        assigned = assigned.drop("dist2")
-    # ONE fused kernel for encode + reconstruction norm (r15): the
-    # assign→encode-join chain re-shuffled the kernel outputs (fresh
-    # attribute ids hide the co-partitioning); the fusion is a single
-    # Python pass over the already-assigned rows, zero joins
-    out = _pq_corpus_cols(assigned.select("corpus_id", "cell", "cvec"),
-                          "cvec", codebooks, keep=["corpus_id", "cell"],
-                          want_codes=True, want_rnm=True)
+    center_rows = sorted(
+        (r["cell"], [float(x) for x in r["centroid"]])
+        for r in centers.select("cell", "centroid").collect())
+    if profile or not center_rows:
+        # the drift census needs the winner's dist2 and the raw layout's
+        # window null rule, so the profiled append keeps the
+        # crossJoin+window form (empty centers degrade to an empty
+        # append through the same join)
+        assigned = _assign_primary_cells(vecs, centers, "corpus_id",
+                                         keep_dist2=profile)
+        if profile:
+            _write_batch_profile(assigned, index_path, batch_id)
+            assigned = assigned.drop("dist2")
+        out = _pq_corpus_cols(assigned.select("corpus_id", "cell",
+                                              "cvec"),
+                              "cvec", codebooks,
+                              keep=["corpus_id", "cell"],
+                              want_codes=True, want_rnm=True)
+    else:
+        # ONE fused kernel for assignment + encode + reconstruction
+        # norm (r15): the crossJoin+window assignment measured ~1.3 s
+        # per micro-batch at sf0.1 (n·k rows through a per-id window)
+        # vs ~0.2 s inside the kernel, and the separate encode frame
+        # forced a join shuffle. Uniform-length rows assign
+        # identically (same fold, same ties); a length-mismatched
+        # vector now lands in the NULL cell instead of the window's
+        # nulls-first cell — the one-shot ivf_pq_topk's own rule, and
+        # invisible to every search (its rnm is NULL either way, which
+        # the tile prefilter drops).
+        out = _pq_corpus_cols(vecs.select("corpus_id", "cvec"), "cvec",
+                              codebooks, keep=["corpus_id"],
+                              center_rows=center_rows,
+                              cell_type=dict(centers.dtypes)["cell"],
+                              want_codes=True, want_rnm=True)
     if pack:
         packed = reduce(
             lambda a, b: a + b,

@@ -2843,3 +2843,28 @@ def test_pq_fused_kernels_match_components(spark):
           tuple(tuple(s) for s in r["lut"])) for r in
          ref_p.select("id", "cell", "qn", "lut").collect()), key=str)
     assert probes == ref_probes
+
+
+def test_apply_merges_kernel_matches_merge_fold(spark):
+    """The r15 encode-side merge kernel must equal the chained
+    merge_fold expressions exactly — same greedy left-to-right
+    non-overlapping application, same rank order, including merges of
+    merged symbols and repeated-symbol pairs."""
+    import random
+    from bda_spadochrony_spark.operators import corpus as C
+    rng = random.Random(3)
+    al = list("abcdef")
+    rows = [(str(i), [rng.choice(al) for _ in range(rng.randint(0, 12))])
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "w: string, syms: array<string>")
+    merges = [("a", "b"), ("ab", "c"), ("c", "d"), ("ab", "ab"),
+              ("e", "e"), ("cd", "e")]
+    ref = df
+    for a, b in merges:
+        hit = F.array_contains("syms", a) & F.array_contains("syms", b)
+        ref = ref.select(
+            "w", F.when(hit, C.merge_fold("syms", a, b))
+            .otherwise(F.col("syms")).alias("syms"))
+    got = C._apply_merges_pandas(df, merges, keep=["w"])
+    assert ({r["w"]: tuple(r["syms"]) for r in got.collect()}
+            == {r["w"]: tuple(r["syms"]) for r in ref.collect()})
