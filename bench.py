@@ -495,46 +495,51 @@ def main() -> None:
                            "vector count, not a plan flaw; the featurizer "
                            "itself is 0.3s (hashed_vectors)"),
                        "pq_codes": (
-                           "~2s warm at sf0.1 after the r10 fold rewrite: "
-                           "the first cut unrolled m*k distance sums into "
-                           "~80k expression nodes and paid ~10s of "
-                           "CATALYST ANALYSIS per call (0.1s exec) - the "
-                           "transform/aggregate fold over one literal "
-                           "array-of-arrays per subspace is ~60x smaller "
-                           "and bit-identical (the _assign_cells "
-                           "pattern). Do not re-unroll for codegen: the "
-                           "tree cost dominates at any data size because "
-                           "it is per-CALL, not per-row. SPLIT (r10 "
-                           "healthy ledger, pinned r11): ~1.9s build vs "
-                           "~0.1s exec - the residual floor is per-call "
-                           "analysis of the literal codebook fold itself. "
-                           "Reuse rule: fit codebooks ONCE, build the "
-                           "encoded frame ONCE, and reuse the analyzed "
-                           "frame across calls (persist/checkpoint or "
-                           "write codes to parquet); a resident engine "
-                           "pays the analysis once per codebook, never "
-                           "per batch"),
+                           "~0.7s cold at sf0.1 since r15: the encoder is "
+                           "an Arrow kernel (mapInPandas, codebooks in "
+                           "the task closure), so the r10-r14 ~1.9s "
+                           "PER-CALL Catalyst-analysis floor of the "
+                           "literal fold is gone (that history: the "
+                           "unrolled form paid ~10s of analysis, the "
+                           "fold form ~1.9s, the kernel ~0.1s build). "
+                           "Values bit-identical - equality-pinned "
+                           "against the retained _pq_encode_expr "
+                           "reference in tests/test_pipeline_ops.py; "
+                           "kernel summation order mirrors the fold"),
                        "embedding_ann_stack": (
                            "~2.4-2.6s warm: exec is interpreted "
                            "higher-order int8 dot products over bucket "
                            "pairs; the top-3 window vs aggregate variants "
-                           "measured equal (2.41 vs 2.46). Next lever at "
-                           "scale would be tiling the int8 scoring like "
-                           "cosine_topk_blocked, not plan surgery"),
+                           "measured equal (2.41 vs 2.46). r15 CLOSED the "
+                           "r14 'tile the int8 scoring' lever at THIS "
+                           "scale: a per-bucket numpy Gram tile (the "
+                           "_adc_cell_candidates pattern, candidate sets "
+                           "proven identical) measured SLOWER than the "
+                           "codegen join+window (0.66-0.68s old vs "
+                           "0.92-1.06s tile; same for the pq_stack float "
+                           "variant, 1.0s vs 1.7-2.1s) - ~312 buckets of "
+                           "~8 rows pay per-group pandas overhead with "
+                           "nothing to vectorize. Revisit only when "
+                           "buckets are orders of magnitude larger "
+                           "(fixed-plane configs), not at the "
+                           "corpus-sized planes_for bucketing"),
                        "stream_ann_index_pq": (
-                           "~16s-class isolated / ~14s artifact at sf0.1 "
-                           "since r13 wired auto-compaction INSIDE the "
-                           "oracle run - the warm_rerun and the artifact "
-                           "measure slightly different work, so do NOT "
-                           "read 15-17s isolated numbers as regressions "
-                           "(VERDICT r13 #7). Measured r13 stage split: "
-                           "fits 0.9 + drain1 4.6 + drain2 4.3 + "
-                           "compact 0.8 + search 5.0; the compact stage "
-                           "is constant in corpus size (folds batch dirs "
-                           "x ~141 cell files into one generation) and "
-                           "the cost class is streaming scheduling, not "
+                           "~8-9s-class at sf0.1 since r15 (r13 floor "
+                           "was ~14.6s): stage split on r15 code = "
+                           "fits 0.9 + drain1 1.6 + drain2 1.5 + "
+                           "compact 1.1 + search 2.6 "
+                           "(tools/bench_pq_split.py) - the drains "
+                           "fused assignment+encode+norm into one "
+                           "Arrow kernel (the crossJoin+window "
+                           "assignment was ~1.3s/batch) and the search "
+                           "probe side builds its LUT in-kernel. "
+                           "Auto-compaction runs INSIDE the query "
+                           "since r13, so isolated vs artifact numbers "
+                           "still differ slightly (VERDICT r13 #7). "
+                           "Remaining cost class is streaming "
+                           "scheduling + the partitioned appends, not "
                            "data volume. Reopen only if the SEARCH leg "
-                           "alone grows past ~6s at sf0.1"),
+                           "alone grows past ~4s at sf0.1"),
                        "embedding_ivf_pq_kmeans": (
                            "warm centers cache 8.8-10.3s at sf0.1 "
                            "(3 fresh-JVM runs r14: 9.52/10.27/8.78, "
