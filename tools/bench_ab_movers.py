@@ -78,21 +78,40 @@ def main() -> None:
     results: dict[str, dict[str, list[float]]] = {
         q: {"current": [], "ref": []} for q in queries}
     canaries = []
+    # per-child window gate (r15: the first run of this tool landed in a
+    # bimodal-host window — canaries to 4.41x, one sample 4x its twin —
+    # and produced an uncertifiable summary). Same discipline as
+    # bench.py: a child whose hottest canary exceeds GATE is discarded
+    # and retried after a backoff; the coolest attempt ships if all are
+    # hot, and every discarded attempt is printed so the window history
+    # is on the record.
+    GATE, RETRIES, BACKOFF_S = 1.5, 5, 90.0
     for q in queries:
         # A-B-B-A: current, ref, ref, current
         for tree, slot in ((REPO, "current"), (ref_tree, "ref"),
                            (ref_tree, "ref"), (REPO, "current")):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child",
-                 tree, q],
-                capture_output=True, text=True, cwd=tree)
-            if out.returncode != 0:
-                sys.stderr.write(out.stderr[-3000:])
-                raise SystemExit(f"child failed: {tree} {q}")
-            payload = json.loads(out.stdout.strip().splitlines()[-1])
-            print(json.dumps(payload), flush=True)
-            results[q][slot].append(payload["sec"])
-            canaries.append(payload["canary_ratios"])
+            best = None
+            for attempt in range(RETRIES + 1):
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--child",
+                     tree, q],
+                    capture_output=True, text=True, cwd=tree)
+                if out.returncode != 0:
+                    sys.stderr.write(out.stderr[-3000:])
+                    raise SystemExit(f"child failed: {tree} {q}")
+                payload = json.loads(out.stdout.strip().splitlines()[-1])
+                payload["gate_ratio"] = max(payload["canary_ratios"].values())
+                if best is None or payload["gate_ratio"] < best["gate_ratio"]:
+                    best = payload
+                if payload["gate_ratio"] <= GATE:
+                    break
+                print(json.dumps({**payload, "discarded": True}),
+                      flush=True)
+                if attempt < RETRIES:
+                    time.sleep(BACKOFF_S)
+            print(json.dumps(best), flush=True)
+            results[q][slot].append(best["sec"])
+            canaries.append(best["canary_ratios"])
     summary = {
         q: {"current_med": statistics.median(r["current"]),
             "ref_med": statistics.median(r["ref"]),
