@@ -50,6 +50,20 @@ def test_bench_headline_contract():
     assert sharded == names
 
 
+def test_bench_line_priority_and_backoff_contract():
+    """r16 (VERDICT r15 #2/#3): the pinned contract-line membership must
+    reference real headline queries (a stale name would silently waste a
+    line slot), and the canary retry ladder must escalate and span the
+    >=10 min the host's measured degraded windows require."""
+    import bench
+    names = {n for n, _ in bench.HEADLINE}
+    assert bench.LINE_PRIORITY <= names
+    assert list(bench.CANARY_BACKOFFS_S) == \
+        sorted(bench.CANARY_BACKOFFS_S)
+    assert sum(bench.CANARY_BACKOFFS_S) >= 600
+    assert len(bench.CANARY_BACKOFFS_S) <= bench.CANARY_RETRIES
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     assert_query_matches_oracle(spark, duck, QUERIES[name], ORACLES[name],

@@ -109,15 +109,26 @@ def main() -> None:
                       flush=True)
                 if attempt < RETRIES:
                     time.sleep(BACKOFF_S)
+            # explicit gate verdict on the shipped payload (r16, ADVICE
+            # r15): when every attempt ran hot, the coolest one ships
+            # into the summary but is tagged "gated": false — previously
+            # it was re-printed bare after its own "discarded" line, and
+            # the summary silently included a sample that never passed
+            best["gated"] = best["gate_ratio"] <= GATE
             print(json.dumps(best), flush=True)
             results[q][slot].append(best["sec"])
+            results[q].setdefault("ungated", 0)
+            if not best["gated"]:
+                results[q]["ungated"] += 1
             canaries.append(best["canary_ratios"])
     summary = {
         q: {"current_med": statistics.median(r["current"]),
             "ref_med": statistics.median(r["ref"]),
             "ratio": round(statistics.median(r["current"])
                            / statistics.median(r["ref"]), 3),
-            "current": r["current"], "ref": r["ref"]}
+            "current": r["current"], "ref": r["ref"],
+            # samples that shipped without ever passing the gate
+            "ungated_samples": r.get("ungated", 0)}
         for q, r in results.items()}
     worst = {n: max(c[n] for c in canaries) for n in CANARY}
     print(json.dumps({"summary": summary, "worst_canary_ratio": worst,

@@ -22,6 +22,16 @@ QUERIES = [
 ]
 
 
+# canary refs + sf0.1 floors (bench.py CANARY_REF) — timed in every
+# child so the published scale factors carry their window evidence
+# (r16, ADVICE r15: the r15 10x factors were single-shot on a host the
+# repo documents as bimodal). Ratios are REPORT-ONLY here: they are
+# pinned at sf0.1, so only the sf0.1 child's ratios read as floors —
+# the sf1 child's canary SECONDS are printed for cross-run comparison.
+CANARY = {"minhash_near_dup": 3.42, "pca_invariants": 3.53,
+          "stream_near_dup": 7.13}
+
+
 def child(sf_dir: str) -> None:
     from bda_spadochrony_spark.session import get_session
     import __spark_entry__ as entry_mod
@@ -29,34 +39,65 @@ def child(sf_dir: str) -> None:
                         extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
-    for name in QUERIES:
+    unwarmed = []
+    for name in QUERIES + list(CANARY):
         try:
             qs[name](spark, "/root/testdata/sf0.001").count()
-        except Exception:
-            pass
+        except Exception as ex:  # noqa: BLE001 — log, then time it cold
+            # a broken warm-up must not pass silently (ADVICE r15): the
+            # timed pass below would bill first-use codegen to the query
+            sys.stderr.write(f"warm-up failed for {name}: "
+                             f"{type(ex).__name__}: {ex}\n")
+            unwarmed.append(name)
+    canary = {}
+    for name in CANARY:
+        t0 = time.perf_counter()
+        qs[name](spark, "/root/testdata/sf0.1").count()
+        canary[name] = round(time.perf_counter() - t0, 3)
+    ratios = {n: round(canary[n] / CANARY[n], 2) for n in CANARY}
     out = {}
     for name in QUERIES:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).count()
         out[name] = round(time.perf_counter() - t0, 3)
-    print(json.dumps({"sf_dir": sf_dir, "times": out}))
+    print(json.dumps({"sf_dir": sf_dir, "times": out,
+                      "canary_sec": canary, "canary_ratios": ratios,
+                      "unwarmed": unwarmed}))
 
 
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
         child(sys.argv[2])
         return
+    # per-child window gate (r16, ADVICE r15 — the bench_ab_movers
+    # discipline): a child whose hottest canary exceeds GATE is
+    # discarded and retried after a backoff; the coolest attempt ships
+    # tagged with its gate verdict, so the published factors carry
+    # window evidence instead of a single ungated sample.
+    GATE, RETRIES, BACKOFF_S = 1.5, 3, 90.0
     res = {}
     for sf_dir in ["/root/testdata/sf0.1", os.path.join(REPO, "testdata_sf1")]:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", sf_dir],
-            capture_output=True, text=True, cwd=REPO)
-        if out.returncode != 0:
-            sys.stderr.write(out.stderr[-3000:])
-            raise SystemExit(f"child failed: {sf_dir}")
-        payload = json.loads(out.stdout.strip().splitlines()[-1])
-        print(json.dumps(payload), flush=True)
-        res[sf_dir] = payload["times"]
+        best = None
+        for attempt in range(RETRIES + 1):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 sf_dir],
+                capture_output=True, text=True, cwd=REPO)
+            if out.returncode != 0:
+                sys.stderr.write(out.stderr[-3000:])
+                raise SystemExit(f"child failed: {sf_dir}")
+            payload = json.loads(out.stdout.strip().splitlines()[-1])
+            payload["gate_ratio"] = max(payload["canary_ratios"].values())
+            if best is None or payload["gate_ratio"] < best["gate_ratio"]:
+                best = payload
+            if payload["gate_ratio"] <= GATE:
+                break
+            print(json.dumps({**payload, "discarded": True}), flush=True)
+            if attempt < RETRIES:
+                time.sleep(BACKOFF_S)
+        best["gated"] = best["gate_ratio"] <= GATE
+        print(json.dumps(best), flush=True)
+        res[sf_dir] = best["times"]
     lo, hi = res["/root/testdata/sf0.1"], res[os.path.join(REPO, "testdata_sf1")]
     print(json.dumps({"factors": {q: round(hi[q] / lo[q], 2)
                                   for q in QUERIES}}))
