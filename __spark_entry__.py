@@ -4665,15 +4665,167 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # confirmation backlog; _TAIL holds long-confirmed queries whose parity is
 # continuously re-proven by tests/test_oracle_parity.py.
 _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- round-15 window (VERDICT r14 #5 — resume rotation
-    # stalest-first): the twice-displaced r11 queue heads (corpus_diff,
-    # detokenize), then the ENTIRE remaining 41-query r11 cohort, then
-    # the 7 stalest r12 queries — so after this round no registry
-    # query's latest driver check is older than r12, the verdict's
-    # exact Done criterion. This window also re-certifies three of the
-    # r14 ledger movers (embedding_pq_stack, text_semantic_dedup,
-    # stream_near_dup) under the driver's own run, alongside the
-    # clean-window bench recertification of VERDICT r14 #1.
+    # ---- round-16 window (VERDICT r15 #8 — keep the rotation
+    # cadence): FIRST this round's changed queries — the raw-index
+    # kernel fusion (stream_ann_index) and the two ivf_topk callers
+    # whose assignment/probe stages now share the same kernels
+    # (embedding_ivf_portable, embedding_ivf_topk) — then the 47
+    # stalest _TAIL heads (the remaining r12 cohort through the r13
+    # queue head), so no registry query's latest driver check ages
+    # past r13. The displaced r15 window moved whole into _TAIL's end.
+    "stream_ann_index": q_stream_ann_index,
+    "embedding_ivf_portable": q_embedding_ivf_portable,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
+    "corpus_shuffle": q_corpus_shuffle,
+    "detokenize_bytes": q_detokenize_bytes,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "doc_fingerprint_md5": q_doc_fingerprint_md5,
+    "embedding_covariance": q_embedding_covariance,
+    "embedding_ivf_pq": q_embedding_ivf_pq,
+    "embedding_ivf_pq_kmeans": q_embedding_ivf_pq_kmeans,
+    "embedding_outliers": q_embedding_outliers,
+    "embedding_standardize": q_embedding_standardize,
+    "equi_depth_histogram": q_equi_depth_histogram,
+    "expectations": q_expectations,
+    "hash_funcs": q_hash_funcs,
+    "hash_split": q_hash_split,
+    "heavy_hitters": q_heavy_hitters,
+    "higher_order_funcs": q_higher_order_funcs,
+    "histogram": q_histogram,
+    "important_stock": q_important_stock,
+    "join_cardinality": q_join_cardinality,
+    "kmeans_step": q_kmeans_step,
+    "map_funcs": q_map_funcs,
+    "mixture_sample": q_mixture_sample,
+    "ml_linear_fit": q_ml_linear_fit,
+    "nation_profit": q_nation_profit,
+    "pack_documents": q_pack_documents,
+    "pca_invariants": q_pca_invariants,
+    "pii_scrub": q_pii_scrub,
+    "pricing_summary_decimal": q_pricing_summary_decimal,
+    "quality_gate": q_quality_gate,
+    "quantizer_drift": q_quantizer_drift,
+    "sessionize": q_sessionize,
+    "skew_diagnostics": q_skew_diagnostics,
+    "source_kl": q_source_kl,
+    "stats_agg": q_stats_agg,
+    "stream_distinct": q_stream_distinct,
+    "stream_enrich": q_stream_enrich,
+    "string_funcs2": q_string_funcs2,
+    "token_pmi": q_token_pmi,
+    "tokenizer_bytes": q_tokenizer_bytes,
+    "tokenizer_pipeline": q_tokenizer_pipeline,
+    "tokens_to_ids": q_tokens_to_ids,
+    "unigram_surprisal": q_unigram_surprisal,
+    "zorder_layout": q_zorder_layout,
+    "bpe_train_bytes": q_bpe_train_bytes,
+    "tokenizer_bytes_trained": q_tokenizer_bytes_trained,
+    "pricing_decimal_avg": q_pricing_decimal_avg,
+    "bpe_train": q_bpe_train,
+    "stream_ann_index_pq": q_stream_ann_index_pq,
+}
+
+
+_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # long-confirmed queries; parity re-proven every round by
+    # tests/test_oracle_parity.py. Ordered stalest-first (latest
+    # driver check ascending: the r13 and r14 cohorts, then the
+    # r15-window cohort at the end) so the next rotation promotes
+    # from the top.
+    "anti_join": q_anti_join,
+    "asof_join": q_asof_join,
+    "asof_minute_join": q_asof_minute_join,
+    "bm25_search": q_bm25_search,
+    "calendar_features": q_calendar_features,
+    "conform_schema": q_conform_schema,
+    "corpus_pipeline": q_corpus_pipeline,
+    "cube_agg": q_cube_agg,
+    "distinct_agg": q_distinct_agg,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+    "entity_match": q_entity_match,
+    "exact_dedup": q_exact_dedup,
+    "exact_dedup_digest": q_exact_dedup_digest,
+    "filtered_hourly": q_filtered_hourly,
+    "hourly_agg": q_hourly_agg,
+    "hourly_with_mode": q_hourly_with_mode,
+    "interval_join_batch": q_interval_join_batch,
+    "interval_join_binned": q_interval_join_binned,
+    "interval_shift": q_interval_shift,
+    "json_payload": q_json_payload,
+    "ml_features": q_ml_features,
+    "ml_train_eval": q_ml_train_eval,
+    "mode_event_type": q_mode_event_type,
+    "ngram_jaccard": q_ngram_jaccard,
+    "null_skipping_agg": q_null_skipping_agg,
+    "onehot_features": q_onehot_features,
+    "pca_project": q_pca_project,
+    "pit_join": q_pit_join,
+    "pricing_summary": q_pricing_summary,
+    "random_split_counts": q_random_split_counts,
+    "range_window_partitioned": q_range_window_partitioned,
+    "rollup_agg": q_rollup_agg,
+    "scd2_history": q_scd2_history,
+    "semi_join": q_semi_join,
+    "serving_keys": q_serving_keys,
+    "small_qty_revenue": q_small_qty_revenue,
+    "span_dedup": q_span_dedup,
+    "temperature_mixture": q_temperature_mixture,
+    "two_level_avg": q_two_level_avg,
+    "union_drift": q_union_drift,
+    "volume_shipping": q_volume_shipping,
+    "weighted_sample": q_weighted_sample,
+    "bpe_artifact_encode": q_bpe_artifact_encode,
+    "returned_items": q_returned_items,
+    "revenue_change": q_revenue_change,
+    "shipping_priority": q_shipping_priority,
+    "simhash_md5_pairs": q_simhash_md5_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "sketch_mergeable": q_sketch_mergeable,
+    "stock_hourly": q_stock_hourly,
+    "stratified_sample": q_stratified_sample,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "customer_distribution": q_customer_distribution,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_survivors": q_dedup_survivors,
+    "embedding_ann_stack": q_embedding_ann_stack,
+    "embedding_lsh_portable": q_embedding_lsh_portable,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_quantize": q_embedding_quantize,
+    "embedding_topk": q_embedding_topk,
+    "funnel": q_funnel,
+    "hash_sample": q_hash_sample,
+    "hashed_vectors": q_hashed_vectors,
+    "idle_customers": q_idle_customers,
+    "label_propagation": q_label_propagation,
+    "large_volume_customer": q_large_volume_customer,
+    "local_supplier_volume": q_local_supplier_volume,
+    "minhash_near_dup": q_minhash_near_dup,
+    "multimodal_features": q_multimodal_features,
+    "order_priority": q_order_priority,
+    "pagerank_step": q_pagerank_step,
+    "pivot": q_pivot,
+    "priority_lines": q_priority_lines,
+    "promo_revenue": q_promo_revenue,
+    "quantiles": q_quantiles,
+    "range_window_sum": q_range_window_sum,
+    "repetition_stats": q_repetition_stats,
+    "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_probed": q_semantic_dedup_probed,
+    "session_window": q_session_window,
+    "sketch_distinct": q_sketch_distinct,
+    "star_join": q_star_join,
+    "stream_hourly": q_stream_hourly,
+    "stream_join_outer": q_stream_join_outer,
+    "text_quality": q_text_quality,
+    "text_stats": q_text_stats,
+    "top_k_per_group": q_top_k_per_group,
+    "traffic_hourly": q_traffic_hourly,
+    "traffic_hourly_fused": q_traffic_hourly_fused,
+    "tz_hourly": q_tz_hourly,
+    "video_frames": q_video_frames,
+    # ---- the displaced r15 window (driver-checked r15, newest —
+    # promoted again only after everything above)
     "corpus_diff": q_corpus_diff,
     "detokenize": q_detokenize,
     "argmax_agg": q_argmax_agg,
@@ -4724,156 +4876,6 @@ _WINDOW: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "column_profile": q_column_profile,
     "contamination": q_contamination,
-}
-
-
-_TAIL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # long-confirmed queries; parity re-proven every round by
-    # tests/test_oracle_parity.py. Ordered stalest-first (latest
-    # driver check ascending: the remaining r12 cohort, then the r13
-    # and r14 cohorts) so the r16 rotation promotes from the top.
-    "corpus_shuffle": q_corpus_shuffle,
-    "detokenize_bytes": q_detokenize_bytes,
-    "disjunctive_revenue": q_disjunctive_revenue,
-    "doc_fingerprint_md5": q_doc_fingerprint_md5,
-    "embedding_covariance": q_embedding_covariance,
-    "embedding_ivf_pq": q_embedding_ivf_pq,
-    "embedding_ivf_pq_kmeans": q_embedding_ivf_pq_kmeans,
-    "embedding_outliers": q_embedding_outliers,
-    "embedding_standardize": q_embedding_standardize,
-    "equi_depth_histogram": q_equi_depth_histogram,
-    "expectations": q_expectations,
-    "hash_funcs": q_hash_funcs,
-    "hash_split": q_hash_split,
-    "heavy_hitters": q_heavy_hitters,
-    "higher_order_funcs": q_higher_order_funcs,
-    "histogram": q_histogram,
-    "important_stock": q_important_stock,
-    "join_cardinality": q_join_cardinality,
-    "kmeans_step": q_kmeans_step,
-    "map_funcs": q_map_funcs,
-    "mixture_sample": q_mixture_sample,
-    "ml_linear_fit": q_ml_linear_fit,
-    "nation_profit": q_nation_profit,
-    "pack_documents": q_pack_documents,
-    "pca_invariants": q_pca_invariants,
-    "pii_scrub": q_pii_scrub,
-    "pricing_summary_decimal": q_pricing_summary_decimal,
-    "quality_gate": q_quality_gate,
-    "quantizer_drift": q_quantizer_drift,
-    "sessionize": q_sessionize,
-    "skew_diagnostics": q_skew_diagnostics,
-    "source_kl": q_source_kl,
-    "stats_agg": q_stats_agg,
-    "stream_distinct": q_stream_distinct,
-    "stream_enrich": q_stream_enrich,
-    "string_funcs2": q_string_funcs2,
-    "token_pmi": q_token_pmi,
-    "tokenizer_bytes": q_tokenizer_bytes,
-    "tokenizer_pipeline": q_tokenizer_pipeline,
-    "tokens_to_ids": q_tokens_to_ids,
-    "unigram_surprisal": q_unigram_surprisal,
-    "zorder_layout": q_zorder_layout,
-    "bpe_train_bytes": q_bpe_train_bytes,
-    "tokenizer_bytes_trained": q_tokenizer_bytes_trained,
-    "pricing_decimal_avg": q_pricing_decimal_avg,
-    "bpe_train": q_bpe_train,
-    "stream_ann_index_pq": q_stream_ann_index_pq,
-    "stream_ann_index": q_stream_ann_index,
-    "anti_join": q_anti_join,
-    "asof_join": q_asof_join,
-    "asof_minute_join": q_asof_minute_join,
-    "bm25_search": q_bm25_search,
-    "calendar_features": q_calendar_features,
-    "conform_schema": q_conform_schema,
-    "corpus_pipeline": q_corpus_pipeline,
-    "cube_agg": q_cube_agg,
-    "distinct_agg": q_distinct_agg,
-    "doc_fingerprint": q_doc_fingerprint,
-    "embedding_ivf_topk": q_embedding_ivf_topk,
-    "embedding_lsh_topk": q_embedding_lsh_topk,
-    "entity_match": q_entity_match,
-    "exact_dedup": q_exact_dedup,
-    "exact_dedup_digest": q_exact_dedup_digest,
-    "filtered_hourly": q_filtered_hourly,
-    "hourly_agg": q_hourly_agg,
-    "hourly_with_mode": q_hourly_with_mode,
-    "interval_join_batch": q_interval_join_batch,
-    "interval_join_binned": q_interval_join_binned,
-    "interval_shift": q_interval_shift,
-    "json_payload": q_json_payload,
-    "ml_features": q_ml_features,
-    "ml_train_eval": q_ml_train_eval,
-    "mode_event_type": q_mode_event_type,
-    "ngram_jaccard": q_ngram_jaccard,
-    "null_skipping_agg": q_null_skipping_agg,
-    "onehot_features": q_onehot_features,
-    "pca_project": q_pca_project,
-    "pit_join": q_pit_join,
-    "pricing_summary": q_pricing_summary,
-    "random_split_counts": q_random_split_counts,
-    "range_window_partitioned": q_range_window_partitioned,
-    "rollup_agg": q_rollup_agg,
-    "scd2_history": q_scd2_history,
-    "semi_join": q_semi_join,
-    "serving_keys": q_serving_keys,
-    "small_qty_revenue": q_small_qty_revenue,
-    "span_dedup": q_span_dedup,
-    "temperature_mixture": q_temperature_mixture,
-    "two_level_avg": q_two_level_avg,
-    "union_drift": q_union_drift,
-    "volume_shipping": q_volume_shipping,
-    "weighted_sample": q_weighted_sample,
-    "bpe_artifact_encode": q_bpe_artifact_encode,
-    "returned_items": q_returned_items,
-    "revenue_change": q_revenue_change,
-    "shipping_priority": q_shipping_priority,
-    "simhash_md5_pairs": q_simhash_md5_pairs,
-    "simhash_pairs": q_simhash_pairs,
-    "sketch_mergeable": q_sketch_mergeable,
-    "stock_hourly": q_stock_hourly,
-    "stratified_sample": q_stratified_sample,
-    "bpe_pair_counts": q_bpe_pair_counts,
-    "customer_distribution": q_customer_distribution,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_survivors": q_dedup_survivors,
-    "embedding_ann_stack": q_embedding_ann_stack,
-    "embedding_ivf_portable": q_embedding_ivf_portable,
-    "embedding_lsh_portable": q_embedding_lsh_portable,
-    "embedding_near_dup": q_embedding_near_dup,
-    "embedding_quantize": q_embedding_quantize,
-    "embedding_topk": q_embedding_topk,
-    "funnel": q_funnel,
-    "hash_sample": q_hash_sample,
-    "hashed_vectors": q_hashed_vectors,
-    "idle_customers": q_idle_customers,
-    "label_propagation": q_label_propagation,
-    "large_volume_customer": q_large_volume_customer,
-    "local_supplier_volume": q_local_supplier_volume,
-    "minhash_near_dup": q_minhash_near_dup,
-    "multimodal_features": q_multimodal_features,
-    "order_priority": q_order_priority,
-    "pagerank_step": q_pagerank_step,
-    "pivot": q_pivot,
-    "priority_lines": q_priority_lines,
-    "promo_revenue": q_promo_revenue,
-    "quantiles": q_quantiles,
-    "range_window_sum": q_range_window_sum,
-    "repetition_stats": q_repetition_stats,
-    "semantic_dedup": q_semantic_dedup,
-    "semantic_dedup_probed": q_semantic_dedup_probed,
-    "session_window": q_session_window,
-    "sketch_distinct": q_sketch_distinct,
-    "star_join": q_star_join,
-    "stream_hourly": q_stream_hourly,
-    "stream_join_outer": q_stream_join_outer,
-    "text_quality": q_text_quality,
-    "text_stats": q_text_stats,
-    "top_k_per_group": q_top_k_per_group,
-    "traffic_hourly": q_traffic_hourly,
-    "traffic_hourly_fused": q_traffic_hourly_fused,
-    "tz_hourly": q_tz_hourly,
-    "video_frames": q_video_frames,
 }
 
 

@@ -526,28 +526,54 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
                      for i, ctr in enumerate(km.clusterCenters())]
         cent_df = F.broadcast(corpus.sparkSession.createDataFrame(
             centroids, ["cell", "centroid"]))
+        # KMeans centers are means of valid (finite) vectors — always
+        # kernel-safe — and cent_df's inferred cell type is bigint
+        center_rows, cell_type = sorted(centroids), "bigint"
     else:
         cent_df = F.broadcast(
             centers.select(F.col("cell"),
                            F.col("centroid").cast("array<double>").alias("centroid")))
-        # nearest-center assignment (squared euclidean; ties → lower cell),
-        # same rule the probe stage uses — broadcast nested loop over the
-        # tiny center table, one window per corpus row (shared with the
-        # persisted-index maintenance path)
-        c_assigned = _assign_primary_cells(c, centers, "corpus_id")
+        center_rows = _kernel_center_rows(centers)
+        cell_type = dict(centers.dtypes)["cell"]
+        if center_rows is None:
+            # degenerate quantizer (see _kernel_center_rows): the
+            # broadcast nested loop + one window per corpus row
+            c_assigned = _assign_primary_cells(c, centers, "corpus_id")
+        else:
+            # nearest-center assignment (squared euclidean; ties →
+            # lower cell, duplicate-id rule intact) as the Arrow kernel
+            # + slim per-id window (r16 — shared with the
+            # persisted-index maintenance path, see
+            # _assign_primary_cells_kernel)
+            c_assigned = _assign_primary_cells_kernel(c, center_rows,
+                                                      cell_type)
     c_assigned = with_norm(c_assigned, "cvec", "cnorm")
     q = valid_vectors(queries, vec_col) \
         .select(F.col(query_id).alias("query_id"),
                 F.col(vec_col).cast("array<double>").alias("qvec"))
-    q = with_norm(q, "qvec", "qnorm")
-    qc = (q.crossJoin(cent_df)
-          .withColumn("dist", F.sqrt(F.aggregate(
-              F.zip_with("qvec", "centroid", lambda a, b: (a - b) * (a - b)),
-              F.lit(0.0), lambda acc, v: acc + v))))
-    wq = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cell").asc())
-    probes = (qc.withColumn("rn", F.row_number().over(wq))
-              .where(F.col("rn") <= n_probe)
-              .select("query_id", "qvec", "qnorm", "cell"))
+    if center_rows is None:
+        q = with_norm(q, "qvec", "qnorm")
+        qc = (q.crossJoin(cent_df)
+              .withColumn("dist", F.sqrt(F.aggregate(
+                  F.zip_with("qvec", "centroid", lambda a, b: (a - b) * (a - b)),
+                  F.lit(0.0), lambda acc, v: acc + v))))
+        wq = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
+                                                    F.col("cell").asc())
+        probes = (qc.withColumn("rn", F.row_number().over(wq))
+                  .where(F.col("rn") <= n_probe)
+                  .select("query_id", "qvec", "qnorm", "cell"))
+    else:
+        # probe ranking as the kernel + slim re-rank window (r16):
+        # sqrt_rank because THIS window form ranks on euclidean
+        # DISTANCE — two distinct dist2 can round to one sqrt, engaging
+        # the cell-asc tie-break the kernel must reproduce
+        probes = _probe_cells_kernel(
+            q.select("query_id", F.col("qvec").alias("cvec")),
+            center_rows, cell_type, n_probe, sqrt_rank=True) \
+            .select(F.col("id").alias("query_id"),
+                    F.col("v").alias("qvec"), "cell")
+        probes = with_norm(probes, "qvec", "qnorm") \
+            .select("query_id", "qvec", "qnorm", "cell")
 
     # score the probed cells as cogrouped BLAS tiles (shared with the
     # persisted-index search — see ann_index_topk's measured A/B: the
@@ -603,8 +629,19 @@ def quantizer_profile(df: DataFrame, centers: DataFrame, id_col: str,
     vecs = valid_vectors(df, vec_col).select(
         F.col(id_col).alias("__qid"),
         F.col(vec_col).cast("array<double>").alias("cvec"))
-    assigned = _assign_primary_cells(vecs, centers, "__qid",
-                                     keep_dist2=True)
+    center_rows = _kernel_center_rows(centers)
+    if center_rows is None:
+        # degenerate quantizer (see _kernel_center_rows)
+        assigned = _assign_primary_cells(vecs, centers, "__qid",
+                                         keep_dist2=True)
+    else:
+        # the census assignment as the Arrow kernel + slim per-id
+        # window (r16): dist2 is the kernel's own fold value —
+        # bit-identical summation order — so (n, mean_d2) match the
+        # window form exactly
+        assigned = _assign_primary_cells_kernel(
+            vecs, center_rows, dict(centers.dtypes)["cell"],
+            id_out="__qid", keep_dist2=True)
     prof = (assigned.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.avg("dist2").alias("mean_d2")))
@@ -1183,8 +1220,17 @@ def ann_index_rebuild(spark, index_path: str, n_cells: int | None = None,
     vecs = _ann_index_scan(spark, index_path, ["corpus_id", "cvec"])
     centers = kmeans_centers(vecs, "cvec", n_cells=n_cells, seed=seed) \
         .localCheckpoint()
-    assigned = _assign_primary_cells(vecs, centers, "corpus_id",
-                                     keep_dist2=True)
+    center_rows = _kernel_center_rows(centers)
+    if center_rows is None:
+        assigned = _assign_primary_cells(vecs, centers, "corpus_id",
+                                         keep_dist2=True)
+    else:
+        # re-layout assignment as the Arrow kernel + slim per-id
+        # window (r16) — KMeans centers are always kernel-safe; the
+        # guard stays for uniformity with every other call site
+        assigned = _assign_primary_cells_kernel(
+            vecs, center_rows, dict(centers.dtypes)["cell"],
+            keep_dist2=True)
     staging = f"{index_path}__rebuild_{uuid.uuid4().hex[:8]}"
     _write_batch_profile(assigned, staging, -1)
     (with_norm(assigned.drop("dist2"), "cvec", "cnorm")
@@ -1263,6 +1309,98 @@ def ann_index_rebuild_pq(spark, index_path: str, source: DataFrame,
     return centers, codebooks, reference
 
 
+def _kernel_center_rows(centers: DataFrame) -> list | None:
+    """Collect a (cell, centroid) quantizer frame into the sorted
+    ``center_rows`` list the ``_assign_cells`` kernel takes — or None
+    when the quantizer is not kernel-safe and the caller must keep the
+    broadcast-crossJoin + window form: empty, a NULL cell or centroid,
+    a NULL/non-finite centroid ELEMENT (the window's SQL fold
+    NULL-poisons/NaN-ranks those per Spark ordering semantics, which
+    numpy argmin does not reproduce), or RAGGED centroid lengths (the
+    window scores each centroid independently; the kernel assumes one
+    quantizer dimension). Real quantizers — KMeans fits, subset
+    quantizers over ``valid_vectors`` rows — are uniform and finite, so
+    the fallback exists for the degenerate frames only; sorting makes
+    numpy's first-minimum tie-break equal the window's cell-asc rule."""
+    rows = centers.select("cell", "centroid").collect()
+    out = []
+    for r in rows:
+        if r["cell"] is None or r["centroid"] is None:
+            return None
+        c = r["centroid"]
+        vals = []
+        for x in c:
+            if x is None:
+                return None
+            fx = float(x)
+            if fx != fx or fx in (float("inf"), float("-inf")):
+                return None
+            vals.append(fx)
+        out.append((r["cell"], vals))
+    if not out or len({len(c) for _, c in out}) != 1:
+        return None
+    out.sort()
+    return out
+
+
+def _assign_primary_cells_kernel(vecs: DataFrame, center_rows: list,
+                                 cell_type: str,
+                                 id_out: str = "corpus_id",
+                                 keep_dist2: bool = False) -> DataFrame:
+    """``_assign_primary_cells`` (crossJoin + per-id window over n·k
+    centroid-carrying rows) as the Arrow kernel + ONE slim per-id window
+    over the kernel's n output rows (r16, VERDICT r15 #1). The window is
+    kept ONLY for the duplicate-id rule — the window form partitions by
+    id, so duplicate-id rows compete and the globally best (dist2 asc
+    NULLS FIRST, cell asc) row survives; a ragged row's dist2 is the
+    NULL-poisoned fold, so it BEATS a well-formed duplicate, exactly as
+    the crossJoin form's all-NULL rows sort first. Input ``vecs`` is
+    (``id_out``, cvec); output adds ``cell`` (and with ``keep_dist2``
+    the winning squared distance — the drift monitor's raw signal,
+    bit-identical because ``_np_fold_sq_dists`` reproduces the SQL
+    fold's summation order). Bit-identical to ``_assign_primary_cells``
+    on every input (equality-pinned incl. duplicate and ragged ids in
+    tests/test_pipeline_ops.py)."""
+    ker = _assign_cells(
+        vecs.select(F.col(id_out).alias("id"),
+                    F.col("cvec").alias("v")),
+        center_rows, cell_type=cell_type,
+        mismatch_cell="lowest", keep_dist2=True)
+    w = Window.partitionBy("id").orderBy(F.col("dist2").asc(),
+                                         F.col("cell").asc())
+    cols = [F.col("id").alias(id_out), F.col("v").alias("cvec"), "cell"] \
+        + (["dist2"] if keep_dist2 else [])
+    return (ker.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(*cols))
+
+
+def _probe_cells_kernel(q: DataFrame, center_rows: list, cell_type: str,
+                        n_probe: int, sqrt_rank: bool = False) -> DataFrame:
+    """``ann_index_topk``'s probe ranking (top-n_probe cells per query
+    by dist2 asc, cell asc) as the Arrow kernel + ONE slim per-id window
+    over the kernel's n·n_probe candidate rows instead of the n·k
+    crossJoin explosion (r16). The re-rank window reproduces the
+    DUPLICATE-query-id rule: duplicate rows compete for one global
+    top-n_probe per id value, and any globally-ranked (row, cell) pair
+    ranks at least as high within its own row's top-n_probe, so the
+    kernel's candidate union provably contains the window form's exact
+    answer. Input ``q`` is (query_id, cvec); output (id, v, cell).
+    ``sqrt_rank`` for callers whose window form ranks on euclidean
+    DISTANCE (``ivf_topk``): the kernel emits the post-sqrt key, so the
+    re-rank window compares the same doubles the window form sorts."""
+    ker = _assign_cells(
+        q.select(F.col("query_id").alias("id"),
+                 F.col("cvec").alias("v")),
+        center_rows, cell_type=cell_type, n_probe=n_probe,
+        mismatch_cell="lowest", sqrt_rank=sqrt_rank, keep_dist2=True)
+    w = Window.partitionBy("id").orderBy(F.col("dist2").asc(),
+                                         F.col("cell").asc())
+    return (ker.withColumn("grn", F.row_number().over(w))
+            .where(F.col("grn") <= n_probe)
+            .select("id", "v", "cell"))
+
+
 def ann_index_append(batch_df: DataFrame, batch_id: int, index_path: str,
                      centers: DataFrame, id_col: str,
                      vec_col: str = "embedding",
@@ -1283,14 +1421,45 @@ def ann_index_append(batch_df: DataFrame, batch_id: int, index_path: str,
     vecs = valid_vectors(batch_df, vec_col).select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"))
-    assigned = _assign_primary_cells(vecs, centers, "corpus_id",
-                                     keep_dist2=profile)
-    if profile:
-        # the drift monitor's raw material (``ann_index_drift``) — one
-        # extra quantizer-sized aggregate per batch, opt-in so the
-        # bare-index contract queries don't pay it
+    center_rows = _kernel_center_rows(centers)
+    if center_rows is None:
+        # crossJoin + per-id window: degenerate quantizers the kernel
+        # can't reproduce (see _kernel_center_rows)
+        assigned = _assign_primary_cells(vecs, centers, "corpus_id",
+                                         keep_dist2=profile)
+        if profile:
+            # the drift monitor's raw material (``ann_index_drift``) —
+            # one extra quantizer-sized aggregate per batch, opt-in so
+            # the bare-index contract queries don't pay it
+            _write_batch_profile(assigned, index_path, batch_id)
+            assigned = assigned.drop("dist2")
+    elif profile:
+        # the PROFILED append rides the same kernel since the kernel
+        # emits the winner's dist2 (r16, keep_dist2 — bit-identical
+        # fold value), so the drift census no longer forces the
+        # crossJoin+window form
+        assigned = _assign_primary_cells_kernel(
+            vecs, center_rows, dict(centers.dtypes)["cell"],
+            keep_dist2=True)
         _write_batch_profile(assigned, index_path, batch_id)
         assigned = assigned.drop("dist2")
+    else:
+        # assignment as ONE map-only Arrow kernel (r16, VERDICT r15 #1
+        # — the raw twin of ann_index_append_pq's r15 fusion): the
+        # crossJoin exploded every batch to n·k rows, each carrying the
+        # float64 vector AND the joined centroid through a per-id
+        # window SHUFFLE (~1.3 s/micro-batch class at sf0.1); the
+        # kernel ships the quantizer in the task closure and the batch
+        # crosses the Arrow boundary once, n rows. mismatch_cell=
+        # "lowest" reproduces the window's ragged-row rule exactly and
+        # the per-id window BELOW — over the kernel's n slim rows, not
+        # the n·k centroid-carrying explosion — reproduces its
+        # duplicate-id rule (one survivor per id, best (dist2, cell),
+        # NULL dist2 first; the edge-duplicate-keys fixture is the
+        # regression test), so the stored layout is bit-identical to
+        # the window form's on every input.
+        assigned = _assign_primary_cells_kernel(
+            vecs, center_rows, dict(centers.dtypes)["cell"])
     (with_norm(assigned, "cvec", "cnorm")
      .repartition(F.col("cell"))
      .write.mode("overwrite").partitionBy("cell")
@@ -1343,20 +1512,38 @@ def ann_index_topk(spark, index_path: str, queries: DataFrame,
     q = valid_vectors(queries, vec_col).select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"))
-    cent = F.broadcast(centers.select(
-        F.col("cell"),
-        F.col("centroid").cast("array<double>").alias("centroid")))
-    qc = (q.crossJoin(cent)
-          .withColumn("dist2", F.aggregate(
-              F.zip_with("cvec", "centroid",
-                         lambda a, b: (a - b) * (a - b)),
-              F.lit(0.0), lambda acc, v: acc + v)))
-    wq = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
-                                                F.col("cell").asc())
-    probes = (qc.withColumn("rn", F.row_number().over(wq))
-              .where(F.col("rn") <= n_probe)
-              .select("query_id",
-                      F.col("cvec").alias("qvec"), "cell"))
+    center_rows = _kernel_center_rows(centers)
+    if center_rows is None:
+        # degenerate quantizer (see _kernel_center_rows): the
+        # crossJoin + per-id window probe ranking
+        cent = F.broadcast(centers.select(
+            F.col("cell"),
+            F.col("centroid").cast("array<double>").alias("centroid")))
+        qc = (q.crossJoin(cent)
+              .withColumn("dist2", F.aggregate(
+                  F.zip_with("cvec", "centroid",
+                             lambda a, b: (a - b) * (a - b)),
+                  F.lit(0.0), lambda acc, v: acc + v)))
+        wq = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
+                                                    F.col("cell").asc())
+        probes = (qc.withColumn("rn", F.row_number().over(wq))
+                  .where(F.col("rn") <= n_probe)
+                  .select("query_id",
+                          F.col("cvec").alias("qvec"), "cell"))
+    else:
+        # ranked n_probe assignment as the map-only Arrow kernel (r16):
+        # same (dist2 asc, cell asc) ranking, same mismatched-length
+        # rule (lowest cells), no n·k crossJoin rows — the per-query
+        # window below re-ranks the kernel's n·n_probe candidate rows
+        # (vs the window form's n·k) only to reproduce the
+        # DUPLICATE-query-id rule: duplicate rows compete for one
+        # global top-n_probe per id, and any globally-ranked pair is
+        # ranked at least as high within its own row's top-n_probe, so
+        # the candidate union contains the window form's exact answer
+        probes = _probe_cells_kernel(
+            q, center_rows, dict(centers.dtypes)["cell"], n_probe) \
+            .select(F.col("id").alias("query_id"),
+                    F.col("v").alias("qvec"), "cell")
     probes = with_norm(probes, "qvec", "qnorm").localCheckpoint(
         eager=False)
     # the probed-cell set is quantizer-bounded (≤ n_cells values) — a
@@ -2924,7 +3111,10 @@ def _assign_cells_expr(base: DataFrame, center_rows: list,
 
 
 def _assign_cells(base: DataFrame, center_rows: list,
-                  cell_type: str = "long", n_probe: int = 1) -> DataFrame:
+                  cell_type: str = "long", n_probe: int = 1,
+                  mismatch_cell: str = "null",
+                  sqrt_rank: bool = False,
+                  keep_dist2: bool = False) -> DataFrame:
     """Nearest-center cell assignment (squared euclidean; ties → lowest
     cell), the rule ``ivf_topk`` documents, as a MAP-ONLY vectorized
     Arrow kernel (r15): no crossJoin row explosion (n·k rows), no
@@ -2949,7 +3139,37 @@ def _assign_cells(base: DataFrame, center_rows: list,
 
     ``n_probe > 1`` (round 9) returns the ``n_probe`` NEAREST cells per
     row as ``(id, v, rn, cell)`` with rn ∈ [1, n_probe] (n·n_probe
-    rows, never n·k)."""
+    rows, never n·k).
+
+    ``mismatch_cell="lowest"`` (r16 — the raw-index fusion, VERDICT r15
+    #1): at ``n_probe = 1`` a length-mismatched vector gets the LOWEST
+    cell instead of NULL — the broadcast-crossJoin + per-id-window
+    form's own rule (all-NULL dist2 sorts NULLS FIRST, ties break cell
+    asc), so the kernel is bit-identical to ``_assign_primary_cells``
+    on EVERY row class, ragged included (equality-pinned in
+    tests/test_pipeline_ops.py). ``n_probe > 1`` already implements it.
+
+    ``sqrt_rank=True`` (r16): rank cells on ``sqrt(dist2)`` instead of
+    ``dist2`` — for callers whose window form orders by euclidean
+    DISTANCE (``ivf_topk``'s probe stage). ``np.sqrt`` and the JVM's
+    ``Math.sqrt`` are both IEEE-754 correctly rounded, so the ranking
+    keys are bit-identical; the distinction matters only because two
+    distinct doubles can round to the SAME sqrt, engaging the cell-asc
+    tie-break under sqrt ranking where dist2 ranking sees no tie.
+
+    ``keep_dist2=True`` (r16): also emit the rank key (``dist2``, the
+    selected cell's fold value; post-sqrt under ``sqrt_rank``; NULL on
+    length-mismatched rows — the window form's NULL-poisoned fold).
+    This is what lets a caller reproduce the crossJoin+window form's
+    DUPLICATE-ID rule with a window over the kernel's n-row OUTPUT
+    instead of the n·k explosion: the window form partitions by id, so
+    duplicate-id rows compete and only the globally best (dist2, cell)
+    row survives per id (primary) / the global top-n_probe (probes) —
+    a per-row kernel alone would keep every duplicate (caught by the
+    edge-duplicate-keys fixture, 90 vs 87 rows). The per-id top-n over
+    per-row top-n candidates equals the window's top-n over all m·k
+    rows because any globally-ranked pair is ranked at least as high
+    within its own row's candidate list."""
     import numpy as np
     import pandas as pd
 
@@ -2968,15 +3188,21 @@ def _assign_cells(base: DataFrame, center_rows: list,
               .withColumn("dist2", F.aggregate(
                   F.zip_with("v", "centroid", lambda a, b: (a - b) * (a - b)),
                   F.lit(0.0), lambda acc, x: acc + x)))
-        wc = Window.partitionBy("id").orderBy(F.col("dist2").asc(),
+        rank_col = (F.sqrt(F.col("dist2")) if sqrt_rank
+                    else F.col("dist2"))
+        wc = Window.partitionBy("id").orderBy(rank_col.asc(),
                                               F.col("cell").asc())
         ranked = cc.withColumn("rn", F.row_number().over(wc))
+        extra = [rank_col.alias("dist2")] if keep_dist2 else []
         if n_probe > 1:
             return (ranked.where(F.col("rn") <= n_probe)
                     .select("id", "v", "rn",
-                            F.col("cell").cast(cell_type).alias("cell")))
+                            F.col("cell").cast(cell_type).alias("cell"),
+                            *extra))
         return (ranked.where(F.col("rn") == 1)
-                .select("id", "v", F.col("cell").cast(cell_type).alias("cell")))
+                .select("id", "v",
+                        F.col("cell").cast(cell_type).alias("cell"),
+                        *extra))
 
     cells_in_order = [cell for cell, _ in center_rows]
     C = np.array([c for _, c in center_rows], dtype=np.float64)
@@ -2989,6 +3215,8 @@ def _assign_cells(base: DataFrame, center_rows: list,
     if n_probe > 1:
         fields.append(StructField("rn", IntegerType()))
     fields.append(StructField("cell", _cell_field_type(cell_type)))
+    if keep_dist2:
+        fields.append(StructField("dist2", DoubleType()))
     schema = StructType(fields)
     take = min(n_probe, len(cells_in_order))
 
@@ -3009,14 +3237,19 @@ def _assign_cells(base: DataFrame, center_rows: list,
                             np.arange(1, len(mm_cells) + 1), len(g))
                         out["cell"] = np.tile(np.asarray(mm_cells, dtype=object),
                                               len(g))
-                        yield out
                     else:
                         out = g[["id", "v"]].copy()
-                        out["cell"] = None
-                        yield out
+                        out["cell"] = (mm_cells[0]
+                                       if mismatch_cell == "lowest"
+                                       and mm_cells else None)
+                    if keep_dist2:
+                        out["dist2"] = None   # the NULL-poisoned fold
+                    yield out
                     continue
                 V = np.stack(g["v"].to_numpy())
                 d2 = _np_fold_sq_dists(V, C)
+                if sqrt_rank:
+                    d2 = np.sqrt(d2)
                 if n_probe > 1:
                     idx = np.lexsort(
                         (np.broadcast_to(cells_arr, d2.shape), d2),
@@ -3024,10 +3257,16 @@ def _assign_cells(base: DataFrame, center_rows: list,
                     out = g.loc[g.index.repeat(take), ["id", "v"]].copy()
                     out["rn"] = np.tile(np.arange(1, take + 1), len(g))
                     out["cell"] = cells_arr[idx].ravel()
+                    if keep_dist2:
+                        out["dist2"] = np.take_along_axis(
+                            d2, idx, axis=1).ravel()
                     yield out
                 else:
+                    win = np.argmin(d2, axis=1)
                     out = g[["id", "v"]].copy()
-                    out["cell"] = cells_arr[np.argmin(d2, axis=1)]
+                    out["cell"] = cells_arr[win]
+                    if keep_dist2:
+                        out["dist2"] = d2[np.arange(len(g)), win]
                     yield out
 
     return base.select("id", "v").mapInPandas(assign, schema=schema)

@@ -2868,3 +2868,129 @@ def test_apply_merges_kernel_matches_merge_fold(spark):
     got = C._apply_merges_pandas(df, merges, keep=["w"])
     assert ({r["w"]: tuple(r["syms"]) for r in got.collect()}
             == {r["w"]: tuple(r["syms"]) for r in ref.collect()})
+
+
+# ---------------------------------------------------------------- r16 ------
+# The raw-layout streamed-index fusion (VERDICT r15 #1): the kernel's
+# mismatch_cell="lowest" mode must be bit-identical to the broadcast-
+# crossJoin + per-id-window form (_assign_primary_cells / the topk probe
+# window) on EVERY row class, ragged included — the window forms stay in
+# the code as the profiled-append path, so they double as the references.
+
+def _r16_dup_fixture(spark):
+    """_r15_fixture plus DUPLICATE-id rows with DIFFERENT vectors (the
+    edge-duplicate-keys class that caught the kernel keeping every
+    duplicate): ids 0-5 re-appear with their reversed vector, id 900
+    (ragged) re-appears with a well-formed vector — the window form's
+    NULLS-FIRST rule makes the RAGGED copy win the primary cell."""
+    base = _r15_fixture(spark)
+    rows = base.collect()
+    by_id = {r["vec_id"]: list(r["embedding"]) for r in rows}
+    dups = [(i, list(reversed(by_id[i]))) for i in range(6)]
+    dups.append((900, [0.5] * 64))
+    dup_df = spark.createDataFrame(
+        dups, "vec_id: long, embedding: array<double>")
+    return base.unionAll(dup_df)
+
+
+def test_assign_primary_cells_kernel_matches_window_form(spark):
+    """The raw-append fusion (_assign_primary_cells_kernel) must be
+    bit-identical to _assign_primary_cells on every row class: unique
+    ids, exact ties, ragged rows (NULL dist2 sorts first, lowest cell
+    wins), and DUPLICATE ids (one survivor per id, globally best
+    (dist2, cell); a ragged duplicate beats a well-formed one)."""
+    df = _r16_dup_fixture(spark)
+    vecs = S.valid_vectors(df, "embedding").select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("cvec"))
+    center_rows = list(enumerate(
+        r["cvec"] for r in vecs.orderBy("corpus_id").limit(7).collect()))
+    centers = spark.createDataFrame(center_rows, ["cell", "centroid"])
+    win = {(r["corpus_id"], tuple(r["cvec"]), r["cell"]) for r in
+           S._assign_primary_cells(vecs, centers, "corpus_id").collect()}
+    ker = {(r["corpus_id"], tuple(r["cvec"]), r["cell"]) for r in
+           S._assign_primary_cells_kernel(vecs, center_rows,
+                                          "bigint").collect()}
+    assert ker == win
+    # the rules pinned explicitly, not only via the reference:
+    d = {i: (v, c) for i, v, c in ker}
+    assert len(ker) == len(d)            # ONE survivor per duplicate id
+    assert d[901][1] == 0                # ragged → lowest cell, not NULL
+    assert d[900][0] == tuple([1.0] * 32)  # ragged copy beats well-formed
+    assert d[900][1] == 0
+    # and the kernel default stays NULL (the one-shot ivf_pq rule)
+    base = vecs.select(F.col("corpus_id").alias("id"),
+                       F.col("cvec").alias("v")).dropDuplicates(["id"])
+    d_null = {r["id"]: r["cell"] for r in
+              S._assign_cells(base, center_rows,
+                              cell_type="bigint").collect()}
+    assert d_null[901] is None
+
+
+def test_probe_cells_kernel_matches_topk_window_form(spark):
+    """The ann_index_topk probe fusion (_probe_cells_kernel) must equal
+    the crossJoin + per-query window form it replaced as a MULTISET —
+    including ragged rows (all-NULL dist2 → the n_probe lowest cells)
+    and DUPLICATE query ids (one global top-n_probe per id over every
+    duplicate row's candidates; the same (id, cell) pair can repeat
+    with different source vectors, exactly as the window form emits
+    it)."""
+    from collections import Counter
+
+    from pyspark.sql import Window
+    df = _r16_dup_fixture(spark)
+    q = S.valid_vectors(df, "embedding").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("cvec"))
+    center_rows = list(enumerate(
+        r["cvec"] for r in
+        q.dropDuplicates(["query_id"]).orderBy("query_id")
+        .limit(7).collect()))
+    cent = F.broadcast(spark.createDataFrame(
+        center_rows, ["cell", "centroid"]).select(
+            "cell", F.col("centroid").cast("array<double>").alias("centroid")))
+    qc = (q.crossJoin(cent)
+          .withColumn("dist2", F.aggregate(
+              F.zip_with("cvec", "centroid",
+                         lambda a, b: (a - b) * (a - b)),
+              F.lit(0.0), lambda acc, v: acc + v)))
+    wq = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
+                                                F.col("cell").asc())
+    win = Counter((r["query_id"], tuple(r["cvec"]), r["cell"]) for r in
+                  qc.withColumn("rn", F.row_number().over(wq))
+                  .where(F.col("rn") <= 4).collect())
+    ker = Counter((r["id"], tuple(r["v"]), r["cell"]) for r in
+                  S._probe_cells_kernel(q, center_rows, "bigint",
+                                        4).collect())
+    assert ker == win
+    # duplicate-id count rule pinned: id 0 has two rows but exactly
+    # n_probe probes total, and the ragged id-900 copy's 4 NULL-dist2
+    # probes (cells 0..3) beat the well-formed copy's entirely
+    per_id = Counter(i for i, _, _ in ker.elements())
+    assert per_id[0] == 4 and per_id[900] == 4
+    ragged_cells = sorted(c for i, v, c in ker.elements()
+                          if i == 900)
+    assert ragged_cells == [0, 1, 2, 3]
+    assert all(len(v) == 32 for i, v, c in ker.elements() if i == 900)
+
+
+def test_kernel_center_rows_degenerate_quantizers(spark):
+    """_kernel_center_rows must refuse every quantizer class whose
+    window-form semantics the numpy kernel cannot reproduce — NULL
+    cells/centroids/elements, non-finite elements, ragged lengths,
+    empty — and accept (sorted) a real one."""
+    ok = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (0, [2.0, 3.0])], ["cell", "centroid"])
+    assert S._kernel_center_rows(ok) == [(0, [2.0, 3.0]), (1, [0.0, 1.0])]
+    bad = [
+        spark.createDataFrame([], "cell: long, centroid: array<double>"),
+        spark.createDataFrame([(None, [0.0])], "cell: long, centroid: array<double>"),
+        spark.createDataFrame([(0, None)], "cell: long, centroid: array<double>"),
+        spark.createDataFrame([(0, [0.0, None])], "cell: long, centroid: array<double>"),
+        spark.createDataFrame([(0, [float("nan")])], "cell: long, centroid: array<double>"),
+        spark.createDataFrame([(0, [float("inf")])], "cell: long, centroid: array<double>"),
+        spark.createDataFrame([(0, [0.0]), (1, [0.0, 1.0])],
+                              "cell: long, centroid: array<double>"),
+    ]
+    for b in bad:
+        assert S._kernel_center_rows(b) is None

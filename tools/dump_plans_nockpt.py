@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Dump ``explain('formatted')`` for named contract queries with
+``DataFrame.localCheckpoint`` patched to a NO-OP — the r16 answer to
+VERDICT r15 #6: the ivf_pq/bpe after-plans showed checkpoint-truncated
+``Scan ExistingRDD`` nodes, so the MapInPandas kernels and the removed
+exchanges were invisible in the record and the claims rested on timing
+splits + equality tests alone. With the checkpoint neutralized the full
+lineage reaches explain, so the kernel nodes, exchange counts and
+PushedFilters are all visible.
+
+The patch changes NOTHING about what the query computes — explain is
+the only action taken on the returned frame — but queries that EXECUTE
+work while building (streaming drains, artifact writes, in-query
+collects) run that work on unbroken lineage, which is why this tool is
+for plan EVIDENCE, not for timing.
+
+Usage:
+  python tools/dump_plans_nockpt.py TREE OUTDIR SUFFIX Q1 [Q2 ...]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+
+from contextlib import redirect_stdout
+
+
+def main() -> None:
+    tree, outdir, suffix = sys.argv[1], sys.argv[2], sys.argv[3]
+    names = sys.argv[4:]
+    sys.path.insert(0, tree)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pyspark.sql import DataFrame
+
+    import __spark_entry__ as entry_mod
+    from bda_spadochrony_spark.session import get_session
+    assert entry_mod.__file__.startswith(tree), entry_mod.__file__
+
+    DataFrame.localCheckpoint = (  # type: ignore[method-assign]
+        lambda self, eager=True: self)
+    spark = get_session("bda-plan-dump-nockpt",
+                        extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    os.makedirs(outdir, exist_ok=True)
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        with open(os.path.join(outdir, f"{name}_{suffix}.txt"), "w") as fh:
+            fh.write(buf.getvalue())
+        print(f"dumped {name}_{suffix} "
+              f"(MapInPandas x{buf.getvalue().count('MapInPandas')}, "
+              f"Exchange x{buf.getvalue().count('Exchange')})")
+
+
+if __name__ == "__main__":
+    main()
