@@ -2836,6 +2836,110 @@ def _adc_cell_candidates(corpus_side: DataFrame, probe_side: DataFrame,
             .select("query_id", "corpus_id"))
 
 
+# Expected LSH bucket occupancy (n_vectors / 2^planes) above which the
+# int8 candidate stage switches from the codegen bucket-self-join +
+# window form to the per-bucket numpy Gram tile (``_int8_tile_topk``).
+# Measured at 20k vectors across forced plane counts
+# (tools/bench_ann_stack_buckets.py → plans/r16/ann_stack_buckets.json,
+# r16 — VERDICT r15 #5): the interpreted higher-order fold pays per
+# PAIR (n·b rows through the join), the tile pays one B×B int64 matmul
+# per bucket, so the join form grows linearly in occupancy while the
+# tile is flat — occupancy 5.2: 0.78 s join vs 2.90 s tile (the
+# r14/r15 "tile loses at sized buckets" result, reproduced); 39: 2.69
+# vs 1.83 (1.47×); 156: 7.49 vs 2.46 (3.0×); 625: 32.1 vs 2.25
+# (14.2×). Break-even ≈ 33; the gate sits at 32 so it never fires
+# where the tile loses and is live from break-even up. Under
+# ``planes_for`` sizing occupancy stays ≈8 until the max_planes=24 cap
+# binds (n > 2^24·8 ≈ 134M vectors — exactly the 100 TB regime); past
+# the cap occupancy grows as n/2^24 (n = 1e9 → ≈60 → tile ~1.5×+).
+# The two forms are value-identical (equality-pinned incl. duplicate
+# ids, zero-norm rows and exact approx ties in
+# tests/test_pipeline_ops.py, and candidate sets asserted equal on the
+# real 20k table at every config); the gate only moves the crossover.
+INT8_TILE_MIN_BUCKET = 32
+
+
+def _int8_tile_topk(d: DataFrame, n_candidates: int) -> DataFrame:
+    """``q_embedding_ann_stack``'s int8 candidate stage — bucket
+    self-join + interpreted ``aggregate(zip_with(...))`` dot products +
+    per-query window — as ONE per-bucket numpy Gram tile (r16, VERDICT
+    r15 #5; the ``_adc_cell_candidates`` pattern on the symmetric
+    int8 side). Input ``d`` is one row per vector:
+    ``(vec_id, v float64[], q int8-codes long[], qn double, bucket)``
+    with ``qn = sqrt(q·q)`` — an integer dot under the sqrt, so every
+    surviving row has ``qn >= 1`` and the tile's divisions can neither
+    underflow nor produce NaN/Inf (the window form's ``qna*qnb``
+    denominator is the same product of sqrt-of-integer doubles).
+
+    Value-equality argument (vs the join+window form):
+    - the tile's int64 ``Q @ Q.T`` equals the SQL long fold exactly
+      (integer addition is associative), and ``long→double`` then one
+      IEEE division reproduces ``cast("double") / (qna*qnb)`` bitwise;
+    - zero-norm rows are dropped by VALUE (the form's ``qn > 0``
+      filters), self-pairs are masked by ID VALUE (the form's
+      ``query_id != corpus_id``), both inside the tile;
+    - per query ROW the tile keeps its bucket-local top-n by
+      (approx desc, corpus_id asc) — every pair the form's global
+      window ranks in id X's top-n must rank at least as high within
+      its own row's bucket-local candidates, so the union provably
+      contains the window form's answer; the ONE slim window below
+      (over ≤ n·n_candidates emitted rows, not n·occupancy pairs)
+      re-ranks that union with the form's exact key, reproducing the
+      duplicate-id merge rule.
+    Output: ``(query_id, qv, corpus_id, cv)`` — the exact-rerank
+    inputs, ranked and cut to ``n_candidates`` per query id."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    sch = d.schema
+    out_schema = StructType([
+        StructField("query_id", sch["vec_id"].dataType),
+        StructField("qv", sch["v"].dataType),
+        StructField("corpus_id", sch["vec_id"].dataType),
+        StructField("cv", sch["v"].dataType),
+        StructField("approx", DoubleType())])
+    # the list columns need OBJECT dtype even empty — a default float64
+    # empty column makes Arrow's NumPyConverter balk at list<double>
+    empty_t = pd.DataFrame({"query_id": pd.Series([], dtype=object),
+                            "qv": pd.Series([], dtype=object),
+                            "corpus_id": pd.Series([], dtype=object),
+                            "cv": pd.Series([], dtype=object),
+                            "approx": pd.Series([], dtype="float64")})
+
+    def tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["qn"].to_numpy(dtype=np.float64) > 0]
+        if len(pdf) < 2:
+            return empty_t
+        ids = pdf["vec_id"].to_numpy()
+        qn = pdf["qn"].to_numpy(dtype=np.float64)
+        vlist = pdf["v"].to_numpy()
+        q_m = np.stack([np.asarray(x, dtype=np.int64)
+                        for x in pdf["q"]])                       # B×dim
+        approx = (q_m @ q_m.T).astype(np.float64) / np.outer(qn, qn)
+        valid = ids[None, :] != ids[:, None]      # self-pairs, by VALUE
+        take = min(n_candidates, approx.shape[1])
+        order = np.lexsort((np.broadcast_to(ids, approx.shape),
+                            -approx, ~valid), axis=1)[:, :take]
+        nvalid = valid.sum(axis=1)
+        qi, r = np.nonzero(np.arange(take)[None, :] < np.minimum(
+            nvalid, take)[:, None])
+        ci = order[qi, r]
+        return pd.DataFrame({
+            "query_id": ids[qi], "qv": vlist[qi],
+            "corpus_id": ids[ci], "cv": vlist[ci],
+            "approx": approx[qi, ci]})
+
+    cand = (d.select("vec_id", "v", "q", "qn", "bucket")
+            .groupBy("bucket").applyInPandas(tile, schema=out_schema))
+    w = Window.partitionBy("query_id").orderBy(F.col("approx").desc(),
+                                               F.col("corpus_id").asc())
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= n_candidates)
+            .select("query_id", "qv", "corpus_id", "cv"))
+
+
 def pairwise_cosine_blocked(df: DataFrame, id_col: str,
                             vec_col: str = "embedding",
                             min_cosine: float = 0.9,

@@ -40,6 +40,16 @@ def main() -> None:
 
     DataFrame.localCheckpoint = (  # type: ignore[method-assign]
         lambda self, eager=True: self)
+    try:
+        # Spark 4: instances are pyspark.sql.classic.dataframe.DataFrame,
+        # which OVERRIDES localCheckpoint — patching only the public base
+        # class left instance calls truncating (caught on the r16 dumps:
+        # stream_ann_index still printed one Scan ExistingRDD)
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+        _CDF.localCheckpoint = (  # type: ignore[method-assign]
+            lambda self, eager=True: self)
+    except ImportError:
+        pass
     spark = get_session("bda-plan-dump-nockpt",
                         extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
